@@ -1,0 +1,71 @@
+"""Execution context: env vars, last table, connections, branch state.
+
+Reference: ``ScriptSQLExecListener`` holds ``_env`` (script variables),
+``lastSelectTable``, and branch context
+(streaming/dsl/ScriptSQLExec.scala:163-252); ``ConnectMeta`` stores
+connection options under (format, alias)
+(ScriptSQLExec.scala:420-445).  Multi-tenant path prefixing:
+ScriptSQLExec.scala:271-291 (pathPrefix(owner)),
+tech/mlsql/dsl/adaptor/DslAdaptor.scala:69-116 (withPathPrefix).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class BranchFrame:
+    """One !if/!elif/!else/!fi level."""
+    taken: bool        # some branch at this level already ran
+    active: bool       # current branch is executing
+    parent_active: bool
+
+
+@dataclass
+class ExecutionContext:
+    spark: "SparkSession"
+    owner: str = "admin"
+    home: str | None = None          # per-owner path prefix root (None = off)
+    env: dict[str, str] = field(default_factory=dict)
+    connect_meta: dict[tuple[str, str], dict[str, str]] = field(default_factory=dict)
+    last_table: str | None = None
+    branch_stack: list[BranchFrame] = field(default_factory=list)
+    stream_name: str | None = None   # set streamName=... flips to stream mode
+    cached_tables: dict[str, "DataFrame"] = field(default_factory=dict)
+    udfs: dict[str, Any] = field(default_factory=dict)
+    jobs: dict[str, Any] = field(default_factory=dict)
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    # ---- path semantics (SURVEY.md §1) ----
+    def resource_real_path(self, path: str) -> str:
+        """Prefix relative paths with the per-owner home directory
+        (reference: DslAdaptor.withPathPrefix)."""
+        if not path:
+            return path
+        if self.home is None or os.path.isabs(path) or "://" in path:
+            return path
+        return os.path.join(self.home, self.owner, path)
+
+    # ---- branch state ----
+    def branch_active(self) -> bool:
+        return all(f.active for f in self.branch_stack) if self.branch_stack else True
+
+    # ---- table helpers ----
+    def set_last_table(self, name: str) -> None:
+        self.last_table = name
+
+    def table(self, name: str) -> "DataFrame":
+        return self.spark.table(name)
+
+    def register(self, df: "DataFrame", name: str) -> None:
+        df.createOrReplaceTempView(name)
+        self.set_last_table(name)
+
+    def is_stream(self) -> bool:
+        return self.stream_name is not None

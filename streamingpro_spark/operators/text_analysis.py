@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines (north-star).
+
+Closest reference ops: FeatureExtractInPlace (regex features from raw
+text — SQLFeatureExtractInPlace.scala) and TokenAnalysis
+(SQLTokenAnalysis.scala).  These four are the LLM-pipeline versions:
+
+- LanguageID       n-gram/stopword heuristic language guess
+- QualityScore     length/punct/stopword/repetition quality features
+- TokenCount       whitespace + BPE-ish regex token counts
+- DocFingerprint   rolling/content hashes for exact + shift-tolerant dedup
+
+All are per-row column expressions (JVM codegen, no shuffle, no Python)
+— they scale linearly and survive a 100× scale-up untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from streamingpro_spark.operators.base import ETAlgorithm
+from streamingpro_spark.operators.registry import register_et
+from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
+
+# tiny per-language stopword marker sets (heuristic language ID)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Fraction of tokens that are marker stopwords of `lang`."""
+    toks = tokens_col(text)
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), markers))
+    return hits.cast("double") / F.lit(len(_LANG_MARKERS[lang]))
+
+
+def lang_guess_col(text: Column) -> Column:
+    """argmax over language marker scores; 'und' when all zero.
+    Deterministic tie-break: language order en,de,fr,es,zh."""
+    langs = list(_LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in reversed(langs):   # earlier langs win ties → apply last
+        s = lang_score_col(text, lang)
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+@register_et("LanguageID")
+class LanguageID(ETAlgorithm):
+    """Heuristic language ID: marker-stopword voting.
+    `run documents as LanguageID.`` where contentCol="text"`."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        return df.withColumn("lang_pred", lang_guess_col(F.col(col)))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text")]
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)))
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / F.greatest(n_tokens, F.lit(1)))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    digit_ratio = digit.cast("double") / F.greatest(n_chars, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.round(mean_tok, 4),
+        "distinct_token_ratio": F.round(distinct_ratio, 4),
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "digit_ratio": F.round(digit_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+    }
+
+
+@register_et("QualityScore")
+class QualityScore(ETAlgorithm):
+    """Document quality features + a composite score in [0,1]
+    (Gopher/C4-style heuristics: length band, repetition, symbol ratio)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        out = df
+        qc = quality_cols(F.col(col))
+        for name, c in qc.items():
+            out = out.withColumn(name, c)
+        score = (
+            F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 0.25)
+             .otherwise(0.0)
+            + F.when(F.col("distinct_token_ratio") >= 0.2, 0.25).otherwise(0.0)
+            + F.when((F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12),
+                     0.25).otherwise(0.0)
+            + F.when(F.col("alpha_ratio") >= 0.5, 0.25).otherwise(0.0))
+        return out.withColumn("quality_score", F.round(score, 2))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text")]
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex — runs of letters, runs of
+    digits, single punctuation — each ~1 token; long words count
+    ceil(len/6) pieces (the GPT-style ~4 chars/token heuristic,
+    conservative at 6)."""
+    words = F.split(text, r"\s+")
+    pieces = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / F.lit(6.0)), F.lit(1)))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return (pieces + punct).cast("long")
+
+
+@register_et("TokenCount")
+class TokenCount(ETAlgorithm):
+    """Whitespace + BPE-ish token counting.
+    Output adds ws_tokens / est_bpe_tokens columns."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        return (df.withColumn("ws_tokens", F.size(tokens_col(F.col(col))).cast("long"))
+                  .withColumn("est_bpe_tokens", bpe_ish_token_count(F.col(col))))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text")]
+
+
+@register_et("DocFingerprint")
+class DocFingerprint(ETAlgorithm):
+    """Content fingerprints: md5 digest, 60-bit content hash, and a
+    whitespace/case-normalized hash (shift-tolerant exact dedup key)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+        return (df.withColumn("md5", F.md5(F.col(col)))
+                  .withColumn("content_hash", portable_hash64(F.col(col), "fp"))
+                  .withColumn("normalized_hash", portable_hash64(F.trim(norm), "fpn")))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text")]

@@ -1,0 +1,299 @@
+"""Datasource registry: format name → load/save implementation.
+
+Reference: streaming/core/datasource/DataSourceRegistry.scala:30-86
+(classpath-scanned registry keyed by format; unregistered formats fall
+back to ``reader.format(fmt).load(path)`` — LoadAdaptor.scala:123-130).
+Save modes + partitionBy + fileNum: SaveAdaptor.scala:62-132.
+Stream sink contract (mode/duration/checkpointLocation, trigger,
+queryName): streaming/core/datasource/MLSQLBaseStreamSource.scala:19-89.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+    from streamingpro_spark.context import ExecutionContext
+    from streamingpro_spark.parser import SaveStmt
+
+# formats that are inherently streaming sources when loaded under a
+# `set streamName=...` script (LoadAdaptor.scala:72-78,142-144)
+_STREAM_FORMATS = {"kafka", "socket", "rate", "mockStream", "streamParquet"}
+
+_FILE_FORMATS = {"csv", "json", "parquet", "orc", "text", "xml", "libsvm",
+                 "image", "binaryFile", "avro", "delta"}
+
+LoaderFn = Callable[["ExecutionContext", str, dict], "DataFrame"]
+_LOADERS: dict[str, LoaderFn] = {}
+
+
+def register_loader(fmt: str):
+    def deco(fn: LoaderFn) -> LoaderFn:
+        _LOADERS[fmt] = fn
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# load
+# ---------------------------------------------------------------------------
+
+def load_source(ctx: "ExecutionContext", fmt: str, path: str,
+                options: dict[str, str]) -> "DataFrame":
+    if fmt in _LOADERS:
+        df = _LOADERS[fmt](ctx, path, options)
+    elif fmt in _FILE_FORMATS:
+        df = _load_file(ctx, fmt, path, options)
+    else:
+        # fallback: trust Spark's own source registry (LoadAdaptor.scala:123-130)
+        reader = ctx.spark.readStream if _wants_stream(ctx, fmt) else ctx.spark.read
+        df = reader.format(fmt).options(**_spark_opts(options)).load(path)
+    df = _post_load(ctx, df, options)
+    return df
+
+
+def _wants_stream(ctx: "ExecutionContext", fmt: str) -> bool:
+    return ctx.is_stream() and fmt in _STREAM_FORMATS
+
+
+def _spark_opts(options: dict[str, str]) -> dict[str, str]:
+    skip = {"eventTimeCol", "delayThreshold", "valueFormat", "valueSchema",
+            "directQuery", "prePtnArray", "prePtnDelimiter", "fileNum"}
+    return {k: v for k, v in options.items() if k not in skip}
+
+
+def _post_load(ctx: "ExecutionContext", df: "DataFrame",
+               options: dict[str, str]) -> "DataFrame":
+    """Watermark + kafka-style value decode (LoadAdaptor.scala:146-203)."""
+    value_format = options.get("valueFormat")
+    if value_format:
+        from streamingpro_spark.sources.value_parser import decode_value
+        df = decode_value(df, value_format, options.get("valueSchema", ""))
+    if "eventTimeCol" in options:
+        df = df.withWatermark(options["eventTimeCol"],
+                              options.get("delayThreshold", "0 seconds"))
+    return df
+
+
+def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
+               options: dict[str, str]) -> "DataFrame":
+    real = ctx.resource_real_path(path)
+    if ctx.is_stream() and fmt in ("parquet", "json", "csv", "text", "orc"):
+        reader = ctx.spark.readStream
+        if "schema" in options:
+            reader = reader.schema(options["schema"])
+        else:
+            # file stream sources need an explicit schema: infer from a
+            # batch peek (test convenience; prod passes `schema`)
+            reader = reader.schema(ctx.spark.read.format(fmt).options(
+                **_spark_opts(options)).load(real).schema)
+        return reader.format(fmt).options(**_spark_opts(options)).load(real)
+    return ctx.spark.read.format(fmt).options(**_spark_opts(options)).load(real)
+
+
+@register_loader("streamParquet")
+def _load_stream_parquet(ctx, path, options):
+    real = ctx.resource_real_path(path)
+    schema = ctx.spark.read.parquet(real).schema
+    return ctx.spark.readStream.schema(schema).parquet(real)
+
+
+@register_loader("hive")
+def _load_hive(ctx, path, options):
+    return ctx.spark.table(path)
+
+
+@register_loader("table")
+def _load_table(ctx, path, options):
+    return ctx.spark.table(path)
+
+
+@register_loader("jsonStr")
+def _load_json_str(ctx, path, options):
+    """Inline JSON lines held in a `set` variable (MLSQLJSonStr.scala:12-40)."""
+    content = ctx.env.get(path)
+    if content is None:
+        raise KeyError(f"jsonStr.`{path}`: no such variable")
+    lines = [ln for ln in content.splitlines() if ln.strip()]
+    return ctx.spark.read.json(ctx.spark.sparkContext.parallelize(lines))
+
+
+@register_loader("csvStr")
+def _load_csv_str(ctx, path, options):
+    content = ctx.env.get(path)
+    if content is None:
+        raise KeyError(f"csvStr.`{path}`: no such variable")
+    lines = [ln for ln in content.splitlines() if ln.strip()]
+    rdd = ctx.spark.sparkContext.parallelize(lines)
+    reader = ctx.spark.read.options(**_spark_opts(options))
+    return reader.csv(rdd)
+
+
+@register_loader("script")
+def _load_script(ctx, path, options):
+    content = ctx.env.get(path, "")
+    return ctx.spark.createDataFrame([(path, content)], "name: string, content: string")
+
+
+@register_loader("jdbc")
+def _load_jdbc(ctx, path, options):
+    """JDBC with `connect` option merge + directQuery pushdown
+    (MLSQLJDBC.scala; MLSQLDirectJDBC.scala:55-82)."""
+    opts = dict(options)
+    table = path
+    if "." in path:
+        db, table = path.split(".", 1)
+        meta = ctx.connect_meta.get(("jdbc", db))
+        if meta:
+            opts = {**meta, **opts}
+    if opts.pop("directQuery", "").lower() == "true" or "sql" in opts:
+        sql = opts.pop("sql", None) or options.get("sql")
+        dbtable = f"({sql}) __direct_query__"
+    else:
+        dbtable = opts.pop("dbtable", table)
+    reader = ctx.spark.read.format("jdbc").option("dbtable", dbtable)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+@register_loader("mockStream")
+def _load_mock_stream(ctx, path, options):
+    """Replay a batch table as a stream (reference MLSQLMockStream.scala:10-40
+    + MockStreamSource.scala: emits offset windows of a batch table per
+    trigger).  PySpark has no custom-Source API, so we drive row emission
+    with the `rate` source joined to a row-numbered copy of the batch
+    table (stream-static equi-join, stateless)."""
+    from pyspark.sql import Window
+    batch = ctx.spark.table(path)
+    step = options.get("stepSizeRange", "0-3").split("-")[-1]
+    rows_per_sec = max(int(step), 1)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    indexed = batch.withColumn("__idx", F.row_number().over(w) - 1)
+    rate = ctx.spark.readStream.format("rate") \
+        .option("rowsPerSecond", str(rows_per_sec)).load()
+    return (rate.join(indexed, rate["value"] == indexed["__idx"])
+                .drop("value", "timestamp", "__idx"))
+
+
+@register_loader("_mlsql_")
+def _load_system_table(ctx, path, options):
+    """Engine introspection tables (MLSQLSystemTables.scala:19-70)."""
+    spark = ctx.spark
+    if path in ("jobs", "jobs/list"):
+        rows = [(k, str(v)) for k, v in ctx.jobs.items()] or [("", "")]
+        return spark.createDataFrame(rows, "name: string, info: string") \
+                    .filter(F.col("name") != "")
+    if path == "datasources":
+        fmts = sorted(set(_LOADERS) | _FILE_FORMATS)
+        return spark.createDataFrame([(f,) for f in fmts], "format: string")
+    if path.startswith("datasources/params/"):
+        fmt = path.rsplit("/", 1)[-1]
+        return spark.createDataFrame([(fmt, "path", "string")],
+                                     "format: string, param: string, type: string")
+    if path == "tables":
+        ts = [(t.name, t.tableType) for t in spark.catalog.listTables()]
+        return spark.createDataFrame(ts or [("", "")], "name: string, type: string") \
+                    .filter(F.col("name") != "")
+    if path == "env":
+        rows = list(ctx.env.items()) or [("", "")]
+        return spark.createDataFrame(rows, "k: string, v: string") \
+                    .filter(F.col("k") != "")
+    raise ValueError(f"unknown system table: _mlsql_.`{path}`")
+
+
+@register_loader("model")
+def _load_model_explain(ctx, path, options):
+    """`load model.`alg`` / modelParams/modelList self-describe tables
+    (streaming/dsl/load/batch/ModelExplain.scala:44-80)."""
+    from streamingpro_spark.operators.registry import explain_algorithm
+    return explain_algorithm(ctx.spark, path)
+
+
+@register_loader("modelParams")
+def _load_model_params(ctx, path, options):
+    from streamingpro_spark.operators.registry import explain_algorithm
+    return explain_algorithm(ctx.spark, path)
+
+
+@register_loader("modelList")
+def _load_model_list(ctx, path, options):
+    from streamingpro_spark.operators.registry import list_algorithms
+    return list_algorithms(ctx.spark)
+
+
+# ---------------------------------------------------------------------------
+# save
+# ---------------------------------------------------------------------------
+
+def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
+    df = ctx.spark.table(stmt.table)
+    if df.isStreaming:
+        _save_stream(ctx, df, stmt)
+        return
+    fmt, path, options = stmt.format, ctx.resource_real_path(stmt.path), stmt.options
+    if "fileNum" in options:  # SaveAdaptor.scala:109-111
+        df = df.repartition(int(options["fileNum"]))
+    if fmt == "console":
+        df.show(int(options.get("numRows", "20")), truncate=False)
+        return
+    if fmt == "hive" or fmt == "table":
+        writer = df.write.mode(_norm_mode(stmt.mode))
+        if stmt.partition_by:
+            writer = writer.partitionBy(*stmt.partition_by)
+        writer.saveAsTable(path or stmt.path)
+        return
+    if fmt == "jdbc":
+        opts = dict(options)
+        table = path
+        if "." in path:
+            db, table = path.split(".", 1)
+            meta = ctx.connect_meta.get(("jdbc", db))
+            if meta:
+                opts = {**meta, **opts}
+        df.write.format("jdbc").options(**opts) \
+          .option("dbtable", opts.get("dbtable", table)) \
+          .mode(_norm_mode(stmt.mode)).save()
+        return
+    writer = df.write.format(fmt).options(**_spark_opts(options)) \
+               .mode(_norm_mode(stmt.mode))
+    if stmt.partition_by:
+        writer = writer.partitionBy(*stmt.partition_by)
+    writer.save(path)
+
+
+def _norm_mode(mode: str) -> str:
+    return {"errorifexists": "error"}.get(mode.lower(), mode.lower())
+
+
+def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> None:
+    """Stream sink contract (MLSQLBaseStreamSource.scala:19-89): required
+    keys duration + checkpointLocation; outputMode from `mode` option or
+    the statement save-mode; queryName from streamName."""
+    options = stmt.options
+    ckpt = options.get("checkpointLocation")
+    if not ckpt:
+        raise ValueError("stream save requires checkpointLocation option")
+    duration = int(options.get("duration", "10"))
+    out_mode = options.get("mode") or ("append" if stmt.mode.lower() in
+                                       ("errorifexists", "ignore") else stmt.mode)
+    fmt = stmt.format
+    writer = (df.writeStream.format("console" if fmt == "console" else fmt)
+              .outputMode(out_mode.lower())
+              .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+    for k, v in _spark_opts(options).items():
+        if k not in ("checkpointLocation", "duration", "mode"):
+            writer = writer.option(k, v)
+    if fmt in _FILE_FORMATS:
+        writer = writer.option("path", ctx.resource_real_path(stmt.path))
+    if stmt.partition_by:
+        writer = writer.partitionBy(*stmt.partition_by)
+    if ctx.stream_name:
+        writer = writer.queryName(ctx.stream_name)
+    if duration >= 0:
+        writer = writer.trigger(processingTime=f"{duration} seconds")
+    query = writer.start()
+    ctx.jobs[ctx.stream_name or query.id] = query

@@ -1,0 +1,210 @@
+"""End-to-end script specs — the reference's own test style
+(BasicSparkOperation.executeCode → assert collected rows; see
+SURVEY.md §5)."""
+
+import pytest
+
+from streamingpro_spark import parser as P
+
+
+# ---------------------------------------------------------------------------
+# parser unit tests
+# ---------------------------------------------------------------------------
+
+def test_split_statements_quotes_and_comments():
+    script = """
+    -- a comment; with a semicolon
+    set a = "x;y";
+    select 1 as c as t1;
+    """
+    stmts = P.split_statements(script)
+    assert len(stmts) == 2
+    assert stmts[0].startswith("set")
+
+
+def test_parse_load():
+    s = P.parse_statement('load parquet.`/tmp/x` where a="1" and b="2" as t1')
+    assert isinstance(s, P.LoadStmt)
+    assert (s.format, s.path, s.table) == ("parquet", "/tmp/x", "t1")
+    assert s.options == {"a": "1", "b": "2"}
+
+
+def test_parse_select_strips_trailing_as():
+    s = P.parse_statement("select a, b from t where x = 'as foo' as out")
+    assert isinstance(s, P.SelectStmt)
+    assert s.table == "out"
+    assert s.sql.endswith("x = 'as foo'")
+
+
+def test_parse_save():
+    s = P.parse_statement(
+        'save overwrite t1 as parquet.`/tmp/o` where fileNum="2" partitionBy a,b')
+    assert isinstance(s, P.SaveStmt)
+    assert s.mode == "overwrite"
+    assert s.partition_by == ["a", "b"]
+    assert s.options == {"fileNum": "2"}
+
+
+def test_parse_train_with_output():
+    s = P.parse_statement('train t1 as RandomForest.`/tmp/m` where maxDepth="3" as out')
+    assert isinstance(s, P.TrainStmt)
+    assert (s.table, s.algorithm, s.path, s.out_table) == ("t1", "RandomForest", "/tmp/m", "out")
+
+
+def test_parse_command():
+    s = P.parse_statement('!desc t1')
+    assert isinstance(s, P.CommandStmt)
+    assert s.command == "desc"
+    assert s.args == ["t1"]
+
+
+def test_template_merge():
+    assert P.template_merge("select * from ${t}", {"t": "x"}) == "select * from x"
+
+
+# ---------------------------------------------------------------------------
+# engine e2e
+# ---------------------------------------------------------------------------
+
+def test_minimum_slice(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/lineitem.parquet` as lineitem;
+    select l_returnflag, sum(l_quantity) as sum_qty
+    from lineitem group by l_returnflag as output;
+    """)
+    rows = {r["l_returnflag"]: r["sum_qty"] for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert all(v > 0 for v in rows.values())
+
+
+def test_set_and_template(engine):
+    df = engine.execute("""
+    set n = "3";
+    select ${n} as v as out;
+    """)
+    assert df.collect()[0]["v"] == 3
+
+
+def test_set_sql_type(engine):
+    df = engine.execute("""
+    set total = `select 21 * 2` where type="sql";
+    select ${total} as v as out;
+    """)
+    assert df.collect()[0]["v"] == 42
+
+
+def test_set_default_param(engine):
+    engine.execute('set a = "1";')
+    engine.execute('set a = "2" where type="defaultParam";')
+    assert engine.context.env["a"] == "1"
+
+
+def test_json_str_source(engine):
+    df = engine.execute("""
+    set data = '''
+    {"a": 1, "b": "x"}
+    {"a": 2, "b": "y"}
+    ''';
+    load jsonStr.`data` as t;
+    select sum(a) as s from t as out;
+    """)
+    assert df.collect()[0]["s"] == 3
+
+
+def test_csv_str_source(engine):
+    df = engine.execute("""
+    set data = '''
+    a,b
+    1,x
+    2,y
+    ''';
+    load csvStr.`data` where header="true" as t;
+    select count(*) as c from t as out;
+    """)
+    assert df.collect()[0]["c"] == 2
+
+
+def test_branching(engine):
+    df = engine.execute("""
+    set x = "5";
+    !if ''':x > 3''';
+      select "big" as v as out;
+    !else;
+      select "small" as v as out;
+    !fi;
+    """)
+    assert df.collect()[0]["v"] == "big"
+
+
+def test_branching_else(engine):
+    df = engine.execute("""
+    set x = "1";
+    !if ''':x > 3''';
+      select "big" as v as out;
+    !else;
+      select "small" as v as out;
+    !fi;
+    """)
+    assert df.collect()[0]["v"] == "small"
+
+
+def test_save_and_reload(engine, tmp_path):
+    out = str(tmp_path / "o.parquet")
+    engine.execute(f"""
+    select 1 as a as t1;
+    save overwrite t1 as parquet.`{out}`;
+    load parquet.`{out}` as t2;
+    select a from t2 as out;
+    """)
+    assert engine.execute("select a from out as final;").collect()[0]["a"] == 1
+
+
+def test_include_script_variable(engine):
+    df = engine.execute("""
+    set helper = '''select 7 as v as base;''';
+    include script.`helper`;
+    select v from base as out;
+    """)
+    assert df.collect()[0]["v"] == 7
+
+
+def test_connect_meta(engine):
+    engine.execute('connect jdbc where url="jdbc:h2:mem:x" and driver="org.h2.Driver" as db1;')
+    assert ("jdbc", "db1") in engine.context.connect_meta
+
+
+def test_raw_sql_passthrough(engine):
+    engine.execute("""
+    select 10 as a as src;
+    create or replace temp view copied as select * from src;
+    select a from copied as out;
+    """)
+    assert engine.execute("select * from out as o2;").collect()[0]["a"] == 10
+
+
+def test_macro_desc(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/region.parquet` as region;
+    !desc region;
+    """)
+    cols = {r["col_name"] for r in df.collect()}
+    assert cols == {"r_regionkey", "r_name"}
+
+
+def test_macro_println(engine, capsys):
+    engine.execute('!println "hello";')
+    assert "hello" in capsys.readouterr().out
+
+
+def test_analyze(engine, sf_dir):
+    plan = engine.analyze(f"""
+    load parquet.`{sf_dir}/region.parquet` as region;
+    select * from region as out;
+    """)
+    assert plan[0]["op"] == "load"
+    assert plan[1]["op"] == "select"
+
+
+def test_unknown_command_raises(engine):
+    with pytest.raises(ValueError, match="unknown command"):
+        engine.execute("!nosuchcmd;")
