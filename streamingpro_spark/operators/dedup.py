@@ -173,7 +173,8 @@ class MinHashDedup(ETAlgorithm):
 
 @register_et("SimHashDedup")
 class SimHashDedup(ETAlgorithm):
-    """64-bit SimHash fingerprint per document; near-dups share the
+    """60-bit SimHash fingerprint per document (matches the 60-bit
+    portable hash width; bits ≥60 would always vote negative); near-dups share the
     fingerprint (or differ in few bits).
 
     The bit-majority is computed as 64 aggregate expressions over the
@@ -181,7 +182,7 @@ class SimHashDedup(ETAlgorithm):
     shuffle beyond none: it's per-row).  Output: (id, simhash).
     """
 
-    BITS = 64
+    BITS = 60
 
     def train(self, df, path, params, context=None):
         id_col = params.get("idCol", "doc_id")
@@ -194,12 +195,12 @@ class SimHashDedup(ETAlgorithm):
                 ("contentCol", "text column", "text")]
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
+def simhash_col(text: Column, bits: int = 60) -> Column:
     """Per-row SimHash: for each bit b, majority vote of token-hash bit b
     (+1/-1 weights); assemble sign bits into a bigint.
 
     Pure array expressions — distinct tokens hashed once with
-    portable_hash64, then 64 aggregate() folds.  At 100 TB this is
+    portable_hash64, then one aggregate() fold per bit.  At 100 TB this is
     embarrassingly parallel (no shuffle)."""
     toks = F.array_distinct(tokens_col(text))
     hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))

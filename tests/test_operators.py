@@ -1,0 +1,282 @@
+"""ET operator e2e tests (reference style: TextSpec/CacheExtSpec/
+TreeBuildExtSpec patterns — SURVEY.md §5)."""
+
+
+def test_table_repartition(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/lineitem.parquet` as li;
+    run li as TableRepartition.`` where partitionNum="4" as out;
+    """)
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_pivot(engine):
+    df = engine.execute("""
+    set data = '''
+    {"year":"2023","month":"1","amount":10.0}
+    {"year":"2023","month":"2","amount":20.0}
+    {"year":"2024","month":"1","amount":5.0}
+    ''';
+    load jsonStr.`data` as t;
+    run t as Pivot.`` where groupCols="year" and pivotCol="month" and aggExpr="sum(amount)" as out;
+    """)
+    rows = {r["year"]: r for r in df.collect()}
+    assert rows["2023"]["1"] == 10.0
+    assert rows["2023"]["2"] == 20.0
+    assert rows["2024"]["2"] is None
+
+
+def test_rate_sampler_exact_split(engine):
+    lines = "\n".join('{"label":%d,"f1":%f}' % (i % 3, i * 1.0) for i in range(100))
+    engine.execute(f"set data = '''{lines}''';")
+    df = engine.execute("""
+    load jsonStr.`data` as t;
+    run t as RateSampler.`` where labelCol="label" and sampleRate="0.8,0.2" as out;
+    """)
+    counts = {(r["label"], r["__split__"]): r["c"] for r in
+              df.groupBy("label", "__split__").count().withColumnRenamed("count", "c").collect()}
+    # 100 rows: labels 0 (34 rows), 1 (33), 2 (33); 80% split rounds per label
+    for label in (0, 1, 2):
+        total = sum(v for (l, _), v in counts.items() if l == label)
+        train = counts.get((label, 0), 0)
+        assert abs(train / total - 0.8) < 0.05
+
+
+def test_tree_build_ext(engine):
+    df = engine.execute("""
+    set data = '''
+    {"id":1,"parentId":0}
+    {"id":2,"parentId":1}
+    {"id":3,"parentId":2}
+    {"id":4,"parentId":0}
+    ''';
+    load jsonStr.`data` as t;
+    run t as TreeBuildExt.`` where idCol="id" and parentIdCol="parentId" as out;
+    """)
+    levels = {r["id"]: r["level"] for r in df.collect()}
+    assert levels == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_auto_increment_key(engine):
+    df = engine.execute("""
+    select explode(sequence(1, 5)) as v as t;
+    run t as AutoIncrementKeyExt.`` where idCol="rid" and dense="true" as out;
+    """)
+    ids = sorted(r["rid"] for r in df.collect())
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_cache_ext(engine):
+    df = engine.execute("""
+    select 1 as a as t;
+    !cache t script;
+    """)
+    assert df.storageLevel.useMemory
+
+
+def test_confusion_matrix(engine):
+    df = engine.execute("""
+    set data = '''
+    {"label":"a","prediction":"a"}
+    {"label":"a","prediction":"b"}
+    {"label":"b","prediction":"b"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ConfusionMatrix.`` where actualCol="label" and predictCol="prediction" as out;
+    """)
+    rows = {r["label"]: r for r in df.collect()}
+    assert rows["a"]["a"] == 1 and rows["a"]["b"] == 1 and rows["b"]["b"] == 1
+
+
+def test_script_udf_register(engine):
+    df = engine.execute("""
+    set udfCode = '''
+def apply(a, b):
+    return a * b
+''';
+    register ScriptUDF.`udfCode` as mul options dataType="bigint" and methodName="apply";
+    select mul(6L, 7L) as v as out;
+    """)
+    assert df.collect()[0]["v"] == 42
+
+
+def test_python_script_run(engine):
+    df = engine.execute("""
+    select explode(sequence(1, 4)) as v as t;
+    run t as PythonScriptRun.`` where code='''
+def transform(pdf):
+    pdf["v2"] = pdf["v"] * 10
+    return pdf
+''' and schema="st(field(v,integer),field(v2,integer))" as out;
+    """)
+    assert sorted(r["v2"] for r in df.collect()) == [10, 20, 30, 40]
+
+
+def test_exact_dedup(engine):
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"hello world"}
+    {"doc_id":2,"text":"hello world"}
+    {"doc_id":3,"text":"different"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactDedup.`` where contentCol="text" and idCol="doc_id" as out;
+    """)
+    ids = sorted(r["doc_id"] for r in df.collect())
+    assert ids == [1, 3]
+
+
+def test_minhash_dedup_finds_near_dups(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as MinHashDedup.`` where threshold="0.8" as out;
+    """)
+    rows = df.collect()
+    for r in rows:
+        assert r["jaccard"] >= 0.8
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ngram_jaccard_matches_minhash_at_high_threshold(engine, sf_dir):
+    mh = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as MinHashDedup.`` where threshold="0.95" and numHashes="12" as mh_out;
+    """).collect()
+    ex = engine.execute("""
+    run docs as NgramJaccardDedup.`` where threshold="0.95" as ex_out;
+    """).collect()
+    mh_pairs = {(r["doc_a"], r["doc_b"]) for r in mh}
+    ex_pairs = {(r["doc_a"], r["doc_b"]) for r in ex}
+    # minhash candidates are a subset of exact pairs (verify stage filters)
+    assert mh_pairs <= ex_pairs
+    # high-sim pairs: LSH with 4 bands of 3 should catch nearly all
+    if ex_pairs:
+        assert len(mh_pairs) >= len(ex_pairs) * 0.8
+
+
+def test_simhash(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as SimHashDedup.`` as out;
+    """)
+    rows = df.limit(5).collect()
+    assert all(r["simhash"] is not None for r in rows)
+
+
+def test_similarity_search(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as SimilaritySearch.`` where k="3" and queryFilter="vec_id < 5" as out;
+    """)
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert len(rs) == 3
+        sims = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_similarity_recall(engine, sf_dir):
+    exact = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as SimilaritySearch.`` where k="3" and queryFilter="vec_id < 20" as e_out;
+    """).collect()
+    approx = engine.execute("""
+    run emb as LSHSimilaritySearch.`` where k="3" and queryFilter="vec_id < 20"
+    and numTables="16" and bitsPerTable="6" as a_out;
+    """).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for q, n in exact_top1.items() if approx_top1.get(q) == n)
+    assert hits / len(exact_top1) >= 0.5  # recall floor for 16 tables × 6 bits
+
+
+def test_language_id(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as LanguageID.`` as out;
+    """)
+    assert "lang_pred" in df.columns
+    assert df.count() == df.select("doc_id").distinct().count()
+
+
+def test_quality_score(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as QualityScore.`` as out;
+    """)
+    row = df.first()
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert row["n_tokens"] > 0
+
+
+def test_token_count(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as TokenCount.`` as out;
+    """)
+    row = df.first()
+    assert row["est_bpe_tokens"] >= row["ws_tokens"]
+
+
+def test_doc_fingerprint_normalization(engine):
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"Hello   World"}
+    {"doc_id":2,"text":"hello world"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as DocFingerprint.`` where contentCol="text" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["md5"] != rows[2]["md5"]
+    assert rows[1]["normalized_hash"] == rows[2]["normalized_hash"]
+
+
+def test_image_metadata_stub(engine):
+    df = engine.execute("""
+    select cast("fakeimagebytes" as binary) as content, 1 as id as t;
+    run t as ImageMetadata.`` as out;
+    """)
+    row = df.first()
+    assert row["image_meta"]["channels"] == 3
+
+
+def test_frame_sample_stub(engine):
+    df = engine.execute("""
+    select cast("0123456789abcdef" as binary) as content, 1 as id as t;
+    run t as FrameSample.`` where numFrames="4" as out;
+    """)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert sorted(r["frame_index"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_pagerank(engine):
+    df = engine.execute("""
+    set data = '''
+    {"src":1,"dst":2}
+    {"src":1,"dst":3}
+    {"src":2,"dst":3}
+    {"src":3,"dst":1}
+    ''';
+    load jsonStr.`data` as t;
+    run t as PageRank.`` where maxIter="10" as out;
+    """)
+    ranks = {r["id"]: r["pagerank"] for r in df.collect()}
+    assert ranks[3] > ranks[2]  # 3 has two in-links
+
+
+def test_model_list(engine):
+    df = engine.execute("load modelList.`` as out;")
+    names = {r["name"] for r in df.collect()}
+    assert {"RandomForest", "MinHashDedup", "Pivot"} <= names
+
+
+def test_model_params(engine):
+    df = engine.execute("load modelParams.`MinHashDedup` as out;")
+    params = {r["param"] for r in df.collect()}
+    assert "numHashes" in params
