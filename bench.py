@@ -1,0 +1,107 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_per_nation",
+    "running_total",
+    "events_tumbling",
+    "events_sessionize",
+    "events_asof_join",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_fingerprint",
+    "embedding_topk",
+    "language_id",
+    "quality_score",
+    "token_count",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder
+             .master(f"local[{CPUS}]")
+             .appName("streamingpro_spark_bench")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spawn the Python worker pool (first pandas_udf use forks 32
+    # workers ~8s) and initialize the noop writer + parquet reader paths —
+    # one-time session costs a long-running engine amortizes
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        return s
+    _warm = F.pandas_udf(_warm_fn, "long")
+    warm_df = spark.range(0, 10_000, 1, int(CPUS)).select(_warm(F.col("id")).alias("x"))
+    warm_df.write.mode("overwrite").format("noop").save()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # engine init (builtin UDF registration) + first-ET codegen paths
+    eng = entrymod._engine(spark)
+    eng.execute("""
+    set warm = '''
+    {"doc_id":1,"text":"a b c d e f"}
+    {"doc_id":2,"text":"a b c d e g"}
+    ''';
+    load jsonStr.`warm` as warm_docs;
+    run warm_docs as MinHashDedup.`` where threshold="0.1" as w1;
+    run warm_docs as SimHashDedup.`` as w2;
+    select * from w2 as w3;
+    """).write.mode("overwrite").format("noop").save()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = 0.1
+    for tok in SF_DIR.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,15 @@ def get_int(params: dict[str, str], key: str, default: int) -> int:
 
 def get_float(params: dict[str, str], key: str, default: float) -> float:
     return float(params.get(key, default))
+
+
+def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "DataFrame":
+    """Spread a narrow input across the cluster before compute-heavy
+    per-row work.  Small single-file inputs arrive as 1 partition and
+    would serialize the whole operator on one core; at 100 TB the scan
+    already yields partitions ≫ cores, so this is a no-op (the partition
+    count check does not trigger a job)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -34,7 +34,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, get_float, get_int
+from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
+                                                get_float, get_int)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -64,10 +65,43 @@ def shingles_col(text: Column, n: int = 3) -> Column:
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
 
 
-def minhash_signature(text: Column, num_hashes: int, n: int = 3) -> list[Column]:
-    sh = shingles_col(text, n)
-    return [F.array_min(F.transform(sh, lambda s, i=i: portable_hash64(s, i)))
-            .alias(f"mh{i}") for i in range(num_hashes)]
+def minhash_signature(text: Column, num_hashes: int, n: int = 3) -> Column:
+    """k-element MinHash signature as one array<long> column.
+
+    Hybrid plan measured fastest (bench.py, sf0.1): shingling stays in
+    JVM array expressions; the k×|shingles| md5 evaluations run in an
+    Arrow-batched pandas UDF using hashlib (the equivalent JVM
+    expression — md5→hex→substring→conv→cast, duplicated per hash —
+    was 3-10× slower due to string allocation + codegen size).
+    `int(md5(f"{seed}:{shingle}").hexdigest()[:15], 16)` is bit-identical
+    to the DuckDB oracle's CAST(CONCAT('0x', substr(md5(...),1,15)) AS
+    BIGINT)."""
+    return _minhash_udf(num_hashes)(shingles_col(text, n))
+
+
+_MINHASH_UDFS: dict[int, object] = {}
+
+
+def _minhash_udf(num_hashes: int):
+    if num_hashes not in _MINHASH_UDFS:
+        import hashlib
+
+        import pandas as pd
+
+        def fold(shs):  # (pd.Series) -> pd.Series; no annotations — the
+            # __future__ string annotations confuse pandas_udf inference
+            md5 = hashlib.md5
+            prefixes = [f"{s}:".encode() for s in range(num_hashes)]
+            out = []
+            for sh in shs:
+                encoded = [g.encode() for g in sh]
+                out.append([min(int(md5(pre + g).hexdigest()[:15], 16)
+                                for g in encoded)
+                            for pre in prefixes])
+            return pd.Series(out)
+
+        _MINHASH_UDFS[num_hashes] = F.pandas_udf(fold, "array<long>")
+    return _MINHASH_UDFS[num_hashes]
 
 
 # ---------------------------------------------------------------------------
@@ -117,19 +151,26 @@ class MinHashDedup(ETAlgorithm):
         threshold = get_float(params, "threshold", 0.8)
         max_bucket = get_int(params, "maxBucketSize", 1000)
         r = k // bands
+        df = ensure_parallelism(df)
 
+        # ONE pass computes the signature (the md5 work) and explodes the
+        # band structs — a unionAll of per-band selects would rescan and
+        # recompute the signature once per band (observed 7× in bench)
         sig = df.select(F.col(id_col).alias("__id"),
-                        shingles_col(F.col(col), n).alias("__sh"),
-                        *minhash_signature(F.col(col), k, n))
-        sig = sig.persist()
-
-        band_rows = None
-        for b in range(bands):
-            cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-            band_hash = portable_hash64(F.concat_ws("_", *[c.cast("string") for c in cols]),
-                                        f"band{b}")
-            one = sig.select("__id", F.lit(b).alias("__band"), band_hash.alias("__bh"))
-            band_rows = one if band_rows is None else band_rows.unionAll(one)
+                        minhash_signature(F.col(col), k, n).alias("__mh"))
+        band_struct = F.array(*[
+            F.struct(
+                F.lit(b).alias("__band"),
+                portable_hash64(
+                    F.concat_ws("_", *[F.col("__mh")[b * r + j].cast("string")
+                                       for j in range(r)]),
+                    f"band{b}").alias("__bh"))
+            for b in range(bands)])
+        band_rows = (sig.select("__id", F.explode(band_struct).alias("__e"))
+                     .select("__id", F.col("__e.__band").alias("__band"),
+                             F.col("__e.__bh").alias("__bh"))
+                     .persist())
+        band_rows.count()  # materialize once before the self-join fans out
 
         # skew guard: drop degenerate buckets
         bucket_sizes = band_rows.groupBy("__band", "__bh") \
@@ -145,7 +186,10 @@ class MinHashDedup(ETAlgorithm):
                  .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
                  .distinct())
 
-        sh = sig.select(F.col("__id"), F.col("__sh"))
+        # shingle arrays for the verify stage: recomputed from text (cheap —
+        # split/slice, no md5) instead of caching big arrays
+        sh = df.select(F.col(id_col).alias("__id"),
+                       shingles_col(F.col(col), n).alias("__sh"))
         verified = (pairs
                     .join(sh.select(F.col("__id").alias("doc_a"),
                                     F.col("__sh").alias("__sha")), "doc_a")
@@ -187,12 +231,47 @@ class SimHashDedup(ETAlgorithm):
     def train(self, df, path, params, context=None):
         id_col = params.get("idCol", "doc_id")
         col = params.get("contentCol", "text")
-        return df.select(F.col(id_col),
-                         simhash_col(F.col(col)).alias("simhash"))
+        df = ensure_parallelism(df)
+        # hybrid plan: token hashing stays JVM-side (one md5 per distinct
+        # token — oracle-reproducible), the 60-bit majority fold runs as an
+        # Arrow-batched numpy kernel (60 interpreted higher-order folds per
+        # row were the bench hotspot; numpy does the same fold vectorized)
+        toks = F.array_distinct(tokens_col(F.col(col)))
+        hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))
+        return df.select(F.col(id_col), hashes.alias("__hashes")) \
+                 .withColumn("simhash", _init_simhash_udf()(F.col("__hashes"))) \
+                 .drop("__hashes")
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
                 ("contentCol", "text column", "text")]
+
+
+def _simhash_fold(hash_series):
+    """pandas UDF kernel: array<long> token hashes → 60-bit simhash."""
+    import numpy as np
+    import pandas as pd
+    out = []
+    shifts = np.arange(60, dtype=np.int64)
+    for hs in hash_series:
+        arr = np.asarray(hs, dtype=np.int64)
+        if arr.size == 0:
+            out.append(0)
+            continue
+        bits = (arr[:, None] >> shifts) & 1          # (n_tokens, 60)
+        votes = 2 * bits.sum(axis=0) - arr.size      # +1/-1 majority
+        out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+    return pd.Series(out)
+
+
+_simhash_fold_udf = None
+
+
+def _init_simhash_udf():
+    global _simhash_fold_udf
+    if _simhash_fold_udf is None:
+        _simhash_fold_udf = F.pandas_udf(_simhash_fold, "long")
+    return _simhash_fold_udf
 
 
 def simhash_col(text: Column, bits: int = 60) -> Column:
@@ -228,6 +307,7 @@ class NgramJaccardDedup(ETAlgorithm):
         n = get_int(params, "shingleSize", 3)
         threshold = get_float(params, "threshold", 0.8)
         max_df = get_int(params, "maxDf", 100)
+        df = ensure_parallelism(df)
 
         sh = df.select(F.col(id_col).alias("__id"),
                        shingles_col(F.col(col), n).alias("__sh"))
@@ -275,6 +355,7 @@ class EmbeddingDedup(ETAlgorithm):
         id_col = params.get("idCol", "vec_id")
         col = params.get("embeddingCol", "embedding")
         threshold = get_float(params, "threshold", 0.95)
+        df = ensure_parallelism(df)
         from streamingpro_spark.operators.similarity import normalized_col, dot_col
         v = df.select(F.col(id_col).alias("__id"),
                       normalized_col(F.col(col)).alias("__v"))

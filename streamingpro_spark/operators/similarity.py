@@ -20,7 +20,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, Window, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, get_int
+from streamingpro_spark.operators.base import ETAlgorithm, ensure_parallelism, get_int
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -63,6 +63,7 @@ class SimilaritySearch(ETAlgorithm):
         id_col = params.get("idCol", "vec_id")
         col = params.get("embeddingCol", "embedding")
         k = get_int(params, "k", 5)
+        df = ensure_parallelism(df)
         corpus = df.select(F.col(id_col).alias("neighbor_id"),
                            normalized_col(F.col(col)).alias("__v"))
         if params.get("queryTable"):
@@ -74,13 +75,15 @@ class SimilaritySearch(ETAlgorithm):
         scored = (corpus.join(F.broadcast(queries),
                               F.col("query_id") != F.col("neighbor_id"))
                   .select("query_id", "neighbor_id",
-                          dot_col(F.col("__q"), F.col("__v")).alias("cosine")))
+                          F.round(dot_col(F.col("__q"), F.col("__v")), 4)
+                           .alias("cosine")))
+        # rank on the ROUNDED cosine with id tie-break: deterministic and
+        # reproducible across engines (fp summation order varies)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id",
-                        F.round("cosine", 4).alias("cosine"), "rank"))
+                .select("query_id", "neighbor_id", "cosine", "rank"))
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
@@ -113,6 +116,7 @@ class LSHSimilaritySearch(ETAlgorithm):
         n_tables = get_int(params, "numTables", 8)
         bits = get_int(params, "bitsPerTable", 8)
         seed = get_int(params, "seed", 42)
+        df = ensure_parallelism(df)
         dim = len(df.select(col).first()[0])
 
         rng = np.random.RandomState(seed)

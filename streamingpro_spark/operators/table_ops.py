@@ -379,3 +379,49 @@ class SyntaxAnalyzeExt(ETAlgorithm):
         tables = sorted(set(_re.findall(r"UnresolvedRelation \[([^\]]+)\]", plan.treeString())))
         return spark.createDataFrame([(t,) for t in tables] or [("",)],
                                      "tableName: string").filter(F.col("tableName") != "")
+
+
+@register_et("AsOfJoin")
+class AsOfJoin(ETAlgorithm):
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts within the same key (no reference equivalent —
+    Spark lacks a native ASOF JOIN; this is the union+window re-expression
+    that scales: O(n log n) sort within key partitions, ONE shuffle on the
+    key — no range cross-join blowup).
+
+    `run errors as AsOfJoin.`` where rightTable="clicks" and
+     keyCol="user_id" and tsCol="ts" and valueCols="value"`
+
+    Plan shape: union(left, right) → window last(value, ignorenulls) over
+    (key ORDER BY ts, side) → filter side=left.  Right rows at ts equal
+    to the left ts count (side orders right first).
+    """
+
+    def train(self, df, path, params, context=None):
+        right = df.sparkSession.table(params["rightTable"])
+        key = params.get("keyCol", "user_id")
+        ts = params.get("tsCol", "ts")
+        value_cols = [c.strip() for c in params.get("valueCols", "value").split(",")]
+
+        left_cols = df.columns
+        l = df.select(*left_cols, F.lit(1).alias("__side"),
+                      *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+                        for c in value_cols])
+        r = right.select(*[F.col(c) if c in (key, ts) else F.lit(None).cast(
+                            df.schema[c].dataType).alias(c) if c in left_cols
+                           else F.lit(None).alias(c) for c in left_cols],
+                         F.lit(0).alias("__side"),
+                         *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+        u = l.unionByName(r)
+        w = (Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in value_cols:
+            u = u.withColumn(f"asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+        return (u.filter(F.col("__side") == 1)
+                 .drop("__side", *[f"__r_{c}" for c in value_cols]))
+
+    def explain_params(self):
+        return [("rightTable", "table supplying as-of values", ""),
+                ("keyCol", "join key", "user_id"),
+                ("tsCol", "event-time column", "ts"),
+                ("valueCols", "right columns to carry (comma-separated)", "value")]

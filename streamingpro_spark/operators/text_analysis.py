@@ -41,11 +41,12 @@ def lang_score_col(text: Column, lang: str) -> Column:
 
 def lang_guess_col(text: Column) -> Column:
     """argmax over language marker scores; 'und' when all zero.
-    Deterministic tie-break: language order en,de,fr,es,zh."""
+    Deterministic tie-break: first maximal language in the fixed order
+    en,de,fr,es,zh (strict > against the running best, forward scan)."""
     langs = list(_LANG_MARKERS)
     best_lang = F.lit("und")
     best_score = F.lit(0.0)
-    for lang in reversed(langs):   # earlier langs win ties → apply last
+    for lang in langs:   # forward scan; strict > keeps the earlier of ties
         s = lang_score_col(text, lang)
         cond = s > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)

@@ -78,9 +78,33 @@ def _post_load(ctx: "ExecutionContext", df: "DataFrame",
     return df
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them
+    (PARQUET_TYPE_ILLEGAL) while other engines read them fine; we read
+    them as long and convert (footer inspection via pyarrow, driver-side,
+    cheap)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+        schema = ds.dataset(path, format="parquet").schema
+        return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
 def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
                options: dict[str, str]) -> "DataFrame":
     real = ctx.resource_real_path(path)
+    if fmt == "parquet" and not ctx.is_stream():
+        ns_cols = _nanos_timestamp_cols(real)
+        if ns_cols:
+            ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = ctx.spark.read.options(**_spark_opts(options)).parquet(real)
+            for c in ns_cols:
+                # integer div — float division would lose precision on
+                # 60-bit epoch-nanos values
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            return df
     if ctx.is_stream() and fmt in ("parquet", "json", "csv", "text", "orc"):
         reader = ctx.spark.readStream
         if "schema" in options:
