@@ -236,7 +236,8 @@ class Engine:
         alg = find_algorithm(stmt.algorithm)
         path = ctx.resource_real_path(stmt.path)
         model = alg.load(ctx.spark, path, stmt.options, ctx)
-        fn = alg.predict(ctx.spark, model, stmt.function, stmt.options)
+        opts = {**stmt.options, "__path__": path}
+        fn = alg.predict(ctx.spark, model, stmt.function, opts)
         ctx.udfs[stmt.function] = fn
 
     # ------------------------------------------------------------------

@@ -59,23 +59,13 @@ class _MLWrapper(ETAlgorithm):
         return model.transform(df)
 
     def predict(self, spark, model, name, params):
-        """Register a vector→prediction UDF (reference SQLRandomForest.scala:113+).
-        Broadcast the model's transform via a pandas UDF on the raw
-        features array."""
-        import pandas as pd
-        from pyspark.ml.linalg import Vectors
-        from pyspark.sql import functions as F
-
-        sc = spark.sparkContext
-        bc = sc.broadcast(model)
-
-        @F.pandas_udf("double")
-        def _predict(arrs: pd.Series) -> pd.Series:
-            m = bc.value
-            return pd.Series([float(m.predict(Vectors.dense(list(a)))) for a in arrs])
-
-        spark.udf.register(name, _predict)
-        return _predict
+        """Register a vector→prediction UDF (reference
+        SQLRandomForest.scala:113+).  JavaModels are neither picklable
+        nor executor-usable, so serving extracts the parameters into a
+        pure-numpy closure (operators/serving.py)."""
+        from streamingpro_spark.operators.serving import extract_predictor
+        fn = extract_predictor(model, params.get("__path__"))
+        return spark.udf.register(name, fn, "double")
 
 
 def _make(name: str, est_path: str, model_path: str, ints=(), floats=(), strs=()):

@@ -246,7 +246,9 @@ Parsed = (
     | RegisterStmt | IncludeStmt | CommandStmt | RawSqlStmt
 )
 
-_SAVE_MODES = {"overwrite", "append", "errorifexists", "ignore"}
+_SAVE_MODES = {"overwrite", "append", "errorifexists", "ignore",
+               # streaming output modes (mapped to outputMode by the sink)
+               "complete", "update"}
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 

@@ -10,6 +10,7 @@ queryName): streaming/core/datasource/MLSQLBaseStreamSource.scala:19-89.
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Callable
 
 from pyspark.sql import functions as F
@@ -114,6 +115,9 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
             # batch peek (test convenience; prod passes `schema`)
             reader = reader.schema(ctx.spark.read.format(fmt).options(
                 **_spark_opts(options)).load(real).schema)
+        if os.path.isfile(real):
+            reader = reader.option("pathGlobFilter", os.path.basename(real))
+            real = os.path.dirname(real)
         return reader.format(fmt).options(**_spark_opts(options)).load(real)
     return ctx.spark.read.format(fmt).options(**_spark_opts(options)).load(real)
 
@@ -121,8 +125,20 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
 @register_loader("streamParquet")
 def _load_stream_parquet(ctx, path, options):
     real = ctx.resource_real_path(path)
+    ns_cols = _nanos_timestamp_cols(real)
+    if ns_cols:
+        ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = ctx.spark.read.parquet(real).schema
-    return ctx.spark.readStream.schema(schema).parquet(real)
+    reader = ctx.spark.readStream.schema(schema)
+    if os.path.isfile(real):
+        # FileStreamSource requires a directory; select the single file
+        # via pathGlobFilter on its parent
+        reader = reader.option("pathGlobFilter", os.path.basename(real))
+        real = os.path.dirname(real)
+    df = reader.parquet(real)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 @register_loader("hive")
@@ -195,7 +211,9 @@ def _load_mock_stream(ctx, path, options):
     batch = ctx.spark.table(path)
     step = options.get("stepSizeRange", "0-3").split("-")[-1]
     rows_per_sec = max(int(step), 1)
-    w = Window.orderBy(F.monotonically_increasing_id())
+    # constant-order window: monotonically_increasing_id is rejected
+    # anywhere in a streaming plan, even on the static join side
+    w = Window.orderBy(F.lit(0))
     indexed = batch.withColumn("__idx", F.row_number().over(w) - 1)
     rate = ctx.spark.readStream.format("rate") \
         .option("rowsPerSecond", str(rows_per_sec)).load()

@@ -1,0 +1,109 @@
+"""Builtin UDF library tests (reference: UDFSuite.scala patterns)."""
+
+import pytest
+
+
+def test_mk_string(engine):
+    df = engine.execute("""select mkString(",", array("a","b","c")) as v as out;""")
+    assert df.collect()[0]["v"] == "a,b,c"
+
+
+def test_vec_dense_and_array(engine):
+    df = engine.execute("""
+    select vec_array(vec_dense(array(1.0, 2.0, 3.0))) as v as out;
+    """)
+    assert df.collect()[0]["v"] == [1.0, 2.0, 3.0]
+
+
+def test_vec_argmax(engine):
+    df = engine.execute("select vec_argmax(vec_dense(array(1.0, 5.0, 3.0))) as v as out;")
+    assert df.collect()[0]["v"] == 1
+
+
+def test_vec_cosine(engine):
+    df = engine.execute("""
+    select vec_cosine(vec_dense(array(1.0, 0.0)), vec_dense(array(1.0, 0.0))) as same,
+           vec_cosine(vec_dense(array(1.0, 0.0)), vec_dense(array(0.0, 1.0))) as orth
+    as out;
+    """)
+    r = df.collect()[0]
+    assert abs(r["same"] - 1.0) < 1e-9
+    assert abs(r["orth"]) < 1e-9
+
+
+def test_vec_wise_ops(engine):
+    df = engine.execute("""
+    select vec_array(vec_wise_add(vec_dense(array(1.0,2.0)), vec_dense(array(3.0,4.0)))) as a,
+           vec_array(vec_wise_mul(vec_dense(array(2.0,3.0)), vec_dense(array(4.0,5.0)))) as m
+    as out;
+    """)
+    r = df.collect()[0]
+    assert r["a"] == [4.0, 6.0]
+    assert r["m"] == [8.0, 15.0]
+
+
+def test_onehot(engine):
+    df = engine.execute("select vec_array(onehot(2, 4)) as v as out;")
+    assert df.collect()[0]["v"] == [0.0, 0.0, 1.0, 0.0]
+
+
+def test_ngram(engine):
+    df = engine.execute("""select ngram(array("a","b","c","d"), 2) as v as out;""")
+    assert df.collect()[0]["v"] == ["a b", "b c", "c d"]
+
+
+def test_array_onehot(engine):
+    df = engine.execute("select array_onehot(array(0, 2), 4) as v as out;")
+    assert df.collect()[0]["v"] == [1.0, 0.0, 1.0, 0.0]
+
+
+def test_padding_int_array(engine):
+    df = engine.execute("select padding_int_array(array(1, 2), 0, 4) as v as out;")
+    assert df.collect()[0]["v"] == [1, 2, 0, 0]
+
+
+def test_parse_date_roundtrip(engine):
+    df = engine.execute("""
+    select parseLongAsDate(parseDateAsLong("2024-03-01 10:00:00", "yyyy-MM-dd HH:mm:ss"),
+                           "yyyy-MM-dd HH:mm:ss") as v as out;
+    """)
+    assert df.collect()[0]["v"] == "2024-03-01 10:00:00"
+
+
+def test_time_plus_minus(engine):
+    df = engine.execute("""
+    select timePlus(1000, "1 day") as p, timeMinus(100000, "1 hour") as m as out;
+    """)
+    r = df.collect()[0]
+    assert r["p"] == 1000 + 86400
+    assert r["m"] == 100000 - 3600
+
+
+def test_byte_string(engine):
+    df = engine.execute("""
+    select byteStringAsBytes("2kb") as b, byteStringAsMb("3g") as m as out;
+    """)
+    r = df.collect()[0]
+    assert r["b"] == 2048
+    assert r["m"] == 3 * 1024
+
+
+def test_uuid(engine):
+    df = engine.execute("select uuid() as v as out;")
+    assert len(df.collect()[0]["v"]) == 32
+
+
+def test_crawler_md5(engine):
+    df = engine.execute("""select crawler_md5("abc") as v as out;""")
+    assert df.collect()[0]["v"] == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_crawler_extract_title(engine):
+    df = engine.execute(
+        '''select crawler_auto_extract_title("<html><title>Hi</title></html>") as v as out;''')
+    assert df.collect()[0]["v"] == "Hi"
+
+
+def test_keep_chinese(engine):
+    df = engine.execute('''select keepChinese("abc中文def", false, "") as v as out;''')
+    assert df.collect()[0]["v"] == "中文"

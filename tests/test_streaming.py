@@ -1,0 +1,142 @@
+"""Structured Streaming e2e (reference: StreamSpec/Stream2Spec pattern —
+set streamName → load stream → transform → save append → assert active
+query; SURVEY.md §2.7)."""
+
+import time
+
+import pytest
+
+
+def _wait_for(cond, timeout=30, step=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_stream_file_source_to_memory(engine, sf_dir, tmp_path):
+    """streamParquet file source → tumbling window agg → memory sink."""
+    spark = engine.spark
+    engine.execute(f"""
+    set streamName = "evstream";
+    load streamParquet.`{sf_dir}/events.parquet` as events_raw;
+    select event_type, count(*) as n from events_raw group by event_type as agg;
+    save complete agg as memory.`` where checkpointLocation="{tmp_path}/ck"
+        and duration="0" and queryName="evstream";
+    """)
+    q = engine.context.jobs.get("evstream")
+    assert q is not None
+    try:
+        assert _wait_for(lambda: q.lastProgress is not None
+                         and q.lastProgress["numInputRows"] >= 0)
+        q.processAllAvailable()
+        rows = spark.sql("select * from evstream").collect()
+        types = {r["event_type"] for r in rows}
+        assert "click" in types
+    finally:
+        q.stop()
+
+
+def test_stream_watermark_option(engine, sf_dir, tmp_path):
+    """eventTimeCol/delayThreshold load options attach a watermark
+    (reference LoadAdaptor.scala:148-157)."""
+    engine.execute(f"""
+    set streamName = "wmstream";
+    load streamParquet.`{sf_dir}/events.parquet` where eventTimeCol="ts"
+        and delayThreshold="10 seconds" as ev;
+    select window(ts, '1 hour') as w, count(*) as n from ev group by window(ts, '1 hour') as agg;
+    save append agg as memory.`` where checkpointLocation="{tmp_path}/ckwm"
+        and duration="0" and queryName="wmstream";
+    """)
+    q = engine.context.jobs.get("wmstream")
+    assert q is not None
+    try:
+        q.processAllAvailable()
+        # watermark shows up in progress
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+
+
+def test_with_watermark_macro(engine, sf_dir):
+    engine.context.stream_name = None
+    df = engine.execute(f"""
+    set streamName = "wm2";
+    load streamParquet.`{sf_dir}/events.parquet` as ev2;
+    !withWatermark ev2 ts "5 seconds";
+    """)
+    assert df.isStreaming
+
+
+def test_kill_stream(engine, sf_dir, tmp_path):
+    engine.execute(f"""
+    set streamName = "killme";
+    load streamParquet.`{sf_dir}/events.parquet` as ev3;
+    select * from ev3 as passthrough;
+    save append passthrough as parquet.`{tmp_path}/out` where
+        checkpointLocation="{tmp_path}/ck3" and duration="0";
+    """)
+    q = engine.context.jobs["killme"]
+    assert q.isActive
+    engine.execute("!kill killme;")
+    assert _wait_for(lambda: not q.isActive)
+
+
+def test_stream_callback_listener(spark):
+    from streamingpro_spark.streaming.manager import get_listener
+    listener = get_listener(spark)
+    seen = []
+    listener.add_callback("started,terminated", seen.append)
+    df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    q = df.writeStream.format("noop").start()
+    try:
+        assert _wait_for(lambda: any("id" in p for p in seen))
+    finally:
+        q.stop()
+
+
+def test_value_schema_decode(engine):
+    """kafka-style valueFormat/valueSchema decode on a batch table
+    (parser path LoadAdaptor.scala:167-199)."""
+    spark = engine.spark
+    spark.createDataFrame(
+        [(b"k1", b'{"x": 5, "name": "a"}'), (b"k2", b'{"x": 7, "name": "b"}')],
+        "key binary, value binary").createOrReplaceTempView("kafka_like")
+    from streamingpro_spark.sources.value_parser import decode_value
+    out = decode_value(spark.table("kafka_like"), "json",
+                       "st(field(x,long),field(name,string))")
+    rows = {r["name"]: r["x"] for r in out.collect()}
+    assert rows == {"a": 5, "b": 7}
+    assert "kafkaValue" in out.columns
+
+
+def test_schema_dsl():
+    from streamingpro_spark.sources.value_parser import parse_schema_dsl
+    s = parse_schema_dsl("st(field(a,integer),field(b,array(string)),field(c,map(string,double)))")
+    assert s.fieldNames() == ["a", "b", "c"]
+    assert s["b"].dataType.simpleString() == "array<string>"
+    assert s["c"].dataType.simpleString() == "map<string,double>"
+
+
+def test_mock_stream(engine, tmp_path):
+    """mockStream equivalent: batch table replayed via rate join."""
+    engine.execute("""
+    select explode(sequence(0, 9)) as v as batch_src;
+    """)
+    engine.execute("""
+    set streamName = "mock1";
+    load mockStream.`batch_src` where stepSizeRange="0-5" as mocked;
+    select v from mocked as mocked_v;
+    """)
+    df = engine.context.spark.table("mocked_v")
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("mock_sink")
+         .option("checkpointLocation", str(tmp_path / "ckm")).start())
+    try:
+        assert _wait_for(
+            lambda: engine.spark.sql("select count(*) as c from mock_sink")
+            .collect()[0]["c"] >= 3, timeout=30)
+    finally:
+        q.stop()
