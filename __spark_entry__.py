@@ -565,6 +565,309 @@ FROM edges
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style breadth: semi/anti joins, correlated subqueries, multi-way
+# joins, grouping sets/cube, named windows, scalar functions.  Identical
+# ANSI SQL runs on both engines.
+# ---------------------------------------------------------------------------
+
+_Q4 = """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate < timestamp '1997-01-01 00:00:00'
+  and exists (select 1 from lineitem
+              where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+group by o_orderpriority
+"""
+
+_Q6 = """
+select round(sum(l_extendedprice * l_discount), 2) as revenue,
+       count(*) as n_items
+from lineitem
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate < timestamp '1997-01-01 00:00:00'
+  and l_discount between 0.05 and 0.07 and l_quantity < 24
+"""
+
+_Q7 = """
+select supp_nation, cust_nation, l_year, round(sum(volume), 2) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         year(l.l_shipdate) as l_year,
+         l.l_extendedprice * (1 - l.l_discount) as volume
+  from supplier s
+  join lineitem l on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join customer c on c.c_custkey = o.o_custkey
+  join nation n1 on s.s_nationkey = n1.n_nationkey
+  join nation n2 on c.c_nationkey = n2.n_nationkey
+  where n1.n_name in ('NATION_1', 'NATION_2')
+    and n2.n_name in ('NATION_1', 'NATION_2')
+    and n1.n_name <> n2.n_name
+) shipping
+group by supp_nation, cust_nation, l_year
+"""
+
+_Q8 = """
+select o_year,
+       round(sum(case when nation = 'NATION_5' then volume else 0 end)
+             / sum(volume), 4) as mkt_share
+from (
+  select year(o.o_orderdate) as o_year,
+         l.l_extendedprice * (1 - l.l_discount) as volume,
+         n2.n_name as nation
+  from part p
+  join lineitem l on p.p_partkey = l.l_partkey
+  join orders o on l.l_orderkey = o.o_orderkey
+  join customer c on o.o_custkey = c.c_custkey
+  join nation n1 on c.c_nationkey = n1.n_nationkey
+  join region r on n1.n_regionkey = r.r_regionkey
+  join supplier s on l.l_suppkey = s.s_suppkey
+  join nation n2 on s.s_nationkey = n2.n_nationkey
+  where r.r_name = 'ASIA' and p.p_type = 'PROMO'
+) all_nations
+group by o_year
+"""
+
+_Q10 = """
+select c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+       round(c.c_acctbal, 2) as acctbal, n.n_name
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join nation n on c.c_nationkey = n.n_nationkey
+where l.l_returnflag = 'R'
+group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+
+_Q14 = """
+select round(100.00 * sum(case when p_type = 'PROMO'
+                               then l_extendedprice * (1 - l_discount)
+                               else 0 end)
+             / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate < timestamp '1996-02-01 00:00:00'
+"""
+
+_Q17 = """
+select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+from lineitem, part
+where p_partkey = l_partkey and p_brand = 'Brand#11'
+  and l_quantity < (select 0.5 * avg(l_quantity)
+                    from lineitem l2 where l2.l_partkey = p_partkey)
+"""
+
+_Q18 = """
+select c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) as totalprice,
+       round(sum(l_quantity), 2) as sum_qty
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (select l_orderkey from lineitem
+                     group by l_orderkey having sum(l_quantity) > 250)
+group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+order by totalprice desc, o_orderkey
+limit 100
+"""
+
+_Q22 = """
+select c_nationkey, count(*) as numcust, round(sum(c_acctbal), 2) as totacctbal
+from customer
+where c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+group by c_nationkey
+"""
+
+_GROUPING_SETS = """
+select coalesce(o_orderstatus, 'ALL') as status,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       count(*) as n_orders, round(sum(o_totalprice), 2) as total
+from orders
+group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+"""
+
+_CUBE = """
+select coalesce(l_returnflag, 'ALL') as rf, coalesce(l_linestatus, 'ALL') as ls,
+       count(*) as n, round(sum(l_quantity), 2) as qty
+from lineitem
+group by cube(l_returnflag, l_linestatus)
+"""
+
+_LEAD_LAG = """
+select o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) over w, 2) as delta_prev,
+       round(lead(o_totalprice) over w, 2) as next_price,
+       ntile(4) over (order by o_totalprice, o_orderkey) as price_quartile
+from orders
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+_SCALAR_FNS = """
+select o_orderkey,
+       upper(substr(o_orderpriority, 1, 3)) as pri3,
+       length(o_orderstatus) as st_len,
+       concat(o_orderstatus, '-', o_orderpriority) as tag,
+       year(o_orderdate) as yr, month(o_orderdate) as mo,
+       round(sqrt(o_totalprice), 4) as sq,
+       round(ln(o_totalprice + 1), 4) as lnp,
+       abs(o_custkey % 7) as bucket7
+from orders where o_orderkey % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# ET operators paired with SQL oracles (feature engineering + table utils)
+# ---------------------------------------------------------------------------
+
+def _q_scaler(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'customer')}
+    run customer as ScalerInPlace.`` where inputCols="c_acctbal"
+        and scaleMethod="min-max" as scaled;
+    select c_custkey, round(c_acctbal, 4) as acctbal_scaled from scaled as output;
+    """)
+
+
+_SCALER_ORACLE = """
+select c_custkey, round((c_acctbal - mn) / (mx - mn), 4) as acctbal_scaled
+from customer,
+     (select min(c_acctbal) as mn, max(c_acctbal) as mx from customer) s
+"""
+
+
+def _q_discretizer(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'orders')}
+    run orders as Discretizer.`` where method="bucketizer" and
+        inputCol="o_totalprice" and splits="1000,5000,20000" as bucketed;
+    select o_orderkey, o_totalprice_bucket from bucketed as output;
+    """)
+
+
+_DISCRETIZER_ORACLE = """
+select o_orderkey,
+       CAST(case when o_totalprice < 1000 then 0
+                 when o_totalprice < 5000 then 1
+                 when o_totalprice < 20000 then 2
+                 else 3 end AS DOUBLE) as o_totalprice_bucket
+from orders
+"""
+
+
+def _q_string_index(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'customer')}
+    run customer as StringIndex.`` where inputCol="c_mktsegment" as idxed;
+    select c_custkey, c_mktsegment, c_mktsegment_idx from idxed as output;
+    """)
+
+
+# StringIndexer frequencyDesc: rank by (count desc, label asc), 0-based
+_STRING_INDEX_ORACLE = """
+with f as (select c_mktsegment, count(*) as n from customer group by c_mktsegment),
+idx as (select c_mktsegment,
+               CAST(row_number() over (order by n desc, c_mktsegment) - 1
+                    AS DOUBLE) as c_mktsegment_idx
+        from f)
+select c.c_custkey, c.c_mktsegment, i.c_mktsegment_idx
+from customer c join idx i on c.c_mktsegment = i.c_mktsegment
+"""
+
+
+def _q_confusion(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'orders')}
+    run orders as ConfusionMatrix.`` where actualCol="o_orderstatus"
+        and predictCol="o_orderpriority" as output;
+    """)
+
+
+_CONFUSION_ORACLE = """
+select o_orderstatus,
+       CAST(sum(case when o_orderpriority = '1-URGENT' then 1 else 0 end) AS BIGINT) as "1-URGENT",
+       CAST(sum(case when o_orderpriority = '2-HIGH' then 1 else 0 end) AS BIGINT) as "2-HIGH",
+       CAST(sum(case when o_orderpriority = '3-MEDIUM' then 1 else 0 end) AS BIGINT) as "3-MEDIUM",
+       CAST(sum(case when o_orderpriority = '4-NOT SPECIFIED' then 1 else 0 end) AS BIGINT) as "4-NOT SPECIFIED",
+       CAST(sum(case when o_orderpriority = '5-LOW' then 1 else 0 end) AS BIGINT) as "5-LOW"
+from orders group by o_orderstatus
+"""
+
+
+def _q_rate_sampler(spark, sf_dir):
+    """Stratified split: WHICH rows land in each split is seeded-random,
+    but the exact per-label counts are deterministic (exact slicing)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as RateSampler.`` where labelCol="lang"
+        and sampleRate="0.8,0.2" as split_docs;
+    select lang, __split__, count(*) as n_rows from split_docs
+    group by lang, __split__ as output;
+    """)
+
+
+_RATE_SAMPLER_ORACLE = """
+with c as (select lang, count(*) as n from documents group by lang)
+select lang, CAST(0 AS INT) as __split__, CAST(floor(n * 0.8) AS BIGINT) as n_rows from c
+union all
+select lang, CAST(1 AS INT) as __split__, CAST(n - floor(n * 0.8) AS BIGINT) as n_rows from c
+"""
+
+
+def _q_auto_increment(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'customer')}
+    run customer as AutoIncrementKeyExt.`` where dense="true" and idCol="rid" as with_id;
+    select count(*) as n, min(rid) as mn, max(rid) as mx from with_id as output;
+    """)
+
+
+_AUTO_INCREMENT_ORACLE = """
+select count(*) as n, CAST(0 AS INT) as mn, CAST(count(*) - 1 AS INT) as mx
+from customer
+"""
+
+
+def _q_vector_ops(spark, sf_dir):
+    """Built-in vec_* UDF library (reference Functions.scala:69-300)
+    against DuckDB list algebra."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    select vec_id,
+           round(vec_norm(vec_dense(embedding), 2), 4) as l2,
+           vec_argmax(vec_dense(embedding)) as amax,
+           round(vec_mean(vec_dense(embedding)), 4) as vmean,
+           round(vec_sqdist(vec_dense(embedding),
+                            vec_inplace_add(vec_dense(embedding), 1.0)), 4) as sqdist_ones
+    from embeddings as output;
+    """)
+
+
+_VECTOR_OPS_ORACLE = """
+with v as (select vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) as e
+           from embeddings)
+select vec_id,
+       round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) as l2,
+       CAST(list_position(e, list_max(e)) - 1 AS INT) as amax,
+       round(list_avg(e), 4) as vmean,
+       round(CAST(len(e) AS DOUBLE), 4) as sqdist_ones
+from v
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -589,6 +892,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_asof,
         "pivot_orders": _q_pivot,
         "tree_hierarchy": _q_tree,
+        # TPC-H-style breadth
+        "q4_order_priority": sql_q(_Q4, ["orders", "lineitem"]),
+        "q6_revenue_forecast": sql_q(_Q6, ["lineitem"]),
+        "q7_volume_shipping": sql_q(_Q7, ["supplier", "lineitem", "orders",
+                                          "customer", "nation"]),
+        "q8_market_share": sql_q(_Q8, ["part", "lineitem", "orders", "customer",
+                                       "nation", "region", "supplier"]),
+        "q10_returned_items": sql_q(_Q10, ["customer", "orders", "lineitem", "nation"]),
+        "q14_promo_effect": sql_q(_Q14, ["lineitem", "part"]),
+        "q17_small_qty": sql_q(_Q17, ["lineitem", "part"]),
+        "q18_large_volume": sql_q(_Q18, ["customer", "orders", "lineitem"]),
+        "q22_idle_customers": sql_q(_Q22, ["customer", "orders"]),
+        "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
+        "cube_lineitem": sql_q(_CUBE, ["lineitem"]),
+        "window_lead_lag": sql_q(_LEAD_LAG, ["orders"]),
+        "scalar_functions": sql_q(_SCALAR_FNS, ["orders"]),
+        # feature/table ETs with oracles
+        "scaler_minmax": _q_scaler,
+        "discretizer_bucket": _q_discretizer,
+        "string_index": _q_string_index,
+        "confusion_matrix": _q_confusion,
+        "rate_sampler_counts": _q_rate_sampler,
+        "auto_increment": _q_auto_increment,
+        "vector_ops": _q_vector_ops,
         # LLM-pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
@@ -620,6 +947,26 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _ASOF_ORACLE,
         "pivot_orders": _PIVOT_ORACLE,
         "tree_hierarchy": _TREE_ORACLE,
+        "q4_order_priority": _Q4,
+        "q6_revenue_forecast": _Q6,
+        "q7_volume_shipping": _Q7,
+        "q8_market_share": _Q8,
+        "q10_returned_items": _Q10,
+        "q14_promo_effect": _Q14,
+        "q17_small_qty": _Q17,
+        "q18_large_volume": _Q18,
+        "q22_idle_customers": _Q22,
+        "grouping_sets_orders": _GROUPING_SETS,
+        "cube_lineitem": _CUBE,
+        "window_lead_lag": _LEAD_LAG,
+        "scalar_functions": _SCALAR_FNS,
+        "scaler_minmax": _SCALER_ORACLE,
+        "discretizer_bucket": _DISCRETIZER_ORACLE,
+        "string_index": _STRING_INDEX_ORACLE,
+        "confusion_matrix": _CONFUSION_ORACLE,
+        "rate_sampler_counts": _RATE_SAMPLER_ORACLE,
+        "auto_increment": _AUTO_INCREMENT_ORACLE,
+        "vector_ops": _VECTOR_OPS_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "minhash_dedup": _MINHASH_ORACLE,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_ORACLE,
