@@ -1,0 +1,204 @@
+"""Corpus/vector feature ETs (SURVEY.md §2.4 feature-engineering tail):
+TokenAnalysis/TokenExtract, VecMapInPlace, RawSimilarInPlace,
+CorpusExplainInPlace, ReduceFeaturesInPlace, RowMatrix.
+
+Tokenization: the reference segments Chinese with Ansj
+(SQLTokenAnalysis.scala:54-162); here jieba is an optional extra
+(import-gated) and the default is a unicode-aware regex tokenizer that
+runs JVM-side via regexp_extract_all — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
+                                               get_bool, get_float, get_int)
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+# word = letter/digit runs (latin) or single CJK ideographs
+_TOKEN_RE = r"[A-Za-z0-9_]+|[一-鿿]"
+
+
+def _tokenize_col(col: str):
+    return F.expr(f"regexp_extract_all(lower(`{col}`), '{_TOKEN_RE}', 0)")
+
+
+@register_et("TokenAnalysis")
+class TokenAnalysis(ETAlgorithm):
+    """Tokenize a text column into an array<string> column
+    (reference: SQLTokenAnalysis.scala:54-162).  `useJieba=true` switches
+    to jieba segmentation (pandas UDF, Arrow-batched) when the library is
+    installed."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "content")
+        out = params.get("outputCol", "keywords")
+        if get_bool(params, "useJieba", False):
+            try:
+                import jieba  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "TokenAnalysis useJieba=true requires the optional jieba "
+                    "package (not installed)") from e
+            import pandas as pd
+
+            @F.pandas_udf("array<string>")
+            def seg(s: pd.Series) -> pd.Series:
+                import jieba
+                return s.map(lambda t: [w for w in jieba.cut(t or "") if w.strip()])
+            return df.withColumn(out, seg(F.col(col)))
+        return df.withColumn(out, _tokenize_col(col))
+
+    def explain_params(self):
+        return [("inputCol", "text column", "content"),
+                ("outputCol", "token array output", "keywords"),
+                ("useJieba", "use jieba segmentation (optional dep)", "false")]
+
+
+@register_et("TokenExtract")
+class TokenExtract(ETAlgorithm):
+    """Keep only tokens present in a dictionary table/word list
+    (reference: SQLTokenExtract.scala).  The dictionary is broadcast
+    (small by contract); the filter runs JVM-side via array_intersect."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "content")
+        out = params.get("outputCol", "keywords")
+        spark = df.sparkSession
+        words: list[str] = []
+        if params.get("dicTable"):
+            words = [str(r[0]) for r in spark.table(params["dicTable"]).collect()]
+        elif params.get("dic.paths"):
+            for p in params["dic.paths"].split(","):
+                with open(p, encoding="utf-8") as f:
+                    words += [w.strip() for w in f if w.strip()]
+        arr = F.array(*[F.lit(w) for w in words]) if words else F.array()
+        return df.withColumn(out, F.array_intersect(_tokenize_col(col), arr))
+
+
+@register_et("VecMapInPlace")
+class VecMapInPlace(ETAlgorithm):
+    """map<string,double> column → dense ml Vector over the corpus
+    vocabulary (reference: SQLVecMapInPlace.scala).  Vocabulary =
+    sorted distinct keys (one distributed distinct, collected — vocab
+    is small by contract)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "feature")
+        vocab_rows = (df.select(F.explode(F.map_keys(F.col(col))).alias("k"))
+                        .distinct().collect())
+        vocab = sorted(r["k"] for r in vocab_rows)
+        index = {k: i for i, k in enumerate(vocab)}
+        from pyspark.ml.linalg import DenseVector, VectorUDT
+        bc = df.sparkSession.sparkContext.broadcast(index)
+
+        def to_vec(m):
+            idx = bc.value
+            out = [0.0] * len(idx)
+            for k, v in (m or {}).items():
+                if k in idx:
+                    out[idx[k]] = float(v)
+            return DenseVector(out)
+
+        fn = F.udf(to_vec, VectorUDT())
+        return df.withColumn(col, fn(F.col(col)))
+
+
+@register_et("RawSimilarInPlace")
+class RawSimilarInPlace(ETAlgorithm):
+    """Near-duplicate grouping: adds `__similar__` = smallest doc id among
+    a row's near-duplicates (reference: SQLRawSimilarInPlace.scala —
+    pairwise similarity; re-expressed via the MinHash-LSH dedup kernel so
+    candidate generation is band-bucketed, not O(n²))."""
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        text_col = params.get("textCol", "text")
+        threshold = get_float(params, "threshold", 0.8)
+        from streamingpro_spark.operators.dedup import MinHashDedup
+        pairs = MinHashDedup().train(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            path, {"idCol": "doc_id", "contentCol": "text",
+                   "threshold": str(threshold),
+                   "numHashes": params.get("numHashes", "12"),
+                   "numBands": params.get("numBands", "4"),
+                   "shingleSize": params.get("shingleSize", "3")}, context)
+        # undirected neighbor edges -> smallest neighbor id per doc
+        edges = (pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr"))
+                 .union(pairs.select(F.col("doc_b").alias("id"),
+                                     F.col("doc_a").alias("nbr"))))
+        rep = edges.groupBy("id").agg(F.min("nbr").alias("min_nbr"))
+        return (df.join(rep, df[id_col] == rep["id"], "left")
+                  .withColumn("__similar__",
+                              F.least(F.coalesce(F.col("min_nbr"), F.col(id_col)),
+                                      F.col(id_col)))
+                  .drop("id", "min_nbr"))
+
+
+@register_et("CorpusExplainInPlace")
+class CorpusExplainInPlace(ETAlgorithm):
+    """Corpus statistics table: per-token term frequency + document
+    frequency (reference: SQLCorpusExplainInPlace.scala)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "text")
+        toks = df.select(_tokenize_col(col).alias("toks"))
+        n_docs = toks.count()
+        stats = (toks.withColumn("__doc", F.monotonically_increasing_id())
+                 .select(F.col("__doc"), F.explode("toks").alias("token"))
+                 .groupBy("token")
+                 .agg(F.count("*").alias("tf"),
+                      F.countDistinct("__doc").alias("df"))
+                 .withColumn("idf", F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))))
+        return stats
+
+    def explain_params(self):
+        return [("inputCol", "text column", "text")]
+
+
+@register_et("ReduceFeaturesInPlace")
+class ReduceFeaturesInPlace(ETAlgorithm):
+    """Dimensionality reduction via PCA on an array/vector column
+    (reference: SQLReduceFeaturesInPlace.scala)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "features")
+        k = get_int(params, "k", 8)
+        from pyspark.ml.feature import PCA
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.sql.types import ArrayType
+        is_array = isinstance(df.schema[col].dataType, ArrayType)
+        work = df.withColumn("__v", array_to_vector(F.col(col).cast("array<double>"))
+                             if is_array else F.col(col))
+        model = PCA(k=k, inputCol="__v", outputCol="__pca").fit(work)
+        out = model.transform(work).drop("__v")
+        if path:
+            model.write().overwrite().save(path)
+        result = out.withColumn(col, vector_to_array("__pca") if is_array
+                                else F.col("__pca")).drop("__pca")
+        return result
+
+
+@register_et("RowMatrix")
+class RowMatrix(ETAlgorithm):
+    """All-pairs column similarity via mllib RowMatrix with DIMSUM
+    sampling (reference: SQLRowMatrix.scala).  Input: array/vector
+    column; output (i, j, similarity)."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("inputCol", "features")
+        threshold = get_float(params, "threshold", 0.0)
+        from pyspark.mllib.linalg import Vectors as MLLibVectors
+        from pyspark.mllib.linalg.distributed import RowMatrix as MLLibRowMatrix
+        rows = (ensure_parallelism(df.select(col)).rdd
+                .map(lambda r: MLLibVectors.dense([float(x) for x in r[0]])))
+        sims = MLLibRowMatrix(rows).columnSimilarities(threshold)
+        ent = sims.entries.map(lambda e: (int(e.i), int(e.j), float(e.value)))
+        return df.sparkSession.createDataFrame(
+            ent, "i: bigint, j: bigint, similarity: double")

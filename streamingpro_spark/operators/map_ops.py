@@ -1,0 +1,363 @@
+"""Dictionary/lookup ETs + script/infra utilities (SURVEY.md §2.4).
+
+Broadcast-dictionary lookups: the reference collects small dict tables to
+the driver and broadcasts them into scalar UDFs (SQLMap.scala:39-50,
+SQLMapValues.scala:68-119, SQLTableToMap.scala:39-50,
+SQLDicOrTableToArray.scala:30-70).  Same design here — these dictionaries
+are *small by contract* (vocabulary/code tables), so a driver collect +
+broadcast is the correct 100 TB-scale plan: the big table never shuffles,
+the lookup rides map-side.  For joins against LARGE dict tables use a
+plain SQL join instead (Catalyst broadcasts or SMJs it as appropriate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from streamingpro_spark.operators.base import ETAlgorithm, get_bool, get_int
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta")
+
+
+def _data_path(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+@register_et("Map")
+class MapET(ETAlgorithm):
+    """Single-row table → string→string dict → lookup UDF
+    (reference: streaming/dsl/mmlib/algs/SQLMap.scala:32-51)."""
+
+    model_type = "algorithm"
+
+    def train(self, df, path, params, context=None):
+        return df.sparkSession.createDataFrame([], "dummy: string")
+
+    def load(self, spark, path, params, context=None):
+        # `path` is a table name here (skipPathPrefix in the reference)
+        row = spark.table(path).limit(1).collect()[0].asDict()
+        return {str(k): "" if v is None else str(v) for k, v in row.items()}
+
+    def predict(self, spark, model, name, params):
+        d = dict(model)
+        return spark.udf.register(name, lambda k: d.get(k), "string")
+
+
+@register_et("MapValues")
+class MapValues(ETAlgorithm):
+    """Dict table (inputCol → outputCol, with a mapMissingTo default row)
+    saved at `path`; `register` serves a broadcast lookup UDF
+    (reference: SQLMapValues.scala:30-119).  Also registers `{name}_array`
+    mapping array<string> → array<value> like the reference."""
+
+    model_type = "algorithm"
+
+    def train(self, df, path, params, context=None):
+        input_col = params.get("inputCol")
+        output_col = params.get("outputCol")
+        missing = params.get("mapMissingTo")
+        if not (input_col and output_col and missing is not None):
+            raise ValueError("MapValues requires inputCol, outputCol, mapMissingTo")
+        n = df.filter(F.col(input_col) == missing).count()
+        if n != 1:
+            raise ValueError(
+                f"can't find (or found multiple) mapMissingTo={missing!r} in dict table")
+        df.select(input_col, output_col).write.mode("overwrite") \
+          .parquet(_data_path(path))
+        meta = {"inputCol": input_col, "outputCol": output_col, "mapMissingTo": missing}
+        spark = df.sparkSession
+        spark.createDataFrame([meta]).write.mode("overwrite").parquet(_meta_path(path))
+        return spark.createDataFrame([], "dummy: string")
+
+    def load(self, spark, path, params, context=None):
+        meta = spark.read.parquet(_meta_path(path)).collect()[0].asDict()
+        dict_df = spark.read.parquet(_data_path(path))
+        return dict_df, meta
+
+    def predict(self, spark, model, name, params):
+        dict_df, meta = model
+        in_c, out_c, missing = meta["inputCol"], meta["outputCol"], meta["mapMissingTo"]
+        out_type = dict_df.schema[out_c].dataType.simpleString()
+        rows = dict_df.collect()
+        mapping = {r[in_c]: r[out_c] for r in rows}
+        default = mapping[missing]
+        bc = spark.sparkContext.broadcast((mapping, default))
+
+        def lookup(k):
+            m, d = bc.value
+            return m.get(k, d)
+
+        spark.udf.register(f"{name}_array",
+                           lambda ks: [lookup(k) for k in (ks or [])],
+                           f"array<{out_type}>")
+        return spark.udf.register(name, lookup, out_type)
+
+
+@register_et("TableToMap")
+class TableToMap(ETAlgorithm):
+    """(key,value) table → broadcast map → lookup UDF
+    (reference: SQLTableToMap.scala:28-50)."""
+
+    model_type = "algorithm"
+
+    def train(self, df, path, params, context=None):
+        key_f = params.get("keyField", "key")
+        val_f = params.get("valueField", "value")
+        df.select(F.col(key_f).alias("key"), F.col(val_f).alias("value")) \
+          .write.mode("overwrite").parquet(path)
+        return df.sparkSession.createDataFrame([], "dummy: string")
+
+    def load(self, spark, path, params, context=None):
+        return {str(r["key"]): str(r["value"])
+                for r in spark.read.parquet(path).collect()}
+
+    def predict(self, spark, model, name, params):
+        bc = spark.sparkContext.broadcast(dict(model))
+        return spark.udf.register(name, lambda k: bc.value.get(k), "string")
+
+
+@register_et("DicOrTableToArray")
+class DicOrTableToArray(ETAlgorithm):
+    """Named word-lists from text files (`dic.paths`/`dic.names`) or
+    single-column tables (`table.paths`/`table.names`) → name→array UDF
+    (reference: SQLDicOrTableToArray.scala:30-80)."""
+
+    model_type = "algorithm"
+
+    def _build(self, spark, params):
+        out: dict[str, list[str]] = {}
+        if "dic.paths" in params:
+            names = params["dic.names"].split(",")
+            for nm, p in zip(names, params["dic.paths"].split(",")):
+                with open(p, encoding="utf-8") as f:
+                    out[nm] = [line.rstrip("\n") for line in f if line.strip()]
+        if "table.paths" in params:
+            names = params["table.names"].split(",")
+            for nm, t in zip(names, params["table.paths"].split(",")):
+                out[nm] = [str(r[0]) for r in spark.table(t).collect()]
+        return out
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        data = self._build(spark, params)
+        rows = [(k, v) for k, v in data.items()]
+        model = spark.createDataFrame(rows or [("", [])],
+                                      "name: string, tokens: array<string>") \
+                     .filter(F.col("name") != "")
+        model.write.mode("overwrite").parquet(path)
+        return model
+
+    def load(self, spark, path, params, context=None):
+        return {r["name"]: list(r["tokens"])
+                for r in spark.read.parquet(path).collect()}
+
+    def predict(self, spark, model, name, params):
+        bc = spark.sparkContext.broadcast(dict(model))
+        return spark.udf.register(name, lambda nm: bc.value.get(nm, []),
+                                  "array<string>")
+
+
+# ---------------------------------------------------------------------------
+# infra / script utilities
+# ---------------------------------------------------------------------------
+
+@register_et("RepartitionExt")
+class RepartitionExt(ETAlgorithm):
+    """Legacy alias of TableRepartition (reference: SQLRepartitionExt.scala)."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.operators.table_ops import TableRepartition
+        return TableRepartition().train(df, path, params, context)
+
+
+@register_et("ShowTableExt")
+class ShowTableExt(ETAlgorithm):
+    """Extended table listing (reference: SQLShowTableExt.scala)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        rows = [(t.name, t.database or "", t.tableType, bool(t.isTemporary))
+                for t in spark.catalog.listTables()]
+        return spark.createDataFrame(
+            rows or [("", "", "", False)],
+            "tableName: string, database: string, tableType: string, isTemporary: boolean"
+        ).filter(F.col("tableName") != "")
+
+
+@register_et("ShowFunctionsExt")
+class ShowFunctionsExt(ETAlgorithm):
+    """Function catalog listing, optional name filter
+    (reference: SQLShowFunctionsExt.scala)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        pat = params.get("pattern", "").lower()
+        rows = [(f.name, f.className or "", bool(f.isTemporary))
+                for f in spark.catalog.listFunctions()
+                if pat in f.name.lower()]
+        return spark.createDataFrame(
+            rows or [("", "", False)],
+            "function: string, className: string, isTemporary: boolean"
+        ).filter(F.col("function") != "")
+
+
+@register_et("RunScript")
+class RunScript(ETAlgorithm):
+    """Execute an MLSQL script string (reference: tech/mlsql/ets/RunScript.scala).
+    The script text comes from the `code` param or from the single string
+    cell of the input table.  Temp views are session-global, so results
+    are visible to the calling script."""
+
+    def train(self, df, path, params, context=None):
+        code = params.get("code")
+        if not code:
+            code = df.limit(1).collect()[0][0]
+        from streamingpro_spark.engine import Engine
+        eng = Engine(df.sparkSession)
+        if context is not None:
+            eng.context.env.update(context.env)
+            eng.context.connect_meta.update(context.connect_meta)
+        return eng.execute(code)
+
+
+@register_et("IteratorCommand")
+class IteratorCommand(ETAlgorithm):
+    """Iterate a table driver-side in bounded batches, running a sub-script
+    per batch with the batch registered as `__batch__`
+    (reference: tech/mlsql/ets/IteratorCommand.scala:30-100 — there the
+    partitions are streamed to a socket server; the per-batch sub-script
+    is the Spark-first equivalent; use mapInPandas for executor-side
+    per-batch logic instead when the table is large)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        source = params.get("input")
+        target = spark.table(source) if source else df
+        script = params.get("script", "")
+        batch_size = get_int(params, "batchSize", 1000)
+        from streamingpro_spark.engine import Engine
+        n_batches = 0
+        batch: list = []
+        schema = target.schema
+
+        def flush(rows):
+            nonlocal n_batches
+            if not rows:
+                return
+            spark.createDataFrame(rows, schema).createOrReplaceTempView("__batch__")
+            if script:
+                Engine(spark).execute(script)
+            n_batches += 1
+
+        for row in target.toLocalIterator():
+            batch.append(row)
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        flush(batch)
+        return spark.createDataFrame([(n_batches,)], "n_batches: bigint")
+
+
+@register_et("SendMessage")
+class SendMessage(ETAlgorithm):
+    """Email notification (reference: SQLSendMessage.scala ~100 LoC).
+    `dryRun=true` (default — no SMTP server in test envs) returns the
+    composed message as a table instead of sending."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        to = params.get("to", "")
+        subject = params.get("subject", "")
+        content = params.get("content", "")
+        frm = params.get("from", "streamingpro@localhost")
+        if get_bool(params, "dryRun", True):
+            return spark.createDataFrame(
+                [(to, frm, subject, content, "dry-run")],
+                "to: string, from: string, subject: string, content: string, status: string")
+        import smtplib
+        from email.mime.text import MIMEText
+        msg = MIMEText(content)
+        msg["Subject"], msg["From"], msg["To"] = subject, frm, to
+        host = params.get("smtpHost", "localhost")
+        port = get_int(params, "smtpPort", 25)
+        with smtplib.SMTP(host, port) as s:
+            s.sendmail(frm, to.split(","), msg.as_string())
+        return spark.createDataFrame(
+            [(to, frm, subject, content, "sent")],
+            "to: string, from: string, subject: string, content: string, status: string")
+
+
+@register_et("JDBC")
+class JDBCExt(ETAlgorithm):
+    """Run DDL/DML statements on a remote database via the JVM's
+    java.sql.DriverManager (reference: SQLJDBC.scala:46-170 —
+    `driver-statement-0..N` executed in order; `driver-statement-query`
+    returns a table).  Connection options merge from `connect ... as db`
+    when `path` names a connection."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        opts = dict(params)
+        if context is not None and path:
+            meta = context.connect_meta.get(("jdbc", path))
+            if meta:
+                opts = {**meta, **opts}
+        url = opts.get("url")
+        if not url:
+            raise ValueError("JDBC ET requires a `url` option (or connect meta)")
+        jvm = spark.sparkContext._jvm
+        dm = jvm.java.sql.DriverManager
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in opts:
+                props.setProperty(k, opts[k])
+        conn = dm.getConnection(url, props)
+        try:
+            stmts = sorted((k for k in opts if k.startswith("driver-statement-")
+                            and k != "driver-statement-query"),
+                           key=lambda k: int(k.rsplit("-", 1)[1]))
+            for k in stmts:
+                st = conn.createStatement()
+                st.execute(opts[k])
+                st.close()
+            if "driver-statement-query" in opts:
+                return spark.read.format("jdbc") \
+                    .option("url", url) \
+                    .option("query", opts["driver-statement-query"]) \
+                    .options(**{k: v for k, v in opts.items()
+                                if k in ("user", "password", "driver")}).load()
+        finally:
+            conn.close()
+        return spark.createDataFrame([("ok",)], "status: string")
+
+
+@register_et("SaveBinaryAsFile")
+class SaveBinaryAsFile(ETAlgorithm):
+    """Write a binary column's rows out as files named by a path column
+    (reference: external/mlsql-ets/SaveBinaryAsFile.scala).  Executor-side
+    foreachPartition write — no driver collect."""
+
+    def train(self, df, path, params, context=None):
+        content_col = params.get("contentCol", "content")
+        name_col = params.get("fileNameCol", "file")
+        out_dir = path
+
+        def write_part(rows):
+            os.makedirs(out_dir, exist_ok=True)
+            for r in rows:
+                fname = os.path.basename(str(r[name_col]))
+                with open(os.path.join(out_dir, fname), "wb") as f:
+                    f.write(bytes(r[content_col]))
+
+        df.select(name_col, content_col).foreachPartition(write_part)
+        return df.sparkSession.createDataFrame([(out_dir,)], "path: string")

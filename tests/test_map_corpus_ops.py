@@ -1,0 +1,211 @@
+"""Dictionary/lookup + corpus ET tests (reference: SQLMapValues/
+SQLTableToMap train→register→UDF round-trips; TextSpec corpus patterns)."""
+
+import pytest
+
+
+def test_map_values_register_udf(engine, tmp_path):
+    df = engine.execute(f"""
+    set dict = '''
+    {{"k":"a","v":"alpha"}}
+    {{"k":"b","v":"beta"}}
+    {{"k":"__unknown__","v":"dunno"}}
+    ''';
+    load jsonStr.`dict` as dict_t;
+    train dict_t as MapValues.`{tmp_path}/mv` where inputCol="k" and outputCol="v"
+        and mapMissingTo="__unknown__";
+    register MapValues.`{tmp_path}/mv` as mv_lookup;
+    select mv_lookup('a') as a, mv_lookup('zzz') as z,
+           mv_lookup_array(array('a','b')) as arr as out;
+    """)
+    row = df.collect()[0]
+    assert row["a"] == "alpha"
+    assert row["z"] == "dunno"
+    assert list(row["arr"]) == ["alpha", "beta"]
+
+
+def test_map_values_missing_default_fails(engine, tmp_path):
+    with pytest.raises(Exception, match="mapMissingTo"):
+        engine.execute(f"""
+        set dict = '''
+        {{"k":"a","v":"alpha"}}
+        ''';
+        load jsonStr.`dict` as dict_t;
+        train dict_t as MapValues.`{tmp_path}/mv2` where inputCol="k"
+            and outputCol="v" and mapMissingTo="nope";
+        """)
+
+
+def test_table_to_map(engine, tmp_path):
+    df = engine.execute(f"""
+    set dict = '''
+    {{"key":"x","value":"1"}}
+    {{"key":"y","value":"2"}}
+    ''';
+    load jsonStr.`dict` as kv;
+    train kv as TableToMap.`{tmp_path}/ttm`;
+    register TableToMap.`{tmp_path}/ttm` as kv_get;
+    select kv_get('x') as x, kv_get('nope') as missing as out;
+    """)
+    row = df.collect()[0]
+    assert row["x"] == "1"
+    assert row["missing"] is None
+
+
+def test_map_et(engine):
+    df = engine.execute("""
+    select 'hello' as greeting, 'world' as target as conf;
+    register Map.`conf` as conf_get;
+    select conf_get('greeting') as g as out;
+    """)
+    assert df.collect()[0]["g"] == "hello"
+
+
+def test_dic_or_table_to_array(engine, tmp_path):
+    dic = tmp_path / "words.txt"
+    dic.write_text("apple\nbanana\n")
+    df = engine.execute(f"""
+    select 1 as dummy as src;
+    train src as DicOrTableToArray.`{tmp_path}/dta` where
+        `dic.paths`="{dic}" and `dic.names`="fruit";
+    register DicOrTableToArray.`{tmp_path}/dta` as get_words;
+    select get_words('fruit') as words as out;
+    """)
+    assert list(df.collect()[0]["words"]) == ["apple", "banana"]
+
+
+def test_run_script(engine):
+    df = engine.execute("""
+    select 1 as dummy as src;
+    run src as RunScript.`` where code="select 42 as answer as from_subscript;";
+    select answer from from_subscript as out;
+    """)
+    assert df.collect()[0]["answer"] == 42
+
+
+def test_iterator_command(engine):
+    df = engine.execute("""
+    select explode(sequence(1, 25)) as v as nums;
+    run nums as IteratorCommand.`` where input="nums" and batchSize="10"
+        and script="select count(*) as n from __batch__ as batch_count;";
+    """)
+    assert df.collect()[0]["n_batches"] == 3
+
+
+def test_send_message_dry_run(engine):
+    df = engine.execute("""
+    select 1 as dummy as src;
+    run src as SendMessage.`` where to="a@b.c" and subject="hi"
+        and content="test" as out;
+    """)
+    row = df.collect()[0]
+    assert row["status"] == "dry-run" and row["to"] == "a@b.c"
+
+
+def test_show_functions_ext(engine):
+    df = engine.execute("""
+    select 1 as dummy as src;
+    run src as ShowFunctionsExt.`` where pattern="vec_" as out;
+    """)
+    names = {r["function"] for r in df.collect()}
+    assert "vec_dense" in names and "vec_cosine" in names
+
+
+def test_repartition_ext_alias(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/nation.parquet` as n;
+    run n as RepartitionExt.`` where partitionNum="3" as out;
+    """)
+    assert df.rdd.getNumPartitions() == 3
+
+
+# --------------------------------------------------------------------------
+# corpus / vector feature ETs
+# --------------------------------------------------------------------------
+
+def test_token_analysis(engine):
+    df = engine.execute("""
+    set data = '''
+    {"content":"Hello World 你好"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as TokenAnalysis.`` where inputCol="content" as out;
+    """)
+    toks = list(df.collect()[0]["keywords"])
+    assert toks == ["hello", "world", "你", "好"]
+
+
+def test_token_extract(engine):
+    df = engine.execute("""
+    set data = '''
+    {"content":"apple pie with banana and cream"}
+    ''';
+    load jsonStr.`data` as t;
+    select explode(array('apple','banana')) as w as dict_t;
+    run t as TokenExtract.`` where inputCol="content" and dicTable="dict_t" as out;
+    """)
+    assert sorted(df.collect()[0]["keywords"]) == ["apple", "banana"]
+
+
+def test_vec_map_in_place(engine):
+    df = engine.execute("""
+    select map('a', 1.0, 'c', 3.0) as feature as t1;
+    run t1 as VecMapInPlace.`` where inputCol="feature" as out;
+    """)
+    v = df.collect()[0]["feature"]
+    assert list(v) == [1.0, 3.0]
+
+
+def test_raw_similar_in_place(engine):
+    rows = [
+        '{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog again"}',
+        '{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog again"}',
+        '{"doc_id":3,"text":"completely different content about spark engines"}',
+    ]
+    engine.execute("set docs = '''%s''';" % "\n".join(rows))
+    df = engine.execute("""
+    load jsonStr.`docs` as t;
+    run t as RawSimilarInPlace.`` where idCol="doc_id" and textCol="text"
+        and threshold="0.9" as out;
+    """)
+    groups = {r["doc_id"]: r["__similar__"] for r in df.collect()}
+    assert groups[1] == groups[2] == 1
+    assert groups[3] == 3
+
+
+def test_corpus_explain(engine):
+    df = engine.execute("""
+    set data = '''
+    {"text":"spark spark flink"}
+    {"text":"spark beam"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as CorpusExplainInPlace.`` where inputCol="text" as out;
+    """)
+    stats = {r["token"]: (r["tf"], r["df"]) for r in df.collect()}
+    assert stats["spark"] == (3, 2)
+    assert stats["flink"] == (1, 1)
+
+
+def test_reduce_features_pca(engine):
+    df = engine.execute("""
+    select array(1.0, 2.0, 3.0, 4.0) as features
+    union all select array(2.0, 3.0, 4.0, 5.0)
+    union all select array(9.0, 1.0, 2.0, 8.0) as t1;
+    run t1 as ReduceFeaturesInPlace.`` where inputCol="features" and k="2" as out;
+    """)
+    rows = df.collect()
+    assert all(len(r["features"]) == 2 for r in rows)
+
+
+def test_row_matrix_column_similarity(engine):
+    df = engine.execute("""
+    select array(1.0, 0.0, 1.0) as features
+    union all select array(1.0, 1.0, 0.0)
+    union all select array(0.0, 1.0, 1.0) as t1;
+    run t1 as RowMatrix.`` where inputCol="features" as out;
+    """)
+    sims = {(r["i"], r["j"]): r["similarity"] for r in df.collect()}
+    assert len(sims) == 3  # 3 column pairs
+    for v in sims.values():
+        assert 0.0 <= v <= 1.0
