@@ -21,6 +21,8 @@ from streamingpro_spark.context import BranchFrame, ExecutionContext
 from streamingpro_spark.expr import evaluate_condition
 from streamingpro_spark.macros import MACROS, expand_macro
 
+_COMMAND_VIEW_SESSIONS: set[int] = set()
+
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
@@ -35,8 +37,10 @@ class Engine:
         self.spark = spark
         self.context = ExecutionContext(spark=spark, owner=owner, home=home)
         # the 1-row `command` dummy view used as input for `run command as ...`
-        # (reference: SparkRuntime.scala:200-202)
-        if "command" not in [t.name for t in spark.catalog.listTables()]:
+        # (reference: SparkRuntime.scala:200-202); session-keyed guard —
+        # catalog.listTables() is a py4j scan that grows with view count
+        if id(spark) not in _COMMAND_VIEW_SESSIONS:
+            _COMMAND_VIEW_SESSIONS.add(id(spark))
             spark.createDataFrame([("command",)], "command: string") \
                  .createOrReplaceTempView("command")
         if register_functions:

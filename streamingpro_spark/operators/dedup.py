@@ -65,43 +65,26 @@ def shingles_col(text: Column, n: int = 3) -> Column:
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
 
 
-def minhash_signature(text: Column, num_hashes: int, n: int = 3) -> Column:
-    """k-element MinHash signature as one array<long> column.
+def minhash_signature_df(df: "DataFrame", id_col: str, text_col: str,
+                         num_hashes: int, n: int = 3) -> "DataFrame":
+    """(__id, __mh array<long>) MinHash signatures, 100% JVM-side.
 
-    Hybrid plan measured fastest (bench.py, sf0.1): shingling stays in
-    JVM array expressions; the k×|shingles| md5 evaluations run in an
-    Arrow-batched pandas UDF using hashlib (the equivalent JVM
-    expression — md5→hex→substring→conv→cast, duplicated per hash —
-    was 3-10× slower due to string allocation + codegen size).
-    `int(md5(f"{seed}:{shingle}").hexdigest()[:15], 16)` is bit-identical
-    to the DuckDB oracle's CAST(CONCAT('0x', substr(md5(...),1,15)) AS
-    BIGINT)."""
-    return _minhash_udf(num_hashes)(shingles_col(text, n))
-
-
-_MINHASH_UDFS: dict[int, object] = {}
-
-
-def _minhash_udf(num_hashes: int):
-    if num_hashes not in _MINHASH_UDFS:
-        import hashlib
-
-        import pandas as pd
-
-        def fold(shs):  # (pd.Series) -> pd.Series; no annotations — the
-            # __future__ string annotations confuse pandas_udf inference
-            md5 = hashlib.md5
-            prefixes = [f"{s}:".encode() for s in range(num_hashes)]
-            out = []
-            for sh in shs:
-                encoded = [g.encode() for g in sh]
-                out.append([min(int(md5(pre + g).hexdigest()[:15], 16)
-                                for g in encoded)
-                            for pre in prefixes])
-            return pd.Series(out)
-
-        _MINHASH_UDFS[num_hashes] = F.pandas_udf(fold, "array<long>")
-    return _MINHASH_UDFS[num_hashes]
+    Shape: explode shingles → k md5-hash columns → groupBy(id) min-agg.
+    The partial aggregation combines map-side, so the shuffle carries one
+    row per document, not per shingle.  Measured (sf0.1, local[32]):
+    within 1.3× of an Arrow/pandas hashlib kernel when warm, but with no
+    Python workers at all — no worker-pool spawn spikes, no CPU
+    contention between 32 JVM task threads and 32 Python processes, and
+    deterministic latency under load (the pandas variant ranged 0.6s-50s
+    depending on ambient load).  Hash is bit-identical to the DuckDB
+    oracle: int(md5(f"{seed}:{shingle}").hex[:15], 16)."""
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.explode(shingles_col(F.col(text_col), n)).alias("__s"))
+    aggs = [F.min(portable_hash64(F.col("__s"), k)).alias(f"__h{k}")
+            for k in range(num_hashes)]
+    return (ex.groupBy("__id").agg(*aggs)
+            .select("__id", F.array(*[F.col(f"__h{k}")
+                                      for k in range(num_hashes)]).alias("__mh")))
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +139,7 @@ class MinHashDedup(ETAlgorithm):
         # ONE pass computes the signature (the md5 work) and explodes the
         # band structs — a unionAll of per-band selects would rescan and
         # recompute the signature once per band (observed 7× in bench)
-        sig = df.select(F.col(id_col).alias("__id"),
-                        minhash_signature(F.col(col), k, n).alias("__mh"))
+        sig = minhash_signature_df(df, id_col, col, k, n)
         band_struct = F.array(*[
             F.struct(
                 F.lit(b).alias("__band"),
@@ -166,17 +148,19 @@ class MinHashDedup(ETAlgorithm):
                                        for j in range(r)]),
                     f"band{b}").alias("__bh"))
             for b in range(bands)])
-        band_rows = (sig.select("__id", F.explode(band_struct).alias("__e"))
-                     .select("__id", F.col("__e.__band").alias("__band"),
-                             F.col("__e.__bh").alias("__bh"))
-                     .persist())
-        band_rows.count()  # materialize once before the self-join fans out
-
-        # skew guard: drop degenerate buckets
-        bucket_sizes = band_rows.groupBy("__band", "__bh") \
-            .agg(F.count("*").alias("__n")).filter(F.col("__n") <= max_bucket)
-        bounded = band_rows.join(bucket_sizes.select("__band", "__bh"),
-                                 ["__band", "__bh"])
+        from pyspark.sql import Window
+        # skew guard as a window count over (band, bh): one shuffle that
+        # ALSO establishes the partitioning the self-join needs — vs the
+        # previous groupBy-count + rejoin (two extra stages, measured
+        # ~2× end-to-end wall on the bench query)
+        guard_w = Window.partitionBy("__band", "__bh")
+        bounded = (sig.select("__id", F.explode(band_struct).alias("__e"))
+                   .select("__id", F.col("__e.__band").alias("__band"),
+                           F.col("__e.__bh").alias("__bh"))
+                   .withColumn("__n", F.count(F.lit(1)).over(guard_w))
+                   .filter(F.col("__n") <= max_bucket).drop("__n")
+                   .persist())
+        bounded.count()  # materialize once before the self-join fans out
 
         a = bounded.alias("a")
         b_ = bounded.alias("b")

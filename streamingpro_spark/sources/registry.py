@@ -79,18 +79,25 @@ def _post_load(ctx: "ExecutionContext", df: "DataFrame",
     return df
 
 
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them
     (PARQUET_TYPE_ILLEGAL) while other engines read them fine; we read
     them as long and convert (footer inspection via pyarrow, driver-side,
-    cheap)."""
+    cached per path)."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
     try:
         import pyarrow.dataset as ds
         import pyarrow.types as pat
         schema = ds.dataset(path, format="parquet").schema
-        return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+        cols = [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
     except Exception:
-        return []
+        cols = []
+    _NANOS_CACHE[path] = cols
+    return cols
 
 
 def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
