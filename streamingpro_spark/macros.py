@@ -32,13 +32,17 @@ MACROS: dict[str, str] = {
     "withWartermark": 'run {} as WaterMarkInPlace.`` where eventTimeCol="{1}" and delayThreshold="{2}"',
     "withWatermark": 'run {} as WaterMarkInPlace.`` where eventTimeCol="{1}" and delayThreshold="{2}"',
     "kill": 'run command as Kill.`{}`',
-    "fs": 'run command as HDFSCommand.`` where parameters="""{:all-json}"""',
-    "hdfs": 'run command as HDFSCommand.`` where parameters="""{:all-json}"""',
-    "delta": 'run command as DeltaCommandWrapper.`` where parameters="""{:all-json}"""',
-    "profiler": 'run command as ProfilerCommand.`` where action="{}" and sql="""{1}"""',
+    "fs": "run command as HDFSCommand.`` where parameters='''{:all-json}'''",
+    "hdfs": "run command as HDFSCommand.`` where parameters='''{:all-json}'''",
+    "delta": "run command as DeltaCommandWrapper.`` where parameters='''{:all-json}'''",
+    "profiler": "run command as ProfilerCommand.`` where action=\"{}\" and sql='''{1}'''",
     "tableRepartition": 'run {} as TableRepartition.`` where partitionNum="{1}" as {2}',
-    "emptyTable": 'run command as EmptyTableWithSchema.`` where schema="""{}"""',
+    "emptyTable": "run command as EmptyTableWithSchema.`` where schema='''{}'''",
     "dropTable": 'run command as DropTempTable.`{}`',
+    "kafkaTool": "run command as KafkaCommand.`` where parameters='''{:all-json}'''",
+    "callback": "run command as MLSQLEventCommand.`` where parameters='''{:all-json}'''",
+    "python": "run command as PythonCommand.`` where code='''{:all}'''",
+    "iterator": 'run command as IteratorCommand.`` where input="{}"',
 }
 
 

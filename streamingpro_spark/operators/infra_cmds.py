@@ -1,0 +1,146 @@
+"""Infra command ETs: Delta/Kafka maintenance (dependency-gated),
+stream-event callbacks, driver-side Python exec (SURVEY.md §2.4).
+
+Delta Lake and Kafka client jars are optional deps of this engine; the
+commands probe for them and raise a clear install hint when absent —
+the statement surface (macros `!delta`, `!kafkaTool`, `!callback`,
+`!python`) is always present.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from streamingpro_spark.operators.base import ETAlgorithm, get_int
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def _has_delta(spark) -> bool:
+    try:
+        # py4j returns a JavaPackage (no error) for missing classes;
+        # Class.forName is the reliable probe
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+@register_et("DeltaCommandWrapper")
+class DeltaCommandWrapper(ETAlgorithm):
+    """!delta history/info/compact/show tables
+    (reference: tech/mlsql/ets/DeltaCommandWrapper.scala:26-128).
+    Requires the delta-spark package on the classpath."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        args = json.loads(params.get("parameters", "[]"))
+        if not _has_delta(spark):
+            raise NotImplementedError(
+                "!delta requires Delta Lake (pip install delta-spark and "
+                "spark.jars.packages=io.delta:delta-spark_2.13:<ver>); "
+                "not present on this classpath")
+        action = args[0] if args else "help"
+        if action == "history":
+            dt = spark._jvm.io.delta.tables.DeltaTable.forPath(spark._jsparkSession, args[1])
+            from pyspark.sql import DataFrame as PDF
+            return PDF(dt.history(), spark)
+        if action == "compact":
+            # read-coalesce-overwrite compaction (OPTIMIZE equivalent)
+            target = args[1]
+            n = int(args[2]) if len(args) > 2 else 1
+            (spark.read.format("delta").load(target)
+             .repartition(n).write.format("delta")
+             .mode("overwrite").option("dataChange", "false").save(target))
+            return spark.createDataFrame([(target, n)], "path: string, files: int")
+        raise ValueError(f"!delta: unknown action {action!r}")
+
+
+@register_et("KafkaCommand")
+class KafkaCommand(ETAlgorithm):
+    """!kafkaTool sampleData/streamOffset
+    (reference: tech/mlsql/ets/KafkaCommand.scala).  Requires the
+    spark-sql-kafka connector jar."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        args = json.loads(params.get("parameters", "[]"))
+        try:
+            probe = spark.read.format("kafka")
+            opts = {k: v for k, v in params.items() if k.startswith("kafka.")}
+            action = args[0] if args else "sampleData"
+            topic = params.get("subscribe") or (args[1] if len(args) > 1 else None)
+            if not topic:
+                raise ValueError("!kafkaTool requires a topic (subscribe option)")
+            reader = probe.option("subscribe", topic) \
+                          .option("startingOffsets", params.get("startingOffsets", "earliest")) \
+                          .option("endingOffsets", params.get("endingOffsets", "latest"))
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            data = reader.load()
+            if action == "sampleData":
+                return data.limit(get_int(params, "sampleNum", 100)) \
+                           .withColumn("value", F.col("value").cast("string")) \
+                           .withColumn("key", F.col("key").cast("string"))
+            return data.groupBy("topic", "partition").agg(
+                F.min("offset").alias("minOffset"), F.max("offset").alias("maxOffset"))
+        except Exception as e:
+            if "Failed to find data source: kafka" in str(e) or "ClassNotFound" in str(e):
+                raise NotImplementedError(
+                    "!kafkaTool requires the spark-sql-kafka connector "
+                    "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+                ) from e
+            raise
+
+
+@register_et("MLSQLEventCommand")
+class MLSQLEventCommand(ETAlgorithm):
+    """!callback post <url> when "started,progress,terminated" —
+    register HTTP stream-event callbacks
+    (reference: tech/mlsql/ets/MLSQLEventCommand.scala; dispatch
+    MLSQLStreamManager.scala:92-120)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        url = params.get("url", "")
+        events = params.get("when", "started,progress,terminated")
+        if not url:
+            args = json.loads(params.get("parameters", "[]"))
+            # !callback post <url> when <events>
+            if len(args) >= 2 and args[0] == "post":
+                url = args[1]
+            if len(args) >= 4 and args[2] == "when":
+                events = args[3].strip('"')
+        if not url:
+            raise ValueError("!callback requires: post <url> when \"<events>\"")
+        from streamingpro_spark.streaming.manager import get_listener, http_callback
+        listener = get_listener(spark)
+        listener.add_callback(events, http_callback(url))
+        return spark.createDataFrame([(url, events)], "url: string, events: string")
+
+
+@register_et("PythonCommand")
+class PythonCommand(ETAlgorithm):
+    """!python — driver-side python exec over an input table
+    (reference: tech/mlsql/ets/PythonCommand.scala, 405 LoC: per-session
+    conda envs + executor dispatch; here: the in-process essential —
+    `code` runs with `input_df` (pandas) bound, returns `output_df`).
+    For executor-side python use ScriptUDF / mapInPandas."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        code = params.get("code", "")
+        source = params.get("input")
+        target = spark.table(source) if source else df
+        limit = get_int(params, "maxRows", 10000)
+        scope: dict = {"input_df": target.limit(limit).toPandas()}
+        exec(code, scope)  # noqa: S102 — explicit user-script execution ET
+        out = scope.get("output_df")
+        if out is None:
+            return spark.createDataFrame([("ok",)], "status: string")
+        return spark.createDataFrame(out)

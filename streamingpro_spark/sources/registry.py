@@ -274,6 +274,45 @@ def _load_model_list(ctx, path, options):
     return list_algorithms(ctx.spark)
 
 
+@register_loader("modelExample")
+def _load_model_example(ctx, path, options):
+    """`load modelExample.`Alg`` — doc + code example table
+    (ModelExplain.scala self-describe family)."""
+    from streamingpro_spark.operators.registry import find_algorithm
+    alg = find_algorithm(path)
+    doc = getattr(alg, "doc", "") or f"{path}: see modelParams.`{path}`"
+    example = getattr(alg, "code_example", "")
+    return ctx.spark.createDataFrame([(path, doc, example)],
+                                     "name: string, doc: string, codeExample: string")
+
+
+@register_loader("modelExplain")
+def _load_model_explain_saved(ctx, path, options):
+    """`load modelExplain.`/path/to/model`` — inspect a SAVED model dir:
+    meta.json params + mllib stage metadata when present."""
+    import glob as _glob
+    import json as _json
+    real = ctx.resource_real_path(path)
+    rows: list[tuple[str, str]] = []
+    meta_file = os.path.join(real, "meta.json")
+    if os.path.exists(meta_file):
+        with open(meta_file, encoding="utf-8") as f:
+            for k, v in _json.load(f).items():
+                rows.append((str(k), _json.dumps(v)))
+    for mf in _glob.glob(os.path.join(real, "**", "metadata", "part-*"),
+                         recursive=True):
+        with open(mf, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    meta = _json.loads(line)
+                    rows.append(("class", str(meta.get("class", ""))))
+                    for k, v in (meta.get("paramMap") or {}).items():
+                        rows.append((k, _json.dumps(v)))
+    if not rows:
+        rows = [("path", _json.dumps(real))]
+    return ctx.spark.createDataFrame(rows, "name: string, value: string")
+
+
 # ---------------------------------------------------------------------------
 # save
 # ---------------------------------------------------------------------------

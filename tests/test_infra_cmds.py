@@ -1,0 +1,84 @@
+"""Infra command ETs + model self-describe loaders."""
+
+import http.server
+import json
+import threading
+import time
+
+import pytest
+
+
+def test_delta_command_gated(engine):
+    """Without delta on the classpath, !delta raises a clear install hint."""
+    with pytest.raises(Exception, match="[Dd]elta"):
+        engine.execute("!delta history /tmp/nope;")
+
+
+def test_kafka_command_gated(engine):
+    with pytest.raises(Exception, match="kafka|Kafka"):
+        engine.execute('run command as KafkaCommand.`` where subscribe="t" and parameters="[\\"sampleData\\"]";')
+
+
+def test_python_command(engine):
+    df = engine.execute("""
+    select 1 as a union all select 2 as a as t1;
+    run command as PythonCommand.`` where input="t1"
+        and code='''output_df = input_df.assign(b=input_df.a * 10)''' as out;
+    """)
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [(1, 10), (2, 20)]
+
+
+def test_callback_registers_and_fires(engine, tmp_path):
+    hits = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            hits.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        engine.execute(f'!callback post http://127.0.0.1:{port}/cb when "started,terminated";')
+        spark = engine.spark
+        q = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+             .writeStream.format("noop").start())
+        time.sleep(2)
+        q.stop()
+        deadline = time.time() + 15
+        while time.time() < deadline and len(hits) < 2:
+            time.sleep(0.5)
+        assert any("id" in h for h in hits)
+    finally:
+        srv.shutdown()
+
+
+def test_model_example_loader(engine):
+    df = engine.execute("load modelExample.`RandomForest` as ex;")
+    row = df.collect()[0]
+    assert row["name"] == "RandomForest"
+
+
+def test_model_explain_saved(engine, tmp_path):
+    engine.execute(f"""
+    select vec_dense(array(cast(id as double))) as features,
+           cast(id % 2 as double) as label from range(50) as training;
+    train training as RandomForest.`{tmp_path}/m` where maxDepth="2";
+    """)
+    df = engine.execute(f"load modelExplain.`{tmp_path}/m` as info;")
+    names = {r["name"] for r in df.collect()}
+    assert "class" in names or "maxDepth" in names
+
+
+def test_model_params_loader(engine):
+    df = engine.execute("load modelParams.`MinHashDedup` as p;")
+    params = {r[0] for r in df.collect()}
+    assert "numHashes" in params
