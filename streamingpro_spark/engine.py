@@ -51,7 +51,10 @@ class Engine:
     def execute(self, script: str) -> "DataFrame | None":
         """Run a script; returns the DataFrame of the last select/output
         table (the reference returns ``getLastSelectTable`` —
-        RestController.scala:239-266)."""
+        RestController.scala:239-266).  last_table is per-execute, like
+        the reference's per-request ScriptSQLExecListener — an empty
+        script must not replay the previous request's result."""
+        self.context.last_table = None
         for raw in P.split_statements(script):
             self._execute_statement(raw)
         ctx = self.context

@@ -1,0 +1,252 @@
+"""REST entry point + job manager + per-owner sessions.
+
+Reference lifecycle (SURVEY.md §3.1, RestController.scala:105-266):
+`POST /run/script` with params sql/owner/async/timeout/includeSchema/
+fetchType; per-owner SparkSession clones (SparkSessionCacheManager);
+JobManager wraps execution in a job group (groupId) with an expiry
+checker thread (JobManager.scala:64-204); async jobs run on a pool and
+POST the result to `callbackUrl`; `/runningjobs` lists, `/killjob`
+cancels (group cancel for batch, query.stop for streams).
+
+Spark-first notes: job-group cancellation is the native Spark mechanism
+(`sc.setJobGroup` / `sc.cancelJobGroup`) and works identically on a
+1000-executor cluster; per-owner isolation uses `spark.newSession()`
+(shared SparkContext, separate temp views/UDFs/conf) exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import TYPE_CHECKING, Any
+from urllib.parse import parse_qs
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+
+class JobInfo:
+    __slots__ = ("group_id", "owner", "job_type", "job_name", "sql",
+                 "timeout_ms", "start_ms", "status")
+
+    def __init__(self, owner: str, job_type: str, job_name: str, sql: str,
+                 timeout_ms: int) -> None:
+        self.group_id = str(uuid.uuid4())
+        self.owner = owner
+        self.job_type = job_type
+        self.job_name = job_name or self.group_id
+        self.sql = sql
+        self.timeout_ms = timeout_ms
+        self.start_ms = int(time.time() * 1000)
+        self.status = "running"
+
+    def as_dict(self) -> dict[str, Any]:
+        return {"groupId": self.group_id, "owner": self.owner,
+                "jobType": self.job_type, "jobName": self.job_name,
+                "timeout": self.timeout_ms, "startTime": self.start_ms,
+                "status": self.status}
+
+
+class JobManager:
+    """Job-group registry + timeout reaper (reference JobManager.scala)."""
+
+    def __init__(self, spark: "SparkSession") -> None:
+        self.spark = spark
+        self.jobs: dict[str, JobInfo] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=32,
+                                        thread_name_prefix="mlsql-async")
+        self._stop = threading.Event()
+        self._reaper = threading.Thread(target=self._check_timeouts,
+                                        daemon=True, name="mlsql-job-reaper")
+        self._reaper.start()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._pool.shutdown(wait=False)
+
+    def _check_timeouts(self) -> None:
+        while not self._stop.wait(1.0):
+            now = int(time.time() * 1000)
+            with self._lock:
+                expired = [j for j in self.jobs.values()
+                           if j.timeout_ms > 0 and now - j.start_ms > j.timeout_ms]
+            for j in expired:
+                self.cancel(j.group_id)
+
+    def register(self, job: JobInfo) -> None:
+        with self._lock:
+            self.jobs[job.group_id] = job
+
+    def finish(self, group_id: str) -> None:
+        with self._lock:
+            self.jobs.pop(group_id, None)
+
+    def cancel(self, group_id_or_name: str) -> bool:
+        with self._lock:
+            job = self.jobs.get(group_id_or_name) or next(
+                (j for j in self.jobs.values()
+                 if j.job_name == group_id_or_name), None)
+        if job is None:
+            return False
+        self.spark.sparkContext.cancelJobGroup(job.group_id)
+        job.status = "canceled"
+        self.finish(job.group_id)
+        return True
+
+    def run(self, job: JobInfo, fn, *args):
+        """Execute fn inside the job's group (cancellable)."""
+        self.register(job)
+        sc = self.spark.sparkContext
+        try:
+            sc.setJobGroup(job.group_id, job.sql[:200], interruptOnCancel=True)
+            return fn(*args)
+        finally:
+            sc.setJobGroup("", "")
+            self.finish(job.group_id)
+
+    def run_async(self, job: JobInfo, fn, *args):
+        return self._pool.submit(self.run, job, fn, *args)
+
+
+class SessionManager:
+    """Per-owner SparkSession clones (reference SparkSessionCacheManager)."""
+
+    def __init__(self, spark: "SparkSession") -> None:
+        self._root = spark
+        self._sessions: dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def engine_for(self, owner: str):
+        from streamingpro_spark.engine import Engine
+        with self._lock:
+            if owner not in self._sessions:
+                session = self._root.newSession()
+                self._sessions[owner] = Engine(session, owner=owner)
+            return self._sessions[owner]
+
+    def close(self, owner: str) -> None:
+        with self._lock:
+            self._sessions.pop(owner, None)
+
+
+class MLSQLServer:
+    """HTTP façade: /run/script, /runningjobs, /killjob, /health."""
+
+    def __init__(self, spark: "SparkSession", host: str = "127.0.0.1",
+                 port: int = 0) -> None:
+        self.sessions = SessionManager(spark)
+        self.jobs = JobManager(spark)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload) -> None:
+                body = (payload if isinstance(payload, bytes)
+                        else json.dumps(payload).encode())
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/health"):
+                    self._send(200, {"status": "ok"})
+                elif self.path.startswith("/runningjobs"):
+                    with outer.jobs._lock:
+                        self._send(200, [j.as_dict()
+                                         for j in outer.jobs.jobs.values()])
+                else:
+                    self._send(404, {"msg": "not found"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n).decode()
+                ctype = self.headers.get("Content-Type", "")
+                if "json" in ctype:
+                    params = json.loads(raw or "{}")
+                else:
+                    params = {k: v[0] for k, v in parse_qs(raw).items()}
+                try:
+                    if self.path.startswith("/run/script"):
+                        self._send(200, outer.run_script(params))
+                    elif self.path.startswith("/killjob"):
+                        ok = outer.jobs.cancel(params.get("groupId")
+                                               or params.get("jobName", ""))
+                        self._send(200, {"killed": ok})
+                    else:
+                        self._send(404, {"msg": "not found"})
+                except Exception as e:  # reference ExceptionRenderManager
+                    self._send(500, {"msg": str(e)[:2000]})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="mlsql-http")
+
+    # -- core script execution (also usable without HTTP) ----------------
+    def run_script(self, params: dict[str, Any]) -> Any:
+        sql = params.get("sql", "")
+        owner = params.get("owner", "admin")
+        timeout_ms = int(params.get("timeout", -1))
+        limit = int(params.get("outputSize", 1000))
+        include_schema = str(params.get("includeSchema", "false")).lower() == "true"
+        fetch_collect = params.get("fetchType", "take") == "collect"
+        is_async = str(params.get("async", "false")).lower() == "true"
+        job = JobInfo(owner, "script", params.get("jobName", ""), sql, timeout_ms)
+
+        def execute():
+            eng = self.sessions.engine_for(owner)
+            df = eng.execute(sql)
+            if df is None:
+                return {"schema": None, "data": []} if include_schema else []
+            rows = (df.toJSON().collect() if fetch_collect
+                    else df.toJSON().take(limit))
+            data = [json.loads(r) for r in rows]
+            if include_schema:
+                return {"schema": json.loads(df.schema.json()), "data": data}
+            return data
+
+        if is_async:
+            callback = params.get("callbackUrl")
+
+            def run_and_callback():
+                try:
+                    result = self.jobs.run(job, execute)
+                    status, payload = "success", result
+                except Exception as e:
+                    status, payload = "error", str(e)[:2000]
+                if callback:
+                    import urllib.request
+                    req = urllib.request.Request(
+                        callback,
+                        data=json.dumps({"jobName": job.job_name,
+                                         "status": status,
+                                         "data": payload}).encode(),
+                        headers={"Content-Type": "application/json"})
+                    try:
+                        urllib.request.urlopen(req, timeout=10).read()
+                    except Exception:
+                        pass
+
+            self.jobs._pool.submit(run_and_callback)
+            return {"groupId": job.group_id, "jobName": job.job_name,
+                    "status": "submitted"}
+        return self.jobs.run(job, execute)
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self) -> "MLSQLServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.jobs.shutdown()

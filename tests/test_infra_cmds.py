@@ -82,3 +82,20 @@ def test_model_params_loader(engine):
     df = engine.execute("load modelParams.`MinHashDedup` as p;")
     params = {r[0] for r in df.collect()}
     assert "numHashes" in params
+
+
+def test_fs_macro_block_string(engine, tmp_path):
+    """!fs args flow through '''json''' block-string parameters (the
+    path that silently passed empty before the block-string fix)."""
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "b.txt").write_text("yy")
+    df = engine.execute(f"!fs ls {tmp_path};")
+    names = [r["name"] for r in df.collect()]
+    assert names == ["a.txt", "b.txt"]
+
+
+def test_profiler_macro(engine, sf_dir):
+    engine.execute(f"load parquet.`{sf_dir}/nation.parquet` as nat;")
+    df = engine.execute('!profiler explain "select * from nat";')
+    text = " ".join(str(r[0]) for r in df.collect())
+    assert "nat" in text or "Scan" in text or "Relation" in text

@@ -1,0 +1,140 @@
+"""REST server e2e (reference: RestAPISpec / §3.1 lifecycle)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from streamingpro_spark.server import MLSQLServer
+    srv = MLSQLServer(spark).start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_run_script_sync(server, sf_dir):
+    data = _post(server.port, "/run/script", {
+        "sql": f"""
+        load parquet.`{sf_dir}/nation.parquet` as nation;
+        select count(*) as n from nation as output;
+        """})
+    assert data == [{"n": 25}]
+
+
+def test_run_script_include_schema(server):
+    data = _post(server.port, "/run/script", {
+        "sql": "select 1 as one as output;",
+        "includeSchema": "true"})
+    assert data["schema"]["fields"][0]["name"] == "one"
+    assert data["data"] == [{"one": 1}]
+
+
+def test_run_script_error_rendered(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server.port, "/run/script", {"sql": "selct broken;"})
+    body = json.loads(ei.value.read())
+    assert "msg" in body
+
+
+def test_per_owner_session_isolation(server):
+    _post(server.port, "/run/script",
+          {"sql": "select 1 as v as owner_a_table;", "owner": "alice"})
+    # bob's cloned session must not see alice's temp view
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server.port, "/run/script",
+              {"sql": "select * from owner_a_table as out;", "owner": "bob"})
+    # alice still can
+    data = _post(server.port, "/run/script",
+                 {"sql": "select * from owner_a_table as out;", "owner": "alice"})
+    assert data == [{"v": 1}]
+
+
+def test_async_job_with_callback(server):
+    hits = []
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            hits.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    cb = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=cb.serve_forever, daemon=True).start()
+    try:
+        resp = _post(server.port, "/run/script", {
+            "sql": "select 7 as seven as output;",
+            "async": "true",
+            "callbackUrl": f"http://127.0.0.1:{cb.server_address[1]}/done"})
+        assert resp["status"] == "submitted"
+        deadline = time.time() + 30
+        while time.time() < deadline and not hits:
+            time.sleep(0.2)
+        assert hits and hits[0]["status"] == "success"
+        assert hits[0]["data"] == [{"seven": 7}]
+    finally:
+        cb.shutdown()
+
+
+def test_running_jobs_and_kill(server, spark):
+    resp = _post(server.port, "/run/script", {
+        "sql": "select max(sleep(20)) as s from (select explode(sequence(1, 2000)) as i) t as output;",
+        "async": "true", "jobName": "sleepy"})
+    gid = resp["groupId"]
+    deadline = time.time() + 15
+    jobs = []
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/runningjobs", timeout=10) as r:
+            jobs = json.loads(r.read())
+        if any(j["jobName"] == "sleepy" for j in jobs):
+            break
+        time.sleep(0.2)
+    assert any(j["jobName"] == "sleepy" for j in jobs)
+    killed = _post(server.port, "/killjob", {"groupId": gid})
+    assert killed["killed"] is True
+    # job disappears from the registry
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/runningjobs", timeout=10) as r:
+            jobs = json.loads(r.read())
+        if not any(j["jobName"] == "sleepy" for j in jobs):
+            break
+        time.sleep(0.2)
+    assert not any(j["jobName"] == "sleepy" for j in jobs)
+
+
+def test_job_timeout_reaped(server):
+    resp = _post(server.port, "/run/script", {
+        "sql": "select max(sleep(20)) as s from (select explode(sequence(1, 2000)) as i) t as output;",
+        "async": "true", "jobName": "expiring", "timeout": "2000"})
+    assert resp["status"] == "submitted"
+    deadline = time.time() + 20
+    gone = False
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/runningjobs", timeout=10) as r:
+            jobs = json.loads(r.read())
+        if not any(j["jobName"] == "expiring" for j in jobs):
+            gone = True
+            break
+        time.sleep(0.5)
+    assert gone
