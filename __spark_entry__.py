@@ -867,6 +867,136 @@ from v
 """
 
 
+def _q_time_functions(spark, sf_dir):
+    """Built-in time/misc UDF library (reference Functions.scala:434-537)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'orders')}
+    select o_orderkey,
+           parseDateAsLong(date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')) as epoch_s,
+           timePlus(parseDateAsLong(date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')),
+                    '1 day') as plus_day,
+           byteStringAsBytes(concat(cast(o_orderkey % 10 as string), 'mb')) as nbytes,
+           crawler_md5(o_orderstatus) as st_md5
+    from orders where o_orderkey % 11 = 0 as output;
+    """)
+
+
+_TIME_FUNCTIONS_ORACLE = """
+select o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) as epoch_s,
+       CAST(epoch(o_orderdate) + 86400 AS BIGINT) as plus_day,
+       CAST((o_orderkey % 10) * 1048576 AS BIGINT) as nbytes,
+       md5(o_orderstatus) as st_md5
+from orders where o_orderkey % 11 = 0
+"""
+
+
+def _q_array_functions(spark, sf_dir):
+    """Built-in array UDF library (reference Functions.scala:303-427)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           mkString('-', slice(split(lower(text), '\\\\s+'), 1, 3)) as first3,
+           size(ngram(split(lower(text), '\\\\s+'), 2)) as n_bigrams,
+           array_index(split(lower(text), '\\\\s+'), 'the') as the_pos
+    from documents as output;
+    """)
+
+
+_ARRAY_FUNCTIONS_ORACLE = """
+with t as (select doc_id, string_split_regex(lower(text), '\\s+') as toks
+           from documents)
+select doc_id,
+       array_to_string(list_slice(toks, 1, 3), '-') as first3,
+       CAST(greatest(len(toks) - 1, 0) AS INT) as n_bigrams,
+       CAST(coalesce(list_position(toks, 'the'), 0) - 1 AS INT) as the_pos
+from t
+"""
+
+
+def _q_normalize(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'lineitem')}
+    run lineitem as NormalizeInPlace.`` where inputCols="l_quantity,l_tax"
+        and p="2" as normed;
+    select l_orderkey, l_linenumber, round(l_quantity, 4) as qn,
+           round(l_tax, 4) as tn
+    from normed as output;
+    """)
+
+
+_NORMALIZE_ORACLE = """
+select l_orderkey, l_linenumber,
+       round(l_quantity / sqrt(l_quantity * l_quantity + l_tax * l_tax), 4) as qn,
+       round(l_tax / sqrt(l_quantity * l_quantity + l_tax * l_tax), 4) as tn
+from lineitem
+"""
+
+
+def _q_map_lookup(spark, sf_dir):
+    """MapValues train→register→lookup round-trip vs a SQL join oracle."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_mv_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'nation', 'customer')}
+    select cast(n_nationkey as string) as k, n_name as v from nation
+    union all select '__missing__' as k, 'UNKNOWN' as v as dict_t;
+    train dict_t as MapValues.`{path}/mv` where inputCol="k" and outputCol="v"
+        and mapMissingTo="__missing__";
+    register MapValues.`{path}/mv` as nation_name;
+    select c_custkey, nation_name(cast(c_nationkey as string)) as nname
+    from customer as output;
+    """)
+
+
+_MAP_LOOKUP_ORACLE = """
+select c_custkey, coalesce(n_name, 'UNKNOWN') as nname
+from customer left join nation on c_nationkey = n_nationkey
+"""
+
+
+# Non-SQL-expressible ops (iterative / model-based): queries() entries
+# WITHOUT oracle_sql — the driver records the weaker rows-only check.
+
+def _q_pagerank(spark, sf_dir):
+    """PageRank over the nation→region membership graph (iterative —
+    no closed-form SQL oracle)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'nation')}
+    select cast(n_nationkey + 100 as long) as src,
+           cast(n_regionkey as long) as dst from nation as edges;
+    run edges as PageRank.`` where maxIter="5" as output;
+    """)
+
+
+def _q_lsh_similarity(spark, sf_dir):
+    """SRP-LSH bucketed cosine search (approximate — recall < 1 by
+    design, so no exact oracle; the exact baseline embedding_topk IS
+    oracle-checked)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    run embeddings as LSHSimilaritySearch.`` where k="5" and numTables="8"
+        and bitsPerTable="8" and queryFilter="vec_id < 20" as output;
+    """)
+
+
+def _q_tfidf(spark, sf_dir):
+    """TfIdfInPlace feature pipeline (hashing TF — no stable SQL oracle);
+    asserts shape: one vector per doc."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as TfIdfInPlace.`` where inputCol="text" as featurized;
+    select doc_id, cast(size(vec_array(text)) as long) as dim from featurized as output;
+    """)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -916,6 +1046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_sampler_counts": _q_rate_sampler,
         "auto_increment": _q_auto_increment,
         "vector_ops": _q_vector_ops,
+        "time_functions": _q_time_functions,
+        "array_functions": _q_array_functions,
+        "normalize_l2": _q_normalize,
+        "map_lookup": _q_map_lookup,
+        # iterative / approximate / model ops — rows-only checks
+        "pagerank": _q_pagerank,
+        "lsh_similarity": _q_lsh_similarity,
+        "tfidf_featurize": _q_tfidf,
         # LLM-pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
@@ -967,6 +1105,10 @@ def oracle_sql() -> dict[str, str]:
         "rate_sampler_counts": _RATE_SAMPLER_ORACLE,
         "auto_increment": _AUTO_INCREMENT_ORACLE,
         "vector_ops": _VECTOR_OPS_ORACLE,
+        "time_functions": _TIME_FUNCTIONS_ORACLE,
+        "array_functions": _ARRAY_FUNCTIONS_ORACLE,
+        "normalize_l2": _NORMALIZE_ORACLE,
+        "map_lookup": _MAP_LOOKUP_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "minhash_dedup": _MINHASH_ORACLE,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_ORACLE,

@@ -144,10 +144,12 @@ class NormalizeInPlace(ETAlgorithm):
             term = F.pow(F.abs(F.col(c)), p)
             norm = term if norm is None else norm + term
         norm = F.pow(norm, 1.0 / p)
-        out = df
+        # materialize the norm FIRST: sequential withColumn would rebind
+        # the norm expression to already-normalized columns
+        out = df.withColumn("__norm", norm)
         for c in cols:
-            out = out.withColumn(c, F.col(c) / norm)
-        return out
+            out = out.withColumn(c, F.col(c) / F.col("__norm"))
+        return out.drop("__norm")
 
     def explain_params(self):
         return [("inputCols", "columns forming the vector", ""),
