@@ -66,14 +66,14 @@ def main() -> None:
     warm_df = spark.range(0, 10_000, 1, int(CPUS)).select(_warm(F.col("id")).alias("x"))
     warm_df.write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-    # engine init (builtin UDF registration) + first-ET codegen paths
+    # engine init (builtin UDF registration) + first-ET codegen/AQE paths.
+    # Warm on a 50-row slice of the REAL documents table: the jsonStr
+    # 2-row variant produced different AQE plan shapes, so the codegen
+    # classes compiled in warmup missed for the measured run.
     eng = entrymod._engine(spark)
-    eng.execute("""
-    set warm = '''
-    {"doc_id":1,"text":"a b c d e f"}
-    {"doc_id":2,"text":"a b c d e g"}
-    ''';
-    load jsonStr.`warm` as warm_docs;
+    eng.execute(f"""
+    load parquet.`{SF_DIR}/documents.parquet` as warm_src;
+    select doc_id, text from warm_src limit 50 as warm_docs;
     run warm_docs as MinHashDedup.`` where threshold="0.1" as w1;
     run warm_docs as SimHashDedup.`` as w2;
     select * from w2 as w3;

@@ -140,3 +140,53 @@ def test_mock_stream(engine, tmp_path):
             .collect()[0]["c"] >= 3, timeout=30)
     finally:
         q.stop()
+
+
+def test_stateful_count(engine, sf_dir, tmp_path):
+    """applyInPandasWithState running per-key aggregate across batches."""
+    engine.context.stream_name = None
+    engine.execute(f"""
+    set streamName = "statecount";
+    load streamParquet.`{sf_dir}/events.parquet` as sev;
+    run sev as StatefulCount.`` where keyCol="user_id" and valueCol="value" as counted;
+    """)
+    df = engine.spark.table("counted")
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("statecount_sink")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cks")).start())
+    try:
+        q.processAllAvailable()
+        rows = engine.spark.sql("""
+            select key, max(events) as events from statecount_sink group by key
+        """).collect()
+        got = {r["key"]: r["events"] for r in rows}
+        import pyspark.sql.functions as F
+        expected = {r["user_id"]: r["n"] for r in
+                    engine.spark.read.parquet(f"{sf_dir}/events.parquet")
+                    .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(engine, sf_dir, tmp_path):
+    engine.context.stream_name = None
+    engine.execute(f"""
+    set streamName = "sdedup";
+    load streamParquet.`{sf_dir}/events.parquet` as dev;
+    run dev as StreamingDedup.`` where dedupCols="user_id,event_type" as dd;
+    """)
+    df = engine.spark.table("dd")
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("sdedup_sink")
+         .option("checkpointLocation", str(tmp_path / "ckd")).start())
+    try:
+        q.processAllAvailable()
+        n = engine.spark.sql(
+            "select count(*) as c from (select distinct user_id, event_type from sdedup_sink)"
+        ).collect()[0]["c"]
+        total = engine.spark.sql("select count(*) as c from sdedup_sink").collect()[0]["c"]
+        assert n == total  # every (user, type) pair appears exactly once
+    finally:
+        q.stop()
