@@ -115,7 +115,14 @@ class JobManager:
 
 
 class SessionManager:
-    """Per-owner SparkSession clones (reference SparkSessionCacheManager)."""
+    """Per-owner SparkSession clones (reference SparkSessionCacheManager).
+
+    The SparkSession (temp views, UDFs, conf) is cached per owner; the
+    Engine is built PER REQUEST — its last_table/branch state is
+    request-scoped exactly like the reference's per-request
+    ScriptSQLExecListener, so concurrent requests from one owner don't
+    race on script state (construction is cheap: UDF registration and
+    the command view are session-guarded)."""
 
     def __init__(self, spark: "SparkSession") -> None:
         self._root = spark
@@ -126,9 +133,9 @@ class SessionManager:
         from streamingpro_spark.engine import Engine
         with self._lock:
             if owner not in self._sessions:
-                session = self._root.newSession()
-                self._sessions[owner] = Engine(session, owner=owner)
-            return self._sessions[owner]
+                self._sessions[owner] = self._root.newSession()
+            session = self._sessions[owner]
+        return Engine(session, owner=owner)
 
     def close(self, owner: str) -> None:
         with self._lock:

@@ -208,3 +208,34 @@ def test_analyze(engine, sf_dir):
 def test_unknown_command_raises(engine):
     with pytest.raises(ValueError, match="unknown command"):
         engine.execute("!nosuchcmd;")
+
+
+def test_image_source(engine, tmp_path):
+    """`load image.`dir`` — Spark's built-in image source (decoded JVM-side;
+    reference MLSQLImage.scala)."""
+    import base64
+    # 1x1 red PNG
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+        "nGP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    (tmp_path / "img").mkdir()
+    (tmp_path / "img" / "red.png").write_bytes(png)
+    df = engine.execute(f"""
+    load image.`{tmp_path}/img` as imgs;
+    select image.origin as origin, image.width as w, image.height as h
+    from imgs as out;
+    """)
+    row = df.collect()[0]
+    assert row["w"] == 1 and row["h"] == 1
+    assert row["origin"].endswith("red.png")
+
+
+def test_binary_file_source(engine, tmp_path):
+    (tmp_path / "blob.bin").write_bytes(b"\x00\x01payload")
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/blob.bin` as blobs;
+    select path, length, content from blobs as out;
+    """)
+    row = df.collect()[0]
+    assert row["length"] == 9
+    assert bytes(row["content"]) == b"\x00\x01payload"

@@ -107,3 +107,27 @@ def test_crawler_extract_title(engine):
 def test_keep_chinese(engine):
     df = engine.execute('''select keepChinese("abc中文def", false, "") as v as out;''')
     assert df.collect()[0]["v"] == "中文"
+
+
+def test_script_udaf_grouped_agg(engine):
+    """ScriptUDF with udfType=udaf — pandas GROUPED_AGG
+    (reference UDFSuite udaf round-trips; python-only here)."""
+    engine.execute("""
+    set udafCode = '''
+import pandas as pd
+def geo_sum(s: pd.Series) -> float:
+    return float(s.sum() * 2)
+''';
+    load script.`udafCode` as udafTable;
+    register ScriptUDF.`udafTable` as dbl_sum options dataType="double"
+        and methodName="geo_sum" and udfType="udaf";
+    """)
+    df = engine.execute("""
+    select k, dbl_sum(v) as s from (
+      select 'a' as k, 1.0 as v union all
+      select 'a', 2.0 union all
+      select 'b', 5.0
+    ) t group by k as out;
+    """)
+    rows = {r["k"]: r["s"] for r in df.collect()}
+    assert rows == {"a": 6.0, "b": 10.0}

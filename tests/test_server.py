@@ -138,3 +138,25 @@ def test_job_timeout_reaped(server):
             break
         time.sleep(0.5)
     assert gone
+
+
+def test_concurrent_requests_same_owner(server):
+    """Concurrent scripts from one owner must not race on script state
+    (per-request Engine over the cached owner session)."""
+    import concurrent.futures
+
+    def run(i):
+        return _post(server.port, "/run/script", {
+            "sql": f"select {i} as v as t_conc_{i};"})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, range(16)))
+    assert [r[0]["v"] for r in results] == list(range(16))
+
+
+def test_owner_views_persist_across_requests(server):
+    _post(server.port, "/run/script",
+          {"sql": "select 99 as v as persisted_t;", "owner": "carol"})
+    data = _post(server.port, "/run/script",
+                 {"sql": "select v from persisted_t as out;", "owner": "carol"})
+    assert data == [{"v": 99}]
