@@ -986,6 +986,39 @@ def _q_lsh_similarity(spark, sf_dir):
     """)
 
 
+def _q_ml_train_predict(spark, sf_dir):
+    """ML lifecycle through the script language: train → batchPredict
+    (model-based — rows-only check).  Returns per-class prediction
+    counts of a classifier trained on the embeddings table."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_ml_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    select vec_dense(embedding) as features, cast(label as double) as label
+    from embeddings as training;
+    train training as LogisticRegression.`{path}/lr` where maxIter="20";
+    predict training as LogisticRegression.`{path}/lr` as scored;
+    select cast(prediction as long) as prediction, count(*) as n
+    from scored group by prediction as output;
+    """)
+
+
+def _q_kmeans(spark, sf_dir):
+    """KMeans clustering through train→predict (rows-only)."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_km_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    select vec_dense(embedding) as features from embeddings as km_in;
+    train km_in as KMeans.`{path}/km` where k="4" and seed="42";
+    predict km_in as KMeans.`{path}/km` as clustered;
+    select cast(prediction as long) as cluster, count(*) as n
+    from clustered group by prediction as output;
+    """)
+
+
 def _q_tfidf(spark, sf_dir):
     """TfIdfInPlace feature pipeline (hashing TF — no stable SQL oracle);
     asserts shape: one vector per doc."""
@@ -1054,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "lsh_similarity": _q_lsh_similarity,
         "tfidf_featurize": _q_tfidf,
+        "ml_train_predict": _q_ml_train_predict,
+        "kmeans_clusters": _q_kmeans,
         # LLM-pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,

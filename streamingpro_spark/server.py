@@ -203,6 +203,10 @@ class MLSQLServer:
     def run_script(self, params: dict[str, Any]) -> Any:
         sql = params.get("sql", "")
         owner = params.get("owner", "admin")
+        if params.get("executeMode", "query") == "analyze":
+            from streamingpro_spark.analyzer import analyze
+            eng = self.sessions.engine_for(owner)
+            return analyze(sql, eng.spark).as_dict()
         timeout_ms = int(params.get("timeout", -1))
         limit = int(params.get("outputSize", 1000))
         include_schema = str(params.get("includeSchema", "false")).lower() == "true"

@@ -1,0 +1,67 @@
+"""Analyzer pass (reference: auth pass D, AuthSpec MLSQLTable assertions)."""
+
+
+def test_analyze_load_select_save(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("""
+    load parquet.`/data/lineitem.parquet` as lineitem;
+    select l_returnflag, sum(l_quantity) as q from lineitem
+      join orders on l_orderkey = o_orderkey
+      group by l_returnflag as summary;
+    save overwrite summary as jdbc.`db1.result`;
+    """, spark).as_dict()
+    ins = {(t["table"], t["operateType"]) for t in res["inputs"]}
+    outs = {(t["table"], t["operateType"]) for t in res["outputs"]}
+    assert ("/data/lineitem.parquet", "load") in ins
+    assert ("lineitem", "select") in ins
+    assert ("orders", "select") in ins
+    assert ("summary", "save") in ins
+    assert ("summary", "select") in outs
+    assert ("db1.result", "save") in outs
+    src = {t["table"]: t["sourceType"] for t in res["outputs"]}
+    assert src["db1.result"] == "jdbc"
+
+
+def test_analyze_train(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("""
+    load parquet.`/d/t.parquet` as t1;
+    train t1 as RandomForest.`/models/rf` where maxDepth="3" as trained;
+    """, spark).as_dict()
+    assert {"table": "t1", "operateType": "train", "sourceType": "temp",
+            "db": None} in res["inputs"]
+    assert any(t["table"] == "trained" for t in res["outputs"])
+
+
+def test_analyze_does_not_execute(spark):
+    """analyze must not touch data — nonexistent paths are fine."""
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("load parquet.`/definitely/not/there.parquet` as x;",
+                  spark).as_dict()
+    assert res["inputs"][0]["table"] == "/definitely/not/there.parquet"
+
+
+def test_analyze_env_substitution(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("""
+    set base = "/data/root";
+    load parquet.`${base}/a.parquet` as a;
+    """, spark).as_dict()
+    assert res["inputs"][0]["table"] == "/data/root/a.parquet"
+
+
+def test_rest_analyze_mode(spark):
+    from streamingpro_spark.server import MLSQLServer
+    srv = MLSQLServer(spark).start()
+    try:
+        import json
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/run/script",
+            data=json.dumps({"sql": "select * from secret_table as out;",
+                             "executeMode": "analyze"}).encode(),
+            headers={"Content-Type": "application/json"})
+        res = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert any(t["table"] == "secret_table" for t in res["inputs"])
+    finally:
+        srv.stop()
