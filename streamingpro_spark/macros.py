@@ -43,6 +43,8 @@ MACROS: dict[str, str] = {
     "callback": "run command as MLSQLEventCommand.`` where parameters='''{:all-json}'''",
     "python": "run command as PythonCommand.`` where code='''{:all}'''",
     "iterator": 'run command as IteratorCommand.`` where input="{}"',
+    # reference CommandCollection.scala:34
+    "jdbc": "run command as JDBC.`{}` where `driver-statement-0`='''{1}'''",
 }
 
 

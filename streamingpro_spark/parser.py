@@ -332,6 +332,11 @@ def parse_statement(stmt: str) -> Parsed:
         table = toks[i]
         i += 1
         if toks[i].lower() != "as":
+            # a bad save mode consumed the table slot — name the real culprit
+            if toks[i + 1:i + 2] and toks[i + 1].lower() == "as":
+                raise ValueError(
+                    f"save: invalid save mode {mode if mode != 'errorIfExists' else table!r}"
+                    f" (expected one of {sorted(_SAVE_MODES)})")
             raise ValueError(f"save: expected 'as', got {toks[i]!r}")
         i += 1
         fmt, path, consumed = parse_ref(toks[i], toks[i + 1] if len(toks) > i + 1 else None)

@@ -99,3 +99,19 @@ def test_profiler_macro(engine, sf_dir):
     df = engine.execute('!profiler explain "select * from nat";')
     text = " ".join(str(r[0]) for r in df.collect())
     assert "nat" in text or "Scan" in text or "Relation" in text
+
+
+def test_jdbc_macro_reaches_connection(engine):
+    """!jdbc expands to the JDBC ET and merges connect meta; without a
+    driver jar the connection attempt surfaces a JDBC-level error (not a
+    macro/parse error)."""
+    import pytest as _pytest
+    engine.execute('connect jdbc where url="jdbc:nodb://x" and driver="no.Driver" as db9;')
+    with _pytest.raises(Exception, match="[Dd]river|jdbc|SQLException"):
+        engine.execute('!jdbc db9 "select 1";')
+
+
+def test_save_mode_error_names_culprit(engine):
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="invalid save mode 'frobnicate'"):
+        engine.execute("select 1 as x as t1; save frobnicate t1 as parquet.`/tmp/zz`;")
