@@ -55,8 +55,19 @@ class Engine:
         the reference's per-request ScriptSQLExecListener — an empty
         script must not replay the previous request's result."""
         self.context.last_table = None
-        for raw in P.split_statements(script):
-            self._execute_statement(raw)
+        try:
+            for raw in P.split_statements(script):
+                self._execute_statement(raw)
+        finally:
+            # script-lifetime caches auto-unpersist at script end
+            # (reference CleanCacheListener on job end)
+            for key in [k for k, v in self.context.cached_tables.items()
+                        if isinstance(v, tuple) and v[1] == "script"]:
+                df, _ = self.context.cached_tables.pop(key)
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         ctx = self.context
         if ctx.last_table is not None:
             return ctx.spark.table(ctx.last_table)
@@ -224,12 +235,13 @@ class Engine:
         df = ctx.spark.table(stmt.table)
         alg = find_algorithm(stmt.algorithm)
         path = ctx.resource_real_path(stmt.path)
+        options = {**stmt.options, "__table__": stmt.table}
         if stmt.verb == "predict":
-            out = alg.batch_predict(df, path, stmt.options)
+            out = alg.batch_predict(df, path, options)
         elif stmt.verb == "train":
-            out = alg.train(df, path, stmt.options, ctx)
+            out = alg.train(df, path, options, ctx)
         else:  # run — by convention transforms, same code path
-            out = alg.train(df, path, stmt.options, ctx)
+            out = alg.train(df, path, options, ctx)
         out_name = stmt.out_table or f"__tmp_{abs(hash(stmt.algorithm + stmt.table)) % 10**8}"
         if out is not None:
             ctx.register(out, out_name)

@@ -243,7 +243,9 @@ class FeatureExtractInPlace(ETAlgorithm):
         }
         out = df
         for name, pat in patterns.items():
-            out = out.withColumn(name, F.size(F.regexp_extract_all(F.col(col), F.lit(pat))))
+            # idx=0 — whole-match counting (these patterns have no groups)
+            out = out.withColumn(
+                name, F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))))
         out = (out.withColumn("length", F.length(F.col(col)))
                .withColumn("numberRatio",
                            F.length(F.regexp_replace(F.col(col), r"[^0-9]", ""))

@@ -117,11 +117,15 @@ class CacheExt(ETAlgorithm):
             if context is not None:
                 context.cached_tables.pop(params.get("__table__", ""), None)
             return df
+        if execute not in ("cache",):
+            raise ValueError(f"CacheExt: unknown execute {execute!r}")
         cached = df.persist()
         if eager:
             cached.count()
         if context is not None:
-            context.cached_tables[params.get("__table__", str(id(df)))] = cached
+            life = params.get("lifeTime", "script")
+            context.cached_tables[params.get("__table__", str(id(df)))] = \
+                (cached, life)
         return cached
 
     def explain_params(self):

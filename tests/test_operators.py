@@ -67,11 +67,14 @@ def test_auto_increment_key(engine):
 
 
 def test_cache_ext(engine):
+    """session-lifetime caches survive the script; script-lifetime ones
+    are unpersisted at script end (see test_cache_script_lifetime)."""
     df = engine.execute("""
     select 1 as a as t;
-    !cache t script;
+    !cache t session;
     """)
     assert df.storageLevel.useMemory
+    engine.execute("!uncache t;")
 
 
 def test_confusion_matrix(engine):
@@ -280,3 +283,73 @@ def test_model_params(engine):
     df = engine.execute("load modelParams.`MinHashDedup` as out;")
     params = {r["param"] for r in df.collect()}
     assert "numHashes" in params
+
+
+def test_cache_script_lifetime_unpersists(engine, spark):
+    """script-lifetime caches auto-unpersist at script end
+    (reference CleanCacheListener); session-lifetime survives."""
+    engine.execute("""
+    select explode(sequence(1, 100)) as v as c_script;
+    !cache c_script script;
+    """)
+    assert not spark.table("c_script").storageLevel.useMemory
+    engine.execute("""
+    select explode(sequence(1, 100)) as v as c_session;
+    !cache c_session session;
+    """)
+    assert spark.table("c_session").storageLevel.useMemory
+    engine.execute("!uncache c_session;")
+
+
+def test_tfidf_in_place(engine):
+    df = engine.execute("""
+    set data = '''
+    {"content":"spark spark streaming"}
+    {"content":"flink batch"}
+    ''';
+    load jsonStr.`data` as corpus;
+    run corpus as TfIdfInPlace.`` where inputCol="content" as out;
+    """)
+    rows = df.collect()
+    from pyspark.ml.linalg import Vector
+    assert all(isinstance(r["content"], Vector) for r in rows)
+
+
+def test_word2vec_in_place(engine):
+    df = engine.execute("""
+    set data = '''
+    {"content":"spark streaming engine"}
+    {"content":"spark batch engine"}
+    ''';
+    load jsonStr.`data` as corpus;
+    run corpus as Word2VecInPlace.`` where inputCol="content"
+        and vectorSize="8" and minCount="1" as out;
+    """)
+    rows = df.collect()
+    assert all(len(r["content"]) == 8 for r in rows)
+
+
+def test_discretizer_quantile(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as o;
+    run o as Discretizer.`` where method="quantile" and inputCol="o_totalprice"
+        and numBuckets="4" as out;
+    """)
+    buckets = {r["o_totalprice_bucket"] for r in df.collect()}
+    assert buckets == {0.0, 1.0, 2.0, 3.0}
+
+
+def test_feature_extract_in_place(engine):
+    df = engine.execute("""
+    set data = '''
+    {"doc":"contact me at bob@example.com or visit https://x.io ok?"}
+    {"doc":"no entities here"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as FeatureExtractInPlace.`` where inputCol="doc" as out;
+    """)
+    rows = df.collect()
+    mail_row = next(r for r in rows if "bob" in r["doc"])
+    other = next(r for r in rows if "bob" not in r["doc"])
+    assert mail_row["email"] >= 1 and mail_row["url"] >= 1
+    assert other["email"] == 0 and other["length"] > 0
