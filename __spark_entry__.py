@@ -684,6 +684,34 @@ where c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
 group by c_nationkey
 """
 
+_Q13 = """
+select c_count, count(*) as custdist
+from (
+  select c.c_custkey, count(o.o_orderkey) as c_count
+  from customer c left outer join orders o
+    on c.c_custkey = o.o_custkey and o.o_orderpriority <> '1-URGENT'
+  group by c.c_custkey
+) c_orders
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+_Q9 = """
+select nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) as sum_profit
+from (
+  select n.n_name as nation, year(o.o_orderdate) as o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+              - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18, 4)) as amount
+  from part p
+  join lineitem l on p.p_partkey = l.l_partkey
+  join supplier s on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join nation n on s.s_nationkey = n.n_nationkey
+  where p.p_name like '%gear%'
+) profit
+group by nation, o_year
+"""
+
 _GROUPING_SETS = """
 select coalesce(o_orderstatus, 'ALL') as status,
        coalesce(o_orderpriority, 'ALL') as priority,
@@ -1067,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty": sql_q(_Q17, ["lineitem", "part"]),
         "q18_large_volume": sql_q(_Q18, ["customer", "orders", "lineitem"]),
         "q22_idle_customers": sql_q(_Q22, ["customer", "orders"]),
+        "q13_order_distribution": sql_q(_Q13, ["customer", "orders"]),
+        "q9_product_profit": sql_q(_Q9, ["part", "lineitem", "supplier",
+                                         "orders", "nation"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
         "cube_lineitem": sql_q(_CUBE, ["lineitem"]),
         "window_lead_lag": sql_q(_LEAD_LAG, ["orders"]),
@@ -1129,6 +1160,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty": _Q17,
         "q18_large_volume": _Q18,
         "q22_idle_customers": _Q22,
+        "q13_order_distribution": _Q13,
+        "q9_product_profit": _Q9,
         "grouping_sets_orders": _GROUPING_SETS,
         "cube_lineitem": _CUBE,
         "window_lead_lag": _LEAD_LAG,

@@ -369,6 +369,29 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
     out_mode = options.get("mode") or ("append" if stmt.mode.lower() in
                                        ("errorifexists", "ignore") else stmt.mode)
     fmt = stmt.format
+    if fmt == "custom" or "batchScript" in options:
+        # foreachBatch running an MLSQL sub-script per micro-batch with the
+        # batch registered as `__batch_df__` (+ `__batch_id__` env var) —
+        # reference MLSQLForeachBatchRunner / MLSQLBaseStreamSource.scala:86-93
+        script = options.get("batchScript", "")
+
+        def run_batch(batch_df, batch_id):
+            from streamingpro_spark.engine import Engine
+            batch_df.createOrReplaceTempView("__batch_df__")
+            eng = Engine(batch_df.sparkSession)
+            eng.context.env["__batch_id__"] = str(batch_id)
+            eng.execute(script)
+
+        writer = (df.writeStream.foreachBatch(run_batch)
+                  .outputMode(out_mode.lower())
+                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+        if ctx.stream_name:
+            writer = writer.queryName(ctx.stream_name)
+        if duration >= 0:
+            writer = writer.trigger(processingTime=f"{duration} seconds")
+        query = writer.start()
+        ctx.jobs[ctx.stream_name or query.id] = query
+        return
     writer = (df.writeStream.format("console" if fmt == "console" else fmt)
               .outputMode(out_mode.lower())
               .option("checkpointLocation", ctx.resource_real_path(ckpt)))

@@ -190,3 +190,28 @@ def test_streaming_dedup(engine, sf_dir, tmp_path):
         assert n == total  # every (user, type) pair appears exactly once
     finally:
         q.stop()
+
+
+def test_foreach_batch_script_sink(engine, sf_dir, tmp_path):
+    """`save ... as custom.`` where batchScript=...` runs an MLSQL
+    sub-script per micro-batch (reference MLSQLForeachBatchRunner)."""
+    engine.context.stream_name = None
+    out = tmp_path / "fb_out"
+    engine.execute(f"""
+    set streamName = "fbstream";
+    load streamParquet.`{sf_dir}/events.parquet` as fev;
+    select user_id, value from fev as fsel;
+    save append fsel as custom.`` where checkpointLocation="{tmp_path}/ckfb"
+        and duration="0" and batchScript='''
+        select user_id, sum(value) as sv from __batch_df__ group by user_id as agg_b;
+        save overwrite agg_b as parquet.`{out}`;
+        ''';
+    """)
+    q = engine.context.jobs["fbstream"]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = engine.spark.read.parquet(str(out))
+    assert got.count() > 0
+    assert set(got.columns) == {"user_id", "sv"}
