@@ -157,6 +157,38 @@ _SESSIONIZE_DUCK = _SESSIONIZE_BODY.format(
     seconds="select user_id, value, event_id, "
             "CAST(floor(epoch(ts)) AS BIGINT) as tss from events")
 
+# Native session_window (Spark 3.2+) vs gaps-and-islands oracle.  Both
+# operate on second-truncated time; the oracle's `>= 1800` matches
+# session_window's half-open [event, event+gap) merge semantics.
+_SESSION_WINDOW_SPARK = """
+select user_id,
+       CAST(unix_timestamp(session_window.start) AS BIGINT) as sess_start,
+       count(*) as n_events
+from (select user_id, timestamp_seconds(unix_timestamp(ts)) as ts from events)
+group by session_window(ts, '30 minutes'), user_id
+"""
+
+_SESSION_WINDOW_DUCK = """
+with base as (
+  select user_id, CAST(floor(epoch(ts)) AS BIGINT) as tss from events
+),
+marked as (
+  select user_id, tss,
+         case when lag(tss) over w is null or tss - lag(tss) over w >= 1800
+              then 1 else 0 end as ns
+  from base window w as (partition by user_id order by tss)
+),
+sess as (
+  select user_id, tss,
+         sum(ns) over (partition by user_id order by tss
+                       rows unbounded preceding) as sid
+  from marked
+)
+select user_id, CAST(min(tss) AS BIGINT) as sess_start,
+       count(*) as n_events
+from sess group by user_id, sid
+"""
+
 _JSON_SPARK = """
 select event_type,
        count(*) as n,
@@ -1079,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": sql_q(_ROLLUP, ["orders"]),
         "events_tumbling": sql_q(_TUMBLING, ["events"]),
         "events_sessionize": sql_q(_SESSIONIZE_SPARK, ["events"]),
+        "events_session_window": sql_q(_SESSION_WINDOW_SPARK, ["events"]),
         "events_json_extract": sql_q(_JSON_SPARK, ["events"]),
         "events_asof_join": _q_asof,
         "pivot_orders": _q_pivot,
@@ -1147,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": _ROLLUP,
         "events_tumbling": _TUMBLING,
         "events_sessionize": _SESSIONIZE_DUCK,
+        "events_session_window": _SESSION_WINDOW_DUCK,
         "events_json_extract": _JSON_DUCK,
         "events_asof_join": _ASOF_ORACLE,
         "pivot_orders": _PIVOT_ORACLE,
