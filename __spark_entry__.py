@@ -744,6 +744,25 @@ from (
 group by nation, o_year
 """
 
+_Q20 = """
+select s.s_name, round(s.s_acctbal, 2) as acctbal
+from supplier s
+where s.s_suppkey in (
+  select l_suppkey from lineitem join part on p_partkey = l_partkey
+  where p_type = 'PROMO'
+  group by l_suppkey
+  having sum(l_quantity) > (
+    select 1.1 * avg(total) from (
+      select sum(l_quantity) as total
+      from lineitem join part on p_partkey = l_partkey
+      where p_type = 'PROMO'
+      group by l_suppkey
+    ) t
+  )
+)
+order by s.s_name
+"""
+
 _GROUPING_SETS = """
 select coalesce(o_orderstatus, 'ALL') as status,
        coalesce(o_orderpriority, 'ALL') as priority,
@@ -1129,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": sql_q(_Q18, ["customer", "orders", "lineitem"]),
         "q22_idle_customers": sql_q(_Q22, ["customer", "orders"]),
         "q13_order_distribution": sql_q(_Q13, ["customer", "orders"]),
+        "q20_excess_suppliers": sql_q(_Q20, ["supplier", "lineitem", "part"]),
         "q9_product_profit": sql_q(_Q9, ["part", "lineitem", "supplier",
                                          "orders", "nation"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
@@ -1195,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": _Q18,
         "q22_idle_customers": _Q22,
         "q13_order_distribution": _Q13,
+        "q20_excess_suppliers": _Q20,
         "q9_product_profit": _Q9,
         "grouping_sets_orders": _GROUPING_SETS,
         "cube_lineitem": _CUBE,
