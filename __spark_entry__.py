@@ -744,6 +744,44 @@ from (
 group by nation, o_year
 """
 
+_STRING_FNS_BODY = """
+select o_orderkey,
+       lower(o_orderpriority) as lo,
+       trim(concat('  ', o_orderstatus, ' ')) as trimmed,
+       lpad(o_orderstatus, 5, '.') as padded,
+       reverse(o_orderpriority) as rev,
+       replace(o_orderpriority, '-', '_') as repl,
+       substr(o_orderpriority, 3) as tail3,
+       {strpos}(o_orderpriority, 'O') as pos_o
+from orders where o_orderkey % 13 = 0
+"""
+_STRING_FNS_SPARK = _STRING_FNS_BODY.format(strpos="instr")
+_STRING_FNS_DUCK = _STRING_FNS_BODY.format(strpos="strpos")
+
+# array-agg result joined to a string: the harness's value hash
+# stringifies arrays engine-specifically, so compare the joined form
+_ARRAY_AGG_SPARK = """
+select o_custkey,
+       concat_ws(',', sort_array(collect_list(o_orderstatus))) as statuses,
+       count(*) as n
+from orders where o_custkey % 25 = 0 group by o_custkey
+"""
+
+_ARRAY_AGG_DUCK = """
+select o_custkey,
+       array_to_string(list_sort(list(o_orderstatus)), ',') as statuses,
+       count(*) as n
+from orders where o_custkey % 25 = 0 group by o_custkey
+"""
+
+_RANGE_FRAME = """
+select o_orderkey, o_custkey,
+       CAST(count(*) over (partition by o_custkey order by o_totalprice
+            range between 1000.0 preceding and current row) AS BIGINT)
+         as near_cheaper
+from orders
+"""
+
 _Q20 = """
 select s.s_name, round(s.s_acctbal, 2) as acctbal
 from supplier s
@@ -1155,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": sql_q(_CUBE, ["lineitem"]),
         "window_lead_lag": sql_q(_LEAD_LAG, ["orders"]),
         "scalar_functions": sql_q(_SCALAR_FNS, ["orders"]),
+        "string_functions": sql_q(_STRING_FNS_SPARK, ["orders"]),
+        "window_range_frame": sql_q(_RANGE_FRAME, ["orders"]),
+        "array_agg_sorted": sql_q(_ARRAY_AGG_SPARK, ["orders"]),
         # feature/table ETs with oracles
         "scaler_minmax": _q_scaler,
         "discretizer_bucket": _q_discretizer,
@@ -1221,6 +1262,9 @@ def oracle_sql() -> dict[str, str]:
         "cube_lineitem": _CUBE,
         "window_lead_lag": _LEAD_LAG,
         "scalar_functions": _SCALAR_FNS,
+        "string_functions": _STRING_FNS_DUCK,
+        "window_range_frame": _RANGE_FRAME,
+        "array_agg_sorted": _ARRAY_AGG_DUCK,
         "scaler_minmax": _SCALER_ORACLE,
         "discretizer_bucket": _DISCRETIZER_ORACLE,
         "string_index": _STRING_INDEX_ORACLE,
