@@ -239,3 +239,27 @@ def test_binary_file_source(engine, tmp_path):
     row = df.collect()[0]
     assert row["length"] == 9
     assert bytes(row["content"]) == b"\x00\x01payload"
+
+
+def test_xml_source(engine, tmp_path):
+    """`load xml.`path` where rowTag=...` — Spark 4 built-in XML
+    (reference MLSQLXML.scala used the spark-xml package)."""
+    (tmp_path / "books.xml").write_text(
+        "<books><book><title>Spark</title><year>2024</year></book>"
+        "<book><title>Flink</title><year>2023</year></book></books>")
+    df = engine.execute(f"""
+    load xml.`{tmp_path}/books.xml` where rowTag="book" as books;
+    select title, year from books order by year as out;
+    """)
+    rows = [(r["title"], r["year"]) for r in df.collect()]
+    assert rows == [("Flink", 2023), ("Spark", 2024)]
+
+
+def test_xml_save_roundtrip(engine, tmp_path):
+    engine.execute(f"""
+    select 'a' as name, 1 as v union all select 'b', 2 as t1;
+    save overwrite t1 as xml.`{tmp_path}/out_xml` where rowTag="row";
+    load xml.`{tmp_path}/out_xml` where rowTag="row" as back;
+    """)
+    rows = {(r["name"], r["v"]) for r in engine.spark.table("back").collect()}
+    assert rows == {("a", 1), ("b", 2)}
