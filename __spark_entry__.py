@@ -744,6 +744,119 @@ from (
 group by nation, o_year
 """
 
+# q12 adapted: no l_shipmode/commitdate/receiptdate in fixtures — lateness is
+# l_shipdate > o_orderdate + 60 days, bucketed by ship year (same CASE-priority
+# split shape as TPC-H q12). BIGINT casts: duckdb sum(case) yields HUGEINT.
+_Q12 = """
+select year(l_shipdate) as ship_year,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_shipdate > o_orderdate + interval 60 day
+group by year(l_shipdate)
+order by ship_year
+"""
+
+# q15: top supplier by 3-month revenue. Decimal-exact sum so both engines
+# agree on the max() equality (double summation order differs cross-engine).
+_Q15 = """
+with revenue as (
+  select l_suppkey as supplier_no,
+         sum(cast(l_extendedprice * (1 - l_discount) as decimal(18, 4))) as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01 00:00:00'
+    and l_shipdate < timestamp '1996-04-01 00:00:00'
+  group by l_suppkey
+)
+select s_suppkey, s_name, cast(total_revenue as double) as total_revenue
+from supplier join revenue on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey
+"""
+
+# q19: disjunctive brand/size/quantity predicates (fixtures lack
+# p_container/l_shipmode — p_size stands in for the container filter).
+_Q19 = """
+select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 15 and l_quantity between 1 and 20)
+   or (p_brand = 'Brand#23' and p_size between 5 and 25 and l_quantity between 10 and 30)
+   or (p_brand = 'Brand#34' and p_size between 10 and 40 and l_quantity between 20 and 50)
+"""
+
+# q21 adapted: "kept orders waiting" via l_shipdate > o_orderdate + 90d
+# (no commit/receipt dates). Late-flag CTE keeps the EXISTS correlations
+# equality-only, which both engines decorrelate.
+_Q21 = """
+with flagged as (
+  select l_orderkey, l_suppkey,
+         case when l_shipdate > o_orderdate + interval 90 day then 1 else 0 end as is_late
+  from lineitem join orders on o_orderkey = l_orderkey
+  where o_orderstatus = 'F'
+)
+select s_name, cast(count(*) as bigint) as numwait
+from flagged l1 join supplier on s_suppkey = l1.l_suppkey
+where l1.is_late = 1
+  and exists (select 1 from flagged l2
+              where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (select 1 from flagged l3
+                  where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+                    and l3.is_late = 1)
+group by s_name
+order by numwait desc, s_name
+limit 100
+"""
+
+# q2 adapted: no partsupp — "min cost supplier per part" becomes min
+# l_extendedprice over lineitem (correlated scalar-min subquery, same shape).
+# Equality compares stored doubles (no arithmetic) so it is cross-engine exact.
+_Q2 = """
+select distinct round(s_acctbal, 2) as acctbal, s_name, n_name, p_partkey, p_name
+from part, supplier, lineitem, nation
+where p_partkey = l_partkey and s_suppkey = l_suppkey
+  and p_size = 30 and s_nationkey = n_nationkey
+  and l_extendedprice = (select min(l2.l_extendedprice)
+                         from lineitem l2 where l2.l_partkey = p_partkey)
+order by acctbal desc, n_name, s_name, p_partkey
+limit 100
+"""
+
+# q11 adapted: no partsupp — part "stock value" is sum(price*qty) per part for
+# one nation's suppliers, HAVING > 1/500 of the nation total (scalar subquery).
+# Decimal per-row cast + integer-factor compare keep the threshold exact.
+_Q11 = """
+select l_partkey,
+       cast(sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) as double) as part_value
+from lineitem
+join supplier on s_suppkey = l_suppkey
+join nation on s_nationkey = n_nationkey
+where n_name = 'NATION_7'
+group by l_partkey
+having sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) * 500 > (
+  select sum(cast(l_extendedprice * l_quantity as decimal(18, 2)))
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join nation on s_nationkey = n_nationkey
+  where n_name = 'NATION_7')
+order by part_value desc, l_partkey
+"""
+
+# q16 adapted: supplier-count per part attribute over lineitem (no partsupp),
+# NOT IN over a supplier sub-select (6 negative-acctbal suppliers in fixtures).
+_Q16 = """
+select p_brand, p_type, p_size,
+       cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+from lineitem join part on p_partkey = l_partkey
+where p_brand <> 'Brand#5'
+  and p_type not like 'PROMO%'
+  and p_size in (1, 4, 7, 10)
+  and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+
 _STRING_FNS_BODY = """
 select o_orderkey,
        lower(o_orderpriority) as lo,
@@ -1189,6 +1302,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": sql_q(_Q20, ["supplier", "lineitem", "part"]),
         "q9_product_profit": sql_q(_Q9, ["part", "lineitem", "supplier",
                                          "orders", "nation"]),
+        "q12_late_shipments": sql_q(_Q12, ["orders", "lineitem"]),
+        "q15_top_supplier": sql_q(_Q15, ["supplier", "lineitem"]),
+        "q19_disjunctive_revenue": sql_q(_Q19, ["lineitem", "part"]),
+        "q21_waiting_suppliers": sql_q(_Q21, ["supplier", "lineitem", "orders"]),
+        "q2_min_cost_supplier": sql_q(_Q2, ["part", "supplier", "lineitem", "nation"]),
+        "q11_important_parts": sql_q(_Q11, ["lineitem", "supplier", "nation"]),
+        "q16_supplier_count": sql_q(_Q16, ["lineitem", "part", "supplier"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
         "cube_lineitem": sql_q(_CUBE, ["lineitem"]),
         "window_lead_lag": sql_q(_LEAD_LAG, ["orders"]),
@@ -1258,6 +1378,13 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_distribution": _Q13,
         "q20_excess_suppliers": _Q20,
         "q9_product_profit": _Q9,
+        "q12_late_shipments": _Q12,
+        "q15_top_supplier": _Q15,
+        "q19_disjunctive_revenue": _Q19,
+        "q21_waiting_suppliers": _Q21,
+        "q2_min_cost_supplier": _Q2,
+        "q11_important_parts": _Q11,
+        "q16_supplier_count": _Q16,
         "grouping_sets_orders": _GROUPING_SETS,
         "cube_lineitem": _CUBE,
         "window_lead_lag": _LEAD_LAG,

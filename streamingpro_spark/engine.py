@@ -22,9 +22,43 @@ from streamingpro_spark.expr import evaluate_condition
 from streamingpro_spark.macros import MACROS, expand_macro
 
 _COMMAND_VIEW_SESSIONS: set[int] = set()
+_SHIPPED_CONTEXTS: set[int] = set()
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
+
+
+def _ship_package(spark: "SparkSession") -> None:
+    """Ship streamingpro_spark to executors (the `--py-files` a cluster
+    deploy would use).  Executor Python workers unpickle UDF closures; any
+    closure that slips through with a by-reference `streamingpro_spark.*`
+    global would otherwise fail when the driver wasn't launched from the
+    repo root.  Convention is still by-value nested defs in hot paths —
+    this is the backstop that turns a crash into a non-event."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    _SHIPPED_CONTEXTS.add(id(sc))
+    try:
+        import tempfile
+        import zipfile
+
+        import streamingpro_spark as pkg
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        zpath = os.path.join(tempfile.mkdtemp(prefix="sp_pyfiles_"),
+                             "streamingpro_spark.zip")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # shipping is best-effort; by-value closures don't need it
 
 
 class Engine:
@@ -46,6 +80,7 @@ class Engine:
         if register_functions:
             from streamingpro_spark.functions.builtin import register_all
             register_all(spark)
+        _ship_package(spark)
 
     # ------------------------------------------------------------------
     def execute(self, script: str) -> "DataFrame | None":

@@ -75,15 +75,17 @@ def _register_array(spark: SparkSession) -> None:
 # vector/matrix functions (Functions.scala:69-300) — numpy-backed
 # ---------------------------------------------------------------------------
 
-def _as_np(v) -> np.ndarray:
-    if isinstance(v, Vector):
-        return v.toArray()
-    return np.asarray(v, dtype=float)
-
-
 def _register_vector(spark: SparkSession) -> None:
     udf = spark.udf.register
     VT = VectorUDT()
+
+    # nested so UDF closures capture it BY VALUE — a module-level helper
+    # pickles as a `streamingpro_spark.*` reference that executors can't
+    # import when the driver isn't launched from the repo root
+    def _as_np(v) -> np.ndarray:
+        if isinstance(v, Vector):
+            return v.toArray()
+        return np.asarray(v, dtype=float)
 
     udf("vec_dense", lambda arr: DenseVector([float(x) for x in arr]), VT)
     udf("vec_sparse",
@@ -128,19 +130,18 @@ def _register_vector(spark: SparkSession) -> None:
 # time functions (Functions.scala:434-537)
 # ---------------------------------------------------------------------------
 
-_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-          "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-          "week": 604800, "weeks": 604800}
-
-
-def _parse_duration(spec: str) -> int:
-    num, unit = spec.strip().split()
-    return int(num) * _UNITS[unit.lower()]
-
-
 def _register_time(spark: SparkSession) -> None:
     import datetime as dt
     udf = spark.udf.register
+
+    # nested for by-value pickling (see _register_vector note)
+    _UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+              "week": 604800, "weeks": 604800}
+
+    def _parse_duration(spec: str) -> int:
+        num, unit = spec.strip().split()
+        return int(num) * _UNITS[unit.lower()]
 
     def _java2py_pattern(p: str) -> str:
         # minimal yyyy-MM-dd HH:mm:ss → strftime mapping

@@ -231,29 +231,30 @@ class SimHashDedup(ETAlgorithm):
                 ("contentCol", "text column", "text")]
 
 
-def _simhash_fold(hash_series):
-    """pandas UDF kernel: array<long> token hashes → 60-bit simhash."""
-    import numpy as np
-    import pandas as pd
-    out = []
-    shifts = np.arange(60, dtype=np.int64)
-    for hs in hash_series:
-        arr = np.asarray(hs, dtype=np.int64)
-        if arr.size == 0:
-            out.append(0)
-            continue
-        bits = (arr[:, None] >> shifts) & 1          # (n_tokens, 60)
-        votes = 2 * bits.sum(axis=0) - arr.size      # +1/-1 majority
-        out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
-    return pd.Series(out)
-
-
 _simhash_fold_udf = None
 
 
 def _init_simhash_udf():
     global _simhash_fold_udf
     if _simhash_fold_udf is None:
+        # nested so the pandas UDF pickles by value — a module-level kernel
+        # pickles as a `streamingpro_spark.*` reference executors can't import
+        def _simhash_fold(hash_series):
+            """pandas UDF kernel: array<long> token hashes → 60-bit simhash."""
+            import numpy as np
+            import pandas as pd
+            out = []
+            shifts = np.arange(60, dtype=np.int64)
+            for hs in hash_series:
+                arr = np.asarray(hs, dtype=np.int64)
+                if arr.size == 0:
+                    out.append(0)
+                    continue
+                bits = (arr[:, None] >> shifts) & 1          # (n_tokens, 60)
+                votes = 2 * bits.sum(axis=0) - arr.size      # +1/-1 majority
+                out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+            return pd.Series(out)
+
         _simhash_fold_udf = F.pandas_udf(_simhash_fold, "long")
     return _simhash_fold_udf
 

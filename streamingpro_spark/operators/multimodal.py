@@ -28,17 +28,6 @@ IMAGE_META_SCHEMA = T.StructType([
 ])
 
 
-def _decode_image_stub(content: bytes) -> dict:
-    """STUB decode: real impl would use PIL/cv2 (not installed here).
-    Returns deterministic fake metadata derived from the bytes so the
-    pipeline is testable end-to-end."""
-    if content is None:
-        return {"width": None, "height": None, "channels": None, "format": None}
-    size = len(content)
-    return {"width": int(size % 1024) + 1, "height": int((size // 1024) % 1024) + 1,
-            "channels": 3, "format": "stub"}
-
-
 @register_et("ImageMetadata")
 class ImageMetadata(ETAlgorithm):
     """Attach decoded image metadata to a binary column.
@@ -52,6 +41,18 @@ class ImageMetadata(ETAlgorithm):
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "content")
         out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_SCHEMA)])
+
+        def _decode_image_stub(content: bytes) -> dict:
+            """STUB decode: real impl would use PIL/cv2 (not installed here).
+            Returns deterministic fake metadata derived from the bytes so the
+            pipeline is testable end-to-end.  Nested for by-value pickling."""
+            if content is None:
+                return {"width": None, "height": None,
+                        "channels": None, "format": None}
+            size = len(content)
+            return {"width": int(size % 1024) + 1,
+                    "height": int((size // 1024) % 1024) + 1,
+                    "channels": 3, "format": "stub"}
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -298,6 +298,15 @@ def parse_statement(stmt: str) -> Parsed:
         toks = tokenize(stmt)
         return CommandStmt(command=toks[0][1:], args=[unquote(t) for t in toks[1:]])
     if kind == "sql":
+        # a CTE query ending in `as <table>` is a select statement with an
+        # output binding (a bare trailing `as x` is never valid raw SQL)
+        if stmt.lstrip()[:4].lower() == "with":
+            rest, out = _strip_trailing_as(tokenize(stmt))
+            if out is not None:
+                m = re.search(r"\bas\s+" + re.escape(out) + r"\s*$", stmt,
+                              re.IGNORECASE)
+                if m:
+                    return SelectStmt(sql=stmt[: m.start()].strip(), table=out)
         return RawSqlStmt(sql=stmt)
     if kind == "select":
         toks = tokenize(stmt)
