@@ -402,6 +402,17 @@ def _q_embedding_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # nprobe == nlist probes every cell → exact (same oracle as brute
+    # force); nprobe < nlist is the approximate 100TB scale path
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    run embeddings as IVFSimilaritySearch.`` where k="5" and nlist="8" and
+        nprobe="8" and queryFilter="vec_id < 20" as output;
+    """)
+
+
 _EMBEDDING_TOPK_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -538,17 +549,12 @@ def _q_token_count(spark, sf_dir):
 
 
 _TOKEN_COUNT_ORACLE = """
-WITH t AS (
-  SELECT doc_id, text, string_split_regex(text, '\\s+') AS words
-  FROM documents
-)
 SELECT doc_id,
        CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       CAST(list_sum(list_transform(words,
-                w -> greatest(CAST(ceil(length(w) / 6.0) AS BIGINT), 1)))
+       CAST(len(regexp_extract_all(text, '[^\\s]{1,6}'))
             + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
          AS est_bpe_tokens
-FROM t
+FROM documents
 """
 
 
@@ -1342,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         # LLM-pipeline: similarity search
         "embedding_topk": _q_embedding_topk,
+        "ivf_topk": _q_ivf_topk,
         # LLM-pipeline: text analysis
         "language_id": _q_language_id,
         "quality_score": _q_quality,
@@ -1409,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprint": _simhash_oracle(),
         "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
+        "ivf_topk": _EMBEDDING_TOPK_ORACLE,
         "language_id": _language_id_oracle(),
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,

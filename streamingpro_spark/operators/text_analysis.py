@@ -120,10 +120,11 @@ def bpe_ish_token_count(text: Column) -> Column:
     digits, single punctuation — each ~1 token; long words count
     ceil(len/6) pieces (the GPT-style ~4 chars/token heuristic,
     conservative at 6)."""
-    words = F.split(text, r"\s+")
-    pieces = F.aggregate(
-        words, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / F.lit(6.0)), F.lit(1)))
+    # greedy non-overlapping [^\s]{1,6} chunks a word of length L into
+    # exactly ceil(L/6) pieces — ONE codegen regex pass; the previous
+    # per-word F.aggregate fold was interpreted (non-codegen) and
+    # dominated the bench at sf0.1 (9.1s → sub-second)
+    pieces = F.regexp_count(text, F.lit(r"[^\s]{1,6}"))
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return (pieces + punct).cast("long")
 

@@ -197,6 +197,29 @@ def test_lsh_similarity_recall(engine, sf_dir):
     assert hits / len(exact_top1) >= 0.5  # recall floor for 16 tables × 6 bits
 
 
+def test_ivf_similarity(engine, sf_dir):
+    exact = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as SimilaritySearch.`` where k="3" and queryFilter="vec_id < 20" as e_out;
+    """).collect()
+    # probe-all is exactly brute force
+    full = engine.execute("""
+    run emb as IVFSimilaritySearch.`` where k="3" and nlist="8" and nprobe="8"
+    and queryFilter="vec_id < 20" as i_out;
+    """).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    assert key(full) == key(exact)
+    # nprobe < nlist: approximate — top-1 recall floor
+    approx = engine.execute("""
+    run emb as IVFSimilaritySearch.`` where k="3" and nlist="8" and nprobe="3"
+    and queryFilter="vec_id < 20" as a_out;
+    """).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for q, n in exact_top1.items() if approx_top1.get(q) == n)
+    assert hits / len(exact_top1) >= 0.5
+
+
 def test_language_id(engine, sf_dir):
     df = engine.execute(f"""
     load parquet.`{sf_dir}/documents.parquet` as docs;
