@@ -4,14 +4,19 @@ North-star operators (driver mandate; no direct reference equivalent —
 closest is RowMatrix similarity, SQLRowMatrix.scala):
 
 - SimilaritySearch   brute-force cosine top-k (exact baseline).  The
-  query set is broadcast; the corpus is scanned once — one pass, no
-  shuffle except the final per-query top-k aggregation.
+  query set is broadcast; the corpus is scanned once with per-partition
+  partial top-k (matmul per Arrow batch) — the only shuffle is the tiny
+  partial-result merge.
 - LSHSimilaritySearch  random-hyperplane (SRP) bucketed search: only
-  vectors sharing a hash bucket are compared — the scale path
-  (recall < 1, tunable by numTables).
+  vectors sharing a hash bucket are compared (recall < 1, tunable by
+  numTables).
+- IVFSimilaritySearch  inverted-file cells from sample-trained
+  k-means; probes nprobe/nlist of the corpus per query.
 
-Dot products run in JVM codegen via `zip_with`/`aggregate` — no Python
-in the hot path.
+Pair-at-a-time dot products (LSH re-rank) run via `zip_with`/
+`aggregate`; bulk query×corpus scoring uses numpy matmul — higher-order
+Catalyst functions are interpreted, so at ≥64 folds/row the Arrow+BLAS
+path wins (see MinHash/SimHash kernel notes).
 """
 
 from __future__ import annotations
@@ -53,36 +58,71 @@ class SimilaritySearch(ETAlgorithm):
     — or queryFilter="vec_id % 50 = 0" to self-query a subset.
     Output: (query_id, neighbor_id, cosine, rank).
 
-    Scale: corpus scanned once; queries broadcast (must fit in an
-    executor — use LSHSimilaritySearch for large query sets); top-k via
-    window row_number partitioned by query (shuffle keyed by query id,
-    uniform).  Ties broken by neighbor id for determinism.
+    Scale: corpus scanned once (map-only BLAS matmul per Arrow batch);
+    queries broadcast as a dense matrix (must fit in an executor — use
+    LSH/IVF for large query sets); per-partition partial top-k means
+    the final merge shuffles partitions×|Q|×k rows, not |corpus|×|Q|.
+    Ties broken by neighbor id for determinism.
     """
 
     def train(self, df, path, params, context=None):
+        import numpy as np
         id_col = params.get("idCol", "vec_id")
         col = params.get("embeddingCol", "embedding")
         k = get_int(params, "k", 5)
         df = ensure_parallelism(df)
-        corpus = df.select(F.col(id_col).alias("neighbor_id"),
-                           normalized_col(F.col(col)).alias("__v"))
         if params.get("queryTable"):
             qdf = df.sparkSession.table(params["queryTable"])
         else:
             qdf = df.filter(F.expr(params.get("queryFilter", "true")))
-        queries = qdf.select(F.col(id_col).alias("query_id"),
-                             normalized_col(F.col(col)).alias("__q"))
-        scored = (corpus.join(F.broadcast(queries),
-                              F.col("query_id") != F.col("neighbor_id"))
-                  .select("query_id", "neighbor_id",
-                          F.round(dot_col(F.col("__q"), F.col("__v")), 4)
-                           .alias("cosine")))
-        # rank on the ROUNDED cosine with id tie-break: deterministic and
-        # reproducible across engines (fp summation order varies)
+        # queries broadcast as one dense matrix (documented constraint:
+        # the query set fits in an executor); corpus streams through ONE
+        # mapInPandas pass — BLAS matmul per Arrow batch + batch-local
+        # top-k, so the shuffle carries partitions×|Q|×k partial rows
+        # instead of |corpus|×|Q| scored pairs (the map-side combine
+        # that makes brute force survive a 100 TB corpus).
+        qrows = qdf.select(id_col, col).collect()
+        qids = np.array([r[0] for r in qrows])
+        Q = np.array([list(r[1]) for r in qrows], dtype=float)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        bc = df.sparkSession.sparkContext.broadcast((qids, Q / qn))
+        kk = k
+        id_t = df.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+        def part_topk(batches):
+            import numpy as _np
+            import pandas as _pd
+            _qids, _Q = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np.array([list(v) for v in pdf[col]], dtype=float)
+                nn = _np.linalg.norm(M, axis=1, keepdims=True)
+                nn[nn == 0] = 1.0
+                # batch-local selection uses the SAME total order as the
+                # global merge — (rounded cosine desc, id asc) — so the
+                # partial top-k composes exactly
+                S = _np.round((M / nn) @ _Q.T, 4)            # (n, q)
+                cids = pdf[id_col].to_numpy()
+                oq, on, oc = [], [], []
+                for j in range(len(_qids)):
+                    idx = _np.nonzero(cids != _qids[j])[0]
+                    if not idx.size:
+                        continue
+                    take = idx[_np.lexsort((cids[idx], -S[idx, j]))][:kk]
+                    oq.extend([_qids[j]] * len(take))
+                    on.extend(cids[take])
+                    oc.extend(S[take, j])
+                yield _pd.DataFrame(
+                    {"query_id": oq, "neighbor_id": on, "cosine": oc})
+
+        partials = df.select(id_col, col).mapInPandas(part_topk, out_schema)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+        return (partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kk)
                 .select("query_id", "neighbor_id", "cosine", "rank"))
 
     def explain_params(self):
