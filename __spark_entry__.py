@@ -577,6 +577,56 @@ FROM documents
 """
 
 
+def _q_image_metadata(spark, sf_dir):
+    # decode is stubbed deterministically on byte length (no image libs in
+    # container) — which makes the full mapInPandas plumbing ORACLE-checkable:
+    # DuckDB mirrors the stub arithmetic on octet_length(encode(text))
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, cast(text as binary) as content from documents as bin_docs;
+    run bin_docs as ImageMetadata.`` as m_out;
+    select doc_id, image_meta.width as width, image_meta.height as height,
+           image_meta.channels as channels, image_meta.format as format
+    from m_out as output;
+    """)
+
+
+_IMAGE_METADATA_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 1024) % 1024 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'stub' AS format
+FROM documents
+"""
+
+
+def _q_audio_features(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, cast(text as binary) as content from documents as bin_docs;
+    run bin_docs as AudioFeatures.`` as a_out;
+    select doc_id, audio_meta.sample_rate as sample_rate,
+           audio_meta.n_samples as n_samples,
+           audio_meta.duration_ms as duration_ms,
+           audio_meta.rms_stub as rms_stub
+    from a_out as output;
+    """)
+
+
+_AUDIO_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+       CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT)
+         AS duration_ms,
+       (octet_length(encode(text)) % 1000) / 1000.0 AS rms_stub
+FROM documents
+"""
+
+
 def _q_tree(spark, sf_dir):
     """TreeBuildExt over a supplier→nation hierarchy built from the star
     schema (synthetic parent edges: nation parent region-root)."""
@@ -1354,6 +1404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
+        # LLM-pipeline: multimodal (stub decode, real plumbing)
+        "image_metadata": _q_image_metadata,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -1421,4 +1474,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "image_metadata": _IMAGE_METADATA_ORACLE,
+        "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -101,3 +101,55 @@ class FrameSample(ETAlgorithm):
     def explain_params(self):
         return [("contentCol", "binary column", "content"),
                 ("numFrames", "frames per input row", "4")]
+
+
+@register_et("AudioFeatures")
+class AudioFeatures(ETAlgorithm):
+    """Attach decoded audio features to a binary column.
+
+    `run files as AudioFeatures.`` where contentCol="content"`.
+    Decode is STUBBED (librosa/soundfile absent in this container) with
+    deterministic arithmetic on the byte length — 16-bit PCM @ 16 kHz
+    assumed — so the plumbing is oracle-checkable end-to-end; a real
+    deploy swaps only the body of `_decode_audio_stub`.
+
+    Scale: map-only mapInPandas stage, no shuffle; partitioning follows
+    the binary file scan.
+    """
+
+    AUDIO_SCHEMA = T.StructType([
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_stub", T.DoubleType()),
+    ])
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "content")
+        out_schema = T.StructType(
+            df.schema.fields + [T.StructField("audio_meta", self.AUDIO_SCHEMA)])
+
+        def _decode_audio_stub(content: bytes) -> dict:
+            # nested for by-value pickling
+            if content is None:
+                return {"sample_rate": None, "n_samples": None,
+                        "duration_ms": None, "rms_stub": None}
+            size = len(content)
+            n_samples = size // 2
+            # integer-exact arithmetic: float rounding differs across
+            # engines (half-even vs half-away) — keep the oracle trivial
+            return {"sample_rate": 16000,
+                    "n_samples": n_samples,
+                    "duration_ms": n_samples * 1000 // 16000,
+                    "rms_stub": (size % 1000) / 1000.0}
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["audio_meta"] = [_decode_audio_stub(c) for c in pdf[col]]
+                yield pdf
+
+        return df.mapInPandas(decode, out_schema)
+
+    def explain_params(self):
+        return [("contentCol", "binary column with encoded audio bytes", "content")]

@@ -271,6 +271,18 @@ def test_image_metadata_stub(engine):
     assert row["image_meta"]["channels"] == 3
 
 
+def test_audio_features_stub(engine):
+    df = engine.execute("""
+    select cast("0123456789" as binary) as content, 1 as id as t;
+    run t as AudioFeatures.`` as out;
+    """)
+    meta = df.first()["audio_meta"]
+    assert meta["sample_rate"] == 16000
+    assert meta["n_samples"] == 5          # 10 bytes // 2
+    assert meta["duration_ms"] == 5 * 1000 // 16000
+    assert meta["rms_stub"] == 0.01
+
+
 def test_frame_sample_stub(engine):
     df = engine.execute("""
     select cast("0123456789abcdef" as binary) as content, 1 as id as t;
