@@ -361,3 +361,62 @@ class SaveBinaryAsFile(ETAlgorithm):
 
         df.select(name_col, content_col).foreachPartition(write_part)
         return df.sparkSession.createDataFrame([(out_dir,)], "path: string")
+
+
+@register_et("DownloadExt")
+class DownloadExt(ETAlgorithm):
+    """Fetch a URL (http/https/file) to a local/DFS path — driver-side,
+    the download is one object, not a dataset (reference:
+    external/mlsql-ets/SQLDownloadExt.scala pulls remote archives into
+    the engine's staging area).
+
+    `run command as DownloadExt.`` where from="file:///x" and to="/dir/y"`
+    Output: (from, to, bytes).
+    """
+
+    def train(self, df, path, params, context=None):
+        import urllib.request
+        src = params.get("from") or params.get("url")
+        dst = params.get("to") or path
+        if not src or not dst:
+            raise ValueError("DownloadExt needs from=\"url\" and to=\"path\"")
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        with urllib.request.urlopen(src, timeout=30) as r:  # noqa: S310
+            data = r.read()
+        with open(dst, "wb") as f:
+            f.write(data)
+        return df.sparkSession.createDataFrame(
+            [(src, dst, len(data))], "from: string, to: string, bytes: long")
+
+
+@register_et("UploadFileToServerExt")
+class UploadFileToServerExt(ETAlgorithm):
+    """Push a local file to an MLSQL server's /upload_file endpoint
+    (reference: external/mlsql-ets/SQLUploadFileToServerExt.scala).
+
+    `run command as UploadFileToServerExt.`` where path="/x" and
+     url="http://host:port/upload_file" [and owner="admin"]`
+    Output: (path, url, status).
+    """
+
+    def train(self, df, path, params, context=None):
+        import base64
+        import json as _json
+        import urllib.request
+        local = params.get("path") or path
+        url = params.get("url")
+        owner = params.get("owner", "admin")
+        if not local or not url:
+            raise ValueError("UploadFileToServerExt needs path= and url=")
+        with open(local, "rb") as f:
+            payload = base64.b64encode(f.read()).decode()
+        req = urllib.request.Request(
+            url, data=_json.dumps({
+                "owner": owner,
+                "fileName": os.path.basename(local),
+                "content": payload}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:  # noqa: S310
+            status = r.status
+        return df.sparkSession.createDataFrame(
+            [(local, url, int(status))], "path: string, url: string, status: int")

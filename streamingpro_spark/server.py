@@ -18,6 +18,7 @@ reference.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import uuid
@@ -155,11 +156,12 @@ class MLSQLServer:
             def log_message(self, *a):  # quiet
                 pass
 
-            def _send(self, code: int, payload) -> None:
+            def _send(self, code: int, payload,
+                      ctype: str = "application/json") -> None:
                 body = (payload if isinstance(payload, bytes)
                         else json.dumps(payload).encode())
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -171,6 +173,17 @@ class MLSQLServer:
                     with outer.jobs._lock:
                         self._send(200, [j.as_dict()
                                          for j in outer.jobs.jobs.values()])
+                elif self.path.startswith("/download"):
+                    from urllib.parse import parse_qs as _pq, urlparse as _up
+                    q = {k: v[0] for k, v in _pq(_up(self.path).query).items()}
+                    try:
+                        data = outer.read_upload(q.get("owner", "admin"),
+                                                 q.get("fileName", ""))
+                        self._send(200, data, "application/octet-stream")
+                    except FileNotFoundError:
+                        self._send(404, {"msg": "no such file"})
+                    except PermissionError as e:
+                        self._send(403, {"msg": str(e)})
                 else:
                     self._send(404, {"msg": "not found"})
 
@@ -185,6 +198,11 @@ class MLSQLServer:
                 try:
                     if self.path.startswith("/run/script"):
                         self._send(200, outer.run_script(params))
+                    elif self.path.startswith("/upload_file"):
+                        self._send(200, outer.save_upload(
+                            params.get("owner", "admin"),
+                            params.get("fileName", ""),
+                            params.get("content", "")))
                     elif self.path.startswith("/killjob"):
                         ok = outer.jobs.cancel(params.get("groupId")
                                                or params.get("jobName", ""))
@@ -198,6 +216,41 @@ class MLSQLServer:
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True, name="mlsql-http")
+
+    # -- file transfer (reference: SQLUploadFileToServerExt /
+    # SQLDownloadExt REST file staging) ---------------------------------
+    def upload_dir(self, owner: str) -> str:
+        import tempfile
+        root = os.environ.get("MLSQL_UPLOAD_DIR") or os.path.join(
+            tempfile.gettempdir(), "streamingpro_uploads")
+        d = os.path.join(root, owner)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _safe_path(self, owner: str, file_name: str) -> str:
+        d = self.upload_dir(owner)
+        p = os.path.realpath(os.path.join(d, file_name))
+        if not p.startswith(os.path.realpath(d) + os.sep):
+            raise PermissionError("path escapes upload dir")
+        return p
+
+    def save_upload(self, owner: str, file_name: str, content_b64: str) -> dict:
+        """POST /upload_file {owner, fileName, content: base64} → staged
+        path loadable by a subsequent `load fmt.`path`` script."""
+        import base64
+        if not file_name:
+            raise ValueError("fileName is required")
+        p = self._safe_path(owner, file_name)
+        with open(p, "wb") as f:
+            f.write(base64.b64decode(content_b64))
+        return {"path": p, "size": os.path.getsize(p)}
+
+    def read_upload(self, owner: str, file_name: str) -> bytes:
+        """GET /download?owner=..&fileName=.. → raw bytes."""
+        if not file_name:
+            raise FileNotFoundError(file_name)
+        with open(self._safe_path(owner, file_name), "rb") as f:
+            return f.read()
 
     # -- core script execution (also usable without HTTP) ----------------
     def run_script(self, params: dict[str, Any]) -> Any:

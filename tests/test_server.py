@@ -160,3 +160,51 @@ def test_owner_views_persist_across_requests(server):
     data = _post(server.port, "/run/script",
                  {"sql": "select v from persisted_t as out;", "owner": "carol"})
     assert data == [{"v": 99}]
+
+
+def test_upload_then_load_roundtrip(server, tmp_path):
+    import base64
+    csv = "name,v\na,1\nb,2\n"
+    up = _post(server.port, "/upload_file", {
+        "owner": "dave", "fileName": "t.csv",
+        "content": base64.b64encode(csv.encode()).decode()})
+    assert up["size"] == len(csv)
+    data = _post(server.port, "/run/script", {
+        "owner": "dave",
+        "sql": f"""
+        load csv.`{up["path"]}` where header="true" as up_t;
+        select name, cast(v as int) as v from up_t as output;
+        """})
+    assert sorted((d["name"], d["v"]) for d in data) == [("a", 1), ("b", 2)]
+
+
+def test_download_endpoint_and_traversal_guard(server):
+    import base64
+    _post(server.port, "/upload_file", {
+        "owner": "dave", "fileName": "blob.bin",
+        "content": base64.b64encode(b"\x00\x01payload").decode()})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/download?owner=dave&fileName=blob.bin",
+            timeout=30) as r:
+        assert r.read() == b"\x00\x01payload"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/download?owner=dave&fileName=../../etc/passwd",
+            timeout=30)
+    assert ei.value.code in (403, 404)
+
+
+def test_upload_ext_and_download_ext(server, engine, tmp_path):
+    src = tmp_path / "push.txt"
+    src.write_text("hello-transfer")
+    df = engine.execute(f"""
+    run command as UploadFileToServerExt.`` where path="{src}" and
+        url="http://127.0.0.1:{server.port}/upload_file" and owner="erin" as up;
+    """)
+    assert df.first()["status"] == 200
+    dst = tmp_path / "pulled.txt"
+    df2 = engine.execute(f"""
+    run command as DownloadExt.`` where from="file://{src}" and to="{dst}" as dl;
+    """)
+    assert df2.first()["bytes"] == len("hello-transfer")
+    assert dst.read_text() == "hello-transfer"
