@@ -45,6 +45,7 @@ MACROS: dict[str, str] = {
     "iterator": 'run command as IteratorCommand.`` where input="{}"',
     # reference CommandCollection.scala:34
     "jdbc": "run command as JDBC.`{}` where `driver-statement-0`='''{1}'''",
+    "plugin": 'run command as PluginCommand.`` where action="{}" and name="{1}"',
 }
 
 

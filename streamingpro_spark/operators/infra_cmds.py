@@ -10,6 +10,7 @@ the statement surface (macros `!delta`, `!kafkaTool`, `!callback`,
 from __future__ import annotations
 
 import json
+import os
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
@@ -122,6 +123,41 @@ class MLSQLEventCommand(ETAlgorithm):
         listener = get_listener(spark)
         listener.add_callback(events, http_callback(url))
         return spark.createDataFrame([(url, events)], "url: string, events: string")
+
+
+@register_et("PluginCommand")
+class PluginCommand(ETAlgorithm):
+    """`!plugin add <module-or-path>` — runtime ET plugins
+    (reference: tech/mlsql/ets/PluginCommand.scala installs jar plugins
+    into the running engine; the Python-native equivalent imports a
+    module / exec's a .py file whose top level calls
+    `streamingpro_spark.operators.registry.register_et`).
+
+    Output: the ET names newly registered by the plugin.
+    """
+
+    def train(self, df, path, params, context=None):
+        import importlib
+        spark = df.sparkSession
+        action = params.get("action", "add")
+        name = params.get("name") or path
+        from streamingpro_spark.operators import registry as _reg
+        if action not in ("add", "load"):
+            raise ValueError(f"!plugin: unsupported action {action!r} "
+                             "(supported: add)")
+        if not name:
+            raise ValueError("!plugin add <module-or-path>")
+        before = set(_reg._REGISTRY)
+        if name.endswith(".py") or os.sep in name:
+            scope: dict = {"__name__": f"sp_plugin_{os.path.basename(name)}"}
+            with open(name, encoding="utf-8") as f:
+                code = f.read()
+            exec(compile(code, name, "exec"), scope)  # noqa: S102
+        else:
+            importlib.import_module(name)
+        added = sorted(set(_reg._REGISTRY) - before)
+        return spark.createDataFrame(
+            [(name, ",".join(added))], "plugin: string, registered: string")
 
 
 @register_et("PythonCommand")

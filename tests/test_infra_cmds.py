@@ -115,3 +115,25 @@ def test_save_mode_error_names_culprit(engine):
     import pytest as _pytest
     with _pytest.raises(Exception, match="invalid save mode 'frobnicate'"):
         engine.execute("select 1 as x as t1; save frobnicate t1 as parquet.`/tmp/zz`;")
+
+
+def test_plugin_add_registers_et(engine, tmp_path):
+    plugin = tmp_path / "myplugin.py"
+    plugin.write_text("""
+from pyspark.sql import functions as F
+from streamingpro_spark.operators.base import ETAlgorithm
+from streamingpro_spark.operators.registry import register_et
+
+@register_et("DoubleUp")
+class DoubleUp(ETAlgorithm):
+    def train(self, df, path, params, context=None):
+        col = params.get("col", "v")
+        return df.withColumn(col, F.col(col) * 2)
+""")
+    out = engine.execute(f"!plugin add {plugin};")
+    assert "DoubleUp" in out.first()["registered"]
+    df = engine.execute("""
+    select 21 as v as t_in;
+    run t_in as DoubleUp.`` as t_out;
+    """)
+    assert df.first()["v"] == 42
