@@ -899,6 +899,49 @@ having sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) * 500 > (
 order by part_value desc, l_partkey
 """
 
+# classic wordcount over documents: explode (lateral view surface) + agg.
+# Deterministic cut: full (freq desc, token asc) order before the limit.
+_WORDCOUNT_SPARK = """
+select token, cast(count(*) as bigint) as freq
+from (select explode(split(lower(text), '\\\\s+')) as token from documents)
+where token <> ''
+group by token
+order by freq desc, token
+limit 20
+"""
+
+_WORDCOUNT_DUCK = """
+select token, cast(count(*) as bigint) as freq
+from (select unnest(string_split_regex(lower(text), '\\s+')) as token
+      from documents)
+where token <> ''
+group by token
+order by freq desc, token
+limit 20
+"""
+
+# exact linear-interpolation percentiles (Spark percentile == DuckDB
+# quantile_cont); round(4) absorbs the ~1e-15 interpolation fp noise
+_PERCENTILES_SPARK = """
+select o_orderstatus,
+       round(percentile(o_totalprice, 0.5), 4) as p50,
+       round(percentile(o_totalprice, 0.9), 4) as p90,
+       round(percentile(o_totalprice, 0.99), 4) as p99
+from orders
+group by o_orderstatus
+order by o_orderstatus
+"""
+
+_PERCENTILES_DUCK = """
+select o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) as p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) as p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) as p99
+from orders
+group by o_orderstatus
+order by o_orderstatus
+"""
+
 # q16 adapted: supplier-count per part attribute over lineitem (no partsupp),
 # NOT IN over a supplier sub-select (6 negative-acctbal suppliers in fixtures).
 _Q16 = """
@@ -1365,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": sql_q(_Q2, ["part", "supplier", "lineitem", "nation"]),
         "q11_important_parts": sql_q(_Q11, ["lineitem", "supplier", "nation"]),
         "q16_supplier_count": sql_q(_Q16, ["lineitem", "part", "supplier"]),
+        "wordcount_top20": sql_q(_WORDCOUNT_SPARK, ["documents"]),
+        "percentiles_by_status": sql_q(_PERCENTILES_SPARK, ["orders"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
         "cube_lineitem": sql_q(_CUBE, ["lineitem"]),
         "window_lead_lag": sql_q(_LEAD_LAG, ["orders"]),
@@ -1445,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": _Q2,
         "q11_important_parts": _Q11,
         "q16_supplier_count": _Q16,
+        "wordcount_top20": _WORDCOUNT_DUCK,
+        "percentiles_by_status": _PERCENTILES_DUCK,
         "grouping_sets_orders": _GROUPING_SETS,
         "cube_lineitem": _CUBE,
         "window_lead_lag": _LEAD_LAG,
