@@ -215,3 +215,43 @@ def test_foreach_batch_script_sink(engine, sf_dir, tmp_path):
     got = engine.spark.read.parquet(str(out))
     assert got.count() > 0
     assert set(got.columns) == {"user_id", "sv"}
+
+
+def test_stream_stream_join(engine, sf_dir, tmp_path):
+    """Watermarked stream-stream inner join with a time-range condition
+    (view within 30 min after a click), verified against the batch
+    ground truth on the same fixture."""
+    spark = engine.spark
+    engine.execute(f"""
+    set streamName = "ssj";
+    load streamParquet.`{sf_dir}/events.parquet` where eventTimeCol="ts"
+        and delayThreshold="2 hours" as ssj_clicks;
+    load streamParquet.`{sf_dir}/events.parquet` where eventTimeCol="ts"
+        and delayThreshold="2 hours" as ssj_views;
+    select c.user_id, c.ts as click_ts, v.ts as view_ts
+    from ssj_clicks c join ssj_views v
+      on c.user_id = v.user_id
+     and v.ts >= c.ts and v.ts <= c.ts + interval 30 minutes
+     and c.event_type = 'click' and v.event_type = 'view' as ssj_joined;
+    save append ssj_joined as memory.`` where checkpointLocation="{tmp_path}/ckssj"
+        and duration="0" and queryName="ssj";
+    """)
+    q = engine.context.jobs.get("ssj")
+    assert q is not None
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) as n from ssj").first()["n"]
+    finally:
+        q.stop()
+    engine.context.stream_name = None   # back to batch mode
+    expected = engine.execute(f"""
+    load parquet.`{sf_dir}/events.parquet` as ev_batch;
+    select count(*) as n
+    from ev_batch c join ev_batch v
+      on c.user_id = v.user_id
+     and v.ts >= c.ts and v.ts <= c.ts + interval 30 minutes
+     and c.event_type = 'click' and v.event_type = 'view' as out;
+    """).first()["n"]
+    assert expected > 0
+    assert got == expected
