@@ -86,10 +86,16 @@ class Engine:
     def execute(self, script: str) -> "DataFrame | None":
         """Run a script; returns the DataFrame of the last select/output
         table (the reference returns ``getLastSelectTable`` —
-        RestController.scala:239-266).  last_table is per-execute, like
-        the reference's per-request ScriptSQLExecListener — an empty
-        script must not replay the previous request's result."""
+        RestController.scala:239-266).  last_table, streamName and the
+        !if branch stack are per-execute, like the reference's
+        per-request ScriptSQLExecListener — an empty script must not
+        replay the previous request's result, and a batch script after a
+        streaming one must not silently stay in stream mode.  (env /
+        connect / session caches persist across execute() by design —
+        REPL-style session state.)"""
         self.context.last_table = None
+        self.context.stream_name = None
+        self.context.branch_stack = []
         try:
             for raw in P.split_statements(script):
                 self._execute_statement(raw)

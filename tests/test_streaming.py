@@ -61,7 +61,6 @@ def test_stream_watermark_option(engine, sf_dir, tmp_path):
 
 
 def test_with_watermark_macro(engine, sf_dir):
-    engine.context.stream_name = None
     df = engine.execute(f"""
     set streamName = "wm2";
     load streamParquet.`{sf_dir}/events.parquet` as ev2;
@@ -144,7 +143,6 @@ def test_mock_stream(engine, tmp_path):
 
 def test_stateful_count(engine, sf_dir, tmp_path):
     """applyInPandasWithState running per-key aggregate across batches."""
-    engine.context.stream_name = None
     engine.execute(f"""
     set streamName = "statecount";
     load streamParquet.`{sf_dir}/events.parquet` as sev;
@@ -171,7 +169,6 @@ def test_stateful_count(engine, sf_dir, tmp_path):
 
 
 def test_streaming_dedup(engine, sf_dir, tmp_path):
-    engine.context.stream_name = None
     engine.execute(f"""
     set streamName = "sdedup";
     load streamParquet.`{sf_dir}/events.parquet` as dev;
@@ -195,7 +192,6 @@ def test_streaming_dedup(engine, sf_dir, tmp_path):
 def test_foreach_batch_script_sink(engine, sf_dir, tmp_path):
     """`save ... as custom.`` where batchScript=...` runs an MLSQL
     sub-script per micro-batch (reference MLSQLForeachBatchRunner)."""
-    engine.context.stream_name = None
     out = tmp_path / "fb_out"
     engine.execute(f"""
     set streamName = "fbstream";
@@ -244,7 +240,6 @@ def test_stream_stream_join(engine, sf_dir, tmp_path):
             "select count(*) as n from ssj").first()["n"]
     finally:
         q.stop()
-    engine.context.stream_name = None   # back to batch mode
     expected = engine.execute(f"""
     load parquet.`{sf_dir}/events.parquet` as ev_batch;
     select count(*) as n
