@@ -880,8 +880,10 @@ limit 100
 """
 
 # q11 adapted: no partsupp — part "stock value" is sum(price*qty) per part for
-# one nation's suppliers, HAVING > 1/500 of the nation total (scalar subquery).
-# Decimal per-row cast + integer-factor compare keep the threshold exact.
+# one nation's suppliers, HAVING above 2× the average part value (scalar
+# subqueries).  The relative threshold stays non-degenerate at every SF
+# (a fixed fraction-of-total returned 0 rows at sf0.1); decimal per-row
+# cast + integer-only multiplications keep the compare exact cross-engine.
 _Q11 = """
 select l_partkey,
        cast(sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) as double) as part_value
@@ -890,7 +892,12 @@ join supplier on s_suppkey = l_suppkey
 join nation on s_nationkey = n_nationkey
 where n_name = 'NATION_7'
 group by l_partkey
-having sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) * 500 > (
+having sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) * (
+  select count(distinct l_partkey)
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join nation on s_nationkey = n_nationkey
+  where n_name = 'NATION_7') > 2 * (
   select sum(cast(l_extendedprice * l_quantity as decimal(18, 2)))
   from lineitem
   join supplier on s_suppkey = l_suppkey
