@@ -22,15 +22,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "top_customers_per_nation",
     "running_total",
     "events_tumbling",
     "events_sessionize",
     "events_asof_join",
+    "wordcount_top20",
     "exact_dedup",
     "minhash_dedup",
     "simhash_fingerprint",
     "embedding_topk",
+    "ivf_topk",
     "language_id",
     "quality_score",
     "token_count",

@@ -33,9 +33,33 @@ if TYPE_CHECKING:
 
 
 def dot_col(a: Column, b: Column) -> Column:
-    """Dot product of two array columns — JVM-side fold."""
+    """Dot product of two array columns — JVM-side fold.  NOTE: Catalyst
+    higher-order functions are INTERPRETED; fine for a handful of pairs,
+    use `pair_dot_udf` (vectorized Arrow+numpy) in bulk rerank paths."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
+
+
+_pair_dot_udf = None
+
+
+def pair_dot_udf():
+    """Rounded (4dp) pairwise dot of two array columns as one einsum per
+    Arrow batch — ~64 interpreted folds/row made the IVF full-probe
+    rerank 6-7s at sf0.1; this is sub-second."""
+    global _pair_dot_udf
+    if _pair_dot_udf is None:
+        def pair_dot(a, b):
+            import numpy as _np
+            import pandas as _pd
+            A = _np.array([list(x) for x in a], dtype=float)
+            B = _np.array([list(x) for x in b], dtype=float)
+            if A.size == 0:
+                return _pd.Series([], dtype=float)
+            return _pd.Series(_np.round(_np.einsum("ij,ij->i", A, B), 4))
+
+        _pair_dot_udf = F.pandas_udf(pair_dot, "double")
+    return _pair_dot_udf
 
 
 def norm_col(a: Column) -> Column:
@@ -206,13 +230,13 @@ class LSHSimilaritySearch(ETAlgorithm):
                   .join(with_sig.select(F.col("__id").alias("neighbor_id"),
                                         F.col("__v").alias("__n")), "neighbor_id")
                   .select("query_id", "neighbor_id",
-                          dot_col(F.col("__q"), F.col("__n")).alias("cosine")))
+                          pair_dot_udf()(F.col("__q"), F.col("__n"))
+                           .alias("cosine")))
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id",
-                        F.round("cosine", 4).alias("cosine"), "rank"))
+                .select("query_id", "neighbor_id", "cosine", "rank"))
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
@@ -230,17 +254,15 @@ class IVFSimilaritySearch(ETAlgorithm):
 
     Index: spherical k-means centroids trained on a bounded driver-side
     sample (`trainSample` rows — standard IVF practice; index quality,
-    not correctness, depends on the sample), broadcast to executors;
-    every corpus vector is assigned to its nearest centroid with ONE
-    BLAS matmul per Arrow batch (map-only stage, no shuffle).  Query:
-    each query probes its `nprobe` nearest cells and re-ranks exact
-    cosine only within them.
-
-    Shuffle profile at 100 TB: the candidate join is keyed by cell id —
-    `nlist` keys, so size nlist ≫ executor count (4×sqrt(N) rule) and
-    let AQE split skewed cells; the final top-k window shuffles by
-    query id (uniform).  Scanned fraction ≈ nprobe/nlist of the corpus
-    per query vs 1.0 for brute force.
+    not correctness, depends on the sample).  Queries are driver-bounded
+    (same contract as SimilaritySearch); their probe cells are computed
+    driver-side.  The corpus streams through ONE mapInPandas pass that
+    fuses cell-assign + probe-mask + dot + batch-local top-k (batch
+    selection uses the final merge order, so partials compose exactly);
+    the only shuffle is partitions×|Q|×k partial rows.  Compute per
+    batch is masked to ≈ nprobe/nlist of the query columns vs 1.0 for
+    brute force; at 100 TB, persist the corpus bucketed by cell id and
+    the scan itself prunes to the probed cells.
 
     `nprobe >= nlist` degenerates to exact brute-force search — that
     configuration is what the DuckDB oracle checks; recall at
@@ -259,12 +281,21 @@ class IVFSimilaritySearch(ETAlgorithm):
         sample_n = get_int(params, "trainSample", 10000)
         df = ensure_parallelism(df)
 
+        # raw arrays; L2 normalization happens in numpy (driver for
+        # sample/queries, kernel for the corpus) — normalized_col is an
+        # interpreted higher-order transform, a hot-path cost at 64 dims
         base = df.select(F.col(id_col).alias("__id"),
-                         normalized_col(F.col(col)).alias("__v"))
+                         F.col(col).alias("__v"))
+
+        def _l2(M):
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return M / n
 
         # --- train: Lloyd iterations on a driver sample (bounded memory) ---
-        sample = np.array([r[0] for r in base.select("__v").limit(sample_n).collect()],
-                          dtype=float)
+        sample = _l2(np.array(
+            [list(r[0]) for r in base.select("__v").limit(sample_n).collect()],
+            dtype=float))
         nlist = min(nlist, len(sample))
         nprobe = min(nprobe, nlist)
         rng = np.random.RandomState(seed)
@@ -278,43 +309,58 @@ class IVFSimilaritySearch(ETAlgorithm):
                     n = np.linalg.norm(m)
                     if n > 0:
                         cent[c] = m / n
-        bc = df.sparkSession.sparkContext.broadcast(cent)
-        npr = nprobe
-
-        def nearest_cell(vs):
-            import numpy as _np
-            import pandas as _pd
-            C = bc.value
-            M = _np.array([list(v) for v in vs], dtype=float)
-            return _pd.Series((M @ C.T).argmax(axis=1).astype(int))
-
-        def probe_cells(vs):
-            import numpy as _np
-            import pandas as _pd
-            C = bc.value
-            M = _np.array([list(v) for v in vs], dtype=float)
-            order = _np.argsort(-(M @ C.T), kind="stable", axis=1)[:, :npr]
-            return _pd.Series([row.tolist() for row in order])
-
-        cell_udf = F.pandas_udf(nearest_cell, "int")
-        probe_udf = F.pandas_udf(probe_cells, "array<int>")
-
-        corpus = base.select("__id", "__v", cell_udf(F.col("__v")).alias("__cell"))
+        # queries: driver-bounded like SimilaritySearch (documented
+        # constraint) — probe cells computed driver-side, no extra stage
         qfilter = params.get("queryFilter", "true").replace(id_col, "__id")
-        queries = (base.filter(F.expr(qfilter))
-                   .select(F.col("__id").alias("query_id"),
-                           F.col("__v").alias("__q"),
-                           F.explode(probe_udf(F.col("__v"))).alias("__cell")))
+        qrows = base.filter(F.expr(qfilter)).select("__id", "__v").collect()
+        qids = np.array([r[0] for r in qrows])
+        Q = _l2(np.array([list(r[1]) for r in qrows], dtype=float))
+        probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]
+        member = np.zeros((max(len(qids), 1), nlist), dtype=bool)  # (q, nlist)
+        for j in range(len(qids)):
+            member[j, probe[j]] = True
+        bc = df.sparkSession.sparkContext.broadcast((cent, qids, Q, member))
+        kk = k
+        id_t = df.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
 
-        scored = (corpus.join(F.broadcast(queries), "__cell")
-                  .filter(F.col("__id") != F.col("query_id"))
-                  .select("query_id", F.col("__id").alias("neighbor_id"),
-                          F.round(dot_col(F.col("__q"), F.col("__v")), 4)
-                           .alias("cosine")))
+        # ONE mapInPandas pass fuses cell-assign + probe-mask + dot +
+        # batch-local top-k (same exact-compositionality argument as
+        # SimilaritySearch: batch selection uses the final merge order).
+        # A 3-python-stage join formulation measured 3x slower here —
+        # worker-pool spawns per stage dominate small-stage plans.
+        def part_topk(batches):
+            import numpy as _np
+            import pandas as _pd
+            C, _qids, _Q, _member = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(_qids):
+                    continue
+                M = _np.array([list(v) for v in pdf["__v"]], dtype=float)
+                nn = _np.linalg.norm(M, axis=1, keepdims=True)
+                nn[nn == 0] = 1.0
+                M = M / nn
+                cells = (M @ C.T).argmax(axis=1)            # (n,)
+                S = _np.round(M @ _Q.T, 4)                  # (n, q)
+                cids = pdf["__id"].to_numpy()
+                oq, on, oc = [], [], []
+                for j in range(len(_qids)):
+                    ok = _member[j, cells] & (cids != _qids[j])
+                    idx = _np.nonzero(ok)[0]
+                    if not idx.size:
+                        continue
+                    take = idx[_np.lexsort((cids[idx], -S[idx, j]))][:kk]
+                    oq.extend([_qids[j]] * len(take))
+                    on.extend(cids[take])
+                    oc.extend(S[take, j])
+                yield _pd.DataFrame(
+                    {"query_id": oq, "neighbor_id": on, "cosine": oc})
+
+        partials = base.mapInPandas(part_topk, out_schema)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+        return (partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kk)
                 .select("query_id", "neighbor_id", "cosine", "rank"))
 
     def explain_params(self):
