@@ -461,7 +461,7 @@ n AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.u, b.u), 4) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.u, b.u) >= 0.45
+WHERE round(list_dot_product(a.u, b.u), 4) >= 0.45
 """
 
 

@@ -333,7 +333,10 @@ class NgramJaccardDedup(ETAlgorithm):
 class EmbeddingDedup(ETAlgorithm):
     """Embedding-cosine near-dup pairs.  Baseline: blocked brute force
     (see similarity.py for the ANN path).  Vectors are L2-normalized
-    once, then cosine = dot product via `aggregate`/`zip_with` (JVM).
+    once; pair dots run in the vectorized Arrow+numpy kernel (interpreted
+    `aggregate` folds are the hot-path cost at 64 dims), and the
+    threshold compares the ROUNDED cosine so the oracle's filter sees
+    identical doubles.
     """
 
     def train(self, df, path, params, context=None):
@@ -341,14 +344,15 @@ class EmbeddingDedup(ETAlgorithm):
         col = params.get("embeddingCol", "embedding")
         threshold = get_float(params, "threshold", 0.95)
         df = ensure_parallelism(df)
-        from streamingpro_spark.operators.similarity import normalized_col, dot_col
+        from streamingpro_spark.operators.similarity import (normalized_col,
+                                                             pair_dot_udf)
         v = df.select(F.col(id_col).alias("__id"),
                       normalized_col(F.col(col)).alias("__v"))
         pairs = (v.alias("a").join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
                  .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                         dot_col(F.col("a.__v"), F.col("b.__v")).alias("cosine"))
-                 .filter(F.col("cosine") >= threshold)
-                 .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+                         pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
+                          .alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
         return pairs
 
     def explain_params(self):
