@@ -263,3 +263,14 @@ def test_xml_save_roundtrip(engine, tmp_path):
     """)
     rows = {(r["name"], r["v"]) for r in engine.spark.table("back").collect()}
     assert rows == {("a", 1), ("b", 2)}
+
+
+def test_every_macro_maps_to_registered_et():
+    import re
+    from streamingpro_spark.macros import MACROS
+    from streamingpro_spark.operators import registry
+    registry._ensure_loaded()
+    missing = [(n, m.group(1)) for n, tpl in MACROS.items()
+               if (m := re.search(r"as (\w+)\.", tpl))
+               and m.group(1) not in registry._REGISTRY]
+    assert missing == []
