@@ -62,7 +62,8 @@ def _wants_stream(ctx: "ExecutionContext", fmt: str) -> bool:
 
 def _spark_opts(options: dict[str, str]) -> dict[str, str]:
     skip = {"eventTimeCol", "delayThreshold", "valueFormat", "valueSchema",
-            "directQuery", "prePtnArray", "prePtnDelimiter", "fileNum"}
+            "directQuery", "prePtnArray", "prePtnDelimiter", "fileNum",
+            "bucketBy", "sortBy"}
     return {k: v for k, v in options.items() if k not in skip}
 
 
@@ -116,7 +117,7 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
     if ctx.is_stream() and fmt in ("parquet", "json", "csv", "text", "orc"):
         reader = ctx.spark.readStream
         if "schema" in options:
-            reader = reader.schema(options["schema"])
+            reader = reader.schema(_parse_schema_opt(options["schema"]))
         else:
             # file stream sources need an explicit schema: infer from a
             # batch peek (test convenience; prod passes `schema`)
@@ -126,7 +127,20 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
             reader = reader.option("pathGlobFilter", os.path.basename(real))
             real = os.path.dirname(real)
         return reader.format(fmt).options(**_spark_opts(options)).load(real)
-    return ctx.spark.read.format(fmt).options(**_spark_opts(options)).load(real)
+    reader = ctx.spark.read.format(fmt).options(**_spark_opts(options))
+    if "schema" in options:
+        reader = reader.schema(_parse_schema_opt(options["schema"]))
+    return reader.load(real)
+
+
+def _parse_schema_opt(spec: str):
+    """`schema` load option: DDL string (`a int, b string`) or the
+    reference's st(...) DSL (LoadAdaptor.scala:167-199 uses it for
+    kafka value decode; accepted here for any source)."""
+    if spec.strip().startswith("st("):
+        from streamingpro_spark.sources.value_parser import parse_schema_dsl
+        return parse_schema_dsl(spec.strip())
+    return spec
 
 
 @register_loader("streamParquet")
@@ -328,10 +342,24 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
     if fmt == "console":
         df.show(int(options.get("numRows", "20")), truncate=False)
         return
-    if fmt == "hive" or fmt == "table":
+    if fmt == "hive" or fmt == "table" or "bucketBy" in options:
         writer = df.write.mode(_norm_mode(stmt.mode))
+        if fmt not in ("hive", "table"):
+            writer = writer.format(fmt).options(**_spark_opts(options))
         if stmt.partition_by:
             writer = writer.partitionBy(*stmt.partition_by)
+        if "bucketBy" in options:
+            # bucketBy="8,join_key[,key2]" — hash-bucketed managed table;
+            # two tables bucketed the same way join WITHOUT a shuffle
+            # (the co-location strategy SCALE.md prescribes at 100 TB).
+            # Bucketing requires saveAsTable (Spark catalog manages it).
+            n, *cols = [s.strip() for s in options["bucketBy"].split(",")]
+            if not cols:
+                raise ValueError('bucketBy needs "numBuckets,col[,col...]"')
+            writer = writer.bucketBy(int(n), *cols)
+            if "sortBy" in options:
+                writer = writer.sortBy(*[s.strip()
+                                         for s in options["sortBy"].split(",")])
         writer.saveAsTable(path or stmt.path)
         return
     if fmt == "jdbc":

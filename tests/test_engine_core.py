@@ -274,3 +274,48 @@ def test_every_macro_maps_to_registered_et():
                if (m := re.search(r"as (\w+)\.", tpl))
                and m.group(1) not in registry._REGISTRY]
     assert missing == []
+
+
+def test_save_bucketed_join_has_no_shuffle(engine, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an exchange —
+    the co-located join strategy for repeated large joins at scale."""
+    import uuid
+    spark = engine.spark
+    sfx = uuid.uuid4().hex[:8]
+    engine.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as o_src;
+    load parquet.`{sf_dir}/lineitem.parquet` as l_src;
+    save overwrite o_src as parquet.`bkt_orders_{sfx}` where bucketBy="4,o_orderkey";
+    save overwrite l_src as parquet.`bkt_lineitem_{sfx}` where bucketBy="4,l_orderkey";
+    """)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql(f"""
+            select o.o_orderkey, count(*) as n
+            from bkt_orders_{sfx} o join bkt_lineitem_{sfx} l
+              on o.o_orderkey = l.l_orderkey
+            group by o.o_orderkey
+        """)
+        assert joined.count() > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed-on-key tables sort-merge join with NO shuffle exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_load_with_schema_option(engine, tmp_path):
+    (tmp_path / "d.csv").write_text("1,a\n2,b\n")
+    df = engine.execute(f"""
+    load csv.`{tmp_path}/d.csv` where schema="v int, name string" as t_ddl;
+    select sum(v) as s from t_ddl as out;
+    """)
+    assert df.first()["s"] == 3
+    df2 = engine.execute(f"""
+    load csv.`{tmp_path}/d.csv` where
+        schema="st(field(v,integer),field(name,string))" as t_dsl;
+    select name from t_dsl where v = 2 as out2;
+    """)
+    assert df2.first()["name"] == "b"
