@@ -1298,6 +1298,19 @@ from customer left join nation on c_nationkey = n_nationkey
 # Non-SQL-expressible ops (iterative / model-based): queries() entries
 # WITHOUT oracle_sql — the driver records the weaker rows-only check.
 
+def _q_approx_distinct(spark, sf_dir):
+    """HLL approx aggregates (rows-only: HLL sketches are
+    implementation-specific across engines, values differ by design)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'lineitem')}
+    select l_returnflag,
+           approx_count_distinct(l_partkey) as approx_parts,
+           approx_percentile(l_extendedprice, 0.5) as approx_median
+    from lineitem group by l_returnflag order by l_returnflag as output;
+    """)
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the nation→region membership graph (iterative —
     no closed-form SQL oracle)."""
@@ -1438,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_lookup": _q_map_lookup,
         # iterative / approximate / model ops — rows-only checks
         "pagerank": _q_pagerank,
+        "approx_distinct": _q_approx_distinct,
         "lsh_similarity": _q_lsh_similarity,
         "tfidf_featurize": _q_tfidf,
         "ml_train_predict": _q_ml_train_predict,
