@@ -60,11 +60,16 @@ def _tables_in_sql(sql: str, spark: "SparkSession | None") -> list[str]:
         try:
             jplan = (spark._jsparkSession.sessionState().sqlParser()
                      .parsePlan(sql))
-            # UnresolvedRelation leaves render as 'UnresolvedRelation [name]
-            names = re.findall(r"'UnresolvedRelation \[([^\]]+)\]",
-                               jplan.treeString())
+            tree = jplan.treeString()
+            # UnresolvedRelation leaves render as 'UnresolvedRelation [name];
+            # CTE aliases ('CTE [t, u]' header) are not real inputs
+            ctes = {n.strip() for m in re.findall(r"^CTE \[([^\]]+)\]", tree,
+                                                  re.MULTILINE)
+                    for n in m.split(",")}
+            names = re.findall(r"'UnresolvedRelation \[([^\]]+)\]", tree)
             if names:
-                return sorted({n.split(", ")[0] for n in names})
+                return sorted({n.split(", ")[0] for n in names
+                               if n.split(", ")[0] not in ctes})
         except Exception:
             pass
     return sorted({m.group(1) for m in _FROM_JOIN_RE.finditer(sql)
