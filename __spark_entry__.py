@@ -119,11 +119,16 @@ from orders
 group by rollup(o_orderstatus, o_orderpriority)
 """
 
+# decimal-exact sums; rounding via decimal cast (sum) and integer floor
+# (avg) — round() on a double diverges cross-engine at representation
+# boundaries (Spark rounds the shortest decimal repr, DuckDB the binary)
 _TUMBLING = """
 select date_trunc('hour', ts) as hour_start, event_type,
        count(*) as n_events,
-       round(sum(value), 2) as sum_value,
-       round(avg(value), 4) as avg_value
+       cast(cast(sum(cast(value as decimal(18, 6))) as decimal(18, 2))
+            as double) as sum_value,
+       floor(cast(sum(cast(value as decimal(18, 6))) as double)
+             / count(*) * 10000 + 0.5) / 10000 as avg_value
 from events
 group by date_trunc('hour', ts), event_type
 """
@@ -173,8 +178,11 @@ with base as (
   select user_id, CAST(floor(epoch(ts)) AS BIGINT) as tss from events
 ),
 marked as (
+  -- STRICT > : Spark's session_window merges an event landing exactly
+  -- at prev_end (gap == 1800s merges — observed on the sf0.1 fixture,
+  -- user 511; a >= split diverged by one session)
   select user_id, tss,
-         case when lag(tss) over w is null or tss - lag(tss) over w >= 1800
+         case when lag(tss) over w is null or tss - lag(tss) over w > 1800
               then 1 else 0 end as ns
   from base window w as (partition by user_id order by tss)
 ),
