@@ -250,3 +250,30 @@ def test_stream_stream_join(engine, sf_dir, tmp_path):
     """).first()["n"]
     assert expected > 0
     assert got == expected
+
+
+def test_streaming_session_window(engine, sf_dir, tmp_path):
+    """Native session_window aggregation in a streaming query with a
+    watermark (SURVEY §2.7: session windows are a free Spark upgrade)."""
+    spark = engine.spark
+    engine.execute(f"""
+    set streamName = "sesswin";
+    load streamParquet.`{sf_dir}/events.parquet` where eventTimeCol="ts"
+        and delayThreshold="1 hour" as sw_ev;
+    select session_window(ts, '30 minutes') as sw, user_id, count(*) as n
+    from sw_ev group by session_window(ts, '30 minutes'), user_id as sw_agg;
+    save append sw_agg as memory.`` where checkpointLocation="{tmp_path}/cksw"
+        and duration="0" and queryName="sesswin";
+    """)
+    q = engine.context.jobs.get("sesswin")
+    assert q is not None
+    try:
+        q.processAllAvailable()
+        # append mode only emits sessions finalized by the watermark;
+        # with a bounded fixture most sessions close
+        n = spark.sql("select count(*) as c from sesswin").first()["c"]
+        assert n > 0
+        row = spark.sql("select sw.start, sw.end, n from sesswin limit 1").first()
+        assert row["end"] >= row["start"] and row["n"] >= 1
+    finally:
+        q.stop()
