@@ -585,6 +585,49 @@ FROM documents
 """
 
 
+def _q_pii_redact(spark, sf_dir):
+    # the synthetic corpus has no natural PII, so the query plants a
+    # deterministic email/phone/ip per row (built from doc_id identically
+    # in both engines) and the oracle mirrors the same regex chain
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           concat(text, ' contact user', cast(doc_id as string),
+                  '@example.com or +1 555-01', cast(doc_id % 90 + 10 as string),
+                  ' at 10.0.0.', cast(doc_id % 250 as string)) as text
+    from documents as pii_docs;
+    run pii_docs as PiiRedact.`` as red_out;
+    select doc_id, n_emails, n_phones, n_ips, text_redacted
+    from red_out as output;
+    """)
+
+
+_PII_REDACT_ORACLE = """
+WITH pii AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or +1 555-01', CAST(doc_id % 90 + 10 AS VARCHAR),
+                ' at 10.0.0.', CAST(doc_id % 250 AS VARCHAR)) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{6,}\\d')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text,
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+?\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g') AS text_redacted
+FROM pii
+"""
+
+
 def _q_image_metadata(spark, sf_dir):
     # decode is stubbed deterministically on byte length (no image libs in
     # container) — which makes the full mapInPandas plumbing ORACLE-checkable:
@@ -1478,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
+        "pii_redact": _q_pii_redact,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -1550,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "pii_redact": _PII_REDACT_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -143,6 +143,40 @@ class TokenCount(ETAlgorithm):
         return [("contentCol", "text column", "text")]
 
 
+@register_et("PiiRedact")
+class PiiRedact(ETAlgorithm):
+    """Training-data PII scrub: redact emails / phone numbers / IPv4
+    addresses from a text column, with per-category match counts.
+
+    Pure codegen regexp chain (regexp_count + regexp_replace) — per-row,
+    no shuffle, no Python; the conservative regex subset is shared with
+    RE2 so the DuckDB oracle runs the identical patterns.  Redaction
+    order: email → ipv4 → phone (counts are taken on the original
+    text per category).
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\+?\d[\d\- ]{6,}\d"
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        c = F.col(col)
+        red = F.regexp_replace(c, self.EMAIL, "<EMAIL>")
+        red = F.regexp_replace(red, self.IPV4, "<IP>")
+        red = F.regexp_replace(red, self.PHONE, "<PHONE>")
+        return (df.withColumn("n_emails",
+                              F.regexp_count(c, F.lit(self.EMAIL)).cast("long"))
+                  .withColumn("n_ips",
+                              F.regexp_count(c, F.lit(self.IPV4)).cast("long"))
+                  .withColumn("n_phones",
+                              F.regexp_count(c, F.lit(self.PHONE)).cast("long"))
+                  .withColumn("text_redacted", red))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text")]
+
+
 @register_et("DocFingerprint")
 class DocFingerprint(ETAlgorithm):
     """Content fingerprints: md5 digest, 60-bit content hash, and a

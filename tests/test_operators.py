@@ -388,3 +388,14 @@ def test_feature_extract_in_place(engine):
     other = next(r for r in rows if "bob" not in r["doc"])
     assert mail_row["email"] >= 1 and mail_row["url"] >= 1
     assert other["email"] == 0 and other["length"] > 0
+
+
+def test_pii_redact(engine):
+    df = engine.execute("""
+    select 'mail a.b@x.io or call +1 555-123-4567 from 192.168.0.1 ok' as text,
+           1 as id as t;
+    run t as PiiRedact.`` as out;
+    """)
+    r = df.first()
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
+    assert r["text_redacted"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
