@@ -1,0 +1,53 @@
+"""Physical-plan quality gates (the 100 TB story, enforced):
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, JVM-only operators keep Python out of the hot path."""
+
+import re
+
+import pytest
+
+
+def _plan(spark, name, sf_dir):
+    import __spark_entry__ as em
+    df = em.queries()[name](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "q6_revenue_forecast", sf_dir)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the 4 referenced lineitem columns are read, not all 11
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = _plan(spark, "q5_local_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    # map-side combine: partial_ agg functions before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_token_count_no_python_in_plan(spark, sf_dir):
+    plan = _plan(spark, "token_count", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redact_no_python_in_plan(spark, sf_dir):
+    plan = _plan(spark, "pii_redact", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "exact_dedup", sf_dir)
+    # dedup-by-key needs exactly one hash-partitioning exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
