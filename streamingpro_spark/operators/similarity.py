@@ -21,6 +21,8 @@ path wins (see MinHash/SimHash kernel notes).
 
 from __future__ import annotations
 
+import re
+
 from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, Window, functions as F
@@ -214,7 +216,8 @@ class LSHSimilaritySearch(ETAlgorithm):
         expl = F.posexplode("__sigs")
         tables = with_sig.select("__id", expl).withColumnRenamed("pos", "__t") \
                          .withColumnRenamed("col", "__sig")
-        qfilter = params.get("queryFilter", "true").replace(id_col, "__id")
+        qfilter = re.sub(rf"\b{re.escape(id_col)}\b", "__id",
+                         params.get("queryFilter", "true"))
         queries = with_sig.filter(F.expr(qfilter))
         q_tables = (queries.select(F.col("__id").alias("query_id"), expl)
                     .withColumnRenamed("pos", "__t")
@@ -311,7 +314,8 @@ class IVFSimilaritySearch(ETAlgorithm):
                         cent[c] = m / n
         # queries: driver-bounded like SimilaritySearch (documented
         # constraint) — probe cells computed driver-side, no extra stage
-        qfilter = params.get("queryFilter", "true").replace(id_col, "__id")
+        qfilter = re.sub(rf"\b{re.escape(id_col)}\b", "__id",
+                         params.get("queryFilter", "true"))
         qrows = base.filter(F.expr(qfilter)).select("__id", "__v").collect()
         qids = np.array([r[0] for r in qrows])
         Q = _l2(np.array([list(r[1]) for r in qrows], dtype=float))
