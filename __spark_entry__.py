@@ -957,6 +957,28 @@ having sum(cast(l_extendedprice * l_quantity as decimal(18, 2))) * (
 order by part_value desc, l_partkey
 """
 
+# bag-semantics set ops (INTERSECT ALL keeps min-multiplicity, EXCEPT ALL
+# subtracts multiplicities — distinct-variant set ops are a separate query)
+_SETOPS_ALL = """
+with f as (select o_orderpriority as v from orders where o_orderstatus = 'F'),
+     o as (select o_orderpriority as v from orders where o_orderstatus = 'O')
+select 'intersect_all' as op, v, cast(count(*) as bigint) as n
+from (select v from f intersect all select v from o) t1 group by v
+union all
+select 'except_all' as op, v, cast(count(*) as bigint) as n
+from (select v from f except all select v from o) t2 group by v
+order by op, v
+"""
+
+# correlated LATERAL subquery in FROM (per-nation top balance)
+_LATERAL = """
+select n.n_name, l.top_bal
+from nation n, lateral (
+  select round(max(c_acctbal), 2) as top_bal from customer c
+  where c.c_nationkey = n.n_nationkey) l
+order by n.n_name
+"""
+
 # classic wordcount over documents: explode (lateral view surface) + agg.
 # Deterministic cut: full (freq desc, token asc) order before the limit.
 _WORDCOUNT_SPARK = """
@@ -1479,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": sql_q(_Q2, ["part", "supplier", "lineitem", "nation"]),
         "q11_important_parts": sql_q(_Q11, ["lineitem", "supplier", "nation"]),
         "q16_supplier_count": sql_q(_Q16, ["lineitem", "part", "supplier"]),
+        "setops_all_variants": sql_q(_SETOPS_ALL, ["orders"]),
+        "lateral_top_balance": sql_q(_LATERAL, ["nation", "customer"]),
         "wordcount_top20": sql_q(_WORDCOUNT_SPARK, ["documents"]),
         "percentiles_by_status": sql_q(_PERCENTILES_SPARK, ["orders"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
@@ -1563,6 +1587,8 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": _Q2,
         "q11_important_parts": _Q11,
         "q16_supplier_count": _Q16,
+        "setops_all_variants": _SETOPS_ALL,
+        "lateral_top_balance": _LATERAL,
         "wordcount_top20": _WORDCOUNT_DUCK,
         "percentiles_by_status": _PERCENTILES_DUCK,
         "grouping_sets_orders": _GROUPING_SETS,
