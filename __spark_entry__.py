@@ -970,6 +970,16 @@ from (select v from f except all select v from o) t2 group by v
 order by op, v
 """
 
+# interval RANGE frame over a timestamp ordering (sliding 1h lookback)
+_INTERVAL_RANGE_FRAME = """
+select event_id,
+       cast(count(*) over (partition by user_id order by ts
+         range between interval 1 hour preceding and current row) as bigint)
+         as n_last_hour
+from events
+order by event_id
+"""
+
 # correlated LATERAL subquery in FROM (per-nation top balance)
 _LATERAL = """
 select n.n_name, l.top_bal
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": sql_q(_Q16, ["lineitem", "part", "supplier"]),
         "setops_all_variants": sql_q(_SETOPS_ALL, ["orders"]),
         "lateral_top_balance": sql_q(_LATERAL, ["nation", "customer"]),
+        "interval_range_frame": sql_q(_INTERVAL_RANGE_FRAME, ["events"]),
         "wordcount_top20": sql_q(_WORDCOUNT_SPARK, ["documents"]),
         "percentiles_by_status": sql_q(_PERCENTILES_SPARK, ["orders"]),
         "grouping_sets_orders": sql_q(_GROUPING_SETS, ["orders"]),
@@ -1589,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_count": _Q16,
         "setops_all_variants": _SETOPS_ALL,
         "lateral_top_balance": _LATERAL,
+        "interval_range_frame": _INTERVAL_RANGE_FRAME,
         "wordcount_top20": _WORDCOUNT_DUCK,
         "percentiles_by_status": _PERCENTILES_DUCK,
         "grouping_sets_orders": _GROUPING_SETS,
