@@ -1466,13 +1466,28 @@ def _q_tfidf(spark, sf_dir):
 # contract functions
 # ---------------------------------------------------------------------------
 
+# rows-only entries (no oracle): skipped by the deterministic-order wrap
+# (some return unsortable types like ml vectors)
+_ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
+              "tfidf_featurize", "ml_train_predict", "kmeans_clusters"}
+
+
+def _ordered(df: DataFrame) -> DataFrame:
+    """Total row order over all output columns (projection order, nulls
+    last) — mirrors the `ORDER BY ALL NULLS LAST` wrap on the oracle
+    side, so a row-order-sensitive value hash sees identical sequences
+    from both engines."""
+    from pyspark.sql import functions as F
+    return df.orderBy(*[F.col(c).asc_nulls_last() for c in df.columns])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sql_q(script_sql: str, tables: list[str]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _run(spark, sf_dir, tables, f"{script_sql.strip()} as output;")
         return run
 
-    return {
+    base = {
         # relational core
         "q1_pricing_summary": sql_q(_Q1, ["lineitem"]),
         "q3_shipping_priority": sql_q(_Q3, ["customer", "orders", "lineitem"]),
@@ -1562,9 +1577,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
     }
 
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _ordered(fn(spark, sf_dir))
+        return run
+
+    return {name: (fn if name in _ROWS_ONLY else wrap(fn))
+            for name, fn in base.items()}
+
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    base = {
         "q1_pricing_summary": _Q1,
         "q3_shipping_priority": _Q3,
         "q5_local_supplier": _Q5,
@@ -1636,3 +1659,8 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }
+    # same total row order as the Spark-side _ordered() wrap — projection
+    # order, nulls last — so order-sensitive value hashes match
+    return {name: "SELECT * FROM (" + sql.strip().rstrip(";")
+                  + ") __q ORDER BY ALL NULLS LAST"
+            for name, sql in base.items()}
