@@ -83,7 +83,9 @@ def main() -> None:
     select * from w2 as w3;
     """).write.mode("overwrite").format("noop").save()
 
-    qs = entrymod.queries()
+    # unwrapped: the compare-order wrap in queries() adds a global sort
+    # whose range-sampling re-executes each DAG (see base_queries docstring)
+    qs = entrymod.base_queries()
     timings: dict[str, float] = {}
     # best-of-2 per query: the build host has ambient load spikes that
     # inflate single measurements 3-10x; min-of-n is the standard
