@@ -319,3 +319,13 @@ def test_load_with_schema_option(engine, tmp_path):
     select name from t_dsl where v = 2 as out2;
     """)
     assert df2.first()["name"] == "b"
+
+
+def test_contract_registry_consistency():
+    """queries() minus oracle_sql() must be exactly the declared
+    rows-only set (keeps the deterministic-order wrap in sync)."""
+    import __spark_entry__ as em
+    assert set(em.queries()) - set(em.oracle_sql()) == em._ROWS_ONLY
+    assert set(em.oracle_sql()) <= set(em.queries())
+    for name, sql in em.oracle_sql().items():
+        assert "ORDER BY ALL" in sql, name
