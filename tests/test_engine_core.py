@@ -329,3 +329,16 @@ def test_contract_registry_consistency():
     assert set(em.oracle_sql()) <= set(em.queries())
     for name, sql in em.oracle_sql().items():
         assert "ORDER BY ALL" in sql, name
+
+
+def test_analyze_cte_excludes_aliases(engine, sf_dir):
+    from streamingpro_spark.analyzer import analyze
+    result = analyze(f"""
+    load parquet.`{sf_dir}/lineitem.parquet` as l;
+    with t as (select l_suppkey, sum(l_quantity) q from l group by l_suppkey)
+    select * from t where q > 5 as out;
+    """, engine.spark)
+    inputs = {i["table"] for i in result.as_dict()["inputs"]}
+    assert "l" in inputs and "t" not in inputs
+    outputs = {o["table"] for o in result.as_dict()["outputs"]}
+    assert "out" in outputs
