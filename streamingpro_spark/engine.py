@@ -203,8 +203,14 @@ class Engine:
         elif isinstance(stmt, P.RegisterStmt):
             self._do_register(stmt)
         elif isinstance(stmt, P.RawSqlStmt):
-            # insert/create/drop/refresh passthrough (InsertAdaptor etc.)
-            ctx.spark.sql(stmt.sql)
+            # insert/create/drop/refresh passthrough (InsertAdaptor etc.).
+            # Row-returning forms (explain/describe/show) become the
+            # script result so `explain select ...;` is usable from REST.
+            df = ctx.spark.sql(stmt.sql)
+            head = stmt.sql.lstrip().split(None, 1)[0].lower()
+            if head in ("explain", "describe", "desc", "show"):
+                df.createOrReplaceTempView("__raw_sql_result__")
+                ctx.set_last_table("__raw_sql_result__")
         else:
             raise ValueError(f"unhandled statement: {raw[:80]}")
 

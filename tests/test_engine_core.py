@@ -342,3 +342,11 @@ def test_analyze_cte_excludes_aliases(engine, sf_dir):
     assert "l" in inputs and "t" not in inputs
     outputs = {o["table"] for o in result.as_dict()["outputs"]}
     assert "out" in outputs
+
+
+def test_explain_and_describe_return_rows(engine):
+    df = engine.execute("select 1 as v as t_ex; explain select * from t_ex;")
+    assert df.columns == ["plan"]
+    assert "Scan" in df.first()["plan"] or "Project" in df.first()["plan"]
+    df2 = engine.execute("select 2 as v as t_de; describe t_de;")
+    assert {r["col_name"] for r in df2.collect()} == {"v"}
