@@ -51,3 +51,22 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "exact_dedup", sf_dir)
     # dedup-by-key needs exactly one hash-partitioning exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_partitioned_save_prunes_on_read(engine, sf_dir, tmp_path):
+    """save ... partitionBy → a partition-column predicate prunes the
+    scan to matching directories (PartitionFilters, not a full scan)."""
+    engine.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as orders_p;
+    save overwrite orders_p as parquet.`{tmp_path}/po` partitionBy o_orderstatus;
+    """)
+    df = engine.execute(f"""
+    load parquet.`{tmp_path}/po` as po;
+    select count(*) as n from po where o_orderstatus = 'F' as out;
+    """)
+    je = df._jdf.queryExecution()
+    plan = je.executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
+    assert df.first()["n"] > 0
