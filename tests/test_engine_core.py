@@ -350,3 +350,32 @@ def test_explain_and_describe_return_rows(engine):
     assert "Scan" in df.first()["plan"] or "Project" in df.first()["plan"]
     df2 = engine.execute("select 2 as v as t_de; describe t_de;")
     assert {r["col_name"] for r in df2.collect()} == {"v"}
+
+
+def test_integration_include_branch_udaf_et(engine):
+    """DslSpec-style chain: branch inside an included script variable,
+    pandas UDAF after an ET repartition.  (Note: Spark disallows mixing
+    GROUPED_AGG pandas UDFs with built-in aggregates in one agg — a
+    Spark restriction, not an engine one.)"""
+    df = engine.execute("""
+    set thresh = "2";
+    set body = '''
+    !if ":thresh > 1";
+      select explode(sequence(1, 6)) as v as nums;
+    !else;
+      select explode(sequence(1, 3)) as v as nums;
+    !fi;
+    ''';
+    include script.`body`;
+    set udaf = '''
+import pandas as pd
+def apply(s: pd.Series) -> float:
+    return float(s.max() - s.min())
+''';
+    register ScriptUDF.`udaf` as spread options dataType="double"
+        and methodName="apply" and udfType="udaf";
+    select v % 2 as grp, v from nums as grouped;
+    run grouped as TableRepartition.`` where partitionNum="2" as reparted;
+    select grp, spread(v) as spr from reparted group by grp order by grp as out;
+    """)
+    assert [(r["grp"], r["spr"]) for r in df.collect()] == [(0, 4.0), (1, 4.0)]
