@@ -332,28 +332,69 @@ class NgramJaccardDedup(ETAlgorithm):
 @register_et("EmbeddingDedup")
 class EmbeddingDedup(ETAlgorithm):
     """Embedding-cosine near-dup pairs.  Baseline: blocked brute force
-    (see similarity.py for the ANN path).  Vectors are L2-normalized
-    once; pair dots run in the vectorized Arrow+numpy kernel (interpreted
-    `aggregate` folds are the hot-path cost at 64 dims), and the
-    threshold compares the ROUNDED cosine so the oracle's filter sees
-    identical doubles.
+    (see similarity.py for the ANN scale paths).  The threshold compares
+    the ROUNDED (4dp) cosine so the oracle's filter sees identical
+    doubles.
+
+    When the corpus fits `broadcastLimit` rows (default 200k ids ×
+    dim doubles — executor-memory bounded), the whole normalized matrix
+    is broadcast and ONE mapInPandas pass does a blocked matmul per
+    Arrow batch, emitting only the above-threshold pairs — the
+    self-join formulation shipped |N|²/2 pair rows (two arrays each)
+    through Arrow (7.3s → ~1s at sf0.1).  Above the limit it falls
+    back to the distributed pair join (slow but unbounded); real scale
+    should use MinHash/LSH instead.
     """
 
     def train(self, df, path, params, context=None):
+        import numpy as np
         id_col = params.get("idCol", "vec_id")
         col = params.get("embeddingCol", "embedding")
         threshold = get_float(params, "threshold", 0.95)
+        limit = get_int(params, "broadcastLimit", 200_000)
         df = ensure_parallelism(df)
+        base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
+        head = base.limit(limit + 1).collect() if limit > 0 else []
+        if head and len(head) <= limit:
+            ids = np.array([r[0] for r in head])
+            M = np.array([list(r[1]) for r in head], dtype=float)
+            nn = np.linalg.norm(M, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            bc = df.sparkSession.sparkContext.broadcast((ids, M / nn))
+            thr = threshold
+            id_t = df.schema[id_col].dataType.simpleString()
+            out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
+
+            def block_pairs(batches):
+                import numpy as _np
+                import pandas as _pd
+                _ids, _M = bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    B = _np.array([list(v) for v in pdf["__v"]], dtype=float)
+                    bn = _np.linalg.norm(B, axis=1, keepdims=True)
+                    bn[bn == 0] = 1.0
+                    S = _np.round((B / bn) @ _M.T, 4)       # (b, N)
+                    bids = pdf["__id"].to_numpy()
+                    # id_a < id_b keeps each pair once across blocks
+                    mask = (S >= thr) & (bids[:, None] < _ids[None, :])
+                    ai, bi = _np.nonzero(mask)
+                    yield _pd.DataFrame({"id_a": bids[ai],
+                                         "id_b": _ids[bi],
+                                         "cosine": S[ai, bi]})
+
+            return base.mapInPandas(block_pairs, out_schema)
+        # corpus exceeds the broadcast bound: distributed pair join
         from streamingpro_spark.operators.similarity import (normalized_col,
                                                              pair_dot_udf)
-        v = df.select(F.col(id_col).alias("__id"),
-                      normalized_col(F.col(col)).alias("__v"))
-        pairs = (v.alias("a").join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
-                 .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                         pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
-                          .alias("cosine"))
-                 .filter(F.col("cosine") >= threshold))
-        return pairs
+        v = base.select("__id", normalized_col(F.col("__v")).alias("__n"))
+        return (v.alias("a").join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
+                .select(F.col("a.__id").alias("id_a"),
+                        F.col("b.__id").alias("id_b"),
+                        pair_dot_udf()(F.col("a.__n"), F.col("b.__n"))
+                         .alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
