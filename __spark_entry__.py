@@ -19,6 +19,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _engine(spark: SparkSession):
+    # fixture timestamps are naive (isAdjustedToUTC=false) — Spark reads
+    # them as LTZ and parses `timestamp '...'` literals in the SESSION
+    # timezone, so a non-UTC driver session would shift date-boundary
+    # comparisons vs the (timezone-naive) DuckDB oracle.  Pin UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from streamingpro_spark import Engine
     return Engine(spark)
 
