@@ -208,3 +208,16 @@ def test_upload_ext_and_download_ext(server, engine, tmp_path):
     """)
     assert df2.first()["bytes"] == len("hello-transfer")
     assert dst.read_text() == "hello-transfer"
+
+
+def test_execute_mode_analyze_over_http(server, sf_dir):
+    data = _post(server.port, "/run/script", {
+        "executeMode": "analyze",
+        "sql": f"""
+        load parquet.`{sf_dir}/nation.parquet` as nation;
+        select n_name from nation as out;
+        """})
+    inputs = {i["table"] for i in data["inputs"]}
+    assert "nation" in inputs
+    outputs = {o["table"] for o in data["outputs"]}
+    assert "out" in outputs
