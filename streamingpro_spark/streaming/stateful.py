@@ -58,6 +58,73 @@ class StatefulCount(ETAlgorithm):
                 ("valueCol", "numeric column to sum (optional)", "")]
 
 
+@register_et("StreamingSessionizer")
+class StreamingSessionizer(ETAlgorithm):
+    """Custom session assembly with EVENT-TIME STATE TIMEOUT — the state
+    machine `session_window` can't express (e.g. emit-on-close with
+    custom session payloads).  One running session per key; a session
+    closes (and emits) when the watermark passes last_event + gap.
+
+    `run stream_t as StreamingSessionizer.`` where keyCol="user_id" and
+    tsCol="ts" and gap="1800"` → (key, session_start, session_end,
+    n_events) rows, one per CLOSED session (append semantics).
+
+    Scale: state is per-key in the state store (one shuffle on key);
+    timeout eviction bounds state exactly like a watermark does.
+    Requires an upstream watermark on `tsCol` (load with eventTimeCol/
+    delayThreshold or `!withWatermark`)."""
+
+    def train(self, df, path, params, context=None):
+        key = params.get("keyCol", "user_id")
+        ts = params.get("tsCol", "ts")
+        gap = get_int(params, "gap", 1800)
+
+        def update(key_tuple, pdfs, state):
+            import numpy as np
+            import pandas as pd
+            out = []
+            if state.hasTimedOut:
+                start, last, n = state.get
+                out.append((key_tuple[0], start, last, n))
+                state.remove()
+            else:
+                secs = np.sort(np.concatenate(
+                    [(pdf[ts].astype("int64") // 1_000_000_000).to_numpy()
+                     for pdf in pdfs] or [np.array([], dtype="int64")]))
+                if secs.size:
+                    # islands: split the sorted batch wherever gap exceeded
+                    cuts = np.nonzero(np.diff(secs) > gap)[0] + 1
+                    islands = np.split(secs, cuts)
+                    cur = state.get if state.exists else None
+                    for isl in islands:
+                        mn, mx, cnt = int(isl[0]), int(isl[-1]), len(isl)
+                        if cur is not None and mn - cur[1] <= gap:
+                            cur = (min(cur[0], mn), max(cur[1], mx),
+                                   cur[2] + cnt)
+                        else:
+                            if cur is not None:
+                                out.append((key_tuple[0], *cur))
+                            cur = (mn, mx, cnt)
+                    state.update(cur)
+                    state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+            yield pd.DataFrame(
+                out, columns=["key", "session_start", "session_end", "n_events"])
+
+        return (df.groupBy(F.col(key))
+                .applyInPandasWithState(
+                    update,
+                    outputStructType=("key long, session_start long, "
+                                      "session_end long, n_events long"),
+                    stateStructType="start long, last long, n long",
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+    def explain_params(self):
+        return [("keyCol", "grouping key column", "user_id"),
+                ("tsCol", "event-time column (watermarked)", "ts"),
+                ("gap", "session inactivity gap, seconds", "1800")]
+
+
 @register_et("StreamingDedup")
 class StreamingDedup(ETAlgorithm):
     """Streaming exact-dedup on key columns within the watermark window

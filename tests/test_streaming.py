@@ -277,3 +277,60 @@ def test_streaming_session_window(engine, sf_dir, tmp_path):
         assert row["end"] >= row["start"] and row["n"] >= 1
     finally:
         q.stop()
+
+
+def test_streaming_sessionizer(engine, sf_dir, tmp_path):
+    """Custom stateful sessionizer with event-time timeout: sessions
+    closed by the watermark match the batch gaps-and-islands session
+    count for the same (closed) horizon."""
+    spark = engine.spark
+    engine.execute(f"""
+    set streamName = "sessionizer";
+    load streamParquet.`{sf_dir}/events.parquet` where eventTimeCol="ts"
+        and delayThreshold="1 second" as zev;
+    run zev as StreamingSessionizer.`` where keyCol="user_id" and tsCol="ts"
+        and gap="1800" as sessions;
+    """)
+    df = spark.table("sessions")
+    assert df.isStreaming
+    q = (df.writeStream.format("memory").queryName("sessionizer_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckz")).start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("""
+            select key, session_start, n_events from sessionizer_sink
+        """).collect()
+        assert rows, "no sessions closed by the watermark"
+        got = {(r["key"], r["session_start"]): r["n_events"] for r in rows}
+        # batch ground truth (sessions whose end+gap < max_ts - delay close)
+        batch = engine.execute(f"""
+        load parquet.`{sf_dir}/events.parquet` as zev_b;
+        with base as (
+          select user_id, cast(unix_timestamp(ts) as bigint) as tss from zev_b
+        ),
+        marked as (
+          select user_id, tss,
+                 case when lag(tss) over w is null
+                           or tss - lag(tss) over w > 1800
+                      then 1 else 0 end as ns
+          from base window w as (partition by user_id order by tss)
+        ),
+        sess as (
+          select user_id, tss,
+                 sum(ns) over (partition by user_id order by tss
+                               rows unbounded preceding) as sid
+          from marked
+        )
+        select user_id, min(tss) as session_start, count(*) as n_events,
+               max(tss) as session_end
+        from sess group by user_id, sid as out;
+        """).collect()
+        expected = {(r["user_id"], r["session_start"]): r["n_events"]
+                    for r in batch}
+        # every emitted session matches the batch session exactly
+        mismatches = {k: (v, expected.get(k)) for k, v in got.items()
+                      if expected.get(k) != v}
+        assert not mismatches, dict(list(mismatches.items())[:5])
+    finally:
+        q.stop()
