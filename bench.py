@@ -33,11 +33,13 @@ HEADLINE = [
     "exact_dedup",
     "minhash_dedup",
     "simhash_fingerprint",
+    "embedding_dedup",
     "embedding_topk",
     "ivf_topk",
     "language_id",
     "quality_score",
     "token_count",
+    "pii_redact",
 ]
 
 
