@@ -379,3 +379,16 @@ def apply(s: pd.Series) -> float:
     select grp, spread(v) as spr from reparted group by grp order by grp as out;
     """)
     assert [(r["grp"], r["spr"]) for r in df.collect()] == [(0, 4.0), (1, 4.0)]
+
+
+def test_branch_expression_functions(engine):
+    df = engine.execute("""
+    set name = "abc";
+    set csv = "x,y,z";
+    !if '''startsWith(:name, "ab") and len(split(:csv)) == 3''';
+      select "yes" as v as out;
+    !else;
+      select "no" as v as out;
+    !fi;
+    """)
+    assert df.first()["v"] == "yes"
