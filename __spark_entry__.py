@@ -633,6 +633,48 @@ FROM pii
 """
 
 
+def _q_data_constraints(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DataConstraints.`` where rules='''{{
+      "notNull": ["doc_id", "text"],
+      "unique": ["doc_id"],
+      "min": {{"doc_id": 0}},
+      "max": {{"doc_id": 1000000000}}
+    }}''' as output;
+    """)
+
+
+_DATA_CONSTRAINTS_ORACLE = """
+SELECT 'notNull' AS rule, 'doc_id' AS column,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'notNull', 'text',
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'unique', 'doc_id',
+       CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
+       count(doc_id) = count(DISTINCT doc_id)
+FROM documents
+UNION ALL
+SELECT 'min', 'doc_id',
+       CAST(sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'max', 'doc_id',
+       CAST(sum(CASE WHEN doc_id > 1000000000 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN doc_id > 1000000000 THEN 1 ELSE 0 END) = 0
+FROM documents
+"""
+
+
 def _q_image_metadata(spark, sf_dir):
     # decode is stubbed deterministically on byte length (no image libs in
     # container) — which makes the full mapInPandas plumbing ORACLE-checkable:
@@ -1582,6 +1624,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
         "pii_redact": _q_pii_redact,
+        "data_constraints": _q_data_constraints,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -1668,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,
+        "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -429,3 +429,48 @@ class AsOfJoin(ETAlgorithm):
                 ("keyCol", "join key", "user_id"),
                 ("tsCol", "event-time column", "ts"),
                 ("valueCols", "right columns to carry (comma-separated)", "value")]
+
+
+@register_et("DataConstraints")
+class DataConstraints(ETAlgorithm):
+    """Deequ-style data-quality constraints in ONE aggregate pass
+    (training-data pipeline guardrail; no reference equivalent).
+
+    `run t as DataConstraints.`` where rules='''{"notNull": ["doc_id"],
+    "unique": ["doc_id"], "min": {"n": 0}, "max": {"n": 100}}'''`
+    → (rule, column, violations, passed) rows.
+
+    Scale: every rule compiles to an aggregate over the same scan —
+    map-side partial aggregation, a single job, no per-rule passes.
+    `unique` uses count_distinct (one expand); the result is a handful
+    of scalars so the driver materialization is O(rules).
+    """
+
+    def train(self, df, path, params, context=None):
+        import json as _json
+        rules = _json.loads(params.get("rules", "{}"))
+        aggs, meta = [], []
+        for c in rules.get("notNull", []):
+            aggs.append(F.sum(F.col(c).isNull().cast("long")))
+            meta.append(("notNull", c))
+        for c in rules.get("unique", []):
+            aggs.append(F.count(F.col(c)) - F.count_distinct(F.col(c)))
+            meta.append(("unique", c))
+        for c, v in rules.get("min", {}).items():
+            aggs.append(F.sum((F.col(c) < F.lit(v)).cast("long")))
+            meta.append(("min", c))
+        for c, v in rules.get("max", {}).items():
+            aggs.append(F.sum((F.col(c) > F.lit(v)).cast("long")))
+            meta.append(("max", c))
+        if not aggs:
+            raise ValueError("DataConstraints: rules json is empty — "
+                             'expected {"notNull": [...], "unique": [...], '
+                             '"min": {...}, "max": {...}}')
+        row = df.agg(*aggs).first()
+        out = [(rule, col, int(row[i] or 0), (row[i] or 0) == 0)
+               for i, (rule, col) in enumerate(meta)]
+        return df.sparkSession.createDataFrame(
+            out, "rule string, column string, violations long, passed boolean")
+
+    def explain_params(self):
+        return [("rules", "constraints json (notNull/unique/min/max)", "{}")]

@@ -399,3 +399,22 @@ def test_pii_redact(engine):
     r = df.first()
     assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
     assert r["text_redacted"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+
+
+def test_data_constraints(engine):
+    df = engine.execute("""
+    set data = '''
+    {"id":1,"v":5}
+    {"id":2,"v":50}
+    {"id":2,"v":null}
+    ''';
+    load jsonStr.`data` as t;
+    run t as DataConstraints.`` where rules='''{
+      "notNull": ["v"], "unique": ["id"], "max": {"v": 10}
+    }''' as out;
+    """)
+    rows = {(r["rule"], r["column"]): (r["violations"], r["passed"])
+            for r in df.collect()}
+    assert rows[("notNull", "v")] == (1, False)
+    assert rows[("unique", "id")] == (1, False)
+    assert rows[("max", "v")] == (1, False)
