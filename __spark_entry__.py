@@ -3,9 +3,14 @@
 Every query runs END-TO-END through the streamingpro_spark engine (an
 MLSQL-style script → Spark SQL / ET operators), proving the language
 surface, and is paired with an ANSI-SQL oracle DuckDB runs on the same
-parquet.  Aggregate/computed columns are aliased identically on both
-sides; floating aggregates are rounded on both sides so the
-order-insensitive value hash is stable across engines.
+parquet.  Cross-engine determinism measures: identical column aliases
+on both sides; float aggregates rounded via decimal casts / integer
+floor where boundaries bite (round(double) itself differs
+cross-engine); a total row order on both sides (`_ordered` wrap ↔
+`ORDER BY ALL NULLS LAST`) so even an order-sensitive value hash
+matches; session timezone pinned UTC.  bench.py measures
+`base_queries()` (no compare-order sort — its range-sampling would
+re-execute each DAG).
 """
 
 from __future__ import annotations
