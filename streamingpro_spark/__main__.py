@@ -20,6 +20,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--owner", default="admin")
     ap.add_argument("--show", type=int, default=20,
                     help="rows of the final table to print (batch mode)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run a built-in end-to-end smoke and exit")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -28,6 +30,18 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.selftest:
+        from streamingpro_spark import Engine
+        df = Engine(spark).execute("""
+        set data = '''{"k":"a","v":1}\n{"k":"b","v":2}''';
+        load jsonStr.`data` as t;
+        select k, v * 2 as v2 from t as out;
+        """)
+        rows = sorted((r["k"], r["v2"]) for r in df.collect())
+        ok = rows == [("a", 2), ("b", 4)]
+        print("selftest:", "OK" if ok else f"FAIL {rows}")
+        return 0 if ok else 1
 
     if args.serve:
         from streamingpro_spark.server import MLSQLServer
