@@ -638,6 +638,44 @@ FROM pii
 """
 
 
+def _q_dup_clusters(spark, sf_dir):
+    # deterministic chain edges (doc, doc+1) within each 10-block's first
+    # 5 docs — components of diameter 4 exercise transitive propagation
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id as doc_a, doc_id + 1 as doc_b from documents
+    where doc_id % 10 < 4
+      and doc_id + 1 <= (select max(doc_id) from documents) as chain_pairs;
+    run documents as DupClusters.`` where pairsTable="chain_pairs"
+        and idCol="doc_id" as clustered;
+    select doc_id, cluster_id, keep from clustered as output;
+    """)
+
+
+_DUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE sym AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id % 10 < 4
+    AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+  UNION ALL
+  SELECT doc_id + 1, doc_id FROM documents
+  WHERE doc_id % 10 < 4
+    AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+),
+conn(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id,
+       least(d.doc_id, coalesce(min(c.b), d.doc_id)) = d.doc_id AS keep
+FROM documents d LEFT JOIN conn c ON c.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def _q_data_constraints(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
@@ -1630,6 +1668,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "pii_redact": _q_pii_redact,
         "data_constraints": _q_data_constraints,
+        "dup_clusters": _q_dup_clusters,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -1717,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
+        "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -400,3 +400,68 @@ class EmbeddingDedup(ETAlgorithm):
         return [("idCol", "vector id column", "vec_id"),
                 ("embeddingCol", "array<float> column", "embedding"),
                 ("threshold", "cosine threshold", "0.95")]
+
+
+@register_et("DupClusters")
+class DupClusters(ETAlgorithm):
+    """Connected components over near-dup pairs — the step that turns
+    pairwise dedup output (MinHashDedup/NgramJaccardDedup/EmbeddingDedup)
+    into one canonical document per duplicate cluster.
+
+    `run docs as DupClusters.`` where pairsTable="dup_pairs" and
+    idCol="doc_id" [and pairACol="doc_a" and pairBCol="doc_b"]`
+    → (doc_id, cluster_id, keep) with cluster_id = min id in the
+    component and keep = (doc_id == cluster_id).
+
+    Algorithm: min-label propagation to fixpoint.  Each iteration is one
+    join + map-side-combinable groupBy (shuffle keyed by doc id); the
+    iteration count is the component diameter — near-dup clusters are
+    shallow (dup sets are cliques or short chains), so this converges in
+    a few rounds.  `maxIter` bounds pathological chains; per-round
+    convergence is checked with a cheap count.  (Very-large-diameter
+    graphs would want pointer-jumping / alternating-star — documented
+    tradeoff, out of scope for dedup-shaped graphs.)
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        pairs_tbl = params.get("pairsTable")
+        a_col = params.get("pairACol", "doc_a")
+        b_col = params.get("pairBCol", "doc_b")
+        max_iter = get_int(params, "maxIter", 20)
+        if not pairs_tbl:
+            raise ValueError('DupClusters needs pairsTable="..."')
+        spark = df.sparkSession
+        pairs = spark.table(pairs_tbl)
+        edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+                 .union(pairs.select(F.col(b_col).alias("src"),
+                                     F.col(a_col).alias("dst"))))
+        labels = df.select(F.col(id_col).alias("id"),
+                           F.col(id_col).alias("label")).persist()
+        for _ in range(max_iter):
+            # candidate label via neighbors: min over (own, neighbors')
+            neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                                .withColumnRenamed("label", "nlabel"), "dst")
+                     .groupBy(F.col("src").alias("id"))
+                     .agg(F.min("nlabel").alias("nmin")))
+            new_labels = (labels.join(neigh, "id", "left")
+                          .select("id", F.least("label", "nmin").alias("label"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = (labels.select(F.col("id").alias(id_col),
+                             F.col("label").alias("cluster_id"))
+               .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
+        return out
+
+    def explain_params(self):
+        return [("pairsTable", "table of duplicate pairs", ""),
+                ("idCol", "document id column", "doc_id"),
+                ("pairACol", "pair column a", "doc_a"),
+                ("pairBCol", "pair column b", "doc_b"),
+                ("maxIter", "max label-propagation rounds", "20")]

@@ -418,3 +418,22 @@ def test_data_constraints(engine):
     assert rows[("notNull", "v")] == (1, False)
     assert rows[("unique", "id")] == (1, False)
     assert rows[("max", "v")] == (1, False)
+
+
+def test_dup_clusters(engine):
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"aaa bbb ccc ddd eee fff"}
+    {"doc_id":2,"text":"aaa bbb ccc ddd eee fff"}
+    {"doc_id":3,"text":"aaa bbb ccc ddd eee ggg"}
+    {"doc_id":9,"text":"totally different content here now"}
+    ''';
+    load jsonStr.`data` as docs4;
+    run docs4 as NgramJaccardDedup.`` where threshold="0.4" as pairs4;
+    run docs4 as DupClusters.`` where pairsTable="pairs4" and idCol="doc_id" as cl;
+    """)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in df.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)      # near-dup of 1 via shared shingles
+    assert got[3] == (1, False)      # transitively clustered
+    assert got[9] == (9, True)       # unrelated doc keeps itself
