@@ -638,6 +638,34 @@ FROM pii
 """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as ChunkDocuments.`` where chunkSize="20" and overlap="5"
+        as chunked;
+    select doc_id, chunk_index, chunk_tokens, md5(chunk_text) as chunk_md5
+    from chunked as output;
+    """)
+
+
+_CHUNK_DOCUMENTS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 5, 1), 15)) AS s
+  FROM t
+)
+SELECT doc_id,
+       CAST((s - 1) / 15 AS BIGINT) AS chunk_index,
+       CAST(len(toks[s:s+19]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[s:s+19], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 def _q_dup_clusters(spark, sf_dir):
     # deterministic chain edges (doc, doc+1) within each 10-block's first
     # 5 docs — components of diameter 4 exercise transitive propagation
@@ -1669,6 +1697,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "data_constraints": _q_data_constraints,
         "dup_clusters": _q_dup_clusters,
+        "chunk_documents": _q_chunk_documents,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -1757,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_ORACLE,
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
+        "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm
+from streamingpro_spark.operators.base import ETAlgorithm, get_int
 from streamingpro_spark.operators.registry import register_et
 from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
 
@@ -191,3 +191,45 @@ class DocFingerprint(ETAlgorithm):
 
     def explain_params(self):
         return [("contentCol", "text column", "text")]
+
+
+@register_et("ChunkDocuments")
+class ChunkDocuments(ETAlgorithm):
+    """Split documents into overlapping token-window chunks (the
+    context-window preparation step of an LLM training pipeline).
+
+    `run docs as ChunkDocuments.`` where chunkSize="128" and overlap="16"`
+    → one row per chunk: original columns + (chunk_index, chunk_text,
+    chunk_tokens).
+
+    Pure codegen: split → sequence of window starts → explode → slice +
+    concat_ws.  Map-side only (the explode multiplies rows ~n_tokens /
+    (chunkSize - overlap); no shuffle).
+    """
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        size = get_int(params, "chunkSize", 128)
+        overlap = get_int(params, "overlap", 0)
+        if not 0 <= overlap < size:
+            raise ValueError("ChunkDocuments: need 0 <= overlap < chunkSize")
+        step = size - overlap
+        toks = F.split(F.col(col), r"\s+")
+        n = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                            F.lit(step))
+        out = (df.withColumn("__toks", toks)
+               .withColumn("__start", F.explode(starts))
+               .withColumn("chunk_index",
+                           ((F.col("__start") - 1) / step).cast("long"))
+               .withColumn("__chunk", F.slice(F.col("__toks"), F.col("__start"),
+                                              size))
+               .withColumn("chunk_text", F.concat_ws(" ", F.col("__chunk")))
+               .withColumn("chunk_tokens", F.size("__chunk").cast("long"))
+               .drop("__toks", "__start", "__chunk"))
+        return out
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("chunkSize", "tokens per chunk", "128"),
+                ("overlap", "tokens shared between consecutive chunks", "0")]

@@ -437,3 +437,12 @@ def test_dup_clusters(engine):
     assert got[2] == (1, False)      # near-dup of 1 via shared shingles
     assert got[3] == (1, False)      # transitively clustered
     assert got[9] == (9, True)       # unrelated doc keeps itself
+
+
+def test_chunk_documents(engine):
+    df = engine.execute("""
+    select 1 as id, 'a b c d e f g h i j' as text as t;
+    run t as ChunkDocuments.`` where chunkSize="4" and overlap="1" as out;
+    """)
+    rows = sorted((r["chunk_index"], r["chunk_text"]) for r in df.collect())
+    assert rows == [(0, "a b c d"), (1, "d e f g"), (2, "g h i j")]
