@@ -638,6 +638,43 @@ FROM pii
 """
 
 
+def _q_contamination(spark, sf_dir):
+    # benchmark = every 50th document (as a stand-in eval set); every
+    # benchmark doc self-hits, near-dups cross-hit
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id as bench_id, text from documents
+    where doc_id % 50 = 0 as bench_docs;
+    run documents as ContaminationCheck.`` where benchmarkTable="bench_docs"
+        and benchIdCol="bench_id" and shingleSize="3" and minOverlap="3"
+        as output;
+    """)
+
+
+_CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                        for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
+  FROM t
+),
+corpus_post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench_post AS (
+  SELECT doc_id AS bench_id, s FROM (
+    SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0)
+)
+SELECT c.doc_id, b.bench_id,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM corpus_post c JOIN bench_post b ON c.s = b.s
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= 3
+"""
+
+
 def _q_chunk_documents(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
@@ -1698,6 +1735,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_constraints": _q_data_constraints,
         "dup_clusters": _q_dup_clusters,
         "chunk_documents": _q_chunk_documents,
+        "contamination_check": _q_contamination,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -1787,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
+        "contamination_check": _CONTAMINATION_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
     }

@@ -465,3 +465,52 @@ class DupClusters(ETAlgorithm):
                 ("pairACol", "pair column a", "doc_a"),
                 ("pairBCol", "pair column b", "doc_b"),
                 ("maxIter", "max label-propagation rounds", "20")]
+
+
+@register_et("ContaminationCheck")
+class ContaminationCheck(ETAlgorithm):
+    """Benchmark-contamination detection: flag corpus documents sharing
+    ≥ minOverlap distinct word shingles with any document of a benchmark
+    table (the train/test leakage check every LLM data pipeline runs).
+
+    `run docs as ContaminationCheck.`` where benchmarkTable="bench" and
+    shingleSize="3" and minOverlap="2" [and benchIdCol="bench_id"]`
+    → (doc_id, bench_id, shared_shingles) pairs.
+
+    Scale: inverted-index join keyed by shingle — the benchmark side is
+    tiny relative to the corpus, so its posting lists broadcast; the
+    corpus explodes once (map-only) and the only shuffle is the
+    (doc, bench) pair count with map-side combine.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        bench_tbl = params.get("benchmarkTable")
+        bench_id = params.get("benchIdCol", params.get("idCol", "doc_id"))
+        bench_col = params.get("benchContentCol", col)
+        n = get_int(params, "shingleSize", 3)
+        min_overlap = get_int(params, "minOverlap", 2)
+        if not bench_tbl:
+            raise ValueError('ContaminationCheck needs benchmarkTable="..."')
+        spark = df.sparkSession
+        bench = spark.table(bench_tbl)
+        corpus_post = df.select(F.col(id_col).alias("doc_id"),
+                                F.explode(shingles_col(F.col(col), n))
+                                 .alias("__s"))
+        bench_post = bench.select(F.col(bench_id).alias("bench_id"),
+                                  F.explode(shingles_col(F.col(bench_col), n))
+                                   .alias("__s"))
+        return (corpus_post.join(F.broadcast(bench_post), "__s")
+                .groupBy("doc_id", "bench_id")
+                .agg(F.count(F.lit(1)).alias("shared_shingles"))
+                .filter(F.col("shared_shingles") >= min_overlap))
+
+    def explain_params(self):
+        return [("benchmarkTable", "table of benchmark docs", ""),
+                ("idCol", "corpus id column", "doc_id"),
+                ("contentCol", "corpus text column", "text"),
+                ("benchIdCol", "benchmark id column", "doc_id"),
+                ("benchContentCol", "benchmark text column", "text"),
+                ("shingleSize", "words per shingle", "3"),
+                ("minOverlap", "min shared distinct shingles", "2")]

@@ -446,3 +446,22 @@ def test_chunk_documents(engine):
     """)
     rows = sorted((r["chunk_index"], r["chunk_text"]) for r in df.collect())
     assert rows == [(0, "a b c d"), (1, "d e f g"), (2, "g h i j")]
+
+
+def test_contamination_check(engine):
+    df = engine.execute("""
+    set corpus = '''
+    {"doc_id":1,"text":"the quick brown fox jumps over the lazy dog"}
+    {"doc_id":2,"text":"completely unrelated words about spark engines"}
+    ''';
+    set bench = '''
+    {"bench_id":100,"text":"quick brown fox jumps over something else"}
+    ''';
+    load jsonStr.`corpus` as cont_docs;
+    load jsonStr.`bench` as cont_bench;
+    run cont_docs as ContaminationCheck.`` where benchmarkTable="cont_bench"
+        and benchIdCol="bench_id" and minOverlap="2" as out;
+    """)
+    rows = [(r["doc_id"], r["bench_id"], r["shared_shingles"])
+            for r in df.collect()]
+    assert rows == [(1, 100, 3)]   # 3 shared trigrams of the fox phrase
