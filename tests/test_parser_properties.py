@@ -1,0 +1,51 @@
+"""Property tests: the parser is TOTAL on arbitrary input — any script
+either parses or raises ValueError (never crashes another way), and
+statement splitting respects quotes/blocks (REST receives arbitrary
+user scripts; a parser crash would 500 the server with a stack trace
+instead of a rendered error)."""
+
+from hypothesis import given, settings, strategies as st
+
+from streamingpro_spark import parser as P
+
+_CHARS = st.text(
+    alphabet="abc XY01;'\"`\n\t-!${}().,=<>*/", max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_split_statements_total(s):
+    try:
+        parts = P.split_statements(s)
+    except ValueError:
+        return
+    # re-joining loses only separators/whitespace, never statement text
+    for p in parts:
+        assert p.strip()
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_parse_statement_total(s):
+    if not s.strip():
+        return
+    try:
+        P.parse_statement(s)
+    except ValueError:
+        pass  # the one allowed failure mode
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from([
+    'select 1 as a as t1',
+    'set x = "1;2"',
+    "set y = '''a; b; c'''",
+    'load parquet.`/tmp/x` as t2',
+    '-- comment; with semicolon',
+    '!desc t1',
+]), min_size=1, max_size=6))
+def test_split_roundtrip_preserves_statement_count(stmts):
+    script = ";\n".join(stmts) + ";"
+    parts = P.split_statements(script)
+    non_comment = [s for s in stmts if not s.startswith("--")]
+    assert len(parts) == len(non_comment)
