@@ -82,7 +82,10 @@ def evaluate_condition(cond: str, context: "ExecutionContext") -> bool:
     py_expr = re.sub(r"\btrue\b", "True", py_expr)
     py_expr = re.sub(r"\bfalse\b", "False", py_expr)
 
-    tree = ast.parse(py_expr, mode="eval")
+    try:
+        tree = ast.parse(py_expr, mode="eval")
+    except SyntaxError as e:
+        raise ValueError(f"invalid !if condition {cond!r}: {e.msg}") from None
     for node in ast.walk(tree):
         if not isinstance(node, _ALLOWED_NODES):
             raise ValueError(f"disallowed syntax in condition: {ast.dump(node)[:60]}")
@@ -91,4 +94,12 @@ def evaluate_condition(cond: str, context: "ExecutionContext") -> bool:
                 raise ValueError("only whitelisted functions allowed in conditions")
     env = dict(_FUNCS)
     env.update(names)
-    return bool(eval(compile(tree, "<cond>", "eval"), {"__builtins__": {}}, env))
+    try:
+        return bool(eval(compile(tree, "<cond>", "eval"),
+                         {"__builtins__": {}}, env))
+    except ValueError:
+        raise
+    except Exception as e:  # NameError (bare name ≠ :var), TypeError, ...
+        raise ValueError(
+            f"cannot evaluate !if condition {cond!r}: {e} "
+            "(script variables need the ':' prefix, e.g. :myvar)") from None

@@ -49,3 +49,17 @@ def test_split_roundtrip_preserves_statement_count(stmts):
     parts = P.split_statements(script)
     non_comment = [s for s in stmts if not s.startswith("--")]
     assert len(parts) == len(non_comment)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab:xy 01+-*/()<>=!&|'\".,len", max_size=60))
+def test_condition_evaluation_total(cond):
+    """!if conditions from users: evaluate or ValueError, never crash."""
+    from streamingpro_spark.context import ExecutionContext
+    from streamingpro_spark.expr import evaluate_condition
+    ctx = ExecutionContext(spark=None, env={"x": "1", "y": "abc"})
+    try:
+        result = evaluate_condition(cond, ctx)
+        assert isinstance(result, bool)
+    except ValueError:
+        pass
