@@ -40,6 +40,10 @@ def parse_schema_dsl(text: str) -> T.StructType:
 
     def eat(expected: str | None = None) -> str:
         nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(
+                f"schema DSL: unexpected end of spec {text!r}"
+                + (f" (expected {expected!r})" if expected else ""))
         tok = toks[pos]
         if expected is not None and tok != expected:
             raise ValueError(f"schema DSL: expected {expected!r}, got {tok!r}")

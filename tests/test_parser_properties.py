@@ -63,3 +63,31 @@ def test_condition_evaluation_total(cond):
         assert isinstance(result, bool)
     except ValueError:
         pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="stfieldarymp(),<> abc_01", max_size=60))
+def test_schema_dsl_total(spec):
+    """st(...) schema specs from load options / kafka decode."""
+    from streamingpro_spark.sources.value_parser import parse_schema_dsl
+    try:
+        parse_schema_dsl(spec)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(sorted({
+    "cache", "desc", "println", "kill", "fs", "plugin", "show",
+    "tableRepartition", "withWatermark", "jdbc"})),
+    st.lists(st.text(alphabet="abc01;`'\"$ {}", max_size=12), max_size=4))
+def test_macro_expansion_total(name, args):
+    """!cmd argument lists from users: expand or ValueError."""
+    from streamingpro_spark import parser as P
+    from streamingpro_spark.macros import expand_macro
+    cmd = P.CommandStmt(command=name, args=args)
+    try:
+        out = expand_macro(cmd)
+        assert isinstance(out, str)
+    except (ValueError, IndexError, KeyError) as e:
+        assert isinstance(e, ValueError), f"leaked {type(e).__name__}: {e}"
