@@ -99,6 +99,8 @@ class Engine:
         try:
             for raw in P.split_statements(script):
                 self._execute_statement(raw)
+            if self.context.branch_stack:
+                raise ValueError("!if without matching !fi at end of script")
         finally:
             # script-lifetime caches auto-unpersist at script end
             # (reference CleanCacheListener on job end)
@@ -242,7 +244,7 @@ class Engine:
 
     def _top_frame(self, what: str) -> BranchFrame:
         if not self.context.branch_stack:
-            raise RuntimeError(f"{what} without matching !if")
+            raise ValueError(f"{what} without matching !if")
         return self.context.branch_stack[-1]
 
     def _eval_cond(self, args: list[str]) -> bool:

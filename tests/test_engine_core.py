@@ -392,3 +392,10 @@ def test_branch_expression_functions(engine):
     !fi;
     """)
     assert df.first()["v"] == "yes"
+
+
+def test_branch_imbalance_is_rendered_error(engine):
+    for script in ["!fi;", "!else;", "!elif '''1 > 0''';",
+                   "!if '''1 > 0'''; select 1 as v as t;"]:
+        with pytest.raises(ValueError, match="matching"):
+            engine.execute(script)
