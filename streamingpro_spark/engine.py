@@ -145,7 +145,9 @@ class Engine:
                 return f.read()
         if fmt == "script":
             if stmt.path not in self.context.env:
-                raise KeyError(f"include script.`{stmt.path}`: no such variable")
+                raise ValueError(
+                    f"include script.`{stmt.path}`: no such variable "
+                    f"(set {stmt.path} = '''...''' first)")
             return self.context.env[stmt.path]
         raise ValueError(f"unsupported include source: {fmt}")
 

@@ -51,7 +51,18 @@ def load_source(ctx: "ExecutionContext", fmt: str, path: str,
     else:
         # fallback: trust Spark's own source registry (LoadAdaptor.scala:123-130)
         reader = ctx.spark.readStream if _wants_stream(ctx, fmt) else ctx.spark.read
-        df = reader.format(fmt).options(**_spark_opts(options)).load(path)
+        try:
+            df = reader.format(fmt).options(**_spark_opts(options)).load(path)
+        except Exception as e:
+            if ("SparkClassNotFound" in str(e)
+                    or "DATA_SOURCE_NOT_FOUND" in str(e)):
+                known = sorted(set(_LOADERS) | _FILE_FORMATS)
+                raise ValueError(
+                    f"unknown load format {fmt!r} — not a registered engine "
+                    f"format ({', '.join(known)}) and no Spark datasource of "
+                    f"that name on the classpath (add the connector jar)"
+                ) from None
+            raise
     df = _post_load(ctx, df, options)
     return df
 
@@ -130,7 +141,16 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
     reader = ctx.spark.read.format(fmt).options(**_spark_opts(options))
     if "schema" in options:
         reader = reader.schema(_parse_schema_opt(options["schema"]))
-    return reader.load(real)
+    try:
+        return reader.load(real)
+    except Exception as e:
+        if "SparkClassNotFound" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
+            raise ValueError(
+                f"unknown load format {fmt!r} — not a registered engine "
+                f"format and no Spark datasource of that name on the "
+                f"classpath (add the connector jar, or see the registered "
+                f"formats in sources/registry.py)") from None
+        raise
 
 
 def _parse_schema_opt(spec: str):

@@ -399,3 +399,10 @@ def test_branch_imbalance_is_rendered_error(engine):
                    "!if '''1 > 0'''; select 1 as v as t;"]:
         with pytest.raises(ValueError, match="matching"):
             engine.execute(script)
+
+
+def test_bad_inputs_render_value_errors(engine):
+    with pytest.raises(ValueError, match="no such variable"):
+        engine.execute("include script.`missing_var`;")
+    with pytest.raises(ValueError, match="unknown load format"):
+        engine.execute("load nosuchformat.`/tmp/x` as t;")
