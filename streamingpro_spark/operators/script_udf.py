@@ -62,7 +62,12 @@ class ScriptUDF(ETAlgorithm):
         code = model["code"]
         method = params.get("methodName", "apply")
         ns: dict = {}
-        exec(code, ns)  # noqa: S102 — deliberate: ScriptUDF is user code
+        try:
+            exec(code, ns)  # noqa: S102 — deliberate: ScriptUDF is user code
+        except SyntaxError as e:
+            raise ValueError(
+                f"ScriptUDF: python syntax error in user code at line "
+                f"{e.lineno}: {e.msg}") from None
         if method not in ns:
             raise ValueError(f"ScriptUDF: function {method!r} not defined")
         fn = ns[method]
@@ -102,7 +107,12 @@ class PythonScriptRun(ETAlgorithm):
         code = params.get("code", "")
         schema = parse_any_schema(params["schema"]) if params.get("schema") else df.schema
         ns: dict = {}
-        exec(code, ns)  # noqa: S102
+        try:
+            exec(code, ns)  # noqa: S102
+        except SyntaxError as e:
+            raise ValueError(
+                f"python syntax error in user code at line "
+                f"{e.lineno}: {e.msg}") from None
         fn = ns.get("transform")
         if fn is None:
             raise ValueError("PythonScriptRun: define `def transform(pdf)` in code")

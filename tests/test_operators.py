@@ -465,3 +465,12 @@ def test_contamination_check(engine):
     rows = [(r["doc_id"], r["bench_id"], r["shared_shingles"])
             for r in df.collect()]
     assert rows == [(1, 100, 3)]   # 3 shared trigrams of the fox phrase
+
+
+def test_script_udf_syntax_error_rendered(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="syntax error"):
+        engine.execute("""
+        set code = '''def apply(x): return x +''';
+        register ScriptUDF.`code` as broken options dataType="long";
+        """)
