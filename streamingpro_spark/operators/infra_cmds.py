@@ -175,7 +175,11 @@ class PythonCommand(ETAlgorithm):
         target = spark.table(source) if source else df
         limit = get_int(params, "maxRows", 10000)
         scope: dict = {"input_df": target.limit(limit).toPandas()}
-        exec(code, scope)  # noqa: S102 — explicit user-script execution ET
+        try:
+            exec(code, scope)  # noqa: S102 — explicit user-script execution ET
+        except SyntaxError as e:
+            raise ValueError(f"!python: syntax error in user code at line "
+                             f"{e.lineno}: {e.msg}") from None
         out = scope.get("output_df")
         if out is None:
             return spark.createDataFrame([("ok",)], "status: string")
