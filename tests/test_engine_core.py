@@ -406,3 +406,19 @@ def test_bad_inputs_render_value_errors(engine):
         engine.execute("include script.`missing_var`;")
     with pytest.raises(ValueError, match="unknown load format"):
         engine.execute("load nosuchformat.`/tmp/x` as t;")
+
+
+def test_home_prefix_sandboxes_relative_paths(spark, tmp_path):
+    """With home set, relative save/load paths resolve under
+    {home}/{owner}/ (reference DslAdaptor.withPathPrefix semantics);
+    absolute paths pass through."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark, owner="alice", home=str(tmp_path))
+    eng.execute("""
+    select 7 as v as t_home;
+    save overwrite t_home as parquet.`mydata`;
+    load parquet.`mydata` as back;
+    select v from back as out;
+    """)
+    assert (tmp_path / "alice" / "mydata").exists()
+    assert eng.execute("select v from out as o;").first()["v"] == 7
