@@ -3,8 +3,11 @@
 Reference pattern (streaming/dsl/mmlib/algs/SQL*.scala, e.g.
 SQLRandomForest.scala:38-120): `train` fits and saves to path,
 `batchPredict` loads + transforms, `register ... as fn` builds a
-vector→prediction UDF.  `keepVersion` = `_model_N` path suffix
-(algs/MetaConst.scala) — here: plain overwrite (versioning via path).
+vector→prediction UDF.  `keepVersion="true"` writes `_model_N` path
+suffixes and load/predict resolve the LATEST version (reference
+algs/MetaConst.scala convention); without it, plain overwrite.
+Version scan uses the local filesystem (tests/CLI); a DFS deploy
+would swap `_list_versions` for a Hadoop FS listing.
 
 Input convention (same as reference): a `features` vector column (build
 with vec_dense(...) from the built-in function library) + `label`.
@@ -41,21 +44,46 @@ class _MLWrapper(ETAlgorithm):
                 kwargs[p] = params[p]
         return self.estimator_cls(**kwargs)
 
+    @staticmethod
+    def _list_versions(path: str) -> list[int]:
+        try:
+            return sorted(int(d[len("_model_"):]) for d in os.listdir(path)
+                          if d.startswith("_model_")
+                          and d[len("_model_"):].isdigit())
+        except OSError:
+            return []
+
+    def _resolve_path(self, path: str, params: dict, for_write: bool) -> str:
+        keep = str(params.get("keepVersion", "false")).lower() == "true"
+        versions = self._list_versions(path) if path else []
+        if for_write:
+            if not keep:
+                return path
+            return os.path.join(path, f"_model_{(versions[-1] + 1) if versions else 0}")
+        # read: latest version if any exist (keepVersion-written models),
+        # else the plain path
+        if versions:
+            return os.path.join(path, f"_model_{versions[-1]}")
+        return path
+
     def train(self, df, path, params, context=None):
         est = self._estimator(params)
         model = est.fit(df)
+        real = self._resolve_path(path, params, for_write=True)
         if path:
-            model.write().overwrite().save(os.path.join(path, "model"))
+            model.write().overwrite().save(os.path.join(real, "model"))
         spark = df.sparkSession
         return spark.createDataFrame(
-            [(type(model).__name__, path, str(est.extractParamMap()))],
+            [(type(model).__name__, real, str(est.extractParamMap()))],
             "modelType: string, path: string, params: string")
 
     def load(self, spark, path, params, context=None):
-        return self.model_cls.load(os.path.join(path, "model"))
+        real = self._resolve_path(path, params or {}, for_write=False)
+        return self.model_cls.load(os.path.join(real, "model"))
 
     def batch_predict(self, df, path, params):
-        model = self.model_cls.load(os.path.join(path, "model"))
+        real = self._resolve_path(path, params or {}, for_write=False)
+        model = self.model_cls.load(os.path.join(real, "model"))
         return model.transform(df)
 
     def predict(self, spark, model, name, params):

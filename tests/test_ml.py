@@ -122,3 +122,22 @@ def test_string_index_register(engine, tmp_path):
     r = df.collect()[0]
     assert r["a"] == 0.0      # most frequent → index 0
     assert r["missing"] == -1.0
+
+
+def test_keep_version_trains_and_loads_latest(iris_engine, tmp_path):
+    mdir = str(tmp_path / "lr_versions")
+    iris_engine.execute(f"""
+    train training as LogisticRegression.`{mdir}` where maxIter="2"
+        and keepVersion="true";
+    train training as LogisticRegression.`{mdir}` where maxIter="3"
+        and keepVersion="true";
+    """)
+    import os
+    assert sorted(d for d in os.listdir(mdir) if d.startswith("_model_")) \
+        == ["_model_0", "_model_1"]
+    # predict resolves the latest version
+    df = iris_engine.execute(f"""
+    predict training as LogisticRegression.`{mdir}` as out;
+    """)
+    assert "prediction" in df.columns
+    assert df.count() > 0
