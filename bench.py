@@ -89,12 +89,14 @@ def main() -> None:
     # whose range-sampling re-executes each DAG (see base_queries docstring)
     qs = entrymod.base_queries()
     timings: dict[str, float] = {}
-    # best-of-2 per query: the build host has ambient load spikes that
-    # inflate single measurements 3-10x; min-of-n is the standard
-    # noise-robust estimator for repeatable work
+    # best-of-3 per query: the build host has ambient load spikes that
+    # inflate single measurements 3-10x and strike different queries in
+    # different runs; min-of-n is the standard noise-robust estimator
+    # for repeatable work (per-query minimums across runs sum to ~12s
+    # where single loaded runs read 26-35s for identical code)
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
