@@ -301,7 +301,11 @@ class NgramJaccardDedup(ETAlgorithm):
         # drop stop-shingles (posting list > maxDf) — skew guard
         df_counts = posting.groupBy("__s").agg(F.count("*").alias("__df")) \
                            .filter(F.col("__df") <= max_df)
-        posting = posting.join(df_counts.select("__s"), "__s")
+        # persist the capped posting list: both sides of the self-join
+        # scan it, and without the cache each side re-shingles the corpus
+        # (plus a third pass for the df counts)
+        posting = posting.join(df_counts.select("__s"), "__s").persist()
+        posting.count()
 
         inter = (posting.alias("a")
                  .join(posting.alias("b"),
