@@ -21,6 +21,7 @@ path wins (see MinHash/SimHash kernel notes).
 
 from __future__ import annotations
 
+import math
 import re
 
 from typing import TYPE_CHECKING
@@ -32,6 +33,64 @@ from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
+
+
+def derive_srp_banding(threshold: float, miss_prob: float = 1e-6,
+                       max_tables: int = 64, max_bits: int = 16) -> tuple[int, int]:
+    """Auto-derive SRP-LSH banding (bitsPerTable, numTables) from a cosine
+    threshold and a per-pair miss probability budget.
+
+    A pair at cosine t collides on one hyperplane bit with
+    p = 1 - acos(t)/pi; on a B-bit table with p^B; survives T independent
+    tables with miss = (1 - p^B)^T.  We pick the DEEPEST signature (most
+    pruning: 2^B buckets/table) whose required table count stays within
+    max_tables.  At near-random thresholds (t < ~0.6) the derivation
+    honestly collapses toward shallow signatures — all-pairs similarity at
+    near-zero cosine is information-theoretically unprunable; the dedup
+    regime (t >= 0.9) derives deep signatures that genuinely bucket."""
+    t = min(max(float(threshold), -0.999), 0.999)
+    p = 1.0 - math.acos(t) / math.pi
+    for b in range(max_bits, 0, -1):
+        pb = p ** b
+        tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - pb)))
+        if tables <= max_tables:
+            return b, tables
+    return 1, max_tables
+
+
+def make_srp_udf(spark, planes, n_tables: int, bits: int):
+    """Pandas UDF: array<float> vector -> array<long> of n_tables SRP
+    signatures (one BLAS matmul per Arrow batch against the broadcast
+    hyperplane matrix — an inline Catalyst expression was measured 25×
+    slower from codegen blowup at T=8,B=8,dim=128)."""
+    bc = spark.sparkContext.broadcast(planes)
+    nt, nb = n_tables, bits
+
+    def srp(vs):
+        import numpy as _np
+        import pandas as _pd
+        W = bc.value
+        _pk = _np.left_shift(_np.int64(1), _np.arange(nb, dtype=_np.int64))
+        M = _np.array([list(v) for v in vs], dtype=float)   # (n, dim)
+        if M.size == 0:
+            return _pd.Series([], dtype=object)
+        proj = (M @ W.T) > 0                                 # (n, T*B)
+        sigs = proj.reshape(len(vs), nt, nb).astype(_np.int64) @ _pk
+        return _pd.Series([row.tolist() for row in sigs])
+
+    return F.pandas_udf(srp, "array<long>")
+
+
+def bounded_collect(df, max_rows: int, what: str, knob: str):
+    """Driver-side collect with a hard cap: collect limit+1 and render an
+    actionable error on overflow (the EmbeddingDedup broadcast-bound
+    pattern) — never an unbounded driver OOM."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what} exceeds {max_rows} rows; narrow it with queryTable/"
+            f"queryFilter or raise {knob} explicitly (driver-memory bound)")
+    return rows
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -106,8 +165,12 @@ class SimilaritySearch(ETAlgorithm):
         # mapInPandas pass — BLAS matmul per Arrow batch + batch-local
         # top-k, so the shuffle carries partitions×|Q|×k partial rows
         # instead of |corpus|×|Q| scored pairs (the map-side combine
-        # that makes brute force survive a 100 TB corpus).
-        qrows = qdf.select(id_col, col).collect()
+        # that makes brute force survive a 100 TB corpus).  The collect
+        # is hard-bounded: the default queryFilter="true" would otherwise
+        # pull the whole corpus to the driver at scale.
+        max_q = get_int(params, "maxQueryRows", 100_000)
+        qrows = bounded_collect(qdf.select(id_col, col), max_q,
+                                "SimilaritySearch query set", "maxQueryRows")
         qids = np.array([r[0] for r in qrows])
         Q = np.array([list(r[1]) for r in qrows], dtype=float)
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -156,7 +219,8 @@ class SimilaritySearch(ETAlgorithm):
                 ("embeddingCol", "array<float> column", "embedding"),
                 ("k", "neighbors per query", "5"),
                 ("queryTable", "table of query vectors (broadcast)", ""),
-                ("queryFilter", "SQL predicate selecting query rows", "true")]
+                ("queryFilter", "SQL predicate selecting query rows", "true"),
+                ("maxQueryRows", "hard cap on the driver-side query collect", "100000")]
 
 
 @register_et("LSHSimilaritySearch")
@@ -186,26 +250,10 @@ class LSHSimilaritySearch(ETAlgorithm):
         dim = len(df.select(col).first()[0])
 
         rng = np.random.RandomState(seed)
-        # (T*B, dim) hyperplane matrix, broadcast once.  The signature is
-        # ONE BLAS matmul per Arrow batch in a pandas UDF — an inline
-        # Catalyst expression (T×B×dim literal terms) was measured 25×
-        # slower from codegen blowup alone at T=8,B=8,dim=128.
+        # (T*B, dim) hyperplane matrix, broadcast once; signature = one
+        # BLAS matmul per Arrow batch (see make_srp_udf).
         planes = rng.standard_normal((n_tables * bits, dim))
-        sc = df.sparkSession.sparkContext
-        bc = sc.broadcast(planes)
-        pack = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
-        nt, nb = n_tables, bits
-
-        def srp(vs):
-            import numpy as _np
-            import pandas as _pd
-            W = bc.value
-            M = _np.array([list(v) for v in vs], dtype=float)   # (n, dim)
-            proj = (M @ W.T) > 0                                 # (n, T*B)
-            sigs = proj.reshape(len(vs), nt, nb).astype(_np.int64) @ pack
-            return _pd.Series([row.tolist() for row in sigs])
-
-        srp_udf = F.pandas_udf(srp, "array<long>")
+        srp_udf = make_srp_udf(df.sparkSession, planes, n_tables, bits)
         base = df.select(F.col(id_col).alias("__id"),
                          normalized_col(F.col(col)).alias("__v"))
         # queryFilter may reference original columns (e.g. vec_id) — it is
@@ -237,9 +285,18 @@ class LSHSimilaritySearch(ETAlgorithm):
                            .alias("cosine")))
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id", "cosine", "rank"))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", "neighbor_id", "cosine", "rank"))
+        # persist hygiene: `run` is an action in MLSQL semantics — eagerly
+        # materialize the (small) top-k output via localCheckpoint and
+        # drop the corpus-sized signature cache immediately, instead of
+        # leaking it for the session (eagerCache="false" keeps the lazy
+        # plan for .explain / power users).
+        if params.get("eagerCache", "true").lower() != "false":
+            out = out.localCheckpoint(eager=True)
+            with_sig.unpersist()
+        return out
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
@@ -248,7 +305,8 @@ class LSHSimilaritySearch(ETAlgorithm):
                 ("numTables", "LSH hash tables (recall knob)", "8"),
                 ("bitsPerTable", "signature bits per table", "8"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
-                ("seed", "hyperplane seed", "42")]
+                ("seed", "hyperplane seed", "42"),
+                ("eagerCache", "materialize output, free signature cache", "true")]
 
 
 @register_et("IVFSimilaritySearch")
@@ -312,11 +370,15 @@ class IVFSimilaritySearch(ETAlgorithm):
                     n = np.linalg.norm(m)
                     if n > 0:
                         cent[c] = m / n
-        # queries: driver-bounded like SimilaritySearch (documented
-        # constraint) — probe cells computed driver-side, no extra stage
+        # queries: driver-bounded like SimilaritySearch — a hard cap, not
+        # a convention: the default queryFilter="true" would otherwise
+        # collect the entire corpus to the driver
         qfilter = re.sub(rf"\b{re.escape(id_col)}\b", "__id",
                          params.get("queryFilter", "true"))
-        qrows = base.filter(F.expr(qfilter)).select("__id", "__v").collect()
+        max_q = get_int(params, "maxQueryRows", 100_000)
+        qrows = bounded_collect(base.filter(F.expr(qfilter)).select("__id", "__v"),
+                                max_q, "IVFSimilaritySearch query set",
+                                "maxQueryRows")
         qids = np.array([r[0] for r in qrows])
         Q = _l2(np.array([list(r[1]) for r in qrows], dtype=float))
         probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]
@@ -376,4 +438,5 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("trainSample", "driver-side k-means sample rows", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
+                ("maxQueryRows", "hard cap on the driver-side query collect", "100000"),
                 ("seed", "centroid init seed", "42")]
