@@ -345,9 +345,20 @@ class EmbeddingDedup(ETAlgorithm):
     is broadcast and ONE mapInPandas pass does a blocked matmul per
     Arrow batch, emitting only the above-threshold pairs — the
     self-join formulation shipped |N|²/2 pair rows (two arrays each)
-    through Arrow (7.3s → ~1s at sf0.1).  Above the limit it falls
-    back to the distributed pair join (slow but unbounded); real scale
-    should use MinHash/LSH instead.
+    through Arrow (7.3s → ~1s at sf0.1).
+
+    Above the limit — the path that actually runs at 100 TB — it is an
+    SRP-LSH banded candidate join: banding (bitsPerTable, numTables)
+    derived from the cosine threshold and a per-pair `missProb` budget
+    (similarity.derive_srp_banding), signatures one BLAS matmul per
+    Arrow batch, candidates = pairs sharing any (table, signature)
+    bucket (skew-guarded by `maxBucketSize`, the MinHashDedup pattern),
+    exact-cosine verify on candidates only.  No cartesian anywhere:
+    the shuffles are the band groupBy (hash-uniform keys), the pair
+    distinct, and the two verify joins.  Pairs AT the threshold are
+    found with prob ≥ 1-missProb; pairs above it with higher prob —
+    the standard LSH-dedup contract (an exact all-pairs join at that
+    scale is information-theoretically a cartesian).
     """
 
     def train(self, df, path, params, context=None):
@@ -389,21 +400,73 @@ class EmbeddingDedup(ETAlgorithm):
                                          "cosine": S[ai, bi]})
 
             return base.mapInPandas(block_pairs, out_schema)
-        # corpus exceeds the broadcast bound: distributed pair join
-        from streamingpro_spark.operators.similarity import (normalized_col,
-                                                             pair_dot_udf)
+        # corpus exceeds the broadcast bound: SRP-LSH banded candidates +
+        # exact verify (the MinHashDedup shape, cosine-space)
+        import numpy as np
+        from streamingpro_spark.operators.similarity import (
+            derive_srp_banding, eager_materialize, make_srp_udf,
+            normalized_col, pair_dot_udf)
+        bits, n_tables = derive_srp_banding(
+            threshold, miss_prob=get_float(params, "missProb", 1e-6))
+        seed = get_int(params, "seed", 42)
+        max_bucket = get_int(params, "maxBucketSize", 100_000)
+        id_t = df.schema[id_col].dataType.simpleString()
+        first = base.select("__v").first()
+        if first is None:     # empty corpus: the broadcast path never ran
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cosine double")
+        dim = len(first[0])
+        planes = np.random.RandomState(seed).standard_normal(
+            (n_tables * bits, dim))
+        srp_udf = make_srp_udf(df.sparkSession, planes, n_tables, bits)
         v = base.select("__id", normalized_col(F.col("__v")).alias("__n"))
-        return (v.alias("a").join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
-                .select(F.col("a.__id").alias("id_a"),
-                        F.col("b.__id").alias("id_b"),
-                        pair_dot_udf()(F.col("a.__n"), F.col("b.__n"))
-                         .alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
+        with_sig = v.select("__id", "__n",
+                            srp_udf(F.col("__n")).alias("__sigs")).persist()
+
+        from pyspark.sql import Window
+        # same one-shuffle skew guard as MinHashDedup: the window count
+        # over (table, sig) also establishes the join partitioning
+        guard_w = Window.partitionBy("__t", "__sig")
+        buckets = (with_sig.select("__id", F.posexplode("__sigs"))
+                   .withColumnRenamed("pos", "__t")
+                   .withColumnRenamed("col", "__sig")
+                   .withColumn("__cnt", F.count(F.lit(1)).over(guard_w))
+                   .filter(F.col("__cnt") <= max_bucket).drop("__cnt"))
+        pairs = (buckets.alias("a")
+                 .join(buckets.alias("b"),
+                       (F.col("a.__t") == F.col("b.__t"))
+                       & (F.col("a.__sig") == F.col("b.__sig"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"))
+                 .distinct())
+        out = (pairs
+               .join(with_sig.select(F.col("__id").alias("id_a"),
+                                     F.col("__n").alias("__na")), "id_a")
+               .join(with_sig.select(F.col("__id").alias("id_b"),
+                                     F.col("__n").alias("__nb")), "id_b")
+               .select("id_a", "id_b",
+                       pair_dot_udf()(F.col("__na"), F.col("__nb"))
+                        .alias("cosine"))
+               .filter(F.col("cosine") >= threshold))
+        mat = eager_materialize(out, params)
+        if mat is not out:
+            with_sig.unpersist()
+        return mat
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
                 ("embeddingCol", "array<float> column", "embedding"),
-                ("threshold", "cosine threshold", "0.95")]
+                ("threshold", "cosine threshold", "0.95"),
+                ("broadcastLimit", "max rows for the broadcast matmul path "
+                                   "(0 forces the LSH path)", "200000"),
+                ("missProb", "LSH path: per-pair miss budget at threshold",
+                 "1e-6"),
+                ("maxBucketSize", "LSH path: drop larger (table,sig) buckets",
+                 "100000"),
+                ("seed", "LSH path: hyperplane seed", "42"),
+                ("eagerCache", "LSH path: materialize output, free caches",
+                 "true")]
 
 
 @register_et("DupClusters")

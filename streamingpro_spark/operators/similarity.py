@@ -52,7 +52,9 @@ def derive_srp_banding(threshold: float, miss_prob: float = 1e-6,
     p = 1.0 - math.acos(t) / math.pi
     for b in range(max_bits, 0, -1):
         pb = p ** b
-        tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - pb)))
+        # log1p(-pb), not log(1-pb): for t near -1, p**b underflows and
+        # 1.0-pb rounds to exactly 1.0 → log(1.0)==0 → ZeroDivisionError
+        tables = max(1, math.ceil(math.log(miss_prob) / math.log1p(-pb)))
         if tables <= max_tables:
             return b, tables
     return 1, max_tables
@@ -81,16 +83,42 @@ def make_srp_udf(spark, planes, n_tables: int, bits: int):
     return F.pandas_udf(srp, "array<long>")
 
 
-def bounded_collect(df, max_rows: int, what: str, knob: str):
+def bounded_collect(df, max_rows: int, what: str, knob: str,
+                    hint: str = "narrow it with queryFilter"):
     """Driver-side collect with a hard cap: collect limit+1 and render an
     actionable error on overflow (the EmbeddingDedup broadcast-bound
-    pattern) — never an unbounded driver OOM."""
+    pattern) — never an unbounded driver OOM.  `hint` is per call site:
+    only SimilaritySearch has queryTable, so the remediation advice must
+    name the knobs that exist there."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
-            f"{what} exceeds {max_rows} rows; narrow it with queryTable/"
-            f"queryFilter or raise {knob} explicitly (driver-memory bound)")
+            f"{what} exceeds {max_rows} rows; {hint} or raise {knob} "
+            f"explicitly (driver-memory bound)")
     return rows
+
+
+def eager_materialize(df: "DataFrame", params: dict[str, str]) -> "DataFrame":
+    """Materialize a small output so corpus-sized upstream caches can be
+    unpersisted immediately (MLSQL `run` is an action).
+
+    Prefers a RELIABLE checkpoint when `spark.sparkContext.setCheckpointDir`
+    has been configured — localCheckpoint stores partitions on
+    executor-local storage, so under dynamic allocation or executor loss
+    the truncated lineage is unrecoverable (Spark docs warn explicitly).
+    Falls back to localCheckpoint only when no checkpoint dir is set AND
+    dynamic allocation is off; otherwise keeps the lazy plan (safe)."""
+    if params.get("eagerCache", "true").lower() == "false":
+        return df
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
+    if dyn.lower() == "true":
+        # no reliable checkpoint dir + executors can be reclaimed →
+        # localCheckpoint blocks could vanish; keep the lazy plan
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -170,7 +198,8 @@ class SimilaritySearch(ETAlgorithm):
         # pull the whole corpus to the driver at scale.
         max_q = get_int(params, "maxQueryRows", 100_000)
         qrows = bounded_collect(qdf.select(id_col, col), max_q,
-                                "SimilaritySearch query set", "maxQueryRows")
+                                "SimilaritySearch query set", "maxQueryRows",
+                                hint="narrow it with queryTable/queryFilter")
         qids = np.array([r[0] for r in qrows])
         Q = np.array([list(r[1]) for r in qrows], dtype=float)
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -243,8 +272,15 @@ class LSHSimilaritySearch(ETAlgorithm):
         id_col = params.get("idCol", "vec_id")
         col = params.get("embeddingCol", "embedding")
         k = get_int(params, "k", 5)
-        n_tables = get_int(params, "numTables", 8)
-        bits = get_int(params, "bitsPerTable", 8)
+        if params.get("threshold") and not (params.get("numTables")
+                                            or params.get("bitsPerTable")):
+            # banding derived from the recall target instead of raw knobs
+            bits, n_tables = derive_srp_banding(
+                float(params["threshold"]),
+                miss_prob=float(params.get("missProb", "1e-6")))
+        else:
+            n_tables = get_int(params, "numTables", 8)
+            bits = get_int(params, "bitsPerTable", 8)
         seed = get_int(params, "seed", 42)
         df = ensure_parallelism(df)
         dim = len(df.select(col).first()[0])
@@ -289,14 +325,13 @@ class LSHSimilaritySearch(ETAlgorithm):
                .filter(F.col("rank") <= k)
                .select("query_id", "neighbor_id", "cosine", "rank"))
         # persist hygiene: `run` is an action in MLSQL semantics — eagerly
-        # materialize the (small) top-k output via localCheckpoint and
-        # drop the corpus-sized signature cache immediately, instead of
-        # leaking it for the session (eagerCache="false" keeps the lazy
-        # plan for .explain / power users).
-        if params.get("eagerCache", "true").lower() != "false":
-            out = out.localCheckpoint(eager=True)
+        # materialize the (small) top-k output and drop the corpus-sized
+        # signature cache immediately, instead of leaking it for the
+        # session (eagerCache="false" keeps the lazy plan for .explain).
+        mat = eager_materialize(out, params)
+        if mat is not out:
             with_sig.unpersist()
-        return out
+        return mat
 
     def explain_params(self):
         return [("idCol", "vector id column", "vec_id"),
@@ -304,6 +339,9 @@ class LSHSimilaritySearch(ETAlgorithm):
                 ("k", "neighbors per query", "5"),
                 ("numTables", "LSH hash tables (recall knob)", "8"),
                 ("bitsPerTable", "signature bits per table", "8"),
+                ("threshold", "cosine target; derives banding when numTables/"
+                              "bitsPerTable unset", ""),
+                ("missProb", "per-pair miss budget for derived banding", "1e-6"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
                 ("seed", "hyperplane seed", "42"),
                 ("eagerCache", "materialize output, free signature cache", "true")]
@@ -378,7 +416,8 @@ class IVFSimilaritySearch(ETAlgorithm):
         max_q = get_int(params, "maxQueryRows", 100_000)
         qrows = bounded_collect(base.filter(F.expr(qfilter)).select("__id", "__v"),
                                 max_q, "IVFSimilaritySearch query set",
-                                "maxQueryRows")
+                                "maxQueryRows",
+                                hint="narrow it with queryFilter")
         qids = np.array([r[0] for r in qrows])
         Q = _l2(np.array([list(r[1]) for r in qrows], dtype=float))
         probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]

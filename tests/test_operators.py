@@ -474,3 +474,58 @@ def test_script_udf_syntax_error_rendered(engine):
         set code = '''def apply(x): return x +''';
         register ScriptUDF.`code` as broken options dataType="long";
         """)
+
+
+def test_embedding_dedup_lsh_fallback_matches_broadcast_path(engine, sf_dir):
+    """broadcastLimit=0 forces the SRP-LSH banded path; at missProb 1e-9
+    it must find the same above-threshold pairs as the exact broadcast
+    matmul path (the at-scale contract)."""
+    exact = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as EmbeddingDedup.`` where threshold="0.45" as out_exact;
+    """).collect()
+    lsh = engine.execute("""
+    run emb as EmbeddingDedup.`` where threshold="0.45" and
+        broadcastLimit="0" and missProb="1e-9" as out_lsh;
+    """).collect()
+    exact_pairs = {(r["id_a"], r["id_b"], r["cosine"]) for r in exact}
+    lsh_pairs = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh}
+    assert lsh_pairs <= exact_pairs          # verify stage is exact
+    assert exact_pairs, "fixture should contain near-dup pairs"
+    assert lsh_pairs == exact_pairs
+
+
+def test_embedding_dedup_lsh_fallback_empty_corpus(engine, sf_dir):
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    select * from emb where vec_id < 0 as none;
+    run none as EmbeddingDedup.`` where broadcastLimit="0" as out;
+    """)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_derive_srp_banding_total_and_monotone():
+    from streamingpro_spark.operators.similarity import derive_srp_banding
+    # log1p fix: thresholds near -1 used to ZeroDivisionError
+    for t in (-0.999, -0.96, -0.5, 0.0, 0.45, 0.9, 0.95, 0.99, 0.999):
+        b, tables = derive_srp_banding(t)
+        assert 1 <= b <= 16 and 1 <= tables <= 64
+    # deeper signatures (more pruning) at dedup-grade thresholds
+    b_hi, _ = derive_srp_banding(0.95)
+    b_lo, _ = derive_srp_banding(0.45)
+    assert b_hi > b_lo
+
+
+def test_lsh_similarity_threshold_derives_banding(engine, sf_dir):
+    """threshold param (numTables/bitsPerTable unset) auto-derives the
+    banding and still returns well-formed ranked output."""
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as LSHSimilaritySearch.`` where threshold="0.9" and k="3"
+        and queryFilter="vec_id % 100 = 0" as out;
+    """)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["rank"] <= 3

@@ -70,3 +70,18 @@ def test_partitioned_save_prunes_on_read(engine, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderstatus" in m.group(1), plan[:2000]
     assert df.first()["n"] > 0
+
+
+def test_embedding_dedup_fallback_no_cartesian(engine, sf_dir):
+    """The above-broadcast-limit path must be a banded candidate join —
+    never a CartesianProduct / BroadcastNestedLoopJoin (the O(N²) cliff
+    the round-1 verdict flagged)."""
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as EmbeddingDedup.`` where threshold="0.9" and
+        broadcastLimit="0" and eagerCache="false" as out;
+    """)
+    je = df._jdf.queryExecution()
+    plan = je.executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
