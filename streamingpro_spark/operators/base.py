@@ -69,3 +69,35 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def eager_materialize(df: "DataFrame", params: dict[str, str]) -> "DataFrame":
+    """Materialize a small ET output so corpus-sized upstream caches can
+    be unpersisted immediately (MLSQL `run` is an action).
+
+    Prefers a RELIABLE checkpoint when `setCheckpointDir` is configured —
+    localCheckpoint stores partitions on executor-local storage, so under
+    dynamic allocation or executor loss the truncated lineage is
+    unrecoverable (Spark docs warn explicitly).  Falls back to
+    localCheckpoint only when no checkpoint dir is set AND dynamic
+    allocation is off; otherwise keeps the lazy plan (safe)."""
+    if params.get("eagerCache", "true").lower() == "false":
+        return df
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
+    if dyn.lower() == "true":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
+def script_cache(df: "DataFrame", context, tag: str) -> "DataFrame":
+    """Persist an intermediate for at most the current script's lifetime:
+    the engine unpersists every script-lifetime cache when execute()
+    returns (engine.py finally block), so a long-lived REST session never
+    accumulates executor memory from ET internals."""
+    cached = df.persist()
+    if context is not None:
+        context.cached_tables[f"__et_{tag}_{id(df)}"] = (cached, "script")
+    return cached

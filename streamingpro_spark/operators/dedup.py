@@ -34,8 +34,9 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, functions as F
 
-from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
-                                                get_float, get_int)
+from streamingpro_spark.operators.base import (ETAlgorithm, eager_materialize,
+                                                ensure_parallelism, get_float,
+                                                get_int, script_cache)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -154,12 +155,13 @@ class MinHashDedup(ETAlgorithm):
         # previous groupBy-count + rejoin (two extra stages, measured
         # ~2× end-to-end wall on the bench query)
         guard_w = Window.partitionBy("__band", "__bh")
-        bounded = (sig.select("__id", F.explode(band_struct).alias("__e"))
-                   .select("__id", F.col("__e.__band").alias("__band"),
-                           F.col("__e.__bh").alias("__bh"))
-                   .withColumn("__n", F.count(F.lit(1)).over(guard_w))
-                   .filter(F.col("__n") <= max_bucket).drop("__n")
-                   .persist())
+        bounded = script_cache(
+            sig.select("__id", F.explode(band_struct).alias("__e"))
+               .select("__id", F.col("__e.__band").alias("__band"),
+                       F.col("__e.__bh").alias("__bh"))
+               .withColumn("__n", F.count(F.lit(1)).over(guard_w))
+               .filter(F.col("__n") <= max_bucket).drop("__n"),
+            context, "minhash_buckets")
         bounded.count()  # materialize once before the self-join fans out
 
         a = bounded.alias("a")
@@ -187,7 +189,12 @@ class MinHashDedup(ETAlgorithm):
                     .filter(F.col("jaccard") >= threshold)
                     .select("doc_a", "doc_b",
                             F.round("jaccard", 4).alias("jaccard")))
-        return verified
+        # `run` is an action: materialize the (small) pair output and free
+        # the bucket cache now instead of at script end
+        mat = eager_materialize(verified, params)
+        if mat is not verified:
+            bounded.unpersist()
+        return mat
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
@@ -196,7 +203,8 @@ class MinHashDedup(ETAlgorithm):
                 ("numHashes", "minhash functions", "12"),
                 ("numBands", "LSH bands", "4"),
                 ("threshold", "exact-Jaccard verify threshold", "0.8"),
-                ("maxBucketSize", "skew guard: drop larger buckets", "1000")]
+                ("maxBucketSize", "skew guard: drop larger buckets", "1000"),
+                ("eagerCache", "materialize output, free bucket cache", "true")]
 
 
 @register_et("SimHashDedup")
@@ -304,7 +312,8 @@ class NgramJaccardDedup(ETAlgorithm):
         # persist the capped posting list: both sides of the self-join
         # scan it, and without the cache each side re-shingles the corpus
         # (plus a third pass for the df counts)
-        posting = posting.join(df_counts.select("__s"), "__s").persist()
+        posting = script_cache(posting.join(df_counts.select("__s"), "__s"),
+                               context, "ngram_posting")
         posting.count()
 
         inter = (posting.alias("a")
@@ -323,14 +332,18 @@ class NgramJaccardDedup(ETAlgorithm):
                            / (F.col("__na") + F.col("__nb") - F.col("__inter")))
                .filter(F.col("jaccard") >= threshold)
                .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
-        return out
+        mat = eager_materialize(out, params)
+        if mat is not out:
+            posting.unpersist()
+        return mat
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
                 ("contentCol", "text column", "text"),
                 ("shingleSize", "words per shingle", "3"),
                 ("threshold", "Jaccard threshold", "0.8"),
-                ("maxDf", "drop shingles appearing in more docs (skew guard)", "100")]
+                ("maxDf", "drop shingles appearing in more docs (skew guard)", "100"),
+                ("eagerCache", "materialize output, free posting cache", "true")]
 
 
 @register_et("EmbeddingDedup")
@@ -404,8 +417,7 @@ class EmbeddingDedup(ETAlgorithm):
         # exact verify (the MinHashDedup shape, cosine-space)
         import numpy as np
         from streamingpro_spark.operators.similarity import (
-            derive_srp_banding, eager_materialize, make_srp_udf,
-            normalized_col, pair_dot_udf)
+            derive_srp_banding, make_srp_udf, normalized_col, pair_dot_udf)
         bits, n_tables = derive_srp_banding(
             threshold, miss_prob=get_float(params, "missProb", 1e-6))
         seed = get_int(params, "seed", 42)
@@ -420,8 +432,9 @@ class EmbeddingDedup(ETAlgorithm):
             (n_tables * bits, dim))
         srp_udf = make_srp_udf(df.sparkSession, planes, n_tables, bits)
         v = base.select("__id", normalized_col(F.col("__v")).alias("__n"))
-        with_sig = v.select("__id", "__n",
-                            srp_udf(F.col("__n")).alias("__sigs")).persist()
+        with_sig = script_cache(
+            v.select("__id", "__n", srp_udf(F.col("__n")).alias("__sigs")),
+            context, "embdedup_sig")
 
         from pyspark.sql import Window
         # same one-shuffle skew guard as MinHashDedup: the window count
@@ -500,20 +513,36 @@ class DupClusters(ETAlgorithm):
             raise ValueError('DupClusters needs pairsTable="..."')
         spark = df.sparkSession
         pairs = spark.table(pairs_tbl)
-        edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        # persist + materialize the edge list ONCE: pairsTable is often a
+        # lazy temp view over MinHashDedup output (examples/04), and
+        # without this every iteration re-executes the whole upstream
+        # LSH candidate pipeline
+        edges = script_cache(
+            pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
                  .union(pairs.select(F.col(b_col).alias("src"),
-                                     F.col(a_col).alias("dst"))))
+                                     F.col(a_col).alias("dst"))),
+            context, "dup_edges")
+        edges.count()
         labels = df.select(F.col(id_col).alias("id"),
                            F.col(id_col).alias("label")).persist()
-        for _ in range(max_iter):
+        ckpt_every = get_int(params, "checkpointEvery", 5)
+        for it in range(max_iter):
             # candidate label via neighbors: min over (own, neighbors')
             neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                                 .withColumnRenamed("label", "nlabel"), "dst")
                      .groupBy(F.col("src").alias("id"))
                      .agg(F.min("nlabel").alias("nmin")))
             new_labels = (labels.join(neigh, "id", "left")
-                          .select("id", F.least("label", "nmin").alias("label"))
-                          .persist())
+                          .select("id", F.least("label", "nmin").alias("label")))
+            # truncate lineage every few rounds: each iteration otherwise
+            # deepens the plan (join-on-join-on-...), and by round ~15
+            # analysis time dominates compute
+            if (it + 1) % ckpt_every == 0:
+                sc = spark.sparkContext
+                new_labels = (new_labels.checkpoint(eager=False)
+                              if sc.getCheckpointDir()
+                              else new_labels.localCheckpoint(eager=False))
+            new_labels = new_labels.persist()
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "id")
                        .filter(F.col("n.label") != F.col("o.label")).count())
@@ -524,14 +553,25 @@ class DupClusters(ETAlgorithm):
         out = (labels.select(F.col("id").alias(id_col),
                              F.col("label").alias("cluster_id"))
                .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
-        return out
+        mat = eager_materialize(out, params)
+        if mat is not out:
+            labels.unpersist()
+            edges.unpersist()
+        elif context is not None:
+            # lazy path: hand the final label cache to the engine's
+            # end-of-script reaper
+            context.cached_tables[f"__et_dup_labels_{id(labels)}"] = \
+                (labels, "script")
+        return mat
 
     def explain_params(self):
         return [("pairsTable", "table of duplicate pairs", ""),
                 ("idCol", "document id column", "doc_id"),
                 ("pairACol", "pair column a", "doc_a"),
                 ("pairBCol", "pair column b", "doc_b"),
-                ("maxIter", "max label-propagation rounds", "20")]
+                ("maxIter", "max label-propagation rounds", "20"),
+                ("checkpointEvery", "truncate label lineage every N rounds", "5"),
+                ("eagerCache", "materialize output, free caches", "true")]
 
 
 @register_et("ContaminationCheck")

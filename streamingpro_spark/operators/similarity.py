@@ -28,7 +28,9 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, Window, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, ensure_parallelism, get_int
+from streamingpro_spark.operators.base import (ETAlgorithm, eager_materialize,
+                                                ensure_parallelism, get_int,
+                                                script_cache)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -98,27 +100,6 @@ def bounded_collect(df, max_rows: int, what: str, knob: str,
     return rows
 
 
-def eager_materialize(df: "DataFrame", params: dict[str, str]) -> "DataFrame":
-    """Materialize a small output so corpus-sized upstream caches can be
-    unpersisted immediately (MLSQL `run` is an action).
-
-    Prefers a RELIABLE checkpoint when `spark.sparkContext.setCheckpointDir`
-    has been configured — localCheckpoint stores partitions on
-    executor-local storage, so under dynamic allocation or executor loss
-    the truncated lineage is unrecoverable (Spark docs warn explicitly).
-    Falls back to localCheckpoint only when no checkpoint dir is set AND
-    dynamic allocation is off; otherwise keeps the lazy plan (safe)."""
-    if params.get("eagerCache", "true").lower() == "false":
-        return df
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
-    dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
-    if dyn.lower() == "true":
-        # no reliable checkpoint dir + executors can be reclaimed →
-        # localCheckpoint blocks could vanish; keep the lazy plan
-        return df
-    return df.localCheckpoint(eager=True)
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -294,8 +275,12 @@ class LSHSimilaritySearch(ETAlgorithm):
                          normalized_col(F.col(col)).alias("__v"))
         # queryFilter may reference original columns (e.g. vec_id) — it is
         # applied on __id-projected rows, so rewrite idCol to __id
-        with_sig = base.select("__id", "__v",
-                               srp_udf(F.col("__v")).alias("__sigs")).persist()
+        # script-lifetime backstop: if the eager path below doesn't run
+        # (eagerCache=false / no safe checkpoint), the engine still
+        # unpersists this when execute() returns
+        with_sig = script_cache(
+            base.select("__id", "__v", srp_udf(F.col("__v")).alias("__sigs")),
+            context, "lsh_sig")
 
         expl = F.posexplode("__sigs")
         tables = with_sig.select("__id", expl).withColumnRenamed("pos", "__t") \

@@ -529,3 +529,55 @@ def test_lsh_similarity_threshold_derives_banding(engine, sf_dir):
     assert rows
     for r in rows:
         assert 1 <= r["rank"] <= 3
+
+
+def test_dedup_ops_no_persist_leak(engine, spark, sf_dir):
+    """ET-internal caches (minhash buckets, posting lists, signatures)
+    must not survive the script.  Lazy path (eagerCache=false): the
+    engine's end-of-script reaper unpersists every script-lifetime cache,
+    so NOTHING new remains.  Eager path: intermediates are freed at train
+    time; only the (small) checkpointed outputs remain — one per run
+    statement — and driver GC reaps those via ContextCleaner."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as MinHashDedup.`` where threshold="0.8"
+        and eagerCache="false" as mh;
+    run docs as NgramJaccardDedup.`` where threshold="0.9"
+        and eagerCache="false" as ng;
+    """)
+    assert jsc.getPersistentRDDs().size() <= before
+    engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as docs;
+    run docs as MinHashDedup.`` where threshold="0.8" as mh2;
+    run docs as NgramJaccardDedup.`` where threshold="0.9" as ng2;
+    """)
+    # at most the two materialized outputs — never the corpus-sized caches
+    assert jsc.getPersistentRDDs().size() <= before + 2
+
+
+def test_dup_clusters_deep_chain_converges(engine):
+    """A 21-node chain (diameter 20) — label propagation must reach the
+    fixpoint without lineage blow-up (checkpointEvery truncates plans)."""
+    import json
+    pair_lines = "\n".join(
+        json.dumps({"doc_a": i, "doc_b": i + 1}) for i in range(1, 21))
+    doc_lines = "\n".join(
+        json.dumps({"doc_id": i}) for i in range(1, 22))
+    df = engine.execute(f"""
+    set pairs_data = '''
+    {pair_lines}
+    ''';
+    set docs_data = '''
+    {doc_lines}
+    ''';
+    load jsonStr.`pairs_data` as chain_pairs;
+    load jsonStr.`docs_data` as chain_docs;
+    run chain_docs as DupClusters.`` where pairsTable="chain_pairs"
+        and maxIter="25" as out;
+    """)
+    rows = df.collect()
+    assert len(rows) == 21
+    assert all(r["cluster_id"] == 1 for r in rows)
+    assert sum(1 for r in rows if r["keep"]) == 1
