@@ -341,6 +341,90 @@ class JDBCExt(ETAlgorithm):
         return spark.createDataFrame([("ok",)], "status: string")
 
 
+@register_et("JDBCUpdatExt")
+class JDBCUpdatExt(ETAlgorithm):
+    """UPDATE rows of a JDBC table from the input DataFrame, keyed by
+    `keyCol` (reference SQLJDBCUpdatExt.scala:35-120: one
+    ``UPDATE t SET nonkey=? WHERE key=?`` per input row).
+
+    Executed as a driver-side JDBC batch (PreparedStatement.addBatch /
+    executeBatch) with a hard `maxRows` cap — Python executors cannot
+    reach java.sql, and per-row UPDATE round-trips are inherently not a
+    100 TB path in any engine.  Bulk updates should stage with
+    ``save append`` to a temp table and run ONE set-based statement via
+    the JDBC ET (documented tradeoff, matches the reference's own
+    row-at-a-time semantics)."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.operators.similarity import bounded_collect
+        key_param = params.get("keyCol")
+        if not key_param:
+            raise ValueError('JDBCUpdatExt requires keyCol="k1[,k2]"')
+        keys = [k.strip() for k in key_param.split(",") if k.strip()]
+        opts = dict(params)
+        table = path
+        if "." in path:
+            db, table = path.split(".", 1)
+            meta = context.connect_meta.get(("jdbc", db)) if context else None
+            if meta:
+                opts = {**meta, **opts}
+        url = opts.get("url")
+        if not url:
+            raise ValueError("JDBCUpdatExt requires a `url` option "
+                             "(or connect meta)")
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"keyCol {missing} not in input columns "
+                             f"{df.columns}")
+        set_cols = [c for c in df.columns if c not in keys]
+        if not set_cols:
+            raise ValueError("input has only key columns; nothing to SET")
+        max_rows = int(opts.get("maxRows", "100000"))
+        rows = bounded_collect(
+            df, max_rows, "JDBCUpdatExt input", "maxRows",
+            hint="stage bulk updates via `save append` + one set-based "
+                 "JDBC ET statement")
+        spark = df.sparkSession
+        jvm = spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in opts:
+                props.setProperty(k, opts[k])
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            sql = (f"UPDATE {table} SET "
+                   + ", ".join(f"{c} = ?" for c in set_cols)
+                   + " WHERE " + " AND ".join(f"{k} = ?" for k in keys))
+            ps = conn.prepareStatement(sql)
+            try:
+                pending = 0
+                for r in rows:
+                    i = 1
+                    for c in set_cols:
+                        ps.setObject(i, r[c])
+                        i += 1
+                    for k in keys:
+                        ps.setObject(i, r[k])
+                        i += 1
+                    ps.addBatch()
+                    pending += 1
+                    if pending == 500:
+                        ps.executeBatch()
+                        pending = 0
+                if pending:
+                    ps.executeBatch()
+            finally:
+                ps.close()
+        finally:
+            conn.close()
+        return spark.createDataFrame([(len(rows),)], "updated: long")
+
+    def explain_params(self):
+        return [("keyCol", "comma-separated key columns (WHERE)", ""),
+                ("url", "jdbc url (or via connect meta in path)", ""),
+                ("maxRows", "hard cap on driver-side input collect", "100000")]
+
+
 @register_et("SaveBinaryAsFile")
 class SaveBinaryAsFile(ETAlgorithm):
     """Write a binary column's rows out as files named by a path column

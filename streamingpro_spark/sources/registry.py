@@ -238,12 +238,16 @@ def _load_jdbc(ctx, path, options):
         meta = ctx.connect_meta.get(("jdbc", db))
         if meta:
             opts = {**meta, **opts}
+    reader = ctx.spark.read.format("jdbc")
     if opts.pop("directQuery", "").lower() == "true" or "sql" in opts:
+        # pushdown via Spark's `query` option — its generated subquery
+        # alias is portable (a hand-rolled `(...) __x` alias trips DBs
+        # that reject leading-underscore identifiers, e.g. Derby)
         sql = opts.pop("sql", None) or options.get("sql")
-        dbtable = f"({sql}) __direct_query__"
+        opts.pop("dbtable", None)
+        reader = reader.option("query", sql)
     else:
-        dbtable = opts.pop("dbtable", table)
-    reader = ctx.spark.read.format("jdbc").option("dbtable", dbtable)
+        reader = reader.option("dbtable", opts.pop("dbtable", table))
     for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()

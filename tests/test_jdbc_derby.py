@@ -1,0 +1,91 @@
+"""JDBC source/sink/ET executed for real against embedded Derby (the
+derby jars ship with Spark for the Hive metastore — no extra install).
+
+Converts the round-1 "claimed, never executed" JDBC paths
+(sources/registry.py jdbc load/save, operators/map_ops.py JDBC ET;
+reference MLSQLJDBC.scala / MLSQLDirectJDBC.scala:55-82 /
+SQLJDBC.scala:46-170) into proven ones."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    home = tmp_path_factory.mktemp("derby")
+    spark._jvm.System.setProperty("derby.system.home", str(home))
+    url = f"jdbc:derby:{home}/db;create=true"
+    return url
+
+
+@pytest.fixture(scope="module")
+def jdbc_engine(spark, derby):
+    """One engine for the module: `connect` meta is session state, and
+    the tests build on each other's tables (REPL semantics)."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    eng.execute(
+        f'connect jdbc where url="{derby}" and '
+        'driver="org.apache.derby.jdbc.EmbeddedDriver" as derbydb;')
+    return eng
+
+
+def test_jdbc_et_ddl_load_save_roundtrip(jdbc_engine):
+    engine = jdbc_engine
+    engine.execute('''
+    select 1 as a as t;
+    run t as JDBC.`derbydb` where
+        `driver-statement-0`="CREATE TABLE items(id INT, name VARCHAR(20))"
+        and `driver-statement-1`="INSERT INTO items VALUES (1,'x'),(2,'y'),(3,'z')"
+        as s;
+    ''')
+    df = engine.execute(
+        'load jdbc.`derbydb.items` as items; '
+        'select * from items order by id as out;')
+    assert [(r["ID"], r["NAME"]) for r in df.collect()] == \
+        [(1, "x"), (2, "y"), (3, "z")]
+    # save append goes through df.write.format("jdbc")
+    df = engine.execute('''
+    select 4 as id, 'w' as name as newrow;
+    save append newrow as jdbc.`derbydb.items`;
+    load jdbc.`derbydb.items` as items2;
+    select count(*) as n from items2 as out;
+    ''')
+    assert df.collect()[0]["n"] == 4
+
+
+def test_jdbc_direct_query_pushdown(jdbc_engine):
+    engine = jdbc_engine
+    """directQuery ships the SQL to the database (Spark `query` option);
+    the filter runs DB-side, not in Spark."""
+    df = engine.execute(
+        'load jdbc.`derbydb.items` where directQuery="true" and '
+        'sql="SELECT id, name FROM items WHERE id >= 2" as dq; '
+        'select * from dq order by id as out;')
+    rows = df.collect()
+    assert [r["ID"] for r in rows] == [2, 3, 4]
+    # the scan relation itself carries the pushed query, no Spark Filter
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "items WHERE id >= 2" in plan.replace("\n", " ")
+
+
+def test_jdbc_driver_statement_query(jdbc_engine):
+    engine = jdbc_engine
+    df = engine.execute('''
+    select 1 as a as t;
+    run t as JDBC.`derbydb` where
+        `driver-statement-query`="SELECT COUNT(*) AS N FROM items" as q;
+    ''')
+    assert df.collect()[0]["N"] == 4
+
+
+def test_jdbc_updat_ext_updates_by_key(jdbc_engine):
+    engine = jdbc_engine
+    df = engine.execute('''
+    select 2 as id, 'YY' as name as upd;
+    run upd as JDBCUpdatExt.`derbydb.items` where keyCol="id" as s;
+    ''')
+    assert df.collect()[0]["updated"] == 1
+    df = engine.execute(
+        'load jdbc.`derbydb.items` as items3; '
+        'select name from items3 where id = 2 as out;')
+    assert df.collect()[0]["name"] == "YY"
