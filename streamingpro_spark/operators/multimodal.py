@@ -4,10 +4,14 @@ Images/audio/video are opaque `binary` columns with typed metadata
 (Spark's own `binaryFile` source yields path/modificationTime/length/
 content — the reference's equivalents are MLSQLBinaryFile.scala and
 MLSQLImage.scala).  Decode/resize/frame-sample run as Arrow-batched
-Pandas UDFs over mapInPandas; the actual codec calls are STUBBED
-(image/audio libs are not in this container) behind
-`_decode_image_stub` — the Spark-side plumbing (schema, batching,
-partitioning) is real and tested.
+Pandas UDFs over mapInPandas.
+
+Image and audio metadata decode is REAL: pure-stdlib container parsing
+(PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data — functions/codecs.py),
+matching MLSQLImage.scala's width/height/nChannels surface without JVM
+codec deps.  Only pixel/sample-level work (resize, spectrograms) and
+video FrameSample remain stubbed — those genuinely need PIL/ffmpeg-class
+libs absent from this container.
 """
 
 from __future__ import annotations
@@ -39,26 +43,18 @@ class ImageMetadata(ETAlgorithm):
     """
 
     def train(self, df, path, params, context=None):
+        from streamingpro_spark.functions.codecs import make_image_meta_parser
         col = params.get("contentCol", "content")
         out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META_SCHEMA)])
-
-        def _decode_image_stub(content: bytes) -> dict:
-            """STUB decode: real impl would use PIL/cv2 (not installed here).
-            Returns deterministic fake metadata derived from the bytes so the
-            pipeline is testable end-to-end.  Nested for by-value pickling."""
-            if content is None:
-                return {"width": None, "height": None,
-                        "channels": None, "format": None}
-            size = len(content)
-            return {"width": int(size % 1024) + 1,
-                    "height": int((size // 1024) % 1024) + 1,
-                    "channels": 3, "format": "stub"}
+        parse = make_image_meta_parser()     # nested fn → by-value pickling
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 pdf = pdf.copy()
+                metas = [parse(c) for c in pdf[col]]
                 pdf["image_meta"] = [
-                    _decode_image_stub(c) for c in pdf[col]]
+                    {"width": w, "height": h, "channels": ch, "format": fmt}
+                    for (w, h, ch, fmt) in metas]
                 yield pdf
 
         return df.mapInPandas(decode, out_schema)
@@ -108,10 +104,10 @@ class AudioFeatures(ETAlgorithm):
     """Attach decoded audio features to a binary column.
 
     `run files as AudioFeatures.`` where contentCol="content"`.
-    Decode is STUBBED (librosa/soundfile absent in this container) with
-    deterministic arithmetic on the byte length — 16-bit PCM @ 16 kHz
-    assumed — so the plumbing is oracle-checkable end-to-end; a real
-    deploy swaps only the body of `_decode_audio_stub`.
+    Decode is REAL for RIFF/WAVE: fmt chunk (sample rate / channels /
+    bit depth) + data chunk size → sample count and duration, parsed
+    with the stdlib (functions/codecs.py).  Non-WAV bytes yield nulls —
+    compressed formats (mp3/flac/ogg) need codec libs absent here.
 
     Scale: map-only mapInPandas stage, no shuffle; partitioning follows
     the binary file scan.
@@ -119,34 +115,28 @@ class AudioFeatures(ETAlgorithm):
 
     AUDIO_SCHEMA = T.StructType([
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
-        T.StructField("rms_stub", T.DoubleType()),
+        T.StructField("format", T.StringType()),
     ])
 
     def train(self, df, path, params, context=None):
+        from streamingpro_spark.functions.codecs import make_audio_meta_parser
         col = params.get("contentCol", "content")
         out_schema = T.StructType(
             df.schema.fields + [T.StructField("audio_meta", self.AUDIO_SCHEMA)])
-
-        def _decode_audio_stub(content: bytes) -> dict:
-            # nested for by-value pickling
-            if content is None:
-                return {"sample_rate": None, "n_samples": None,
-                        "duration_ms": None, "rms_stub": None}
-            size = len(content)
-            n_samples = size // 2
-            # integer-exact arithmetic: float rounding differs across
-            # engines (half-even vs half-away) — keep the oracle trivial
-            return {"sample_rate": 16000,
-                    "n_samples": n_samples,
-                    "duration_ms": n_samples * 1000 // 16000,
-                    "rms_stub": (size % 1000) / 1000.0}
+        parse = make_audio_meta_parser()     # nested fn → by-value pickling
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf["audio_meta"] = [_decode_audio_stub(c) for c in pdf[col]]
+                metas = [parse(c) for c in pdf[col]]
+                pdf["audio_meta"] = [
+                    {"sample_rate": sr, "channels": ch, "bits_per_sample": bits,
+                     "n_samples": n, "duration_ms": dur, "format": fmt}
+                    for (sr, ch, bits, n, dur, fmt) in metas]
                 yield pdf
 
         return df.mapInPandas(decode, out_schema)

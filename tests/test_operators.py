@@ -262,25 +262,61 @@ def test_doc_fingerprint_normalization(engine):
     assert rows[1]["normalized_hash"] == rows[2]["normalized_hash"]
 
 
-def test_image_metadata_stub(engine):
-    df = engine.execute("""
-    select cast("fakeimagebytes" as binary) as content, 1 as id as t;
-    run t as ImageMetadata.`` as out;
+def test_image_metadata_real_decode(engine, spark, tmp_path):
+    """Round-trip: encode real PNG/GIF/BMP/JPEG bytes to files, load via
+    binaryFile, decode — true dimensions, not byte-length arithmetic."""
+    from streamingpro_spark.functions.codecs import (make_bmp_encoder,
+                                                     make_gif_encoder,
+                                                     make_jpeg_header,
+                                                     make_png_encoder)
+    (tmp_path / "a.png").write_bytes(make_png_encoder()(17, 9))
+    (tmp_path / "b.gif").write_bytes(make_gif_encoder()(300, 200))
+    (tmp_path / "c.bmp").write_bytes(make_bmp_encoder()(31, 7))
+    (tmp_path / "d.jpg").write_bytes(make_jpeg_header()(640, 480))
+    (tmp_path / "e.txt").write_bytes(b"not an image at all")
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as ImageMetadata.`` as out;
+    select path, image_meta.* from out as final;
     """)
-    row = df.first()
-    assert row["image_meta"]["channels"] == 3
+    metas = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert (metas["a.png"]["width"], metas["a.png"]["height"],
+            metas["a.png"]["channels"], metas["a.png"]["format"]) == (17, 9, 3, "png")
+    assert (metas["b.gif"]["width"], metas["b.gif"]["height"],
+            metas["b.gif"]["format"]) == (300, 200, "gif")
+    assert (metas["c.bmp"]["width"], metas["c.bmp"]["height"],
+            metas["c.bmp"]["channels"], metas["c.bmp"]["format"]) == (31, 7, 3, "bmp")
+    assert (metas["d.jpg"]["width"], metas["d.jpg"]["height"],
+            metas["d.jpg"]["channels"], metas["d.jpg"]["format"]) == (640, 480, 3, "jpeg")
+    assert metas["e.txt"]["format"] is None and metas["e.txt"]["width"] is None
 
 
-def test_audio_features_stub(engine):
-    df = engine.execute("""
-    select cast("0123456789" as binary) as content, 1 as id as t;
-    run t as AudioFeatures.`` as out;
+def test_audio_features_real_decode(engine, tmp_path):
+    from streamingpro_spark.functions.codecs import make_wav_encoder
+    (tmp_path / "a.wav").write_bytes(
+        make_wav_encoder()(44100, 4410, channels=2, bits=16))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*.wav` as files;
+    run files as AudioFeatures.`` as out;
     """)
     meta = df.first()["audio_meta"]
-    assert meta["sample_rate"] == 16000
-    assert meta["n_samples"] == 5          # 10 bytes // 2
-    assert meta["duration_ms"] == 5 * 1000 // 16000
-    assert meta["rms_stub"] == 0.01
+    assert meta["sample_rate"] == 44100
+    assert meta["channels"] == 2
+    assert meta["bits_per_sample"] == 16
+    assert meta["n_samples"] == 4410
+    assert meta["duration_ms"] == 100
+    assert meta["format"] == "wav"
+
+
+def test_codec_parsers_reject_garbage():
+    from streamingpro_spark.functions.codecs import (make_audio_meta_parser,
+                                                     make_image_meta_parser)
+    img, aud = make_image_meta_parser(), make_audio_meta_parser()
+    for junk in (None, b"", b"\x00" * 3, b"RIFFxxxx????", b"\xff\xd8\x00"):
+        assert img(junk)[0] is None
+        assert aud(junk)[0] is None
+    # truncated PNG: signature without a complete IHDR
+    assert img(b"\x89PNG\r\n\x1a\n\x00\x00")[0] is None
 
 
 def test_frame_sample_stub(engine):
