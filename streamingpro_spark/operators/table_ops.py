@@ -293,9 +293,19 @@ class WaterMarkInPlace(ETAlgorithm):
     watermark (reference: SQLWaterMarkInPlace.scala:29-47)."""
 
     def train(self, df, path, params, context=None):
+        from streamingpro_spark.streaming.watermark import apply_watermark
         col = params.get("eventTimeCol", params.get("inputCol", "timestamp"))
         delay = params.get("delayThreshold", "10 seconds")
-        return df.withWatermark(col, delay)
+        out = apply_watermark(df, col, delay)
+        # "InPlace": the reference re-registers the SAME view name
+        # (SQLWaterMarkInPlace.scala:38 createOrReplaceTempView(inputTable))
+        table = params.get("__table__")
+        if table:
+            if context is not None:
+                context.register(out, table)
+            else:
+                out.createOrReplaceTempView(table)
+        return out
 
 
 @register_et("JsonExpandExt")

@@ -86,16 +86,9 @@ def _post_load(ctx: "ExecutionContext", df: "DataFrame",
         from streamingpro_spark.sources.value_parser import decode_value
         df = decode_value(df, value_format, options.get("valueSchema", ""))
     if "eventTimeCol" in options:
-        ev = options["eventTimeCol"]
-        # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
-        # parquet written with isAdjustedToUTC=false loads as NTZ — cast it.
-        try:
-            if df.schema[ev].dataType.typeName() == "timestamp_ntz":
-                from pyspark.sql import functions as F
-                df = df.withColumn(ev, F.col(ev).cast("timestamp"))
-        except KeyError:
-            pass  # let withWatermark raise its own missing-column error
-        df = df.withWatermark(ev, options.get("delayThreshold", "0 seconds"))
+        from streamingpro_spark.streaming.watermark import apply_watermark
+        df = apply_watermark(df, options["eventTimeCol"],
+                             options.get("delayThreshold", "0 seconds"))
     return df
 
 
