@@ -297,6 +297,53 @@ class SendMessage(ETAlgorithm):
             "to: string, from: string, subject: string, content: string, status: string")
 
 
+def _jdbc_connect(spark, url: str, opts: dict):
+    """Driver-side DriverManager connection with explicit driver
+    registration.  Drivers shipped via --jars / spark.jars live on Spark's
+    mutable classloader, which DriverManager's ServiceLoader cannot see —
+    getConnection fails with 'No suitable driver' unless the class is
+    registered first (the reference calls Class.forName: SQLJDBC.scala:52,
+    SQLJDBCUpdatExt.scala:161, JDBCUtils.scala:40).  Spark's own
+    DriverRegistry wraps such drivers so DriverManager accepts them."""
+    jvm = spark.sparkContext._jvm
+    driver = opts.get("driver")
+    if driver:
+        jvm.org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry \
+            .register(driver)
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if k in opts:
+            props.setProperty(k, opts[k])
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _bind_value(jvm, ps, idx: int, value) -> None:
+    """Typed PreparedStatement binding.  py4j auto-converts only
+    primitives/str/bytes; datetime/date/Decimal must go through java.sql
+    types and None through setNull, mirroring the reference's typed-setter
+    switch (SQLJDBCUpdatExt.scala:116-132)."""
+    import datetime
+    import decimal
+    if value is None:
+        # Types.NULL is rejected by Derby ("data type '0' not supported");
+        # ask the statement for the parameter's real SQL type when it can
+        # tell us (most drivers), fall back to untyped NULL otherwise.
+        try:
+            sql_type = ps.getParameterMetaData().getParameterType(idx)
+        except Exception:
+            sql_type = jvm.java.sql.Types.NULL
+        ps.setNull(idx, sql_type)
+    elif isinstance(value, datetime.datetime):  # before date: subclass
+        ps.setTimestamp(idx, jvm.java.sql.Timestamp.valueOf(
+            value.strftime("%Y-%m-%d %H:%M:%S.%f")))
+    elif isinstance(value, datetime.date):
+        ps.setDate(idx, jvm.java.sql.Date.valueOf(value.isoformat()))
+    elif isinstance(value, decimal.Decimal):
+        ps.setBigDecimal(idx, jvm.java.math.BigDecimal(str(value)))
+    else:
+        ps.setObject(idx, value)
+
+
 @register_et("JDBC")
 class JDBCExt(ETAlgorithm):
     """Run DDL/DML statements on a remote database via the JVM's
@@ -315,13 +362,7 @@ class JDBCExt(ETAlgorithm):
         url = opts.get("url")
         if not url:
             raise ValueError("JDBC ET requires a `url` option (or connect meta)")
-        jvm = spark.sparkContext._jvm
-        dm = jvm.java.sql.DriverManager
-        props = jvm.java.util.Properties()
-        for k in ("user", "password"):
-            if k in opts:
-                props.setProperty(k, opts[k])
-        conn = dm.getConnection(url, props)
+        conn = _jdbc_connect(spark, url, opts)
         try:
             stmts = sorted((k for k in opts if k.startswith("driver-statement-")
                             and k != "driver-statement-query"),
@@ -344,19 +385,28 @@ class JDBCExt(ETAlgorithm):
 @register_et("JDBCUpdatExt")
 class JDBCUpdatExt(ETAlgorithm):
     """UPDATE rows of a JDBC table from the input DataFrame, keyed by
-    `keyCol` (reference SQLJDBCUpdatExt.scala:35-120: one
-    ``UPDATE t SET nonkey=? WHERE key=?`` per input row).
+    `keyCol` (reference SQLJDBCUpdatExt.scala:35-160: per-row
+    ``UPDATE t SET nonkey=? WHERE key=?`` from rdd.foreachPartition).
 
-    Executed as a driver-side JDBC batch (PreparedStatement.addBatch /
-    executeBatch) with a hard `maxRows` cap — Python executors cannot
-    reach java.sql, and per-row UPDATE round-trips are inherently not a
-    100 TB path in any engine.  Bulk updates should stage with
-    ``save append`` to a temp table and run ONE set-based statement via
-    the JDBC ET (documented tradeoff, matches the reference's own
-    row-at-a-time semantics)."""
+    Two strategies (Python executors cannot reach java.sql, so the
+    reference's executor-side PreparedStatement loop is not expressible
+    in PySpark — the scalable equivalent is better anyway):
+
+    - ``strategy="staged"`` (default): executor-parallel
+      ``df.write.jdbc`` into a temp staging table (Spark's native JDBC
+      sink — each partition opens its own DB connection), then ONE
+      set-based correlated UPDATE on the driver, then DROP the staging
+      table.  Driver work is O(1) in row count → the 100 TB path.
+      Duplicate keys in the input are dropped first (the reference's
+      row-at-a-time version applies them in arbitrary partition order
+      anyway).  Generated SQL double-quotes staging-side identifiers to
+      match Spark's quoted CREATE TABLE (ANSI; MySQL needs ANSI_QUOTES).
+    - ``strategy="driver"``: the reference's batch loop on the driver —
+      typed setters (timestamp/date/decimal/null, matching
+      SQLJDBCUpdatExt.scala:116-132), one transaction with rollback on
+      failure (ibid:102,136-144), hard ``maxRows`` collect cap."""
 
     def train(self, df, path, params, context=None):
-        from streamingpro_spark.operators.similarity import bounded_collect
         key_param = params.get("keyCol")
         if not key_param:
             raise ValueError('JDBCUpdatExt requires keyCol="k1[,k2]"')
@@ -379,19 +429,62 @@ class JDBCUpdatExt(ETAlgorithm):
         set_cols = [c for c in df.columns if c not in keys]
         if not set_cols:
             raise ValueError("input has only key columns; nothing to SET")
+        strategy = opts.get("strategy", "staged")
+        if strategy == "staged":
+            return self._staged(df, table, keys, set_cols, url, opts)
+        if strategy == "driver":
+            return self._driver_batch(df, table, keys, set_cols, url, opts)
+        raise ValueError(f"unknown strategy {strategy!r}; "
+                         'use "staged" or "driver"')
+
+    # -- staged: distributed write + one set-based UPDATE ----------------
+    def _staged(self, df, table, keys, set_cols, url, opts):
+        import uuid
+        spark = df.sparkSession
+        stage = f"{table}__stage_{uuid.uuid4().hex[:8]}"
+        conn_opts = {k: opts[k] for k in ("user", "password", "driver")
+                     if k in opts}
+        (df.dropDuplicates(keys).write.format("jdbc")
+         .option("url", url).option("dbtable", stage)
+         .options(**conn_opts).mode("errorifexists").save())
+        conn = _jdbc_connect(spark, url, opts)
+        try:
+            # Spark's JDBC CREATE TABLE quotes column names, so staging
+            # columns are case-exact; target-side names stay as given.
+            def sq(c):
+                return f'"{c}"'
+            on = " AND ".join(f"s.{sq(k)} = {table}.{k}" for k in keys)
+            sets = ", ".join(
+                f"{c} = (SELECT s.{sq(c)} FROM {stage} s WHERE {on})"
+                for c in set_cols)
+            sql = (f"UPDATE {table} SET {sets} WHERE EXISTS "
+                   f"(SELECT 1 FROM {stage} s WHERE {on})")
+            st = conn.createStatement()
+            try:
+                updated = st.executeUpdate(sql)
+            finally:
+                st.close()
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(f"DROP TABLE {stage}")
+            finally:
+                st.close()
+        finally:
+            conn.close()
+        return spark.createDataFrame([(updated,)], "updated: long")
+
+    # -- driver: reference-style typed batch in one transaction ----------
+    def _driver_batch(self, df, table, keys, set_cols, url, opts):
+        from streamingpro_spark.operators.similarity import bounded_collect
         max_rows = int(opts.get("maxRows", "100000"))
         rows = bounded_collect(
             df, max_rows, "JDBCUpdatExt input", "maxRows",
-            hint="stage bulk updates via `save append` + one set-based "
-                 "JDBC ET statement")
+            hint='use strategy="staged" (distributed) for bulk updates')
         spark = df.sparkSession
         jvm = spark.sparkContext._jvm
-        props = jvm.java.util.Properties()
-        for k in ("user", "password"):
-            if k in opts:
-                props.setProperty(k, opts[k])
-        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        conn = _jdbc_connect(spark, url, opts)
         try:
+            conn.setAutoCommit(False)
             sql = (f"UPDATE {table} SET "
                    + ", ".join(f"{c} = ?" for c in set_cols)
                    + " WHERE " + " AND ".join(f"{k} = ?" for k in keys))
@@ -401,10 +494,10 @@ class JDBCUpdatExt(ETAlgorithm):
                 for r in rows:
                     i = 1
                     for c in set_cols:
-                        ps.setObject(i, r[c])
+                        _bind_value(jvm, ps, i, r[c])
                         i += 1
                     for k in keys:
-                        ps.setObject(i, r[k])
+                        _bind_value(jvm, ps, i, r[k])
                         i += 1
                     ps.addBatch()
                     pending += 1
@@ -413,6 +506,10 @@ class JDBCUpdatExt(ETAlgorithm):
                         pending = 0
                 if pending:
                     ps.executeBatch()
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
             finally:
                 ps.close()
         finally:
@@ -422,7 +519,10 @@ class JDBCUpdatExt(ETAlgorithm):
     def explain_params(self):
         return [("keyCol", "comma-separated key columns (WHERE)", ""),
                 ("url", "jdbc url (or via connect meta in path)", ""),
-                ("maxRows", "hard cap on driver-side input collect", "100000")]
+                ("strategy", "staged (distributed) | driver (batch loop)",
+                 "staged"),
+                ("maxRows", "driver strategy: cap on input collect",
+                 "100000")]
 
 
 @register_et("SaveBinaryAsFile")

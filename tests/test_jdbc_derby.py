@@ -79,6 +79,8 @@ def test_jdbc_driver_statement_query(jdbc_engine):
 
 
 def test_jdbc_updat_ext_updates_by_key(jdbc_engine):
+    """Default (staged) strategy: distributed write to a staging table +
+    one set-based UPDATE; no staging table left behind."""
     engine = jdbc_engine
     df = engine.execute('''
     select 2 as id, 'YY' as name as upd;
@@ -89,3 +91,59 @@ def test_jdbc_updat_ext_updates_by_key(jdbc_engine):
         'load jdbc.`derbydb.items` as items3; '
         'select name from items3 where id = 2 as out;')
     assert df.collect()[0]["name"] == "YY"
+    # the staging table was dropped
+    df = engine.execute('''
+    select 1 as a as t;
+    run t as JDBC.`derbydb` where
+        `driver-statement-query`="SELECT COUNT(*) AS N FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%STAGE%'" as q;
+    ''')
+    assert df.collect()[0]["N"] == 0
+
+
+def test_jdbc_updat_ext_driver_strategy_typed_values(jdbc_engine):
+    """strategy=driver exercises the typed PreparedStatement binders:
+    timestamp, date, decimal, and NULL (ADVICE: raw setObject breaks on
+    all four)."""
+    engine = jdbc_engine
+    engine.execute('''
+    select 1 as a as t;
+    run t as JDBC.`derbydb` where
+        `driver-statement-0`="CREATE TABLE typed(id INT, ts TIMESTAMP, d DATE, amt DECIMAL(10,2), note VARCHAR(20))"
+        and `driver-statement-1`="INSERT INTO typed VALUES (1, TIMESTAMP('2020-01-01 00:00:00'), DATE('2020-01-01'), 1.00, 'old')"
+        as s;
+    ''')
+    df = engine.execute('''
+    select 1 as id, timestamp'2024-01-02 03:04:05.123' as ts,
+           date'2024-03-04' as d, cast(9.75 as decimal(10,2)) as amt,
+           cast(null as string) as note as upd;
+    run upd as JDBCUpdatExt.`derbydb.typed` where keyCol="id"
+        and strategy="driver" as s2;
+    ''')
+    assert df.collect()[0]["updated"] == 1
+    row = engine.execute(
+        'load jdbc.`derbydb.typed` as typed2; '
+        'select * from typed2 where id = 1 as out;').collect()[0]
+    assert str(row["TS"]).startswith("2024-01-02 03:04:05.123")
+    assert str(row["D"]) == "2024-03-04"
+    assert float(row["AMT"]) == 9.75
+    assert row["NOTE"] is None
+
+
+def test_jdbc_updat_ext_staged_multi_column_and_null(jdbc_engine):
+    """Staged strategy on a multi-SET-column table with NULL + timestamp
+    values (types handled by Spark's JDBC writer, no py4j binding)."""
+    engine = jdbc_engine
+    df = engine.execute('''
+    select 1 as id, timestamp'2025-05-06 07:08:09' as ts,
+           cast(null as date) as d, cast(2.50 as decimal(10,2)) as amt,
+           'new' as note as upd;
+    run upd as JDBCUpdatExt.`derbydb.typed` where keyCol="id" as s3;
+    ''')
+    assert df.collect()[0]["updated"] == 1
+    row = engine.execute(
+        'load jdbc.`derbydb.typed` as typed3; '
+        'select * from typed3 where id = 1 as out;').collect()[0]
+    assert str(row["TS"]).startswith("2025-05-06 07:08:09")
+    assert row["D"] is None
+    assert float(row["AMT"]) == 2.5
+    assert row["NOTE"] == "new"
