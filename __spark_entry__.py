@@ -1651,6 +1651,44 @@ def _q_tfidf(spark, sf_dir):
     """)
 
 
+def _q_tfidf_standalone(spark, sf_dir):
+    """Standalone TfIdf algorithm (reference SQLTfIdf.scala — integer
+    term ids, identity-hash TF + IDF) through train→predict (rows-only:
+    hashed vectors have no SQL oracle).  Emits per-doc nonzero count."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_tfidf_alg_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, transform(split(text, ' '), w -> abs(hash(w)) % 1024) as words
+    from documents as tf_in;
+    train tf_in as TfIdf.`{path}/m` where inputCol="words" and numFeatures="1024";
+    predict tf_in as TfIdf.`{path}/m` as scored;
+    select doc_id,
+           aggregate(vec_array(tfidf), 0L,
+                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz
+    from scored as output;
+    """)
+
+
+def _q_hash_tfidf(spark, sf_dir):
+    """Standalone HashTfIdf algorithm (reference SQLHashTfIdf.scala —
+    murmur3 HashingTF binary + IDF) through train→predict (rows-only)."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_htfidf_alg_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, split(text, ' ') as words from documents as htf_in;
+    train htf_in as HashTfIdf.`{path}/m` where inputCol="words" and numFeatures="1024";
+    predict htf_in as HashTfIdf.`{path}/m` as scored;
+    select doc_id,
+           aggregate(vec_array(tfidf), 0L,
+                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz
+    from scored as output;
+    """)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1658,7 +1696,8 @@ def _q_tfidf(spark, sf_dir):
 # rows-only entries (no oracle): skipped by the deterministic-order wrap
 # (some return unsortable types like ml vectors)
 _ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
-              "tfidf_featurize", "ml_train_predict", "kmeans_clusters"}
+              "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
+              "tfidf_alg", "hash_tfidf_alg"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -1749,6 +1788,8 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "lsh_similarity": _q_lsh_similarity,
         "tfidf_featurize": _q_tfidf,
+        "tfidf_alg": _q_tfidf_standalone,
+        "hash_tfidf_alg": _q_hash_tfidf,
         "ml_train_predict": _q_ml_train_predict,
         "kmeans_clusters": _q_kmeans,
         # LLM-pipeline: dedup

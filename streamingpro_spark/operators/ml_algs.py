@@ -171,6 +171,165 @@ _make("StandardScaler",
       strs=("inputCol", "outputCol"))
 
 
+class _TfIdfFamily(ETAlgorithm):
+    """Shared train/load/predict for the two standalone TF-IDF algorithms
+    (reference SQLTfIdf.scala / SQLHashTfIdf.scala, registry
+    TrainAdaptor.scala:124-168): term-frequency vectorize the input
+    column, fit an IDF model, save it; `register ... as fn` serves a
+    terms→tfidf-vector UDF from a pure-numpy closure (the reference
+    rebuilds an mllib HashingTF inside its serving UDF the same way)."""
+
+    model_type = "algorithm"
+
+    def _tf(self, df, input_col: str, n: int):
+        raise NotImplementedError
+
+    def _meta(self, path: str) -> dict:
+        import json
+        with open(os.path.join(path, "meta.json")) as fh:
+            return json.load(fh)
+
+    def train(self, df, path, params, context=None):
+        import json
+
+        from pyspark.ml.feature import IDF
+        input_col = params.get("inputCol", "words")
+        out_col = params.get("outputCol", "tfidf")
+        n = int(params.get("numFeatures", str(1 << 18)))
+        feat = self._tf(df, input_col, n)
+        idf = IDF(inputCol="__SQLTfIdf__", outputCol=out_col,
+                  minDocFreq=int(params.get("minDocFreq", "0")))
+        model = idf.fit(feat)
+        if path:
+            model.write().overwrite().save(os.path.join(path, "model"))
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "meta.json"), "w") as fh:
+                json.dump({"numFeatures": n, "inputCol": input_col,
+                           "outputCol": out_col}, fh)
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(type(self).__name__, path, n)],
+            "modelType: string, path: string, numFeatures: int")
+
+    def batch_predict(self, df, path, params):
+        from pyspark.ml.feature import IDFModel
+        meta = self._meta(path)
+        model = IDFModel.load(os.path.join(path, "model"))
+        feat = self._tf(df, params.get("inputCol", meta["inputCol"]),
+                        meta["numFeatures"])
+        return model.transform(feat).drop("__SQLTfIdf__")
+
+    def load(self, spark, path, params, context=None):
+        import numpy as np
+        from pyspark.ml.feature import IDFModel
+        meta = self._meta(path)
+        model = IDFModel.load(os.path.join(path, "model"))
+        return {"idf": np.asarray(model.idf.toArray()), "meta": meta}
+
+
+@register_et("TfIdf")
+class TfIdf(_TfIdfFamily):
+    """TF-IDF over pre-tokenized integer term ids: vector index =
+    id mod numFeatures (reference SQLTfIdf.scala uses IntTF — identity
+    hash — which has no public Spark equivalent, so the TF vector is
+    built by a small UDF; the IDF fit/transform stays JVM-side)."""
+
+    def _tf(self, df, input_col: str, n: int):
+        from pyspark.ml.linalg import VectorUDT
+        from pyspark.sql import functions as F
+
+        def int_tf(ids):
+            # nested so cloudpickle ships it by value (no repo import
+            # needed on executors)
+            from collections import Counter
+
+            from pyspark.ml.linalg import Vectors
+            counts = Counter(int(t) % n for t in (ids or []))
+            idx = sorted(counts)
+            return Vectors.sparse(n, idx, [float(counts[i]) for i in idx])
+
+        fn = F.udf(int_tf, VectorUDT())
+        return df.withColumn("__SQLTfIdf__", fn(F.col(input_col)))
+
+    def predict(self, spark, model, name, params):
+        idf = model["idf"]
+        n = int(model["meta"]["numFeatures"])
+
+        def tfidf(ids):
+            from collections import Counter
+
+            from pyspark.ml.linalg import Vectors
+            counts = Counter(int(t) % n for t in (ids or []))
+            idx = sorted(counts)
+            return Vectors.sparse(n, idx,
+                                  [float(counts[i]) * float(idf[i])
+                                   for i in idx])
+
+        from pyspark.ml.linalg import VectorUDT
+        return spark.udf.register(name, tfidf, VectorUDT())
+
+
+@register_et("HashTfIdf")
+class HashTfIdf(_TfIdfFamily):
+    """TF-IDF over string terms via murmur3 HashingTF with binary term
+    counts (reference SQLHashTfIdf.scala:40-47 — HashingTF(binary=true) +
+    IDF).  Train/batch-predict hash JVM-side (ml.feature.HashingTF); the
+    serving UDF re-implements the standard murmur3_x86_32(seed=42) hash
+    in pure python — tests pin it against the JVM indices."""
+
+    def _tf(self, df, input_col: str, n: int):
+        from pyspark.ml.feature import HashingTF
+        tf = HashingTF(inputCol=input_col, outputCol="__SQLTfIdf__",
+                       numFeatures=n, binary=True)
+        return tf.transform(df)
+
+    def predict(self, spark, model, name, params):
+        idf = model["idf"]
+        n = int(model["meta"]["numFeatures"])
+
+        def hash_tfidf(words):
+            from pyspark.ml.linalg import Vectors
+
+            def murmur3(data: bytes, seed: int = 42) -> int:
+                c1, c2 = 0xCC9E2D51, 0x1B873593
+                h = seed
+                m = 0xFFFFFFFF
+                nblocks = len(data) // 4
+                for b in range(nblocks):
+                    k = int.from_bytes(data[b * 4:b * 4 + 4], "little")
+                    k = (k * c1) & m
+                    k = ((k << 15) | (k >> 17)) & m
+                    k = (k * c2) & m
+                    h ^= k
+                    h = ((h << 13) | (h >> 19)) & m
+                    h = (h * 5 + 0xE6546B64) & m
+                k = 0
+                for shift, byte in enumerate(data[nblocks * 4:]):
+                    k ^= byte << (8 * shift)
+                if k:
+                    k = (k * c1) & m
+                    k = ((k << 15) | (k >> 17)) & m
+                    k = (k * c2) & m
+                    h ^= k
+                h ^= len(data)
+                h ^= h >> 16
+                h = (h * 0x85EBCA6B) & m
+                h ^= h >> 13
+                h = (h * 0xC2B2AE35) & m
+                h ^= h >> 16
+                # to signed 32-bit, then non-negative mod (Scala
+                # Utils.nonNegativeMod on the signed hash)
+                if h >= 1 << 31:
+                    h -= 1 << 32
+                return ((h % n) + n) % n
+
+            idx = sorted({murmur3(w.encode("utf-8")) for w in (words or [])})
+            return Vectors.sparse(n, idx, [float(idf[i]) for i in idx])
+
+        from pyspark.ml.linalg import VectorUDT
+        return spark.udf.register(name, hash_tfidf, VectorUDT())
+
+
 @register_et("PageRank")
 class PageRank(ETAlgorithm):
     """PageRank over an edge table (reference: SQLPageRank.scala uses

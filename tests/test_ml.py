@@ -141,3 +141,55 @@ def test_keep_version_trains_and_loads_latest(iris_engine, tmp_path):
     """)
     assert "prediction" in df.columns
     assert df.count() > 0
+
+
+def test_tfidf_standalone_roundtrip(engine, tmp_path):
+    """TfIdf (int term ids): train -> batchPredict -> register; the
+    serving UDF must agree with the batch path exactly."""
+    engine.execute("""
+    set tdocs = '''
+    {"words":[1,2,2,3]}
+    {"words":[2,4]}
+    {"words":[1,5,5,5]}
+    ''';
+    load jsonStr.`tdocs` as tcorpus;
+    """)
+    path = tmp_path / "tfidf_alg"
+    df = engine.execute(f"""
+    train tcorpus as TfIdf.`{path}` where inputCol="words" and numFeatures="32";
+    predict tcorpus as TfIdf.`{path}`;
+    """)
+    batch = [r["tfidf"] for r in df.collect()]
+    assert all(v.numNonzeros() > 0 for v in batch)
+    # term 2 appears in 2 of 3 docs, term 4 in 1 -> idf(4) > idf(2)
+    engine.execute(f"register TfIdf.`{path}` as tfidf_fn;")
+    served = [r[0] for r in engine.execute(
+        "select tfidf_fn(words) as v from tcorpus as out;").collect()]
+    for b, s in zip(batch, served):
+        assert b.toArray().tolist() == pytest.approx(s.toArray().tolist())
+
+
+def test_hash_tfidf_standalone_roundtrip(engine, tmp_path):
+    """HashTfIdf (string terms, binary TF): the pure-python murmur3 in
+    the serving UDF must produce the same indices/values as the JVM
+    HashingTF batch path."""
+    engine.execute("""
+    set hdocs = '''
+    {"words":["spark","fast","engine","engine"]}
+    {"words":["slow","scan","spark"]}
+    {"words":["query","planner","cost","spark","z"]}
+    ''';
+    load jsonStr.`hdocs` as hcorpus;
+    """)
+    path = tmp_path / "hashtfidf_alg"
+    df = engine.execute(f"""
+    train hcorpus as HashTfIdf.`{path}` where inputCol="words" and numFeatures="64";
+    predict hcorpus as HashTfIdf.`{path}`;
+    """)
+    batch = [r["tfidf"] for r in df.collect()]
+    engine.execute(f"register HashTfIdf.`{path}` as hash_tfidf_fn;")
+    served = [r[0] for r in engine.execute(
+        "select hash_tfidf_fn(words) as v from hcorpus as out;").collect()]
+    for b, s in zip(batch, served):
+        assert sorted(b.indices.tolist()) == sorted(s.indices.tolist())
+        assert b.toArray().tolist() == pytest.approx(s.toArray().tolist())
