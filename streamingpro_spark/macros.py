@@ -46,6 +46,15 @@ MACROS: dict[str, str] = {
     # reference CommandCollection.scala:34
     "jdbc": "run command as JDBC.`{}` where `driver-statement-0`='''{1}'''",
     "plugin": 'run command as PluginCommand.`` where action="{}" and name="{1}"',
+    # reference CommandCollection.scala:53 — filler words at odd indices:
+    # !split tbl by <labelCol> rate <r0,r1,..> named <out>
+    "split": 'run {0} as RateSampler.`` where labelCol="{2}" and sampleRate="{4}" as {6}',
+    # reference CommandCollection.scala:64 — !runScript '''<script>''' named <out>
+    "runScript": "run command as RunScript.`` where code='''{0}''' as {2}",
+    # reference CommandCollection.scala:55
+    "saveUploadFileToHome": 'run command as DownloadExt.`` where from="{}" and to="{1}"',
+    # reference CommandCollection.scala:48 — !model history <path>
+    "model": 'run command as ModelCommand.`{1}` where action="{0}"',
 }
 
 

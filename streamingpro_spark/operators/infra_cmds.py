@@ -184,3 +184,31 @@ class PythonCommand(ETAlgorithm):
         if out is None:
             return spark.createDataFrame([("ok",)], "status: string")
         return spark.createDataFrame(out)
+
+
+@register_et("ModelCommand")
+class ModelCommand(ETAlgorithm):
+    """!model history <path> — list the saved versions of a model
+    directory (reference: tech/mlsql/ets/ModelCommand.scala:37-70, which
+    scans `_model_N` subdirs written by keepVersion and unions their
+    meta; our ML wrappers store the version in the path itself)."""
+
+    def train(self, df, path, params, context=None):
+        action = params.get("action", "history")
+        if action != "history":
+            raise ValueError(f"!model: unknown action {action!r}; "
+                             "supported: history")
+        from streamingpro_spark.operators.ml_algs import _MLWrapper
+        versions = _MLWrapper._list_versions(path)
+        spark = df.sparkSession
+        if versions:
+            rows = [(os.path.join(path, f"_model_{v}"), v)
+                    for v in sorted(versions, reverse=True)]
+        elif os.path.exists(path):
+            rows = [(path, 0)]
+        else:
+            raise ValueError(f"!model: {path} is not a model path")
+        return spark.createDataFrame(rows, "modelPath: string, version: int")
+
+    def explain_params(self):
+        return [("action", "history", "history")]

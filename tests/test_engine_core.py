@@ -276,6 +276,86 @@ def test_every_macro_maps_to_registered_et():
     assert missing == []
 
 
+def test_macro_registry_covers_reference_list():
+    """Registry diff vs the reference macro table
+    (tech/mlsql/dsl/CommandCollection.scala:32-97): every reference
+    macro is either implemented or on the documented-drop list."""
+    from streamingpro_spark.macros import MACROS
+    reference = {
+        "show", "desc", "kill", "jdbc", "cache", "unCache", "uncache",
+        "createPythonEnv", "removePythonEnv", "createPythonEnvFromFile",
+        "removePythonEnvFromFile", "resource", "model", "hdfs", "fs",
+        "split", "saveUploadFileToHome", "withWartermark", "delta",
+        "scheduler", "python", "ray", "plugin", "runScript", "iterator",
+        "if", "elif", "then", "else", "fi", "println", "kafkaTool",
+        "callback",
+    }
+    # engine-level statements, not macro expansions (engine.py branch ctx)
+    branching = {"if", "elif", "then", "else", "fi"}
+    # documented out of scope (SURVEY §7 / MIGRATION.md): conda env mgmt
+    # (PythonCommand covers native python), executor scaling, cron
+    # scheduler, Ray external compute
+    dropped = {"createPythonEnv", "removePythonEnv",
+               "createPythonEnvFromFile", "removePythonEnvFromFile",
+               "resource", "scheduler", "ray"}
+    aliased = {"unCache": "uncache"}  # case-variant of an implemented macro
+    missing = reference - branching - dropped - set(aliased) - set(MACROS)
+    assert missing == set()
+
+
+def test_macro_split(engine, sf_dir):
+    """!split → RateSampler (reference CommandCollection.scala:53)."""
+    engine.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as ord;
+    select o_orderkey, o_orderstatus from ord limit 100 as small;
+    !split small by o_orderstatus rate 0.8,0.2 named splitted;
+    """)
+    rows = engine.spark.table("splitted").collect()
+    assert len(rows) == 100
+    assert {r["__split__"] for r in rows} == {0, 1}
+
+
+def test_macro_run_script(engine):
+    """!runScript → RunScript ET (reference CommandCollection.scala:64)."""
+    df = engine.execute(
+        "!runScript '''select 1 as a as rs_inner;''' named rs_out;")
+    assert df.collect()[0]["a"] == 1
+    assert engine.spark.table("rs_inner").collect()[0]["a"] == 1
+
+
+def test_macro_save_upload_file_to_home(engine, tmp_path):
+    """!saveUploadFileToHome → DownloadExt (CommandCollection.scala:55)."""
+    src = tmp_path / "up.txt"
+    src.write_text("payload")
+    dst = tmp_path / "home" / "up.txt"
+    df = engine.execute(
+        f'!saveUploadFileToHome "file://{src}" "{dst}";')
+    assert df.collect()[0]["bytes"] == 7
+    assert dst.read_text() == "payload"
+
+
+def test_macro_model_history(engine, tmp_path):
+    """!model history → ModelCommand listing keepVersion model dirs
+    (reference tech/mlsql/ets/ModelCommand.scala:37-70)."""
+    engine.execute("""
+    set md = '''
+    {"features":[1.0,2.0],"label":0.0}
+    {"features":[5.0,6.0],"label":1.0}
+    ''';
+    load jsonStr.`md` as mh_train;
+    select vec_dense(features) as features, label from mh_train as mh_t;
+    """)
+    path = tmp_path / "mh_model"
+    engine.execute(f"""
+    train mh_t as LogisticRegression.`{path}` where keepVersion="true" and maxIter="2";
+    train mh_t as LogisticRegression.`{path}` where keepVersion="true" and maxIter="2";
+    """)
+    df = engine.execute(f"!model history {path};")
+    rows = df.collect()
+    assert [r["version"] for r in rows] == [1, 0]
+    assert all("_model_" in r["modelPath"] for r in rows)
+
+
 def test_save_bucketed_join_has_no_shuffle(engine, sf_dir, tmp_path):
     """Two tables bucketed on the join key join WITHOUT an exchange —
     the co-located join strategy for repeated large joins at scale."""
