@@ -791,10 +791,12 @@ def _register_media_gens(spark):
     hash match proves the encode→container-parse round trip, not stub
     arithmetic (round-1 verdict item #5)."""
     from pyspark.sql import functions as F
-    from streamingpro_spark.functions.codecs import (make_png_encoder,
+    from streamingpro_spark.functions.codecs import (make_avi_encoder,
+                                                     make_png_encoder,
                                                      make_wav_encoder)
     enc_png = make_png_encoder()
     enc_wav = make_wav_encoder()
+    enc_avi = make_avi_encoder()
 
     @F.pandas_udf("binary")
     def gen_png(w: pd.Series, h: pd.Series) -> pd.Series:
@@ -804,8 +806,15 @@ def _register_media_gens(spark):
     def gen_wav(sr: pd.Series, n: pd.Series) -> pd.Series:
         return pd.Series([enc_wav(int(a), int(b)) for a, b in zip(sr, n)])
 
+    @F.pandas_udf("binary")
+    def gen_avi(w: pd.Series, h: pd.Series, fps: pd.Series,
+                n: pd.Series) -> pd.Series:
+        return pd.Series([enc_avi(int(a), int(b), float(f), int(c))
+                          for a, b, f, c in zip(w, h, fps, n)])
+
     spark.udf.register("gen_png", gen_png)
     spark.udf.register("gen_wav", gen_wav)
+    spark.udf.register("gen_avi", gen_avi)
 
 
 def _q_image_metadata(spark, sf_dir):
@@ -863,6 +872,42 @@ SELECT doc_id,
        CAST((doc_id % 200 + 20) * 1000 // ((doc_id % 3 + 1) * 8000) AS BIGINT)
          AS duration_ms,
        'wav' AS format
+FROM documents
+"""
+
+
+def _q_video_metadata(spark, sf_dir):
+    # REAL decode: generate a genuine RIFF/AVI container per document
+    # (avih header fields derived from doc_id), then parse it back out.
+    # fps values {10,20,40} keep 1e6/fps an exact integer so the
+    # round-trip is bit-exact against the oracle.
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_avi(doc_id % 320 + 16, doc_id % 240 + 16,
+                           10.0 * power(2, doc_id % 3),
+                           doc_id % 100 + 10) as content
+    from documents as vid_docs;
+    run vid_docs as VideoMetadata.`` as v_out;
+    select doc_id, video_meta.width as width, video_meta.height as height,
+           video_meta.fps as fps, video_meta.n_frames as n_frames,
+           video_meta.duration_ms as duration_ms,
+           video_meta.format as format
+    from v_out as output;
+    """)
+
+
+_VIDEO_METADATA_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 320 + 16 AS INT) AS width,
+       CAST(doc_id % 240 + 16 AS INT) AS height,
+       CAST(10 * POWER(2, doc_id % 3) AS DOUBLE) AS fps,
+       CAST(doc_id % 100 + 10 AS BIGINT) AS n_frames,
+       CAST((doc_id % 100 + 10)
+            * CAST(1000000 / (10 * POWER(2, doc_id % 3)) AS BIGINT)
+            // 1000 AS BIGINT) AS duration_ms,
+       'avi' AS format
 FROM documents
 """
 
@@ -1814,6 +1859,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
+        "video_metadata": _q_video_metadata,
     }
 
 
@@ -1903,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
+        "video_metadata": _VIDEO_METADATA_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
     # order, nulls last — so order-sensitive value hashes match

@@ -115,6 +115,63 @@ def make_wav_encoder():
     return wav_bytes
 
 
+def make_avi_encoder():
+    """-> avi_bytes(width, height, fps, n_frames) — a real RIFF/AVI
+    container (LIST hdrl + avih main header, empty movi list).  Carries
+    genuine dwMicroSecPerFrame/dwTotalFrames/dwWidth/dwHeight metadata;
+    no encoded frames (a video codec is out of scope without libs —
+    MIGRATION.md), same posture as the JPEG header encoder above."""
+    def avi_bytes(width: int, height: int, fps: float,
+                  n_frames: int) -> bytes:
+        import struct
+        us_per_frame = int(round(1_000_000 / float(fps)))
+        avih = struct.pack("<10I", us_per_frame, 0, 0, 0, int(n_frames),
+                           0, 1, 0, int(width), int(height)) + b"\x00" * 16
+        hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+        movi = b"movi"
+        body = (b"AVI "
+                + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                + b"LIST" + struct.pack("<I", len(movi)) + movi)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return avi_bytes
+
+
+def make_video_meta_parser():
+    """-> parse(content) -> (width, height, fps, n_frames, duration_ms,
+    format) from the RIFF/AVI 'avih' main header (same chunk walk as the
+    WAV parser — AVI is RIFF's video sibling).  MP4/ISO-BMFF is
+    documented out of scope (MIGRATION.md: box tree + per-track
+    timescales need a real demuxer).  All-None for unrecognized bytes."""
+    def parse(content) -> tuple:
+        import struct
+        nulls = (None, None, None, None, None, None)
+        if content is None:
+            return nulls
+        b = bytes(content)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return nulls
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if tag == b"LIST":
+                i += 12                       # descend into the list body
+                continue
+            if tag == b"avih" and i + 8 + 40 <= len(b):
+                fields = struct.unpack("<10I", b[i + 8:i + 48])
+                us_per_frame, n_frames = fields[0], fields[4]
+                width, height = fields[8], fields[9]
+                fps = (1_000_000 / us_per_frame) if us_per_frame else None
+                dur = (n_frames * us_per_frame // 1000) if us_per_frame \
+                    else None
+                return (width, height, fps, n_frames, dur, "avi")
+            i += 8 + size + (size & 1)         # chunks are word-aligned
+        return nulls
+
+    return parse
+
+
 def make_image_meta_parser():
     """-> parse(content: bytes|None) -> (width, height, channels, format)
     for PNG / JPEG / GIF / BMP; (None, None, None, None) when the bytes
@@ -139,6 +196,9 @@ def make_image_meta_parser():
                     i += 1
                     continue
                 marker = b[i + 1]
+                if marker == 0xFF:      # legal fill byte before a marker
+                    i += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue

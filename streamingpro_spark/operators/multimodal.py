@@ -6,12 +6,12 @@ content — the reference's equivalents are MLSQLBinaryFile.scala and
 MLSQLImage.scala).  Decode/resize/frame-sample run as Arrow-batched
 Pandas UDFs over mapInPandas.
 
-Image and audio metadata decode is REAL: pure-stdlib container parsing
-(PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data — functions/codecs.py),
-matching MLSQLImage.scala's width/height/nChannels surface without JVM
-codec deps.  Only pixel/sample-level work (resize, spectrograms) and
-video FrameSample remain stubbed — those genuinely need PIL/ffmpeg-class
-libs absent from this container.
+Image, audio, and video metadata decode is REAL: pure-stdlib container
+parsing (PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data / AVI avih —
+functions/codecs.py), matching MLSQLImage.scala's width/height/nChannels
+surface without JVM codec deps.  Only pixel/sample-level work (resize,
+spectrograms, frame pixel decode) remains stubbed — those genuinely need
+PIL/ffmpeg-class libs absent from this container (MIGRATION.md).
 """
 
 from __future__ import annotations
@@ -63,34 +63,97 @@ class ImageMetadata(ETAlgorithm):
         return [("contentCol", "binary column with encoded image bytes", "content")]
 
 
-@register_et("FrameSample")
-class FrameSample(ETAlgorithm):
-    """Sample N pseudo-frames from a binary video column — emits one row
-    per sampled frame with (frame_index, frame_bytes).  Decode is
-    stubbed (slices of the source bytes); the explode/batch plumbing is
-    real.  Scale: output rows = input × n_frames; map-only."""
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("format", T.StringType()),
+])
+
+
+@register_et("VideoMetadata")
+class VideoMetadata(ETAlgorithm):
+    """Attach decoded video metadata to a binary column.
+
+    Decode is REAL for RIFF/AVI: the 'avih' main header carries
+    width/height/µs-per-frame/total-frames, parsed with the stdlib
+    (functions/codecs.py make_video_meta_parser — the WAV chunk walk's
+    sibling).  MP4/ISO-BMFF stays out of scope (MIGRATION.md).
+
+    Scale: map-only mapInPandas stage, no shuffle; partitioning follows
+    the binary file scan."""
 
     def train(self, df, path, params, context=None):
+        from streamingpro_spark.functions.codecs import make_video_meta_parser
+        col = params.get("contentCol", "content")
+        out_schema = T.StructType(
+            df.schema.fields + [T.StructField("video_meta", VIDEO_META_SCHEMA)])
+        parse = make_video_meta_parser()     # nested fn → by-value pickling
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                metas = [parse(c) for c in pdf[col]]
+                pdf["video_meta"] = [
+                    {"width": w, "height": h, "fps": fps, "n_frames": n,
+                     "duration_ms": dur, "format": fmt}
+                    for (w, h, fps, n, dur, fmt) in metas]
+                yield pdf
+
+        return df.mapInPandas(decode, out_schema)
+
+    def explain_params(self):
+        return [("contentCol", "binary column with encoded video bytes",
+                 "content")]
+
+
+@register_et("FrameSample")
+class FrameSample(ETAlgorithm):
+    """Sample N frames from a binary video column — one output row per
+    sampled frame.  For RIFF/AVI input the sampled positions are REAL:
+    frame indices spread uniformly over the container's dwTotalFrames
+    with timestamps from dwMicroSecPerFrame (source_frame/frame_time_ms).
+    Frame PIXEL decode stays stubbed (byte slices) — a video codec needs
+    ffmpeg-class libs absent here (MIGRATION.md).  Scale: output rows =
+    input × numFrames; map-only."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.functions.codecs import make_video_meta_parser
         col = params.get("contentCol", "content")
         n = get_int(params, "numFrames", 4)
         base_fields = [f for f in df.schema.fields if f.name != col]
         out_schema = T.StructType(base_fields + [
             T.StructField("frame_index", T.IntegerType()),
+            T.StructField("source_frame", T.LongType()),
+            T.StructField("frame_time_ms", T.LongType()),
             T.StructField("frame_bytes", T.BinaryType()),
         ])
+        parse = make_video_meta_parser()
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for _, row in pdf.iterrows():
                     content = row[col] or b""
+                    _, _, fps, total, _, fmt = parse(content)
                     chunk = max(len(content) // max(n, 1), 1)
                     for i in range(n):
                         out = {k: row[k] for k in pdf.columns if k != col}
                         out["frame_index"] = i
-                        out["frame_bytes"] = bytes(content[i * chunk:(i + 1) * chunk])
+                        if fmt == "avi" and total and fps:
+                            src = round(i * (total - 1) / max(n - 1, 1))
+                            out["source_frame"] = src
+                            out["frame_time_ms"] = int(src * 1000 / fps)
+                        else:
+                            out["source_frame"] = None
+                            out["frame_time_ms"] = None
+                        out["frame_bytes"] = bytes(
+                            content[i * chunk:(i + 1) * chunk])
                         rows.append(out)
-                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                yield pd.DataFrame(rows,
+                                   columns=[f.name for f in out_schema.fields])
 
         return df.mapInPandas(sample, out_schema)
 

@@ -320,6 +320,7 @@ def test_codec_parsers_reject_garbage():
 
 
 def test_frame_sample_stub(engine):
+    """Non-AVI bytes: plumbing works, frame positions are null."""
     df = engine.execute("""
     select cast("0123456789abcdef" as binary) as content, 1 as id as t;
     run t as FrameSample.`` where numFrames="4" as out;
@@ -327,6 +328,56 @@ def test_frame_sample_stub(engine):
     rows = df.collect()
     assert len(rows) == 4
     assert sorted(r["frame_index"] for r in rows) == [0, 1, 2, 3]
+    assert all(r["source_frame"] is None for r in rows)
+
+
+def test_jpeg_parser_skips_fill_bytes():
+    """0xFF padding before a marker is legal — the walk must skip it,
+    not read a bogus segment length (ADVICE round 3)."""
+    import struct
+    from streamingpro_spark.functions.codecs import (make_image_meta_parser,
+                                                     make_jpeg_header)
+    good = make_jpeg_header()(640, 480)
+    # inject fill bytes between the APP0 and SOF0 segments
+    sof_at = good.index(b"\xff\xc0")
+    padded = good[:sof_at] + b"\xff\xff\xff" + good[sof_at:]
+    w, h, ch, fmt = make_image_meta_parser()(padded)
+    assert (w, h, ch, fmt) == (640, 480, 3, "jpeg")
+    # sanity: the header itself is well-formed
+    assert struct.unpack(">H", good[2:4]) is not None
+
+
+def test_video_metadata_real_decode(engine, tmp_path):
+    """Round-trip: encode a real RIFF/AVI container, parse the avih
+    main header back out."""
+    from streamingpro_spark.functions.codecs import make_avi_encoder
+    (tmp_path / "v.avi").write_bytes(make_avi_encoder()(320, 240, 25, 100))
+    (tmp_path / "x.bin").write_bytes(b"RIFFxxxxWAVE")   # not a video
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as VideoMetadata.`` as out;
+    select path, video_meta.* from out as final;
+    """)
+    metas = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    v = metas["v.avi"]
+    assert (v["width"], v["height"], v["fps"], v["n_frames"],
+            v["duration_ms"], v["format"]) == (320, 240, 25.0, 100, 4000, "avi")
+    assert metas["x.bin"]["format"] is None
+
+
+def test_frame_sample_real_avi_positions(engine, tmp_path):
+    """AVI input: sampled frame indices spread over the REAL total frame
+    count with timestamps from the real frame rate."""
+    from streamingpro_spark.functions.codecs import make_avi_encoder
+    (tmp_path / "v.avi").write_bytes(make_avi_encoder()(64, 48, 10, 91))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/v.avi` as files;
+    run files as FrameSample.`` where numFrames="4" as out;
+    select frame_index, source_frame, frame_time_ms from out as final;
+    """)
+    rows = sorted(df.collect(), key=lambda r: r["frame_index"])
+    assert [r["source_frame"] for r in rows] == [0, 30, 60, 90]
+    assert [r["frame_time_ms"] for r in rows] == [0, 3000, 6000, 9000]
 
 
 def test_pagerank(engine):
