@@ -41,6 +41,10 @@ class ExecutionContext:
     udfs: dict[str, Any] = field(default_factory=dict)
     jobs: dict[str, Any] = field(default_factory=dict)
     extra: dict[str, Any] = field(default_factory=dict)
+    #: reliable-checkpoint files written by eager_materialize — freed by
+    #: Engine.close() (Spark only auto-cleans them when
+    #: spark.cleaner.referenceTracking.cleanCheckpoints was set at build)
+    checkpoint_files: list[str] = field(default_factory=list)
 
     # ---- path semantics (SURVEY.md §1) ----
     def resource_real_path(self, path: str) -> str:

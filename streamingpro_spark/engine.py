@@ -116,6 +116,32 @@ class Engine:
             return ctx.spark.table(ctx.last_table)
         return None
 
+    def close(self) -> None:
+        """Session teardown: unpersist every remaining cache and delete
+        reliable-checkpoint files written by eager_materialize.  Spark
+        only auto-deletes checkpoint files when
+        ``spark.cleaner.referenceTracking.cleanCheckpoints`` was true at
+        session BUILD time (ContextCleaner reads the conf once), so a
+        long-lived REST session calls this when the engine is retired."""
+        ctx = self.context
+        for key in list(ctx.cached_tables):
+            val = ctx.cached_tables.pop(key)
+            df = val[0] if isinstance(val, tuple) else val
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        sc = ctx.spark.sparkContext
+        for path in ctx.checkpoint_files:
+            try:
+                jvm = sc._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(path)
+                fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+                fs.delete(hpath, True)
+            except Exception:
+                pass
+        ctx.checkpoint_files.clear()
+
     # ------------------------------------------------------------------
     def _expand_includes(self, stmts: list[str], depth: int = 0) -> list[str]:
         """Pass A: textual include splice to fixpoint, ≤10 nesting

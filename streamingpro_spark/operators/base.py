@@ -71,7 +71,22 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     return df
 
 
-def eager_materialize(df: "DataFrame", params: dict[str, str]) -> "DataFrame":
+def _list_checkpoint_entries(sc) -> set:
+    """Entries (rdd-N dirs) under the context's checkpoint dir, via the
+    Hadoop FS API so DFS checkpoint dirs work too."""
+    try:
+        jvm = sc._jvm
+        p = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(p)}
+    except Exception:
+        return set()
+
+
+def eager_materialize(df: "DataFrame", params: dict[str, str],
+                      context=None) -> "DataFrame":
     """Materialize a small ET output so corpus-sized upstream caches can
     be unpersisted immediately (MLSQL `run` is an action).
 
@@ -80,12 +95,28 @@ def eager_materialize(df: "DataFrame", params: dict[str, str]) -> "DataFrame":
     dynamic allocation or executor loss the truncated lineage is
     unrecoverable (Spark docs warn explicitly).  Falls back to
     localCheckpoint only when no checkpoint dir is set AND dynamic
-    allocation is off; otherwise keeps the lazy plan (safe)."""
+    allocation is off; otherwise keeps the lazy plan (safe).
+
+    Checkpoint-file lifecycle: Spark auto-deletes reliable checkpoint
+    files only when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    was true at session BUILD time (ContextCleaner reads it once), so a
+    long-lived session leaks them otherwise.  When ``context`` is given,
+    the file is tracked in ``context.checkpoint_files`` and freed by
+    ``Engine.close()`` on session teardown (they cannot be freed at
+    script end — the materialized view outlives the script)."""
     if params.get("eagerCache", "true").lower() == "false":
         return df
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
+        # the checkpointed RDD is internal to the returned plan (its
+        # getCheckpointFile is unreachable), so track the new rdd-N
+        # entry by diffing the checkpoint dir listing around the write
+        before = _list_checkpoint_entries(sc) if context is not None else set()
+        mat = df.checkpoint(eager=True)
+        if context is not None:
+            context.checkpoint_files.extend(
+                sorted(_list_checkpoint_entries(sc) - before))
+        return mat
     dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
     if dyn.lower() == "true":
         return df

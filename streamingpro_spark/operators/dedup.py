@@ -191,7 +191,7 @@ class MinHashDedup(ETAlgorithm):
                             F.round("jaccard", 4).alias("jaccard")))
         # `run` is an action: materialize the (small) pair output and free
         # the bucket cache now instead of at script end
-        mat = eager_materialize(verified, params)
+        mat = eager_materialize(verified, params, context)
         if mat is not verified:
             bounded.unpersist()
         return mat
@@ -332,7 +332,7 @@ class NgramJaccardDedup(ETAlgorithm):
                            / (F.col("__na") + F.col("__nb") - F.col("__inter")))
                .filter(F.col("jaccard") >= threshold)
                .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
-        mat = eager_materialize(out, params)
+        mat = eager_materialize(out, params, context)
         if mat is not out:
             posting.unpersist()
         return mat
@@ -462,7 +462,7 @@ class EmbeddingDedup(ETAlgorithm):
                        pair_dot_udf()(F.col("__na"), F.col("__nb"))
                         .alias("cosine"))
                .filter(F.col("cosine") >= threshold))
-        mat = eager_materialize(out, params)
+        mat = eager_materialize(out, params, context)
         if mat is not out:
             with_sig.unpersist()
         return mat
@@ -553,7 +553,7 @@ class DupClusters(ETAlgorithm):
         out = (labels.select(F.col("id").alias(id_col),
                              F.col("label").alias("cluster_id"))
                .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
-        mat = eager_materialize(out, params)
+        mat = eager_materialize(out, params, context)
         if mat is not out:
             labels.unpersist()
             edges.unpersist()

@@ -128,6 +128,7 @@ class SessionManager:
     def __init__(self, spark: "SparkSession") -> None:
         self._root = spark
         self._sessions: dict[str, Any] = {}
+        self._ck_files: dict[str, list] = {}
         self._lock = threading.Lock()
 
     def engine_for(self, owner: str):
@@ -135,12 +136,26 @@ class SessionManager:
         with self._lock:
             if owner not in self._sessions:
                 self._sessions[owner] = self._root.newSession()
+                self._ck_files[owner] = []
             session = self._sessions[owner]
-        return Engine(session, owner=owner)
+            ck = self._ck_files[owner]
+        eng = Engine(session, owner=owner)
+        # checkpoint files outlive the request (their views are session
+        # state) — share one owner-lifetime list so close(owner) can
+        # delete them (Engine.close docstring: Spark only auto-cleans
+        # when cleanCheckpoints was set at session build)
+        eng.context.checkpoint_files = ck
+        return eng
 
     def close(self, owner: str) -> None:
         with self._lock:
-            self._sessions.pop(owner, None)
+            session = self._sessions.pop(owner, None)
+            ck = self._ck_files.pop(owner, [])
+        if session is not None and ck:
+            from streamingpro_spark.engine import Engine
+            eng = Engine(session, owner=owner)
+            eng.context.checkpoint_files = ck
+            eng.close()
 
 
 class MLSQLServer:

@@ -668,3 +668,24 @@ def test_dup_clusters_deep_chain_converges(engine):
     assert len(rows) == 21
     assert all(r["cluster_id"] == 1 for r in rows)
     assert sum(1 for r in rows if r["keep"]) == 1
+
+
+def test_checkpoint_files_tracked_and_freed_on_close(spark, tmp_path_factory):
+    """Reliable checkpoints written by eager_materialize are tracked on
+    the context and deleted by Engine.close() — without it every ET run
+    in a long-lived session leaks checkpoint-dir storage (Spark only
+    auto-cleans when cleanCheckpoints was set at session build)."""
+    import os
+    from streamingpro_spark import Engine
+    from streamingpro_spark.operators.base import eager_materialize
+    ckdir = tmp_path_factory.mktemp("ck")          # session-scoped tmp
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    eng = Engine(spark)
+    mat = eager_materialize(spark.range(10), {}, eng.context)
+    assert mat.count() == 10
+    assert len(eng.context.checkpoint_files) == 1
+    local = eng.context.checkpoint_files[0].replace("file:", "")
+    assert os.path.exists(local)
+    eng.close()
+    assert not os.path.exists(local)
+    assert eng.context.checkpoint_files == []

@@ -221,3 +221,23 @@ def test_execute_mode_analyze_over_http(server, sf_dir):
     assert "nation" in inputs
     outputs = {o["table"] for o in data["outputs"]}
     assert "out" in outputs
+
+
+def test_session_close_frees_owner_checkpoints(spark, tmp_path_factory):
+    """Checkpoint files written during an owner's requests are deleted
+    when the owner's session is retired (SessionManager.close)."""
+    import os
+    from streamingpro_spark.operators.base import eager_materialize
+    from streamingpro_spark.server import SessionManager
+    spark.sparkContext.setCheckpointDir(
+        str(tmp_path_factory.mktemp("ck_srv")))
+    mgr = SessionManager(spark)
+    eng = mgr.engine_for("alice")
+    eager_materialize(spark.range(5), {}, eng.context).count()
+    # a second request engine shares the same owner-lifetime list
+    eng2 = mgr.engine_for("alice")
+    assert eng2.context.checkpoint_files is eng.context.checkpoint_files
+    files = [p.replace("file:", "") for p in eng.context.checkpoint_files]
+    assert files and all(os.path.exists(f) for f in files)
+    mgr.close("alice")
+    assert all(not os.path.exists(f) for f in files)
