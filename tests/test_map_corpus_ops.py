@@ -209,3 +209,34 @@ def test_row_matrix_column_similarity(engine):
     assert len(sims) == 3  # 3 column pairs
     for v in sims.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_token_analysis_cjk_bigram_fallback(engine):
+    """CJK bigram segmentation: the vendored, dictionary-free fallback
+    for the reference's Ansj/jieba word segmentation — useJieba=true
+    without jieba installed degrades to it instead of failing, and it
+    runs JVM-side (no Python eval in the plan)."""
+    engine.execute("""
+    set zh = '''
+    {"content":"Spark处理大数据很快"}
+    {"content":"只有一个字: 好"}
+    ''';
+    load jsonStr.`zh` as zh_t;
+    run zh_t as TokenAnalysis.`` where segmenter="bigram" as out;
+    """)
+    df = engine.spark.table("out")
+    toks = {r["content"]: r["keywords"] for r in df.collect()}
+    assert toks["Spark处理大数据很快"] == \
+        ["spark", "处理", "理大", "大数", "数据", "据很", "很快"]
+    assert toks["只有一个字: 好"] == ["只有", "有一", "一个", "个字", "好"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # useJieba=true degrades to the same fallback when jieba is absent
+    try:
+        import jieba  # noqa: F401
+    except ImportError:
+        engine.execute(
+            'run zh_t as TokenAnalysis.`` where useJieba="true" as out2;')
+        toks2 = {r["content"]: r["keywords"]
+                 for r in engine.spark.table("out2").collect()}
+        assert toks2 == toks
