@@ -29,8 +29,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, Window, functions as F
 
 from streamingpro_spark.operators.base import (ETAlgorithm, eager_materialize,
-                                                ensure_parallelism, get_int,
-                                                script_cache)
+                                                ensure_parallelism, get_bool,
+                                                get_int, script_cache)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -376,23 +376,43 @@ class IVFSimilaritySearch(ETAlgorithm):
             n[n == 0] = 1.0
             return M / n
 
-        # --- train: Lloyd iterations on a driver sample (bounded memory) ---
-        sample = _l2(np.array(
-            [list(r[0]) for r in base.select("__v").limit(sample_n).collect()],
-            dtype=float))
-        nlist = min(nlist, len(sample))
-        nprobe = min(nprobe, nlist)
-        rng = np.random.RandomState(seed)
-        cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
-        for _ in range(iters):
-            assign = (sample @ cent.T).argmax(axis=1)
-            for c in range(nlist):
-                members = sample[assign == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    n = np.linalg.norm(m)
-                    if n > 0:
-                        cent[c] = m / n
+        # --- index: load persisted centroids when the path has them ---
+        # (100 TB posture: train the index ONCE, reuse across query
+        # batches — re-sampling + Lloyd per call wastes a corpus pass;
+        # `retrain="true"` forces a rebuild)
+        import json as _json
+        import os as _os
+        cent = None
+        cent_file = _os.path.join(path, "centroids.json") if path else None
+        if cent_file and _os.path.exists(cent_file) \
+                and not get_bool(params, "retrain", False):
+            with open(cent_file) as fh:
+                cent = np.array(_json.load(fh), dtype=float)
+            nlist = len(cent)
+            nprobe = min(nprobe, nlist)
+        if cent is None:
+            # Lloyd iterations on a bounded driver sample
+            sample = _l2(np.array(
+                [list(r[0]) for r in
+                 base.select("__v").limit(sample_n).collect()],
+                dtype=float))
+            nlist = min(nlist, len(sample))
+            nprobe = min(nprobe, nlist)
+            rng = np.random.RandomState(seed)
+            cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
+            for _ in range(iters):
+                assign = (sample @ cent.T).argmax(axis=1)
+                for c in range(nlist):
+                    members = sample[assign == c]
+                    if len(members):
+                        m = members.sum(axis=0)
+                        n = np.linalg.norm(m)
+                        if n > 0:
+                            cent[c] = m / n
+            if cent_file:
+                _os.makedirs(path, exist_ok=True)
+                with open(cent_file, "w") as fh:
+                    _json.dump(cent.tolist(), fh)
         # queries: driver-bounded like SimilaritySearch — a hard cap, not
         # a convention: the default queryFilter="true" would otherwise
         # collect the entire corpus to the driver
@@ -461,6 +481,7 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("nprobe", "cells probed per query (recall knob)", "2"),
                 ("trainSample", "driver-side k-means sample rows", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
+                ("retrain", "rebuild persisted centroids at path", "false"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
                 ("maxQueryRows", "hard cap on the driver-side query collect", "100000"),
                 ("seed", "centroid init seed", "42")]

@@ -689,3 +689,26 @@ def test_checkpoint_files_tracked_and_freed_on_close(spark, tmp_path_factory):
     eng.close()
     assert not os.path.exists(local)
     assert eng.context.checkpoint_files == []
+
+
+def test_ivf_index_persist_and_reuse(engine, sf_dir, tmp_path):
+    """IVF centroids persist to the ET path and are REUSED on later
+    calls (100 TB posture: train the index once, not per query batch)."""
+    import os
+    path = tmp_path / "ivf_idx"
+    q = f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as IVFSimilaritySearch.`{path}` where k="3" and nlist="8"
+    and nprobe="8" and queryFilter="vec_id < 10" as i_out;
+    """
+    first = engine.execute(q).collect()
+    cent_file = path / "centroids.json"
+    assert cent_file.exists()
+    mtime = os.path.getmtime(cent_file)
+    second = engine.execute(q).collect()
+    assert os.path.getmtime(cent_file) == mtime   # not retrained
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"]
+                        for r in rows}
+    assert key(first) == key(second)
+    engine.execute(q.replace('nprobe="8"', 'nprobe="8" and retrain="true"'))
+    assert os.path.getmtime(cent_file) != mtime   # forced rebuild
