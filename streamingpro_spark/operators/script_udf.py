@@ -4,8 +4,10 @@ Reference: streaming/dsl/mmlib/algs/ScriptUDF.scala:33-101 compiles
 Scala/Python/Java source held in a table or variable into a UDF
 (`register ScriptUDF.`tbl` as fn options lang=... and dataType=...`).
 Natively in Python this is just `exec` + `spark.udf.register` —
-dramatically simpler (SURVEY.md §2.6); the Scala/Java lang variants are
-dropped (documented).  UDAF → pandas_udf GROUPED_AGG.
+dramatically simpler (SURVEY.md §2.6).  lang="java" compiles UDF source
+with the JDK's javac at runtime (the reference uses janino) and
+registers it via registerJavaFunction; lang="scala" stays a documented
+drop (no Scala compiler here).  UDAF → pandas_udf GROUPED_AGG.
 """
 
 from __future__ import annotations
@@ -28,6 +30,62 @@ def _resolve_return_type(type_str: str):
         return T._parse_datatype_string(s)
     except Exception:
         return T.StringType()
+
+
+def _register_java_udf(spark, code: str, name: str, params: dict):
+    """Compile Java UDF source at runtime and register it.
+
+    The reference compiles Java UDF source with janino
+    (streaming/udf/JavaRuntimeCompileUDF.scala); here the JDK's own
+    javac does it: compile → jar → SQL `ADD JAR` (which reaches the
+    session's mutable jar classloader AND executor classpaths — plain
+    sc.addJar leaves the driver-side registry unable to load the class)
+    → `registerJavaFunction`.  The source must define a public class
+    implementing org.apache.spark.sql.api.java.UDF1..UDF22; dataType
+    gives the SQL return type."""
+    import os
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+    import zipfile
+
+    m = re.search(r"\bpublic\s+class\s+(\w+)", code)
+    if not m:
+        raise ValueError("ScriptUDF lang=\"java\": source must define a "
+                         "`public class <Name> implements UDFn<...>`")
+    cls = m.group(1)
+    javac = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "javac")
+    if not os.path.exists(javac):
+        javac = shutil.which("javac") or ""
+    if not javac:
+        raise NotImplementedError(
+            "ScriptUDF lang=\"java\" needs a JDK (javac not found); "
+            "use lang=\"python\"")
+    import pyspark
+    spark_jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    work = tempfile.mkdtemp(prefix="spk_judf_")
+    src_path = os.path.join(work, f"{cls}.java")
+    cls_dir = os.path.join(work, "classes")
+    os.makedirs(cls_dir)
+    with open(src_path, "w") as fh:
+        fh.write(code)
+    rc = subprocess.run(
+        [javac, "-classpath", f"{spark_jars}/*", "-d", cls_dir, src_path],
+        capture_output=True, text=True)
+    if rc.returncode != 0:
+        raise ValueError(f"ScriptUDF lang=\"java\": compilation failed:\n"
+                         f"{rc.stderr.strip()}")
+    jar_path = os.path.join(work, f"{cls}.jar")
+    with zipfile.ZipFile(jar_path, "w") as z:
+        for root, _, files in os.walk(cls_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, cls_dir))
+    spark.sql(f"ADD JAR '{jar_path}'")
+    rtype = _resolve_return_type(params.get("dataType", ""))
+    spark.udf.registerJavaFunction(name, cls, rtype)
+    return name
 
 
 @register_et("ScriptUDF")
@@ -60,6 +118,14 @@ class ScriptUDF(ETAlgorithm):
 
     def predict(self, spark, model, name, params):
         code = model["code"]
+        lang = params.get("lang", "python")
+        if lang == "java":
+            return _register_java_udf(spark, code, name, params)
+        if lang == "scala":
+            raise NotImplementedError(
+                "ScriptUDF lang=\"scala\" is not supported: no Scala "
+                "compiler ships with this engine (documented drop — "
+                "MIGRATION.md).  Use lang=\"python\" or lang=\"java\".")
         method = params.get("methodName", "apply")
         ns: dict = {}
         try:
@@ -88,7 +154,8 @@ class ScriptUDF(ETAlgorithm):
         return [("dataType", "return type (DDL or st(...) DSL)", "string"),
                 ("methodName", "function name inside the source", "apply"),
                 ("udfType", "udf|udaf", "udf"),
-                ("lang", "only 'python' supported (scala/java dropped)", "python")]
+                ("lang", "python | java (runtime javac; scala dropped)",
+                 "python")]
 
 
 @register_et("PythonScriptRun")

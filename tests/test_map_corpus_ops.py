@@ -240,3 +240,43 @@ def test_token_analysis_cjk_bigram_fallback(engine):
         toks2 = {r["content"]: r["keywords"]
                  for r in engine.spark.table("out2").collect()}
         assert toks2 == toks
+
+
+def test_script_udf_java(engine):
+    """lang="java": UDF source compiled at runtime with the JDK's javac
+    (reference compiles with janino — JavaRuntimeCompileUDF.scala) and
+    registered via registerJavaFunction."""
+    df = engine.execute("""
+    set judf = '''
+import org.apache.spark.sql.api.java.UDF2;
+public class AddPrefix implements UDF2<String, Long, String> {
+    public String call(String s, Long n) { return s + ":" + (n * 2); }
+}
+''';
+    register ScriptUDF.`judf` as add_prefix options lang="java"
+        and dataType="string";
+    select add_prefix('x', 21L) as v as out;
+    """)
+    assert df.collect()[0]["v"] == "x:42"
+
+
+def test_script_udf_java_compile_error_renders(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compilation failed"):
+        engine.execute("""
+        set badj = '''
+public class Broken implements Object {
+    this is not java
+}
+''';
+        register ScriptUDF.`badj` as broken_fn options lang="java";
+        """)
+
+
+def test_script_udf_scala_documented_drop(engine):
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="scala"):
+        engine.execute("""
+        set sudf = '''def apply(a: Int) = a''';
+        register ScriptUDF.`sudf` as sfn options lang="scala";
+        """)
