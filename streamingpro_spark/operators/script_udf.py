@@ -83,6 +83,11 @@ def _register_java_udf(spark, code: str, name: str, params: dict):
                 full = os.path.join(root, f)
                 z.write(full, os.path.relpath(full, cls_dir))
     spark.sql(f"ADD JAR '{jar_path}'")
+    if params.get("udfType") == "udaf":
+        # class must extend o.a.s.sql.expressions.UserDefinedAggregateFunction
+        # (reference: streaming/udf/JavaRuntimeCompileUDAF.scala)
+        spark.udf.registerJavaUDAF(name, cls)
+        return name
     rtype = _resolve_return_type(params.get("dataType", ""))
     spark.udf.registerJavaFunction(name, cls, rtype)
     return name

@@ -280,3 +280,44 @@ def test_script_udf_scala_documented_drop(engine):
         set sudf = '''def apply(a: Int) = a''';
         register ScriptUDF.`sudf` as sfn options lang="scala";
         """)
+
+
+def test_script_udf_java_udaf(engine):
+    """lang="java" + udfType="udaf": runtime-compiled aggregate
+    registered via registerJavaUDAF (reference
+    JavaRuntimeCompileUDAF.scala)."""
+    df = engine.execute("""
+    set judaf = '''
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.expressions.MutableAggregationBuffer;
+import org.apache.spark.sql.expressions.UserDefinedAggregateFunction;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.DataTypes;
+import org.apache.spark.sql.types.StructType;
+
+public class SumSquares extends UserDefinedAggregateFunction {
+    public StructType inputSchema() {
+        return new StructType().add("v", DataTypes.LongType);
+    }
+    public StructType bufferSchema() {
+        return new StructType().add("acc", DataTypes.LongType);
+    }
+    public DataType dataType() { return DataTypes.LongType; }
+    public boolean deterministic() { return true; }
+    public void initialize(MutableAggregationBuffer b) { b.update(0, 0L); }
+    public void update(MutableAggregationBuffer b, Row in) {
+        if (!in.isNullAt(0)) {
+            long v = in.getLong(0);
+            b.update(0, b.getLong(0) + v * v);
+        }
+    }
+    public void merge(MutableAggregationBuffer b, Row other) {
+        b.update(0, b.getLong(0) + other.getLong(0));
+    }
+    public Object evaluate(Row b) { return b.getLong(0); }
+}
+''';
+    register ScriptUDF.`judaf` as sum_sq options lang="java" and udfType="udaf";
+    select sum_sq(id) as v from range(4) as out;
+    """)
+    assert df.collect()[0]["v"] == 0 + 1 + 4 + 9
