@@ -86,4 +86,8 @@ def expand_macro(cmd: "CommandStmt") -> str:
         nonlocal pos
         pos += 1
 
-    return re.sub(r"\{(\d*|:all|:all-json)\}", repl, template)
+    expanded = re.sub(r"\{(\d*|:all|:all-json)\}", repl, template)
+    # a template ending in `as {N}` with the arg absent would leave a
+    # dangling `as ` (parse error) — drop the clause so the engine
+    # assigns its UUID output name, same as a `run` without `as`
+    return re.sub(r"\s+as\s*$", "", expanded)

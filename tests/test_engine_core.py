@@ -502,3 +502,10 @@ def test_home_prefix_sandboxes_relative_paths(spark, tmp_path):
     """)
     assert (tmp_path / "alice" / "mydata").exists()
     assert eng.execute("select v from out as o;").first()["v"] == 7
+
+
+def test_macro_missing_output_arg_auto_names(engine):
+    """`!runScript` without `named <out>` must not expand to a dangling
+    `as ` — the output clause is dropped and the engine auto-names it."""
+    df = engine.execute("!runScript '''select 41 + 1 as a as rs_t;''';")
+    assert df.collect()[0]["a"] == 42
