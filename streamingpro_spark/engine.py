@@ -67,9 +67,15 @@ class Engine:
     org/apache/spark/streaming/BasicSparkOperation.scala:127-180)."""
 
     def __init__(self, spark: "SparkSession", owner: str = "admin",
-                 home: str | None = None, register_functions: bool = True):
+                 home: str | None = None, register_functions: bool = True,
+                 table_auth=None):
         self.spark = spark
         self.context = ExecutionContext(spark=spark, owner=owner, home=home)
+        #: pluggable pre-execution table auth (reference pass D,
+        #: ScriptSQLExec.scala:122-142 + TableAuth): fn(owner, tables)
+        #: where tables is the analyzer's MLSQLTable-style dict list;
+        #: return False (or raise) to reject the script
+        self.table_auth = table_auth
         # the 1-row `command` dummy view used as input for `run command as ...`
         # (reference: SparkRuntime.scala:200-202); session-keyed guard —
         # catalog.listTables() is a py4j scan that grows with view count
@@ -96,6 +102,17 @@ class Engine:
         self.context.last_table = None
         self.context.stream_name = None
         self.context.branch_stack = []
+        if self.table_auth is not None:
+            from streamingpro_spark.analyzer import analyze
+            tables = analyze(script, self.spark,
+                             env=self.context.env).as_dict()
+            verdict = self.table_auth(self.context.owner, tables)
+            if verdict is False:
+                raise PermissionError(
+                    f"table auth rejected script for owner "
+                    f"{self.context.owner!r}: "
+                    f"{[t['table'] for t in tables['inputs']]} -> "
+                    f"{[t['table'] for t in tables['outputs']]}")
         try:
             for raw in P.split_statements(script):
                 self._execute_statement(raw)

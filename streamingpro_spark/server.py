@@ -125,11 +125,12 @@ class SessionManager:
     race on script state (construction is cheap: UDF registration and
     the command view are session-guarded)."""
 
-    def __init__(self, spark: "SparkSession") -> None:
+    def __init__(self, spark: "SparkSession", table_auth=None) -> None:
         self._root = spark
         self._sessions: dict[str, Any] = {}
         self._ck_files: dict[str, list] = {}
         self._lock = threading.Lock()
+        self._table_auth = table_auth
 
     def engine_for(self, owner: str):
         from streamingpro_spark.engine import Engine
@@ -139,7 +140,7 @@ class SessionManager:
                 self._ck_files[owner] = []
             session = self._sessions[owner]
             ck = self._ck_files[owner]
-        eng = Engine(session, owner=owner)
+        eng = Engine(session, owner=owner, table_auth=self._table_auth)
         # checkpoint files outlive the request (their views are session
         # state) — share one owner-lifetime list so close(owner) can
         # delete them (Engine.close docstring: Spark only auto-cleans
@@ -162,8 +163,8 @@ class MLSQLServer:
     """HTTP façade: /run/script, /runningjobs, /killjob, /health."""
 
     def __init__(self, spark: "SparkSession", host: str = "127.0.0.1",
-                 port: int = 0) -> None:
-        self.sessions = SessionManager(spark)
+                 port: int = 0, table_auth=None) -> None:
+        self.sessions = SessionManager(spark, table_auth=table_auth)
         self.jobs = JobManager(spark)
         outer = self
 

@@ -65,3 +65,34 @@ def test_rest_analyze_mode(spark):
         assert any(t["table"] == "secret_table" for t in res["inputs"])
     finally:
         srv.stop()
+
+
+def test_engine_table_auth_hook(spark, sf_dir):
+    """Pluggable pre-execution TableAuth (reference pass D): a rejecting
+    hook aborts the script BEFORE any statement runs."""
+    import pytest
+    from streamingpro_spark import Engine
+
+    seen = {}
+
+    def deny_lineitem(owner, tables):
+        seen["owner"] = owner
+        seen["inputs"] = [t["table"] for t in tables["inputs"]]
+        return not any("lineitem" in t for t in seen["inputs"])
+
+    eng = Engine(spark, owner="bob", table_auth=deny_lineitem)
+    with pytest.raises(PermissionError, match="bob"):
+        eng.execute(f"""
+        load parquet.`{sf_dir}/lineitem.parquet` as li;
+        select count(*) as n from li as auth_out;
+        """)
+    assert seen["owner"] == "bob"
+    assert any("lineitem" in t for t in seen["inputs"])
+    # the rejected script never registered its output view
+    assert not spark.catalog.tableExists("auth_out")
+    # an allowed script passes through the same hook
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/region.parquet` as reg;
+    select count(*) as n from reg as auth_ok;
+    """)
+    assert df.collect()[0]["n"] == 5

@@ -241,3 +241,27 @@ def test_session_close_frees_owner_checkpoints(spark, tmp_path_factory):
     assert files and all(os.path.exists(f) for f in files)
     mgr.close("alice")
     assert all(not os.path.exists(f) for f in files)
+
+
+def test_server_table_auth_rejects(spark, sf_dir):
+    """A table_auth hook plugged into the server rejects scripts
+    per-owner before execution (reference TableAuth, pass D)."""
+    import urllib.error
+    from streamingpro_spark.server import MLSQLServer
+
+    def only_alice(owner, tables):
+        return owner == "alice"
+
+    srv = MLSQLServer(spark, table_auth=only_alice).start()
+    try:
+        data = _post(srv.port, "/run/script", {
+            "sql": "select 1 as v as output;", "owner": "alice"})
+        assert data == [{"v": 1}]
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv.port, "/run/script", {
+                "sql": "select 1 as v as output;", "owner": "mallory"})
+        assert exc.value.code >= 400
+        body = exc.value.read().decode()
+        assert "mallory" in body
+    finally:
+        srv.stop()
