@@ -45,6 +45,13 @@ class ExecutionContext:
     #: Engine.close() (Spark only auto-cleans them when
     #: spark.cleaner.referenceTracking.cleanCheckpoints was set at build)
     checkpoint_files: list[str] = field(default_factory=list)
+    #: load rewrite chain — fn(ctx, fmt, path, df) -> df, applied to every
+    #: loaded table (reference LoadAdaptor.scala:132-136 row-filter /
+    #: column-mask plugin hooks)
+    load_hooks: list[Any] = field(default_factory=list)
+    #: result render chain — fn(ctx, df) -> df, applied to the script's
+    #: final table (reference RestController.scala ResultRenderManager)
+    render_hooks: list[Any] = field(default_factory=list)
 
     # ---- path semantics (SURVEY.md §1) ----
     def resource_real_path(self, path: str) -> str:

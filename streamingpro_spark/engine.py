@@ -130,7 +130,12 @@ class Engine:
                     pass
         ctx = self.context
         if ctx.last_table is not None:
-            return ctx.spark.table(ctx.last_table)
+            df = ctx.spark.table(ctx.last_table)
+            # result render chain (reference ResultRenderManager hook
+            # before RestController returns rows)
+            for hook in ctx.render_hooks:
+                df = hook(ctx, df)
+            return df
         return None
 
     def close(self) -> None:

@@ -64,6 +64,11 @@ def load_source(ctx: "ExecutionContext", fmt: str, path: str,
                 ) from None
             raise
     df = _post_load(ctx, df, options)
+    # load rewrite chain (reference LoadAdaptor.scala:132-136 — plugin
+    # DF→DF rewriters for row filters / column masks): each hook gets
+    # (ctx, fmt, path, df) and returns the df to use
+    for hook in ctx.load_hooks:
+        df = hook(ctx, fmt, path, df)
     return df
 
 

@@ -509,3 +509,36 @@ def test_macro_missing_output_arg_auto_names(engine):
     `as ` — the output clause is dropped and the engine auto-names it."""
     df = engine.execute("!runScript '''select 41 + 1 as a as rs_t;''';")
     assert df.collect()[0]["a"] == 42
+
+
+def test_load_rewrite_hook_masks_column(spark, sf_dir):
+    """Load rewrite chain (reference LoadAdaptor.scala:132-136): a
+    plugged hook rewrites every loaded DF — here a column mask."""
+    from pyspark.sql import functions as F
+    from streamingpro_spark import Engine
+
+    def mask_names(ctx, fmt, path, df):
+        if "n_name" in df.columns:
+            return df.withColumn("n_name", F.lit("***"))
+        return df
+
+    eng = Engine(spark)
+    eng.context.load_hooks.append(mask_names)
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/nation.parquet` as nat_masked;
+    select distinct n_name from nat_masked as out;
+    """)
+    assert [r["n_name"] for r in df.collect()] == ["***"]
+
+
+def test_result_render_hook(spark, sf_dir):
+    """Render chain (reference ResultRenderManager): the hook shapes the
+    script's final result."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    eng.context.render_hooks.append(lambda ctx, df: df.limit(2))
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/nation.parquet` as nat_r;
+    select n_nationkey from nat_r as out;
+    """)
+    assert df.count() == 2
