@@ -6,9 +6,13 @@ Mirrors the reference lifecycle (streaming/dsl/ScriptSQLExec.scala:80-148):
   pass E  physical — per-statement adaptor dispatch (:144-147, 372-412),
           honoring !if/!else branch context (:326-369)
 
-(The optional grammar-validate and auth passes are exposed as
-``analyze()``, which returns the table/operation access list like the
-reference's MLSQLTable analysis — Protocal.scala:67-111.)
+The optional passes are first-class too:
+  pass C  grammar validate — ``validate()`` dry-parses statements
+          (select/insert through Spark's own sqlParser) without executing
+          (SelectGrammarAdaptor.scala:12-28)
+  pass D  auth — ``analyze()`` returns the MLSQLTable-style access list
+          (Protocal.scala:67-111); a ``table_auth`` hook enforces it
+          before execution (ScriptSQLExec.scala:122-142)
 """
 
 from __future__ import annotations
@@ -137,6 +141,54 @@ class Engine:
                 df = hook(ctx, df)
             return df
         return None
+
+    def validate(self, script: str) -> list[dict]:
+        """Pass C grammar validate (reference
+        SelectGrammarAdaptor.scala:12-28 / GrammarProcessListener): dry-
+        parse every statement — select/insert SQL through Spark's OWN
+        sqlParser.parsePlan — WITHOUT executing anything, so a syntax
+        error in statement N surfaces before statement 1 runs.
+        Returns [] when the script is clean, else one dict per bad
+        statement.  Statements still containing unresolved ${vars}
+        (runtime-substituted) are skipped, like the reference's
+        runtime-mode templating."""
+        errors: list[dict] = []
+        env = dict(self.context.env)
+        jparser = self.spark._jsparkSession.sessionState().sqlParser()
+        for i, raw in enumerate(P.split_statements(script)):
+            merged = P.template_merge(raw, env)
+            if "${" in merged:
+                continue
+            kind = P.statement_kind(merged)
+            if kind == "command":
+                name = merged.strip().split()[0].lstrip("!")
+                if name not in MACROS and name not in (
+                        "if", "elif", "else", "then", "fi"):
+                    errors.append({"statement": i, "kind": kind,
+                                   "error": f"unknown command !{name}",
+                                   "text": raw.strip()[:200]})
+                continue
+            try:
+                stmt = P.parse_statement(merged)
+            except ValueError as e:
+                errors.append({"statement": i, "kind": kind,
+                               "error": str(e), "text": raw.strip()[:200]})
+                continue
+            if isinstance(stmt, P.SetStmt):
+                env.setdefault(stmt.key, stmt.value
+                               if isinstance(stmt.value, str) else "")
+                continue
+            sql = stmt.sql if isinstance(stmt, (P.SelectStmt,
+                                                P.RawSqlStmt)) else None
+            if sql:
+                try:
+                    jparser.parsePlan(sql)
+                except Exception as e:
+                    msg = str(e).split("\n")[0]
+                    errors.append({"statement": i, "kind": kind,
+                                   "error": msg,
+                                   "text": raw.strip()[:200]})
+        return errors
 
     def close(self) -> None:
         """Session teardown: unpersist every remaining cache and delete

@@ -276,6 +276,8 @@ class MLSQLServer:
             from streamingpro_spark.analyzer import analyze
             eng = self.sessions.engine_for(owner)
             return analyze(sql, eng.spark).as_dict()
+        if params.get("executeMode") == "validate":
+            return self.sessions.engine_for(owner).validate(sql)
         timeout_ms = int(params.get("timeout", -1))
         limit = int(params.get("outputSize", 1000))
         include_schema = str(params.get("includeSchema", "false")).lower() == "true"

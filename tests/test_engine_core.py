@@ -542,3 +542,23 @@ def test_result_render_hook(spark, sf_dir):
     select n_nationkey from nat_r as out;
     """)
     assert df.count() == 2
+
+
+def test_grammar_validate_pass(spark, sf_dir):
+    """Pass C: syntax errors anywhere in the script surface WITHOUT
+    executing any statement (reference SelectGrammarAdaptor)."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    errs = eng.validate(f"""
+    load parquet.`{sf_dir}/region.parquet` as gv_r;
+    select r_name frum gv_r as out;
+    !nosuchmacro;
+    set later = "1";
+    select ${{later}} as v as out2;
+    """)
+    kinds = {(e["statement"], e["kind"]) for e in errs}
+    assert (1, "select") in kinds          # bad SQL caught by Spark parser
+    assert any(e["kind"] == "command" for e in errs)   # unknown macro
+    assert len(errs) == 2                  # resolved-var select is fine
+    assert not spark.catalog.tableExists("gv_r")       # nothing executed
+    assert eng.validate("select 1 as a as out;") == []

@@ -265,3 +265,12 @@ def test_server_table_auth_rejects(spark, sf_dir):
         assert "mallory" in body
     finally:
         srv.stop()
+
+
+def test_execute_mode_validate(server):
+    errs = _post(server.port, "/run/script", {
+        "sql": "select bad syntax frum t as out;",
+        "executeMode": "validate"})
+    assert errs and errs[0]["kind"] == "select"
+    assert _post(server.port, "/run/script", {
+        "sql": "select 1 as a as out;", "executeMode": "validate"}) == []
