@@ -80,6 +80,10 @@ class Engine:
         #: where tables is the analyzer's MLSQLTable-style dict list;
         #: return False (or raise) to reject the script
         self.table_auth = table_auth
+        #: optional per-statement progress callback fn(i, total, text) —
+        #: the reference's DefaultMLSQLJobProgressListener
+        #: (RestController.scala:223-270) surfaces the same counters
+        self.progress_callback = None
         # the 1-row `command` dummy view used as input for `run command as ...`
         # (reference: SparkRuntime.scala:200-202); session-keyed guard —
         # catalog.listTables() is a py4j scan that grows with view count
@@ -118,7 +122,14 @@ class Engine:
                     f"{[t['table'] for t in tables['inputs']]} -> "
                     f"{[t['table'] for t in tables['outputs']]}")
         try:
-            for raw in P.split_statements(script):
+            stmts = P.split_statements(script)
+            for i, raw in enumerate(stmts):
+                if self.progress_callback is not None:
+                    try:
+                        self.progress_callback(i, len(stmts),
+                                               raw.strip()[:200])
+                    except Exception:
+                        pass
                 self._execute_statement(raw)
             if self.context.branch_stack:
                 raise ValueError("!if without matching !fi at end of script")

@@ -33,7 +33,7 @@ if TYPE_CHECKING:
 
 class JobInfo:
     __slots__ = ("group_id", "owner", "job_type", "job_name", "sql",
-                 "timeout_ms", "start_ms", "status")
+                 "timeout_ms", "start_ms", "status", "progress")
 
     def __init__(self, owner: str, job_type: str, job_name: str, sql: str,
                  timeout_ms: int) -> None:
@@ -45,12 +45,13 @@ class JobInfo:
         self.timeout_ms = timeout_ms
         self.start_ms = int(time.time() * 1000)
         self.status = "running"
+        self.progress: dict[str, Any] = {}
 
     def as_dict(self) -> dict[str, Any]:
         return {"groupId": self.group_id, "owner": self.owner,
                 "jobType": self.job_type, "jobName": self.job_name,
                 "timeout": self.timeout_ms, "startTime": self.start_ms,
-                "status": self.status}
+                "status": self.status, "progress": self.progress}
 
 
 class JobManager:
@@ -287,6 +288,13 @@ class MLSQLServer:
 
         def execute():
             eng = self.sessions.engine_for(owner)
+
+            def on_progress(i, total, text):
+                # reference DefaultMLSQLJobProgressListener: per-statement
+                # counters visible via /runningjobs
+                job.progress = {"current": i + 1, "total": total,
+                                "script": text}
+            eng.progress_callback = on_progress
             df = eng.execute(sql)
             if df is None:
                 return {"schema": None, "data": []} if include_schema else []

@@ -274,3 +274,26 @@ def test_execute_mode_validate(server):
     assert errs and errs[0]["kind"] == "select"
     assert _post(server.port, "/run/script", {
         "sql": "select 1 as a as out;", "executeMode": "validate"}) == []
+
+
+def test_async_job_reports_statement_progress(server, sf_dir):
+    """Per-statement progress counters on /runningjobs (reference
+    DefaultMLSQLJobProgressListener)."""
+    _post(server.port, "/run/script", {
+        "sql": "select sleep(3000) as z as slow_out;",
+        "async": "true", "jobName": "slowjob"})
+    deadline = time.time() + 15
+    seen = None
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/runningjobs",
+                timeout=10) as r:
+            jobs = json.loads(r.read())
+        mine = [j for j in jobs if j["jobName"] == "slowjob"]
+        if mine and mine[0].get("progress"):
+            seen = mine[0]["progress"]
+            break
+        time.sleep(0.2)
+    assert seen is not None
+    assert seen["current"] == 1 and seen["total"] == 1
+    assert "sleep" in seen["script"]
