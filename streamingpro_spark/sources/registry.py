@@ -208,6 +208,35 @@ def _load_json_str(ctx, path, options):
     return ctx.spark.read.json(ctx.spark.sparkContext.parallelize(lines))
 
 
+@register_loader("crawlersql")
+def _load_crawlersql(ctx, path, options):
+    """Fetch a page as a table (reference MLSQLCrawlerSql.scala /
+    tech/mlsql/crawler): `load crawlersql.`<url>` as page` yields
+    (url, html, title, body).  Driver-side single fetch — a page, not a
+    dataset (the reference is the same shape); file:// URLs work
+    offline, so the plumbing is testable without network.  For link
+    expansion compose with the crawler_* UDF family."""
+    import re as _re
+    import urllib.request
+    timeout = int(options.get("timeout", "10"))
+    try:
+        with urllib.request.urlopen(path, timeout=timeout) as r:  # noqa: S310
+            html = r.read().decode("utf-8", "replace")
+    except Exception as e:
+        raise ValueError(f"crawlersql: fetch failed for {path!r}: {e}") from None
+    m = _re.search(r"<title[^>]*>(.*?)</title>", html, _re.S | _re.I)
+    title = m.group(1).strip() if m else None
+    body = _re.sub(r"<head[^>]*>.*?</head>", " ", html,
+                   flags=_re.S | _re.I)
+    body = _re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", body,
+                   flags=_re.S | _re.I)
+    body = _re.sub(r"<[^>]+>", " ", body)
+    body = _re.sub(r"\s+", " ", body).strip() or None
+    return ctx.spark.createDataFrame(
+        [(path, html, title, body)],
+        "url: string, html: string, title: string, body: string")
+
+
 @register_loader("csvStr")
 def _load_csv_str(ctx, path, options):
     content = ctx.env.get(path)

@@ -562,3 +562,26 @@ def test_grammar_validate_pass(spark, sf_dir):
     assert len(errs) == 2                  # resolved-var select is fine
     assert not spark.catalog.tableExists("gv_r")       # nothing executed
     assert eng.validate("select 1 as a as out;") == []
+
+
+def test_crawlersql_source_offline(engine, tmp_path):
+    """`load crawlersql.`url`` — page fetch as a table (reference
+    MLSQLCrawlerSql.scala); file:// URL proves the plumbing offline."""
+    page = tmp_path / "page.html"
+    page.write_text("<html><head><title> Hi There </title></head>"
+                    "<body><script>var x=1;</script><p>real text</p>"
+                    "</body></html>")
+    df = engine.execute(f"""
+    load crawlersql.`file://{page}` as page;
+    select url, title, body from page as out;
+    """)
+    row = df.collect()[0]
+    assert row["title"] == "Hi There"
+    assert row["body"] == "real text"
+    assert row["url"].startswith("file://")
+
+
+def test_crawlersql_fetch_error_rendered(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="crawlersql: fetch failed"):
+        engine.execute("load crawlersql.`file:///nonexistent_xyz` as p;")
