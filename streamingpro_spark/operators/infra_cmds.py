@@ -212,3 +212,12 @@ class ModelCommand(ETAlgorithm):
 
     def explain_params(self):
         return [("action", "history", "history")]
+
+
+@register_et("NothingET")
+class NothingET(ETAlgorithm):
+    """No-op ET (reference tech/mlsql/ets/NothingET — placeholder target
+    used by internal command rewrites): returns an empty 1-column table."""
+
+    def train(self, df, path, params, context=None):
+        return df.sparkSession.createDataFrame([], "value: string")

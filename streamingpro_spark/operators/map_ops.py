@@ -604,3 +604,10 @@ class UploadFileToServerExt(ETAlgorithm):
             status = r.status
         return df.sparkSession.createDataFrame(
             [(local, url, int(status))], "path: string, url: string, status: int")
+
+
+# reference registers both names for table listing (ETRegister.scala
+# ShowTablesExt / MLMapping ShowTableExt)
+from streamingpro_spark.operators.registry import alias_et  # noqa: E402
+
+alias_et("ShowTablesExt", "ShowTableExt")

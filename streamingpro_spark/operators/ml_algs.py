@@ -364,3 +364,9 @@ class PageRank(ETAlgorithm):
                 ("dstCol", "edge destination column", "dst"),
                 ("dampingFactor", "PageRank damping", "0.85"),
                 ("maxIter", "iterations", "10")]
+
+
+# reference registry name variants (TrainAdaptor.scala:124-168)
+from streamingpro_spark.operators.registry import alias_et  # noqa: E402
+
+alias_et("LogisticRegressor", "LogisticRegression")

@@ -25,6 +25,12 @@ def register_et(name: str):
     return deco
 
 
+def alias_et(alias: str, existing: str) -> None:
+    """Register a second name for an ET class (the reference registry
+    maps several names onto one class — TrainAdaptor.scala:124-168)."""
+    _REGISTRY[alias] = _REGISTRY[existing]
+
+
 def _ensure_loaded() -> None:
     # import side-effect registration (mirrors classpath scan)
     import streamingpro_spark.operators.table_ops      # noqa: F401

@@ -200,3 +200,89 @@ class PythonScriptRun(ETAlgorithm):
     def explain_params(self):
         return [("code", "python source defining transform(pdf)", ""),
                 ("schema", "output schema (DDL or st(...))", "input schema")]
+
+
+@register_et("ScalaScriptUDF")
+class ScalaScriptUDF(ScriptUDF):
+    """Reference alias where lang defaults to scala
+    (TrainAdaptor.scala maps ScalaScriptUDF/ScriptUDF to one class).
+    No Scala compiler ships here, so the default renders the documented
+    drop; pass lang="python"/"java" explicitly to use those paths."""
+
+    def predict(self, spark, model, name, params):
+        params = {"lang": "scala", **params}
+        return super().predict(spark, model, name, params)
+
+
+@register_et("PythonAlg")
+class PythonAlg(ETAlgorithm):
+    """Native stand-in for the reference's external-python training ETs
+    (SQLPythonAlg.scala:48-177; aliases PythonAlgBP / ExternalPythonAlg):
+    the reference ships the table to a subprocess over Arrow sockets with
+    a conda env; this engine IS Python, so `train` runs the user's
+    train(pdf, model_path) driver-side over a bounded pandas slice and
+    `predict` runs the user's predict(pdf, model_path) DISTRIBUTED via
+    mapInPandas (model artifacts must be on storage all executors see).
+
+        train t as PythonAlg.`/model` where code='''
+        def train(pdf, model_path): ...save artifacts...
+        ''' and maxRows="100000";
+        predict t as PythonAlg.`/model` where code='''
+        def predict(pdf, model_path): ...return pdf with predictions...
+        ''' and schema="st(field(x,double))";
+    """
+
+    model_type = "algorithm"
+
+    @staticmethod
+    def _fn(code: str, name: str):
+        ns: dict = {}
+        try:
+            exec(code, ns)  # noqa: S102 — deliberate user-code ET
+        except SyntaxError as e:
+            raise ValueError(f"PythonAlg: syntax error in user code at "
+                             f"line {e.lineno}: {e.msg}") from None
+        if name not in ns:
+            raise ValueError(f"PythonAlg: define `def {name}(pdf, "
+                             f"model_path)` in code")
+        return ns[name]
+
+    def train(self, df, path, params, context=None):
+        import os
+        fn = self._fn(params.get("code", ""), "train")
+        max_rows = int(params.get("maxRows", "100000"))
+        pdf = df.limit(max_rows).toPandas()
+        if path:
+            os.makedirs(path, exist_ok=True)
+        fn(pdf, path)
+        return df.sparkSession.createDataFrame(
+            [("PythonAlg", path, len(pdf))],
+            "modelType: string, path: string, trainRows: long")
+
+    def batch_predict(self, df, path, params):
+        fn = self._fn(params.get("code", ""), "predict")
+        schema = parse_any_schema(params["schema"]) \
+            if params.get("schema") else df.schema
+
+        def run(batches):
+            for pdf in batches:
+                out = fn(pdf, path)
+                if out is not None and len(out):
+                    yield out
+
+        return df.mapInPandas(run, schema)
+
+    def explain_params(self):
+        return [("code", "python source: train(pdf, model_path) / "
+                 "predict(pdf, model_path)", ""),
+                ("maxRows", "train: cap on the driver-side pandas slice",
+                 "100000"),
+                ("schema", "predict: output schema (DDL or st(...))",
+                 "input schema")]
+
+
+# reference registry name variants (TrainAdaptor.scala:124-168)
+from streamingpro_spark.operators.registry import alias_et  # noqa: E402
+
+alias_et("PythonAlgBP", "PythonAlg")
+alias_et("ExternalPythonAlg", "PythonAlg")

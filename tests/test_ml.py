@@ -193,3 +193,46 @@ def test_hash_tfidf_standalone_roundtrip(engine, tmp_path):
     for b, s in zip(batch, served):
         assert sorted(b.indices.tolist()) == sorted(s.indices.tolist())
         assert b.toArray().tolist() == pytest.approx(s.toArray().tolist())
+
+
+def test_python_alg_train_predict_roundtrip(engine, tmp_path):
+    """PythonAlg: user train() runs driver-side over a bounded pandas
+    slice; user predict() runs DISTRIBUTED via mapInPandas against the
+    saved artifacts (native stand-in for SQLPythonAlg.scala)."""
+    path = tmp_path / "pyalg"
+    engine.execute(f"""
+    select explode(sequence(1, 50)) as v as pa_in;
+    train pa_in as PythonAlg.`{path}` where code='''
+import json, os
+def train(pdf, model_path):
+    with open(os.path.join(model_path, "m.json"), "w") as f:
+        json.dump({{"mean": float(pdf["v"].mean())}}, f)
+''';
+    """)
+    assert (path / "m.json").exists()
+    df = engine.execute(f"""
+    predict pa_in as PythonAlg.`{path}` where code='''
+import json, os
+def predict(pdf, model_path):
+    with open(os.path.join(model_path, "m.json")) as f:
+        m = json.load(f)["mean"]
+    pdf["centered"] = pdf["v"] - m
+    return pdf
+''' and schema="st(field(v,integer),field(centered,double))";
+    """)
+    rows = df.collect()
+    assert len(rows) == 50
+    assert abs(sum(r["centered"] for r in rows)) < 1e-6   # mean-centered
+
+
+def test_logistic_regressor_reference_alias(iris_engine, tmp_path):
+    """The reference registry name is LogisticRegressor
+    (TrainAdaptor.scala) — both names resolve."""
+    engine = iris_engine
+    df = engine.execute(f"""
+    train training as LogisticRegressor.`{tmp_path}/lra` where maxIter="10";
+    predict training as LogisticRegressor.`{tmp_path}/lra`;
+    """)
+    rows = df.select("label", "prediction").collect()
+    acc = sum(1 for r in rows if r["label"] == r["prediction"]) / len(rows)
+    assert acc > 0.95
