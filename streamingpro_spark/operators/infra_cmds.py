@@ -221,3 +221,10 @@ class NothingET(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         return df.sparkSession.createDataFrame([], "value: string")
+
+
+# the standalone compaction command is the same gated delta surface
+# (reference tech/mlsql/ets/DeltaCompactionCommand)
+from streamingpro_spark.operators.registry import alias_et  # noqa: E402
+
+alias_et("DeltaCompactionCommand", "DeltaCommandWrapper")

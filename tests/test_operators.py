@@ -712,3 +712,37 @@ def test_ivf_index_persist_and_reuse(engine, sf_dir, tmp_path):
     assert key(first) == key(second)
     engine.execute(q.replace('nprobe="8"', 'nprobe="8" and retrain="true"'))
     assert os.path.getmtime(cent_file) != mtime   # forced rebuild
+
+
+def test_et_registry_covers_reference_list():
+    """Registry diff vs the reference's ET name registry
+    (TrainAdaptor.scala:124-168 MLMapping + ETRegister.scala:25-48):
+    every reference name resolves here or is on the documented-drop
+    list."""
+    from streamingpro_spark.operators import registry
+    registry._ensure_loaded()
+    reference = {
+        "NaiveBayes", "RandomForest", "GBTRegressor", "LDA", "KMeans",
+        "FPGrowth", "StringIndex", "GBTs", "LSVM", "HashTfIdf", "TfIdf",
+        "LogisticRegressor", "RowMatrix", "PageRank", "StandardScaler",
+        "DicOrTableToArray", "TableToMap", "TokenExtract", "TokenAnalysis",
+        "TfIdfInPlace", "RateSampler", "ScalerInPlace", "NormalizeInPlace",
+        "PythonAlg", "ConfusionMatrix", "OpenCVImage", "JavaImage",
+        "Discretizer", "SendMessage", "JDBC", "VecMapInPlace", "Map",
+        "PythonAlgBP", "ScalaScriptUDF", "ScriptUDF", "MapValues",
+        "ExternalPythonAlg", "Kill", "ShowCommand", "EngineResource",
+        "HDFSCommand", "NothingET", "ModelCommand", "MLSQLEventCommand",
+        "KafkaCommand", "DeltaCompactionCommand", "DeltaCommandWrapper",
+        "ShowTablesExt", "DTF", "PythonCommand", "SchedulerCommand",
+        "PluginCommand", "Ray", "RunScript", "PrintCommand",
+        "IteratorCommand", "IfCommand", "ElifCommand", "ThenCommand",
+        "FiCommand", "ElseCommand",
+    }
+    # engine-level !if statements, not ETs, in this architecture
+    branching = {"IfCommand", "ElifCommand", "ThenCommand", "FiCommand",
+                 "ElseCommand"}
+    # documented out of scope (SURVEY §7 / MIGRATION.md)
+    dropped = {"DTF", "Ray", "EngineResource", "SchedulerCommand",
+               "OpenCVImage", "JavaImage"}
+    missing = reference - branching - dropped - set(registry._REGISTRY)
+    assert missing == set()
