@@ -327,6 +327,40 @@ def _load_system_table(ctx, path, options):
     raise ValueError(f"unknown system table: _mlsql_.`{path}`")
 
 
+@register_loader("mlsqlAPI")
+def _load_mlsql_api(ctx, path, options):
+    """REST surface description table (reference
+    MLSQLSystemTables.scala:19-70 `mlsqlAPI`)."""
+    rows = [("/run/script", "POST", "execute a script (sql/owner/async/"
+             "timeout/includeSchema/fetchType/executeMode)"),
+            ("/runningjobs", "GET", "running jobs + per-statement progress"),
+            ("/killjob", "POST", "cancel a job group by id or name"),
+            ("/health", "GET", "liveness"),
+            ("/upload_file", "POST", "stage a file on the server"),
+            ("/download", "GET", "stream a staged file back")]
+    return ctx.spark.createDataFrame(
+        rows, "path: string, method: string, description: string")
+
+
+@register_loader("mlsqlConf")
+def _load_mlsql_conf(ctx, path, options):
+    """Engine + Spark conf dump (reference MLSQLSystemTables.scala
+    `mlsqlConf`)."""
+    rows = [(k, v) for k, v in ctx.spark.sparkContext.getConf().getAll()]
+    rows += [(f"env.{k}", v) for k, v in ctx.env.items()]
+    return ctx.spark.createDataFrame(rows, "k: string, v: string")
+
+
+@register_loader("unStructured")
+def _load_unstructured(ctx, path, options):
+    """Raw files as rows (reference
+    tech/mlsql/datasource/impl/MLSQLUnStructured.scala) — the binaryFile
+    reader carries path/modificationTime/length/content."""
+    return (ctx.spark.read.format("binaryFile")
+            .options(**_spark_opts(options))
+            .load(ctx.resource_real_path(path)))
+
+
 @register_loader("model")
 def _load_model_explain(ctx, path, options):
     """`load model.`alg`` / modelParams/modelList self-describe tables

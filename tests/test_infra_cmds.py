@@ -137,3 +137,27 @@ class DoubleUp(ETAlgorithm):
     run t_in as DoubleUp.`` as t_out;
     """)
     assert df.first()["v"] == 42
+
+
+def test_mlsql_api_and_conf_tables(engine):
+    df = engine.execute("load mlsqlAPI.`` as api; "
+                        "select * from api as out;")
+    paths = {r["path"] for r in df.collect()}
+    assert "/run/script" in paths and "/runningjobs" in paths
+    engine.execute('set probe_var = "42";')
+    df = engine.execute("load mlsqlConf.`` as conf; "
+                        "select * from conf as out;")
+    kv = {r["k"]: r["v"] for r in df.collect()}
+    assert kv["env.probe_var"] == "42"
+    assert any(k.startswith("spark.") for k in kv)
+
+
+def test_unstructured_source(engine, tmp_path):
+    (tmp_path / "doc.bin").write_bytes(b"raw-bytes-here")
+    df = engine.execute(f"""
+    load unStructured.`{tmp_path}/doc.bin` as files;
+    select path, length, content from files as out;
+    """)
+    row = df.collect()[0]
+    assert row["length"] == 14
+    assert bytes(row["content"]) == b"raw-bytes-here"
