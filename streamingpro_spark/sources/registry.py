@@ -513,7 +513,10 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         query = writer.start()
         ctx.jobs[ctx.stream_name or query.id] = query
         return
-    writer = (df.writeStream.format("console" if fmt == "console" else fmt)
+    # webConsole is the reference's console-to-web-client sink
+    # (MLSQLConsole.scala + web push); locally both land on the console
+    writer = (df.writeStream.format(
+                  "console" if fmt in ("console", "webConsole") else fmt)
               .outputMode(out_mode.lower())
               .option("checkpointLocation", ctx.resource_real_path(ckpt)))
     for k, v in _spark_opts(options).items():

@@ -334,3 +334,21 @@ def test_streaming_sessionizer(engine, sf_dir, tmp_path):
         assert not mismatches, dict(list(mismatches.items())[:5])
     finally:
         q.stop()
+
+
+def test_web_console_sink(engine, sf_dir, tmp_path):
+    """webConsole maps onto the console sink (reference streams console
+    output to the web client; batch results return via REST here)."""
+    engine.execute(f"""
+    set streamName = "wc1";
+    load streamParquet.`{sf_dir}/events.parquet` as ev_wc;
+    select count(*) as n from ev_wc as agg_wc;
+    save complete agg_wc as webConsole.`` where
+        checkpointLocation="{tmp_path}/ckwc" and duration="0";
+    """)
+    q = engine.context.jobs["wc1"]
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
