@@ -513,6 +513,25 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         query = writer.start()
         ctx.jobs[ctx.stream_name or query.id] = query
         return
+    if fmt == "newParquet":
+        # overwrite-able file stream sink (reference NewFileStreamSink:
+        # each micro-batch REPLACES the output — the plain parquet stream
+        # sink is append-only)
+        target = ctx.resource_real_path(stmt.path)
+
+        def overwrite_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(target)
+
+        writer = (df.writeStream.foreachBatch(overwrite_batch)
+                  .outputMode(out_mode.lower())
+                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+        if ctx.stream_name:
+            writer = writer.queryName(ctx.stream_name)
+        if duration >= 0:
+            writer = writer.trigger(processingTime=f"{duration} seconds")
+        query = writer.start()
+        ctx.jobs[ctx.stream_name or query.id] = query
+        return
     # webConsole is the reference's console-to-web-client sink
     # (MLSQLConsole.scala + web push); locally both land on the console
     writer = (df.writeStream.format(

@@ -352,3 +352,24 @@ def test_web_console_sink(engine, sf_dir, tmp_path):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_new_parquet_overwrite_sink(engine, sf_dir, tmp_path):
+    """newParquet: each micro-batch REPLACES the output dir (reference
+    NewFileStreamSink) — the final read shows the LAST batch's state,
+    not an append history."""
+    out = tmp_path / "np_out"
+    engine.execute(f"""
+    set streamName = "np1";
+    load streamParquet.`{sf_dir}/events.parquet` as ev_np;
+    select count(*) as n from ev_np as agg_np;
+    save complete agg_np as newParquet.`{out}` where
+        checkpointLocation="{tmp_path}/cknp" and duration="0";
+    """)
+    q = engine.context.jobs["np1"]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = engine.spark.read.parquet(str(out)).collect()
+    assert len(rows) == 1 and rows[0]["n"] > 0
