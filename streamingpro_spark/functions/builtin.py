@@ -70,6 +70,26 @@ def _register_array(spark: SparkSession) -> None:
         return [" ".join(arr[i:i + n]) for i in range(len(arr) - n + 1)]
     udf("ngram", ngram, "array<string>")
 
+    # reference-EXACT spellings (the Scala method name IS the SQL name —
+    # Functions.scala:303-427; a reference script calling arrayOneHot
+    # must keep working).  Thin compat shims: hot paths should use the
+    # native concat/slice/array_intersect expressions instead.
+    udf("arrayOneHot", array_onehot, "array<double>")
+    udf("paddingIntArray", padding_int_array, "array<int>")
+    udf("toArrayDouble", lambda arr: [float(x) for x in (arr or [])],
+        "array<double>")
+    udf("array_concat",
+        lambda arrs: [x for sub in (arrs or []) for x in (sub or [])],
+        "array<string>")
+    udf("array_slice",
+        lambda arr, frm, to: list(arr or [])[int(frm):(int(to)
+                                                       if int(to) >= 0
+                                                       else None)],
+        "array<string>")
+    udf("map_value_int_to_double",
+        lambda m: {k: float(v) for k, v in (m or {}).items()},
+        "map<string,double>")
+
 
 # ---------------------------------------------------------------------------
 # vector/matrix functions (Functions.scala:69-300) — numpy-backed
@@ -193,6 +213,23 @@ def _register_misc(spark: SparkSession) -> None:
         "".join(ch for ch in (s or "") if "一" <= ch <= "鿿"
                 or (extras and ch in extras)), "string")
     udf("crawler_md5", lambda s: hashlib.md5((s or "").encode()).hexdigest(), "string")
+    # kafka value bytes → string (Functions.scala decodeKafka)
+    udf("decodeKafka",
+        lambda b: bytes(b).decode("utf-8", "replace") if b is not None else None,
+        "string")
+
+    def _parse_tokens(s):
+        # Functions.scala `parse` segments Chinese with Ansj; the
+        # dictionary-free fallback here: latin word runs + CJK bigrams
+        # (same approach as TokenAnalysis segmenter="bigram")
+        out = re.findall(r"[A-Za-z0-9_]+", (s or "").lower())
+        for run in re.findall(r"[一-鿿]+", s or ""):
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i:i + 2] for i in range(len(run) - 1))
+        return out
+    udf("parse", _parse_tokens, "array<string>")
 
     def crawler_extract_title(html):
         m = re.search(r"<title[^>]*>(.*?)</title>", html or "", re.S | re.I)

@@ -131,3 +131,28 @@ def geo_sum(s: pd.Series) -> float:
     """)
     rows = {r["k"]: r["s"] for r in df.collect()}
     assert rows == {"a": 6.0, "b": 10.0}
+
+
+def test_reference_exact_udf_spellings(engine):
+    """The Scala method name IS the registered SQL name in the reference
+    (Functions.scala) — scripts using those spellings keep working."""
+    df = engine.execute("""
+    select arrayOneHot(array(1, 3), 5) as oh,
+           paddingIntArray(array(1, 2), 0, 4) as pad,
+           toArrayDouble(array('1.5', '2')) as tad,
+           array_concat(array(array('a'), array('b', 'c'))) as ac,
+           array_slice(array('x', 'y', 'z'), 1, -1) as sl,
+           map_value_int_to_double(map('a', 1, 'b', 2)) as mv,
+           decodeKafka(cast('hello' as binary)) as dk,
+           parse('Spark处理数据 fast') as toks
+    as out;
+    """)
+    r = df.collect()[0]
+    assert r["oh"] == [0.0, 1.0, 0.0, 1.0, 0.0]
+    assert r["pad"] == [1, 2, 0, 0]
+    assert r["tad"] == [1.5, 2.0]
+    assert r["ac"] == ["a", "b", "c"]
+    assert r["sl"] == ["y", "z"]
+    assert r["mv"] == {"a": 1.0, "b": 2.0}
+    assert r["dk"] == "hello"
+    assert r["toks"] == ["spark", "fast", "处理", "理数", "数据"]
