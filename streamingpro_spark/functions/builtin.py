@@ -122,16 +122,30 @@ def _register_vector(spark: SparkSession) -> None:
     udf("vec_concat", lambda vs: DenseVector(np.concatenate([_as_np(v) for v in vs])), VT)
     udf("vec_slice", lambda v, idxs: DenseVector(_as_np(v)[list(idxs)]), VT)
     udf("vec_range", lambda v, a, b: DenseVector(_as_np(v)[int(a):int(b)]), VT)
-    udf("vec_wise_mul", lambda a, b: DenseVector(_as_np(a) * _as_np(b)), VT)
-    udf("vec_wise_add", lambda a, b: DenseVector(_as_np(a) + _as_np(b)), VT)
-    udf("vec_wise_dif", lambda a, b: DenseVector(_as_np(a) - _as_np(b)), VT)
-    udf("vec_wise_mod", lambda a, b: DenseVector(_as_np(a) % _as_np(b)), VT)
-    udf("vec_inplace_add", lambda v, c: DenseVector(_as_np(v) + float(c)), VT)
-    udf("vec_inplace_ew_mul", lambda v, c: DenseVector(_as_np(v) * float(c)), VT)
-    udf("vec_ceil", lambda v: DenseVector(np.ceil(_as_np(v))), VT)
-    udf("vec_floor", lambda v: DenseVector(np.floor(_as_np(v))), VT)
+    # element-wise family: register BOTH our snake_case name and the
+    # reference-exact camelCase SQL name (Scala method name IS the SQL
+    # name — Functions.scala:69-300; reference scripts call vecWiseAdd)
+    for names, fn in (
+            (("vec_wise_mul", "vecWiseProduct"),
+             lambda a, b: DenseVector(_as_np(a) * _as_np(b))),
+            (("vec_wise_add", "vecWiseAdd"),
+             lambda a, b: DenseVector(_as_np(a) + _as_np(b))),
+            (("vec_wise_dif", "vecWiseDifference"),
+             lambda a, b: DenseVector(_as_np(a) - _as_np(b))),
+            (("vec_wise_mod", "vecWiseModulo"),
+             lambda a, b: DenseVector(_as_np(a) % _as_np(b))),
+            (("vec_inplace_add", "vecInplaceAddition"),
+             lambda v, c: DenseVector(_as_np(v) + float(c))),
+            (("vec_inplace_ew_mul", "vecInplaceElemWiseMul"),
+             lambda v, c: DenseVector(_as_np(v) * float(c))),
+            (("vec_ceil", "vecCeil"), lambda v: DenseVector(np.ceil(_as_np(v)))),
+            (("vec_floor", "vecFloor"), lambda v: DenseVector(np.floor(_as_np(v))))):
+        for n in names:
+            udf(n, fn, VT)
     udf("vec_mean", lambda v: float(np.mean(_as_np(v))), "double")
+    udf("vecMean", lambda v: float(np.mean(_as_np(v))), "double")
     udf("vec_stddev", lambda v: float(np.std(_as_np(v), ddof=1)), "double")
+    udf("vecStd", lambda v: float(np.std(_as_np(v), ddof=1)), "double")
 
     def onehot(index, size):
         return SparseVector(int(size), {int(index): 1.0})
@@ -144,6 +158,12 @@ def _register_vector(spark: SparkSession) -> None:
     udf("matrix_sum",
         lambda m, axis: [float(x) for x in np.asarray(m).sum(axis=int(axis))],
         "array<double>")
+    udf("matrixSum",
+        lambda m, axis: [float(x) for x in np.asarray(m).sum(axis=int(axis))],
+        "array<double>")
+    udf("matrix_array",
+        lambda m: [[float(x) for x in row] for row in (m or [])],
+        "array<array<double>>")
 
 
 # ---------------------------------------------------------------------------

@@ -156,3 +156,21 @@ def test_reference_exact_udf_spellings(engine):
     assert r["mv"] == {"a": 1.0, "b": 2.0}
     assert r["dk"] == "hello"
     assert r["toks"] == ["spark", "fast", "处理", "理数", "数据"]
+
+
+def test_vector_camel_case_reference_spellings(engine):
+    df = engine.execute("""
+    select vec_array(vecWiseAdd(vec_dense(array(1.0, 2.0)),
+                                vec_dense(array(3.0, 4.0)))) as add,
+           vec_array(vecCeil(vec_dense(array(1.2)))) as ceil,
+           vecMean(vec_dense(array(2.0, 4.0))) as mean,
+           matrixSum(array(array(1.0, 2.0), array(3.0, 4.0)), 0) as msum,
+           matrix_array(array(array(1.0), array(2.0))) as marr
+    as out;
+    """)
+    r = df.collect()[0]
+    assert r["add"] == [4.0, 6.0]
+    assert r["ceil"] == [2.0]
+    assert r["mean"] == 3.0
+    assert r["msum"] == [4.0, 6.0]
+    assert r["marr"] == [[1.0], [2.0]]
