@@ -304,8 +304,17 @@ def _q_minhash(spark, sf_dir):
     """)
 
 
-_MINHASH_ORACLE = """
-WITH t AS (
+def _mh_oracle_consts() -> str:
+    """SQL literals for the minhash universal-hash family — must match
+    streamingpro_spark.operators.dedup.mh_constants(12)."""
+    from streamingpro_spark.operators.dedup import mh_constants
+    a, b = mh_constants(12)
+    return (f"SELECT {a} AS A, {b} AS B")
+
+
+_MINHASH_ORACLE = f"""
+WITH consts AS ({_mh_oracle_consts()}),
+t AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
 ),
 sh AS (
@@ -314,12 +323,17 @@ sh AS (
                         for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
   FROM t
 ),
+bases AS (
+  SELECT doc_id, shingles,
+         [CAST(CONCAT('0x', substr(md5(CONCAT('mh:', sng)), 1, 8)) AS BIGINT)
+          % 1073741824 for sng in shingles] AS ms
+  FROM sh
+),
 sig AS (
   SELECT doc_id, shingles,
-         [list_min([CAST(CONCAT('0x', substr(md5(CONCAT(CAST(s AS VARCHAR), ':', sng)), 1, 15)) AS BIGINT)
-                    for sng in shingles])
+         [list_min([(m * A[s+1] + B[s+1]) % 2305843009213693951 for m in ms])
           for s in generate_series(0, 11)] AS mh
-  FROM sh
+  FROM bases, consts
 ),
 bands AS (
   SELECT doc_id, b.band,
