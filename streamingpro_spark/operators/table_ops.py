@@ -235,6 +235,19 @@ class ShowCommand(ETAlgorithm):
             return spark.createDataFrame(rows, "function: string")
         if what == "version":
             return spark.createDataFrame([(spark.version,)], "sparkVersion: string")
+        if what == "commands":
+            # reference ShowCommand case Array("commands"): the macro table
+            from streamingpro_spark.macros import MACROS
+            rows = sorted((f"!{n}", tpl) for n, tpl in MACROS.items())
+            return spark.createDataFrame(rows,
+                                         "command: string, template: string")
+        if what == "et":
+            from streamingpro_spark.operators.registry import (
+                explain_algorithm, list_algorithms)
+            parts = (path or "").split("/")
+            if len(parts) > 1 and parts[1]:
+                return explain_algorithm(spark, parts[1])
+            return list_algorithms(spark)
         raise ValueError(f"!show: unknown item {what!r}")
 
 

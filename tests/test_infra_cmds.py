@@ -161,3 +161,14 @@ def test_unstructured_source(engine, tmp_path):
     row = df.collect()[0]
     assert row["length"] == 14
     assert bytes(row["content"]) == b"raw-bytes-here"
+
+
+def test_show_commands_and_et(engine):
+    """!show commands / !show et / !show et/<Name> (reference
+    ShowCommand.scala case arms)."""
+    cmds = {r["command"] for r in engine.execute("!show commands;").collect()}
+    assert "!split" in cmds and "!withWatermark" in cmds
+    ets = {r["name"] for r in engine.execute("!show et;").collect()}
+    assert "MinHashDedup" in ets and "TfIdf" in ets
+    params = engine.execute("!show et/RateSampler;").collect()
+    assert any(r["param"] == "sampleRate" for r in params)
