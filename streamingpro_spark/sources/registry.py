@@ -327,6 +327,14 @@ def _load_system_table(ctx, path, options):
     raise ValueError(f"unknown system table: _mlsql_.`{path}`")
 
 
+@register_loader("versionedParquet")
+def _load_versioned_parquet(ctx, path, options):
+    """Time travel over plain parquet (native Delta fallback — see
+    sources/versioned.py)."""
+    from streamingpro_spark.sources.versioned import load as vp_load
+    return vp_load(ctx, path, options)
+
+
 @register_loader("mlsqlAPI")
 def _load_mlsql_api(ctx, path, options):
     """REST surface description table (reference
@@ -454,6 +462,10 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
                 writer = writer.sortBy(*[s.strip()
                                          for s in options["sortBy"].split(",")])
         writer.saveAsTable(path or stmt.path)
+        return
+    if fmt == "versionedParquet":
+        from streamingpro_spark.sources.versioned import save as vp_save
+        vp_save(ctx, df, stmt.path, stmt.mode, options, stmt.partition_by)
         return
     if fmt == "jdbc":
         opts = dict(options)

@@ -1,0 +1,121 @@
+"""versionedParquet: time travel over plain parquet — the native
+fallback for the reference's Delta surface (MLSQLDelta.scala:22-100:
+`versionAsOf`, `startingVersion..endingVersion` with a
+`__delta_version__` column, history; delta-spark itself cannot be
+installed in this container — COVERAGE.md records the attempt).
+
+Layout:
+    <path>/v=<N>/...parquet     data files of commit N (plain parquet)
+    <path>/_commits.json        append-only JSON-lines commit log
+
+Semantics:
+  - ``save overwrite`` → commit N holds the FULL dataset; snapshots at
+    any version >= N start from N.
+  - ``save append``    → commit N holds only the new rows; the snapshot
+    at version V unions every commit from the last overwrite <= V up
+    to V.
+  - ``load ... where versionAsOf="V"``          → that snapshot.
+  - ``load ... where startingVersion/endingVersion`` → per-commit rows
+    with a ``__delta_version__`` column (reference parity).
+  - ``load ... where history="true"``           → the commit log.
+
+Single-writer by design: the commit is a driver-side manifest append —
+multi-writer needs Delta's optimistic log protocol (documented drop).
+The data plane stays partition-parallel parquet; only the tiny manifest
+is driver-side, so the format scales like parquet itself.  Filesystem
+access is local-fs (tests/CLI); a DFS deploy swaps these helpers for
+Hadoop FS calls (same caveat as the ML wrappers' version scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+    from streamingpro_spark.context import ExecutionContext
+
+
+def _manifest(path: str) -> str:
+    return os.path.join(path, "_commits.json")
+
+
+def read_commits(path: str) -> list[dict]:
+    try:
+        with open(_manifest(path)) as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+    except OSError:
+        return []
+
+
+def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
+         options: dict[str, str], partition_by: list[str]) -> None:
+    real = ctx.resource_real_path(path)
+    commits = read_commits(real)
+    mode = mode.lower()
+    if mode == "ignore" and commits:
+        return
+    if mode in ("error", "errorifexists") and commits:
+        raise ValueError(f"versionedParquet.`{path}` already has "
+                         f"{len(commits)} commits (mode errorIfExists)")
+    if mode in ("error", "errorifexists", "ignore"):
+        mode = "overwrite"
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"versionedParquet: unsupported mode {mode!r}")
+    n = commits[-1]["version"] + 1 if commits else 0
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(real, f"v={n}"))
+    os.makedirs(real, exist_ok=True)
+    with open(_manifest(real), "a") as fh:
+        fh.write(json.dumps({"version": n, "mode": mode,
+                             "timestamp": int(time.time() * 1000)}) + "\n")
+
+
+def load(ctx: "ExecutionContext", path: str,
+         options: dict[str, str]) -> "DataFrame":
+    real = ctx.resource_real_path(path)
+    commits = read_commits(real)
+    if not commits:
+        raise ValueError(f"versionedParquet.`{path}`: no commits found "
+                         f"(missing {_manifest(real)})")
+    spark = ctx.spark
+    if options.get("history", "").lower() == "true":
+        return spark.createDataFrame(
+            [(c["version"], c["mode"], c["timestamp"]) for c in commits],
+            "version: long, mode: string, timestamp: long")
+    by_version = {c["version"]: c for c in commits}
+    latest = commits[-1]["version"]
+    if "startingVersion" in options or "endingVersion" in options:
+        # per-commit range read with the version stamped on each row
+        # (reference MLSQLDelta.scala `__delta_version__` union)
+        lo = int(options.get("startingVersion", "0"))
+        hi = int(options.get("endingVersion", str(latest)))
+        dfs = [spark.read.parquet(os.path.join(real, f"v={v}"))
+               .withColumn("__delta_version__", F.lit(v))
+               for v in sorted(by_version) if lo <= v <= hi]
+        if not dfs:
+            raise ValueError(f"versionedParquet: no commits in "
+                             f"[{lo}, {hi}] (have {sorted(by_version)})")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    v = int(options.get("versionAsOf", str(latest)))
+    if v not in by_version:
+        raise ValueError(f"versionedParquet: version {v} does not exist "
+                         f"(have {sorted(by_version)})")
+    start = 0
+    for c in commits:
+        if c["version"] <= v and c["mode"] == "overwrite":
+            start = c["version"]
+    dirs = [os.path.join(real, f"v={c['version']}") for c in commits
+            if start <= c["version"] <= v]
+    return spark.read.parquet(*dirs)

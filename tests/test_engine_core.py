@@ -617,3 +617,49 @@ def test_source_format_registry_covers_reference_list():
                "binlog"}
     missing = reference - fallback_or_sink - dropped - ours
     assert missing == set()
+
+
+def test_versioned_parquet_time_travel(engine, tmp_path):
+    """versionedParquet: overwrite/append commits, versionAsOf
+    snapshots, range reads with __delta_version__, history — the native
+    fallback for the reference's Delta surface (MLSQLDelta.scala)."""
+    lake = tmp_path / "lake"
+    engine.execute(f"""
+    select 1 as id, 'a' as v as t0;
+    save overwrite t0 as versionedParquet.`{lake}`;
+    select 2 as id, 'b' as v as t1;
+    save append t1 as versionedParquet.`{lake}`;
+    select 9 as id, 'z' as v as t2;
+    save overwrite t2 as versionedParquet.`{lake}`;
+    """)
+    def rows(q):
+        return sorted((r["id"], r["v"]) for r in engine.execute(q).collect())
+    assert rows(f"load versionedParquet.`{lake}` where versionAsOf=\"0\" as x; "
+                "select * from x as out;") == [(1, "a")]
+    assert rows(f"load versionedParquet.`{lake}` where versionAsOf=\"1\" as x; "
+                "select * from x as out;") == [(1, "a"), (2, "b")]
+    # latest (after the second overwrite) resets the lineage
+    assert rows(f"load versionedParquet.`{lake}` as x; "
+                "select * from x as out;") == [(9, "z")]
+    hist = engine.execute(
+        f"load versionedParquet.`{lake}` where history=\"true\" as h; "
+        "select * from h as out;").collect()
+    assert [(r["version"], r["mode"]) for r in hist] == \
+        [(0, "overwrite"), (1, "append"), (2, "overwrite")]
+    rng = engine.execute(
+        f"load versionedParquet.`{lake}` where startingVersion=\"0\" and "
+        "endingVersion=\"1\" as r; "
+        "select id, __delta_version__ as dv from r as out;").collect()
+    assert sorted((r["id"], r["dv"]) for r in rng) == [(1, 0), (2, 1)]
+
+
+def test_versioned_parquet_error_modes(engine, tmp_path):
+    lake = tmp_path / "lake2"
+    engine.execute(f"select 1 as a as t; "
+                   f"save overwrite t as versionedParquet.`{lake}`;")
+    with pytest.raises(ValueError, match="already has"):
+        engine.execute(f"select 2 as a as t2; "
+                       f"save errorIfExists t2 as versionedParquet.`{lake}`;")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute(f"load versionedParquet.`{lake}` "
+                       'where versionAsOf="7" as x;')
