@@ -926,6 +926,34 @@ FROM documents
 """
 
 
+def _q_versioned_parquet(spark, sf_dir):
+    """versionedParquet time travel (rows-only: writes to a temp lake):
+    overwrite + two appends, then per-version snapshot counts — v0 <
+    v1 < v2 and the latest equals v2."""
+    import tempfile
+    lake = tempfile.mkdtemp(prefix="spk_vplake_") + "/docs"
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, lang from documents where doc_id % 3 = 0 as vp0;
+    save overwrite vp0 as versionedParquet.`{lake}`;
+    select doc_id, lang from documents where doc_id % 3 = 1 as vp1;
+    save append vp1 as versionedParquet.`{lake}`;
+    select doc_id, lang from documents where doc_id % 3 = 2 as vp2;
+    save append vp2 as versionedParquet.`{lake}`;
+    """)
+    return eng.execute(f"""
+    load versionedParquet.`{lake}` where versionAsOf="0" as s0;
+    load versionedParquet.`{lake}` where versionAsOf="1" as s1;
+    load versionedParquet.`{lake}` as s2;
+    select 0L as version, count(*) as n from s0 as c0;
+    select 1L as version, count(*) as n from s1 as c1;
+    select 2L as version, count(*) as n from s2 as c2;
+    select * from c0 union all select * from c1 union all select * from c2
+    order by version as output;
+    """)
+
+
 def _q_tree(spark, sf_dir):
     """TreeBuildExt over a supplier→nation hierarchy built from the star
     schema (synthetic parent edges: nation parent region-root)."""
@@ -1756,7 +1784,7 @@ def _q_hash_tfidf(spark, sf_dir):
 # (some return unsortable types like ml vectors)
 _ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
               "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
-              "tfidf_alg", "hash_tfidf_alg"}
+              "tfidf_alg", "hash_tfidf_alg", "versioned_parquet_tt"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -1874,6 +1902,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
         "video_metadata": _q_video_metadata,
+        "versioned_parquet_tt": _q_versioned_parquet,
     }
 
 
