@@ -41,11 +41,34 @@ class DeltaCommandWrapper(ETAlgorithm):
     def train(self, df, path, params, context=None):
         spark = df.sparkSession
         args = json.loads(params.get("parameters", "[]"))
+        # versionedParquet lakes (the native time-travel fallback) serve
+        # history/compact without delta-spark
+        if len(args) > 1:
+            from streamingpro_spark.sources import versioned as vp
+            target = (context.resource_real_path(args[1])
+                      if context else args[1])
+            commits = vp.read_commits(target)
+            if commits:
+                if args[0] == "history":
+                    return spark.createDataFrame(
+                        [(c["version"], c["mode"], c["timestamp"])
+                         for c in commits],
+                        "version: long, mode: string, timestamp: long")
+                if args[0] == "compact":
+                    # rewrite the CURRENT snapshot as one fresh overwrite
+                    # commit with n files (the OPTIMIZE equivalent)
+                    n = int(args[2]) if len(args) > 2 else 1
+                    snap = vp.load(context, args[1], {}).repartition(n)
+                    vp.save(context, snap, args[1], "overwrite", {}, [])
+                    return spark.createDataFrame(
+                        [(target, len(commits), n)],
+                        "path: string, compactedCommits: int, files: int")
         if not _has_delta(spark):
             raise NotImplementedError(
                 "!delta requires Delta Lake (pip install delta-spark and "
                 "spark.jars.packages=io.delta:delta-spark_2.13:<ver>); "
-                "not present on this classpath")
+                "not present on this classpath — or point !delta at a "
+                "versionedParquet lake for native history/compact")
         action = args[0] if args else "help"
         if action == "history":
             dt = spark._jvm.io.delta.tables.DeltaTable.forPath(spark._jsparkSession, args[1])

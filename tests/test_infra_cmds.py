@@ -172,3 +172,27 @@ def test_show_commands_and_et(engine):
     assert "MinHashDedup" in ets and "TfIdf" in ets
     params = engine.execute("!show et/RateSampler;").collect()
     assert any(r["param"] == "sampleRate" for r in params)
+
+
+def test_delta_macro_on_versioned_parquet_lake(engine, tmp_path):
+    """!delta history / !delta compact work natively on versionedParquet
+    lakes (no delta-spark needed); real delta paths still render the
+    install hint."""
+    lake = tmp_path / "vlake"
+    engine.execute(f"""
+    select explode(sequence(1, 30)) as id as vt;
+    save overwrite vt as versionedParquet.`{lake}`;
+    select explode(sequence(31, 40)) as id as vt2;
+    save append vt2 as versionedParquet.`{lake}`;
+    """)
+    hist = engine.execute(f"!delta history {lake};").collect()
+    assert [(r["version"], r["mode"]) for r in hist] == \
+        [(0, "overwrite"), (1, "append")]
+    out = engine.execute(f"!delta compact {lake} 1;").collect()[0]
+    assert out["files"] == 1
+    # the compacted snapshot is a new overwrite commit with all 40 rows
+    df = engine.execute(f"load versionedParquet.`{lake}` as z; "
+                        "select count(*) as n from z as out;")
+    assert df.collect()[0]["n"] == 40
+    hist2 = engine.execute(f"!delta history {lake};").collect()
+    assert hist2[-1]["mode"] == "overwrite" and hist2[-1]["version"] == 2
