@@ -525,6 +525,24 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         query = writer.start()
         ctx.jobs[ctx.stream_name or query.id] = query
         return
+    if fmt == "versionedParquet":
+        # delta-like streaming sink: one time-travel commit per
+        # micro-batch (reference MLSQLDelta streaming save)
+        def vp_batch(batch_df, batch_id):
+            from streamingpro_spark.sources.versioned import save as vp_save
+            vp_save(ctx, batch_df, stmt.path, "append", options,
+                    stmt.partition_by)
+
+        writer = (df.writeStream.foreachBatch(vp_batch)
+                  .outputMode(out_mode.lower())
+                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+        if ctx.stream_name:
+            writer = writer.queryName(ctx.stream_name)
+        if duration >= 0:
+            writer = writer.trigger(processingTime=f"{duration} seconds")
+        query = writer.start()
+        ctx.jobs[ctx.stream_name or query.id] = query
+        return
     if fmt == "newParquet":
         # overwrite-able file stream sink (reference NewFileStreamSink:
         # each micro-batch REPLACES the output — the plain parquet stream

@@ -373,3 +373,28 @@ def test_new_parquet_overwrite_sink(engine, sf_dir, tmp_path):
         q.stop()
     rows = engine.spark.read.parquet(str(out)).collect()
     assert len(rows) == 1 and rows[0]["n"] > 0
+
+
+def test_versioned_parquet_stream_sink(engine, sf_dir, tmp_path):
+    """Streaming into versionedParquet: each micro-batch is a commit;
+    the result is time-travelable afterwards."""
+    lake = tmp_path / "stream_lake"
+    engine.execute(f"""
+    set streamName = "vps";
+    load streamParquet.`{sf_dir}/events.parquet` as ev_vp;
+    select user_id, ts from ev_vp as sel_vp;
+    save append sel_vp as versionedParquet.`{lake}` where
+        checkpointLocation="{tmp_path}/ckvp" and duration="0";
+    """)
+    q = engine.context.jobs["vps"]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hist = engine.execute(
+        f'load versionedParquet.`{lake}` where history="true" as h; '
+        "select * from h as out;").collect()
+    assert len(hist) >= 1 and all(r["mode"] == "append" for r in hist)
+    n = engine.execute(f"load versionedParquet.`{lake}` as d; "
+                       "select count(*) as n from d as out;").collect()[0]["n"]
+    assert n > 0
