@@ -85,3 +85,31 @@ def test_embedding_dedup_fallback_no_cartesian(engine, sf_dir):
     plan = je.executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_versioned_parquet_scan_keeps_pushdown(spark, sf_dir, tmp_path):
+    """Time travel must not cost the optimizer anything: a filtered read
+    of a versionedParquet snapshot still pushes the predicate and prunes
+    columns at the parquet scan."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    lake = tmp_path / "plan_lake"
+    eng.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as ord_vp;
+    save overwrite ord_vp as versionedParquet.`{lake}`;
+    select * from ord_vp limit 100 as ord_vp2;
+    save append ord_vp2 as versionedParquet.`{lake}`;
+    """)
+    df = eng.execute(f"""
+    load versionedParquet.`{lake}` as snap;
+    select o_orderkey from snap where o_orderkey < 50 as out;
+    """)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "o_orderkey" in pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"o_orderkey"}
