@@ -93,12 +93,18 @@ def load(ctx: "ExecutionContext", path: str,
             "version: long, mode: string, timestamp: long")
     by_version = {c["version"]: c for c in commits}
     latest = commits[-1]["version"]
+    # remaining options flow to the parquet reader (e.g. mergeSchema for
+    # lakes whose append commits evolved the schema)
+    reader_opts = {k: v for k, v in options.items()
+                   if k not in ("versionAsOf", "history",
+                                "startingVersion", "endingVersion")}
     if "startingVersion" in options or "endingVersion" in options:
         # per-commit range read with the version stamped on each row
         # (reference MLSQLDelta.scala `__delta_version__` union)
         lo = int(options.get("startingVersion", "0"))
         hi = int(options.get("endingVersion", str(latest)))
-        dfs = [spark.read.parquet(os.path.join(real, f"v={v}"))
+        dfs = [spark.read.options(**reader_opts)
+               .parquet(os.path.join(real, f"v={v}"))
                .withColumn("__delta_version__", F.lit(v))
                for v in sorted(by_version) if lo <= v <= hi]
         if not dfs:
@@ -106,7 +112,7 @@ def load(ctx: "ExecutionContext", path: str,
                              f"[{lo}, {hi}] (have {sorted(by_version)})")
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
     v = int(options.get("versionAsOf", str(latest)))
     if v not in by_version:
@@ -118,4 +124,4 @@ def load(ctx: "ExecutionContext", path: str,
             start = c["version"]
     dirs = [os.path.join(real, f"v={c['version']}") for c in commits
             if start <= c["version"] <= v]
-    return spark.read.parquet(*dirs)
+    return spark.read.options(**reader_opts).parquet(*dirs)

@@ -663,3 +663,25 @@ def test_versioned_parquet_error_modes(engine, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         engine.execute(f"load versionedParquet.`{lake}` "
                        'where versionAsOf="7" as x;')
+
+
+def test_versioned_parquet_schema_evolution(engine, tmp_path):
+    """Append commits may add columns; mergeSchema reads the evolved
+    snapshot, range reads tolerate missing columns."""
+    lake = tmp_path / "evolake"
+    engine.execute(f"""
+    select 1 as id as e0;
+    save overwrite e0 as versionedParquet.`{lake}`;
+    select 2 as id, 'x' as extra as e1;
+    save append e1 as versionedParquet.`{lake}`;
+    """)
+    rows = engine.execute(
+        f'load versionedParquet.`{lake}` where mergeSchema="true" as m; '
+        "select * from m order by id as out;").collect()
+    assert [(r["id"], r["extra"]) for r in rows] == [(1, None), (2, "x")]
+    rng = engine.execute(
+        f'load versionedParquet.`{lake}` where startingVersion="0" as r; '
+        "select id, extra, __delta_version__ as dv from r order by id as out;"
+    ).collect()
+    assert [(r["id"], r["extra"], r["dv"]) for r in rng] == \
+        [(1, None, 0), (2, "x", 1)]
