@@ -41,7 +41,9 @@ MACROS: dict[str, str] = {
     "dropTable": 'run command as DropTempTable.`{}`',
     "kafkaTool": "run command as KafkaCommand.`` where parameters='''{:all-json}'''",
     "callback": "run command as MLSQLEventCommand.`` where parameters='''{:all-json}'''",
-    "python": "run command as PythonCommand.`` where code='''{:all}'''",
+    # reference CommandCollection.scala:62 — arg forms parsed by the ET
+    # (env/conf/on/named — PythonCommand.scala:171-223)
+    "python": "run command as PythonCommand.`` where parameters='''{:all-json}'''",
     "iterator": 'run command as IteratorCommand.`` where input="{}"',
     # reference CommandCollection.scala:34
     "jdbc": "run command as JDBC.`{}` where `driver-statement-0`='''{1}'''",

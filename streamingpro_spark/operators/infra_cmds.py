@@ -188,13 +188,47 @@ class PythonCommand(ETAlgorithm):
     """!python — driver-side python exec over an input table
     (reference: tech/mlsql/ets/PythonCommand.scala, 405 LoC: per-session
     conda envs + executor dispatch; here: the in-process essential —
-    `code` runs with `input_df` (pandas) bound, returns `output_df`).
-    For executor-side python use ScriptUDF / mapInPandas."""
+    code runs with `input_df` (pandas) bound, returns `output_df`).
+    The reference's arg forms (PythonCommand.scala:171-223) are parsed:
+
+        !python env "K=V";                 -- session env var
+        !python conf "schema=st(...)";     -- session conf (recorded)
+        !python '''<code>''';
+        !python '''<code>''' named out;
+        !python on tbl '''<code>''';
+        !python on tbl '''<code>''' named out;
+
+    start/close are accepted no-ops (no external worker processes — the
+    engine IS python).  For executor-side python use PythonAlg /
+    PythonScriptRun / ScriptUDF."""
 
     def train(self, df, path, params, context=None):
         spark = df.sparkSession
         code = params.get("code", "")
         source = params.get("input")
+        named = None
+        if not code and "parameters" in params:
+            args = json.loads(params["parameters"])
+            if args[:1] in (["start"], ["close"]):
+                return spark.createDataFrame([(args[0], "ok")],
+                                             "action: string, status: string")
+            if len(args) == 2 and args[0] in ("env", "conf"):
+                k, _, v = args[1].partition("=")
+                if context is not None:
+                    context.env[f"__python_{args[0]}_{k}__"] = v
+                return spark.createDataFrame(
+                    [(args[0], k, v)], "kind: string, k: string, v: string")
+            if args and args[0] == "on":
+                source = args[1]
+                code = args[2] if len(args) > 2 else ""
+                if len(args) >= 5 and args[3] == "named":
+                    named = args[4]
+            elif len(args) >= 3 and args[1] == "named":
+                code, named = args[0], args[2]
+            elif len(args) == 1:
+                code = args[0]
+            else:
+                raise ValueError(f"!python: unrecognized form {args!r}")
         target = spark.table(source) if source else df
         limit = get_int(params, "maxRows", 10000)
         scope: dict = {"input_df": target.limit(limit).toPandas()}
@@ -204,9 +238,14 @@ class PythonCommand(ETAlgorithm):
             raise ValueError(f"!python: syntax error in user code at line "
                              f"{e.lineno}: {e.msg}") from None
         out = scope.get("output_df")
-        if out is None:
-            return spark.createDataFrame([("ok",)], "status: string")
-        return spark.createDataFrame(out)
+        result = (spark.createDataFrame([("ok",)], "status: string")
+                  if out is None else spark.createDataFrame(out))
+        if named:
+            if context is not None:
+                context.register(result, named)
+            else:
+                result.createOrReplaceTempView(named)
+        return result
 
 
 @register_et("ModelCommand")

@@ -196,3 +196,19 @@ def test_delta_macro_on_versioned_parquet_lake(engine, tmp_path):
     assert df.collect()[0]["n"] == 40
     hist2 = engine.execute(f"!delta history {lake};").collect()
     assert hist2[-1]["mode"] == "overwrite" and hist2[-1]["version"] == 2
+
+
+def test_python_macro_reference_forms(engine):
+    """!python env / on <tbl> <code> named <out> (reference
+    PythonCommand.scala:171-223 arg forms)."""
+    r = engine.execute('!python env "PYTHON_ENV=prod";').collect()[0]
+    assert (r["kind"], r["k"], r["v"]) == ("env", "PYTHON_ENV", "prod")
+    engine.execute("""
+    select 3 as a union all select 4 as a as py_src;
+    !python on py_src '''output_df = input_df.assign(b=input_df.a + 1)''' named py_out;
+    """)
+    rows = sorted((r["a"], r["b"]) for r in
+                  engine.spark.table("py_out").collect())
+    assert rows == [(3, 4), (4, 5)]
+    df = engine.execute("!python '''output_df = None''';")
+    assert df.collect()[0]["status"] == "ok"
