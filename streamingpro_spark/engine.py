@@ -78,8 +78,11 @@ class Engine:
         #: pluggable pre-execution table auth (reference pass D,
         #: ScriptSQLExec.scala:122-142 + TableAuth): fn(owner, tables)
         #: where tables is the analyzer's MLSQLTable-style dict list;
-        #: return False (or raise) to reject the script
-        self.table_auth = table_auth
+        #: return False (or raise) to reject the script.  Stored on the
+        #: CONTEXT so sub-script executors (RunScript, foreachBatch
+        #: batchScript) inherit it — otherwise `!runScript '''...'''`
+        #: would be an auth bypass.
+        self.context.extra["table_auth"] = table_auth
         #: optional per-statement progress callback fn(i, total, text) —
         #: the reference's DefaultMLSQLJobProgressListener
         #: (RestController.scala:223-270) surfaces the same counters
@@ -110,11 +113,16 @@ class Engine:
         self.context.last_table = None
         self.context.stream_name = None
         self.context.branch_stack = []
-        if self.table_auth is not None:
+        table_auth = self.context.extra.get("table_auth")
+        if table_auth is not None:
             from streamingpro_spark.analyzer import analyze
-            tables = analyze(script, self.spark,
+            # analyze the INCLUDE-EXPANDED script — a table hidden
+            # behind `include` must not escape the auth pass
+            expanded = ";\n".join(
+                self._expand_includes(P.split_statements(script)))
+            tables = analyze(expanded, self.spark,
                              env=self.context.env).as_dict()
-            verdict = self.table_auth(self.context.owner, tables)
+            verdict = table_auth(self.context.owner, tables)
             if verdict is False:
                 raise PermissionError(
                     f"table auth rejected script for owner "
@@ -181,9 +189,12 @@ class Engine:
                 continue
             try:
                 stmt = P.parse_statement(merged)
-            except ValueError as e:
+            except Exception as e:
+                # ANY parse failure is a finding, not a validator crash —
+                # short statements raise IndexError in the token walkers
                 errors.append({"statement": i, "kind": kind,
-                               "error": str(e), "text": raw.strip()[:200]})
+                               "error": f"{type(e).__name__}: {e}",
+                               "text": raw.strip()[:200]})
                 continue
             if isinstance(stmt, P.SetStmt):
                 env.setdefault(stmt.key, stmt.value

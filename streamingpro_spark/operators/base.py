@@ -8,6 +8,7 @@ Reference interface: streaming/dsl/mmlib/SQLAlg.scala:27-64 —
 
 from __future__ import annotations
 
+import threading
 from typing import TYPE_CHECKING, Any
 
 if TYPE_CHECKING:
@@ -71,6 +72,9 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     return df
 
 
+_CHECKPOINT_TRACK_LOCK = threading.Lock()
+
+
 def _list_checkpoint_entries(sc) -> set:
     """Entries (rdd-N dirs) under the context's checkpoint dir, via the
     Hadoop FS API so DFS checkpoint dirs work too."""
@@ -110,13 +114,20 @@ def eager_materialize(df: "DataFrame", params: dict[str, str],
     if sc.getCheckpointDir():
         # the checkpointed RDD is internal to the returned plan (its
         # getCheckpointFile is unreachable), so track the new rdd-N
-        # entry by diffing the checkpoint dir listing around the write
-        before = _list_checkpoint_entries(sc) if context is not None else set()
-        mat = df.checkpoint(eager=True)
+        # entry by diffing the checkpoint dir listing around the write.
+        # The dir is shared by every session of this process (one
+        # SparkContext), so the list→checkpoint→list sequence holds a
+        # process-wide lock — otherwise a concurrent session's rdd-N
+        # lands in OUR diff and Engine.close() would delete a live
+        # session's checkpoint (unrecoverable truncated lineage).
         if context is not None:
-            context.checkpoint_files.extend(
-                sorted(_list_checkpoint_entries(sc) - before))
-        return mat
+            with _CHECKPOINT_TRACK_LOCK:
+                before = _list_checkpoint_entries(sc)
+                mat = df.checkpoint(eager=True)
+                context.checkpoint_files.extend(
+                    sorted(_list_checkpoint_entries(sc) - before))
+            return mat
+        return df.checkpoint(eager=True)
     dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
     if dyn.lower() == "true":
         return df

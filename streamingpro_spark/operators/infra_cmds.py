@@ -219,16 +219,20 @@ class PythonCommand(ETAlgorithm):
                 return spark.createDataFrame(
                     [(args[0], k, v)], "kind: string, k: string, v: string")
             if args and args[0] == "on":
+                if len(args) < 3:
+                    raise ValueError(
+                        "!python on needs: on <table> '''<code>''' "
+                        "[named <out>]")
                 source = args[1]
-                code = args[2] if len(args) > 2 else ""
+                code = args[2]
                 if len(args) >= 5 and args[3] == "named":
                     named = args[4]
-            elif len(args) >= 3 and args[1] == "named":
-                code, named = args[0], args[2]
-            elif len(args) == 1:
-                code = args[0]
+            elif len(args) >= 3 and args[-2] == "named":
+                code, named = " ".join(args[:-2]), args[-1]
             else:
-                raise ValueError(f"!python: unrecognized form {args!r}")
+                # bare code (possibly tokenized by the macro arg split —
+                # the pre-round-4 behavior joined everything into code)
+                code = " ".join(args)
         target = spark.table(source) if source else df
         limit = get_int(params, "maxRows", 10000)
         scope: dict = {"input_df": target.limit(limit).toPandas()}

@@ -227,6 +227,10 @@ class RunScript(ETAlgorithm):
         if context is not None:
             eng.context.env.update(context.env)
             eng.context.connect_meta.update(context.connect_meta)
+            # the sub-script runs under the SAME auth policy — otherwise
+            # !runScript would bypass table_auth entirely
+            eng.context.owner = context.owner
+            eng.context.extra["table_auth"] = context.extra.get("table_auth")
         return eng.execute(code)
 
 
@@ -444,9 +448,16 @@ class JDBCUpdatExt(ETAlgorithm):
         stage = f"{table}__stage_{uuid.uuid4().hex[:8]}"
         conn_opts = {k: opts[k] for k in ("user", "password", "driver")
                      if k in opts}
-        (df.dropDuplicates(keys).write.format("jdbc")
-         .option("url", url).option("dbtable", stage)
-         .options(**conn_opts).mode("errorifexists").save())
+        try:
+            (df.dropDuplicates(keys).write.format("jdbc")
+             .option("url", url).option("dbtable", stage)
+             .options(**conn_opts).mode("errorifexists").save())
+        except Exception as e:
+            raise ValueError(
+                f"JDBCUpdatExt staged strategy could not create the "
+                f"staging table {stage} (CREATE TABLE privilege needed): "
+                f"{str(e).splitlines()[0]} — use strategy=\"driver\" for "
+                f"update-only database accounts") from e
         conn = _jdbc_connect(spark, url, opts)
         try:
             # Spark's JDBC CREATE TABLE quotes column names, so staging
@@ -459,16 +470,22 @@ class JDBCUpdatExt(ETAlgorithm):
                 for c in set_cols)
             sql = (f"UPDATE {table} SET {sets} WHERE EXISTS "
                    f"(SELECT 1 FROM {stage} s WHERE {on})")
-            st = conn.createStatement()
             try:
-                updated = st.executeUpdate(sql)
+                st = conn.createStatement()
+                try:
+                    updated = st.executeUpdate(sql)
+                finally:
+                    st.close()
             finally:
-                st.close()
-            st = conn.createStatement()
-            try:
-                st.executeUpdate(f"DROP TABLE {stage}")
-            finally:
-                st.close()
+                # a failed UPDATE must not leak the staging table on the
+                # remote database
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(f"DROP TABLE {stage}")
+                except Exception:
+                    pass
+                finally:
+                    st.close()
         finally:
             conn.close()
         return spark.createDataFrame([(updated,)], "updated: long")

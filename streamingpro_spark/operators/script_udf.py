@@ -55,6 +55,8 @@ def _register_java_udf(spark, code: str, name: str, params: dict):
         raise ValueError("ScriptUDF lang=\"java\": source must define a "
                          "`public class <Name> implements UDFn<...>`")
     cls = m.group(1)
+    pkg = re.search(r"^\s*package\s+([\w.]+)\s*;", code, re.MULTILINE)
+    fq_cls = f"{pkg.group(1)}.{cls}" if pkg else cls
     javac = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "javac")
     if not os.path.exists(javac):
         javac = shutil.which("javac") or ""
@@ -86,10 +88,10 @@ def _register_java_udf(spark, code: str, name: str, params: dict):
     if params.get("udfType") == "udaf":
         # class must extend o.a.s.sql.expressions.UserDefinedAggregateFunction
         # (reference: streaming/udf/JavaRuntimeCompileUDAF.scala)
-        spark.udf.registerJavaUDAF(name, cls)
+        spark.udf.registerJavaUDAF(name, fq_cls)
         return name
     rtype = _resolve_return_type(params.get("dataType", ""))
-    spark.udf.registerJavaFunction(name, cls, rtype)
+    spark.udf.registerJavaFunction(name, fq_cls, rtype)
     return name
 
 

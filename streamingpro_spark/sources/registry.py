@@ -513,6 +513,9 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
             batch_df.createOrReplaceTempView("__batch_df__")
             eng = Engine(batch_df.sparkSession)
             eng.context.env["__batch_id__"] = str(batch_id)
+            # batch sub-scripts run under the same auth policy
+            eng.context.owner = ctx.owner
+            eng.context.extra["table_auth"] = ctx.extra.get("table_auth")
             eng.execute(script)
 
         writer = (df.writeStream.foreachBatch(run_batch)
@@ -527,11 +530,17 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         return
     if fmt == "versionedParquet":
         # delta-like streaming sink: one time-travel commit per
-        # micro-batch (reference MLSQLDelta streaming save)
+        # micro-batch (reference MLSQLDelta streaming save).  complete
+        # mode re-emits the FULL result each batch → overwrite commit
+        # (append would duplicate the state in every snapshot read);
+        # the batch id makes replayed micro-batches exactly-once.
+        vp_mode = ("overwrite" if out_mode.lower() == "complete"
+                   else "append")
+
         def vp_batch(batch_df, batch_id):
             from streamingpro_spark.sources.versioned import save as vp_save
-            vp_save(ctx, batch_df, stmt.path, "append", options,
-                    stmt.partition_by)
+            vp_save(ctx, batch_df, stmt.path, vp_mode, options,
+                    stmt.partition_by, batch_id=batch_id)
 
         writer = (df.writeStream.foreachBatch(vp_batch)
                   .outputMode(out_mode.lower())

@@ -55,7 +55,8 @@ def read_commits(path: str) -> list[dict]:
 
 
 def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
-         options: dict[str, str], partition_by: list[str]) -> None:
+         options: dict[str, str], partition_by: list[str],
+         batch_id: int | None = None) -> None:
     real = ctx.resource_real_path(path)
     commits = read_commits(real)
     mode = mode.lower()
@@ -68,15 +69,28 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
         mode = "overwrite"
     if mode not in ("overwrite", "append"):
         raise ValueError(f"versionedParquet: unsupported mode {mode!r}")
+    if batch_id is not None and any(c.get("batchId") == batch_id
+                                    for c in commits):
+        # foreachBatch is at-least-once: a replayed micro-batch (crash
+        # between the data write and the streaming checkpoint) must not
+        # commit twice — the manifest's batchId makes the sink
+        # exactly-once, like the reference Delta sink's txn ids
+        return
     n = commits[-1]["version"] + 1 if commits else 0
-    writer = df.write.mode("errorifexists")
+    # the commit POINT is the manifest append: a crash after writing
+    # v=N but before the manifest line leaves an orphan dir, which the
+    # next commit (same N) safely overwrites — never brick the lake
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(real, f"v={n}"))
     os.makedirs(real, exist_ok=True)
+    record = {"version": n, "mode": mode,
+              "timestamp": int(time.time() * 1000)}
+    if batch_id is not None:
+        record["batchId"] = batch_id
     with open(_manifest(real), "a") as fh:
-        fh.write(json.dumps({"version": n, "mode": mode,
-                             "timestamp": int(time.time() * 1000)}) + "\n")
+        fh.write(json.dumps(record) + "\n")
 
 
 def load(ctx: "ExecutionContext", path: str,

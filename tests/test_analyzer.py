@@ -96,3 +96,35 @@ def test_engine_table_auth_hook(spark, sf_dir):
     select count(*) as n from reg as auth_ok;
     """)
     assert df.collect()[0]["n"] == 5
+
+
+def test_table_auth_not_bypassed_by_run_script(spark, sf_dir):
+    """`!runScript '''...'''` must run the sub-script under the SAME
+    auth policy (review finding: the inner Engine previously had none)."""
+    import pytest
+    from streamingpro_spark import Engine
+
+    def deny_lineitem(owner, tables):
+        return not any("lineitem" in t["table"] for t in tables["inputs"])
+
+    eng = Engine(spark, owner="eve", table_auth=deny_lineitem)
+    with pytest.raises(PermissionError):
+        eng.execute(
+            f"!runScript '''load parquet.`{sf_dir}/lineitem.parquet` as li; "
+            "select count(*) as n from li as x;''' named out;")
+
+
+def test_table_auth_sees_through_includes(spark, sf_dir):
+    """Tables reached via `include` are analyzed too."""
+    import pytest
+    from streamingpro_spark import Engine
+
+    def deny_lineitem(owner, tables):
+        return not any("lineitem" in t["table"] for t in tables["inputs"])
+
+    eng = Engine(spark, owner="eve", table_auth=deny_lineitem)
+    eng.context.env["hidden"] = (
+        f"load parquet.`{sf_dir}/lineitem.parquet` as li2;")
+    with pytest.raises(PermissionError):
+        eng.execute("include script.`hidden`; "
+                    "select count(*) as n from li2 as out;")

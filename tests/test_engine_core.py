@@ -685,3 +685,11 @@ def test_versioned_parquet_schema_evolution(engine, tmp_path):
     ).collect()
     assert [(r["id"], r["extra"], r["dv"]) for r in rng] == \
         [(1, None, 0), (2, "x", 1)]
+
+
+def test_validate_reports_truncated_statements(spark):
+    """Short/broken statements land in the error list instead of
+    crashing the validator (review finding: IndexError escaped)."""
+    from streamingpro_spark import Engine
+    errs = Engine(spark).validate("load ;")
+    assert len(errs) == 1 and errs[0]["statement"] == 0

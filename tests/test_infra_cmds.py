@@ -212,3 +212,10 @@ def test_python_macro_reference_forms(engine):
     assert rows == [(3, 4), (4, 5)]
     df = engine.execute("!python '''output_df = None''';")
     assert df.collect()[0]["status"] == "ok"
+
+
+def test_python_macro_bare_multi_token_code(engine):
+    """Unquoted multi-token code (the pre-round-4 form) still executes
+    (review finding: the json arg split must re-join it)."""
+    df = engine.execute("!python import os;")
+    assert df.collect()[0]["status"] == "ok"

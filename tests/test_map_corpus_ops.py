@@ -321,3 +321,21 @@ public class SumSquares extends UserDefinedAggregateFunction {
     select sum_sq(id) as v from range(4) as out;
     """)
     assert df.collect()[0]["v"] == 0 + 1 + 4 + 9
+
+
+def test_script_udf_java_with_package(engine):
+    """A `package` declaration registers the fully-qualified class
+    (review finding: the bare name raised ClassNotFound)."""
+    df = engine.execute("""
+    set pkgudf = '''
+package com.example.udfs;
+import org.apache.spark.sql.api.java.UDF1;
+public class Neg implements UDF1<Long, Long> {
+    public Long call(Long a) { return -a; }
+}
+''';
+    register ScriptUDF.`pkgudf` as neg_fn options lang="java"
+        and dataType="long";
+    select neg_fn(5L) as v as out;
+    """)
+    assert df.collect()[0]["v"] == -5

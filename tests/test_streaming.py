@@ -398,3 +398,31 @@ def test_versioned_parquet_stream_sink(engine, sf_dir, tmp_path):
     n = engine.execute(f"load versionedParquet.`{lake}` as d; "
                        "select count(*) as n from d as out;").collect()[0]["n"]
     assert n > 0
+
+
+def test_versioned_parquet_complete_mode_no_duplication(engine, sf_dir,
+                                                        tmp_path):
+    """complete-mode streams re-emit the full state each batch — the sink must
+    commit them as overwrites so snapshots don't duplicate (review
+    finding)."""
+    lake = tmp_path / "cmp_lake"
+    engine.execute(f"""
+    set streamName = "vpc";
+    load streamParquet.`{sf_dir}/events.parquet` as ev_c;
+    select count(*) as n from ev_c as agg_c;
+    save complete agg_c as versionedParquet.`{lake}` where
+        checkpointLocation="{tmp_path}/ckc" and duration="0";
+    """)
+    q = engine.context.jobs["vpc"]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = engine.execute(f"load versionedParquet.`{lake}` as d; "
+                          "select * from d as out;").collect()
+    assert len(rows) == 1          # ONE aggregate row, not one per batch
+    hist = engine.execute(
+        f'load versionedParquet.`{lake}` where history="true" as h; '
+        "select * from h as out;").collect()
+    assert all(r["mode"] == "overwrite" for r in hist)
+    assert all(r["timestamp"] > 0 for r in hist)
