@@ -117,9 +117,13 @@ class Engine:
         if table_auth is not None:
             from streamingpro_spark.analyzer import analyze
             # analyze the INCLUDE-EXPANDED script — a table hidden
-            # behind `include` must not escape the auth pass
+            # behind `include` must not escape the auth pass.
+            # best_effort: set-then-include defines the variable at
+            # runtime; those includes are auth-checked at splice time
+            # (the IncludeStmt branch of _execute_statement)
             expanded = ";\n".join(
-                self._expand_includes(P.split_statements(script)))
+                self._expand_includes(P.split_statements(script),
+                                      best_effort=True))
             tables = analyze(expanded, self.spark,
                              env=self.context.env).as_dict()
             verdict = table_auth(self.context.owner, tables)
@@ -160,6 +164,23 @@ class Engine:
                 df = hook(ctx, df)
             return df
         return None
+
+    @classmethod
+    def for_child(cls, spark: "SparkSession", parent_context) -> "Engine":
+        """Build a sub-script engine inheriting the parent's policy and
+        session state (owner, env, connections, table_auth).  EVERY
+        executor of user-provided sub-scripts (RunScript,
+        IteratorCommand, foreachBatch batchScript) must construct its
+        engine here — a bare Engine(spark) silently runs the sub-script
+        outside the auth policy (review finding, round 4)."""
+        eng = cls(spark)
+        if parent_context is not None:
+            eng.context.owner = parent_context.owner
+            eng.context.env.update(parent_context.env)
+            eng.context.connect_meta.update(parent_context.connect_meta)
+            eng.context.extra["table_auth"] = \
+                parent_context.extra.get("table_auth")
+        return eng
 
     def validate(self, script: str) -> list[dict]:
         """Pass C grammar validate (reference
@@ -239,22 +260,34 @@ class Engine:
         ctx.checkpoint_files.clear()
 
     # ------------------------------------------------------------------
-    def _expand_includes(self, stmts: list[str], depth: int = 0) -> list[str]:
+    def _expand_includes(self, stmts: list[str], depth: int = 0,
+                         best_effort: bool = False) -> list[str]:
         """Pass A: textual include splice to fixpoint, ≤10 nesting
-        (ScriptSQLExec.scala:95-109)."""
+        (ScriptSQLExec.scala:95-109).  ``best_effort`` keeps unresolvable
+        includes in place instead of failing — the auth pre-pass uses it
+        because set-then-include scripts define the variable at RUNTIME
+        (those includes are auth-checked at splice time instead)."""
         if depth > 10:
             raise RuntimeError("include nesting exceeds 10 levels")
         out: list[str] = []
         changed = False
         for raw in stmts:
             if P.statement_kind(raw) == "include":
-                stmt = P.parse_statement(P.template_merge(raw, self.context.env))
-                text = self._fetch_include(stmt)
+                try:
+                    stmt = P.parse_statement(
+                        P.template_merge(raw, self.context.env))
+                    text = self._fetch_include(stmt)
+                except Exception:
+                    if best_effort:
+                        out.append(raw)
+                        continue
+                    raise
                 out.extend(P.split_statements(text))
                 changed = True
             else:
                 out.append(raw)
-        return self._expand_includes(out, depth + 1) if changed else out
+        return (self._expand_includes(out, depth + 1, best_effort)
+                if changed else out)
 
     def _fetch_include(self, stmt: P.IncludeStmt) -> str:
         """Include sources (reference IncludeAdaptor.scala:74-79:
@@ -306,7 +339,19 @@ class Engine:
             try:
                 if self._include_depth > 10:
                     raise RuntimeError("include nesting exceeds 10 levels")
-                for sub in P.split_statements(self._fetch_include(stmt)):
+                text = self._fetch_include(stmt)
+                table_auth = ctx.extra.get("table_auth")
+                if table_auth is not None:
+                    # runtime-resolved includes missed the pre-pass —
+                    # enforce the policy on the spliced text now
+                    from streamingpro_spark.analyzer import analyze
+                    tables = analyze(text, self.spark,
+                                     env=ctx.env).as_dict()
+                    if table_auth(ctx.owner, tables) is False:
+                        raise PermissionError(
+                            f"table auth rejected included script for "
+                            f"owner {ctx.owner!r}")
+                for sub in P.split_statements(text):
                     self._execute_statement(sub)
             finally:
                 self._include_depth -= 1

@@ -8,7 +8,6 @@ Reference interface: streaming/dsl/mmlib/SQLAlg.scala:27-64 —
 
 from __future__ import annotations
 
-import threading
 from typing import TYPE_CHECKING, Any
 
 if TYPE_CHECKING:
@@ -72,21 +71,17 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     return df
 
 
-_CHECKPOINT_TRACK_LOCK = threading.Lock()
-
-
-def _list_checkpoint_entries(sc) -> set:
-    """Entries (rdd-N dirs) under the context's checkpoint dir, via the
-    Hadoop FS API so DFS checkpoint dirs work too."""
+def _checkpoint_file_of(df: "DataFrame") -> str | None:
+    """The exact rdd-N checkpoint path of a checkpointed DataFrame: its
+    analyzed plan is a LogicalRDD whose rdd carries getCheckpointFile —
+    no directory listing, so concurrent sessions can't mis-attribute
+    each other's files."""
     try:
-        jvm = sc._jvm
-        p = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
-        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return set()
-        return {st.getPath().toString() for st in fs.listStatus(p)}
+        plan = df._jdf.queryExecution().analyzed()
+        opt = plan.rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
     except Exception:
-        return set()
+        return None
 
 
 def eager_materialize(df: "DataFrame", params: dict[str, str],
@@ -112,22 +107,12 @@ def eager_materialize(df: "DataFrame", params: dict[str, str],
         return df
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        # the checkpointed RDD is internal to the returned plan (its
-        # getCheckpointFile is unreachable), so track the new rdd-N
-        # entry by diffing the checkpoint dir listing around the write.
-        # The dir is shared by every session of this process (one
-        # SparkContext), so the list→checkpoint→list sequence holds a
-        # process-wide lock — otherwise a concurrent session's rdd-N
-        # lands in OUR diff and Engine.close() would delete a live
-        # session's checkpoint (unrecoverable truncated lineage).
+        mat = df.checkpoint(eager=True)
         if context is not None:
-            with _CHECKPOINT_TRACK_LOCK:
-                before = _list_checkpoint_entries(sc)
-                mat = df.checkpoint(eager=True)
-                context.checkpoint_files.extend(
-                    sorted(_list_checkpoint_entries(sc) - before))
-            return mat
-        return df.checkpoint(eager=True)
+            ck = _checkpoint_file_of(mat)
+            if ck:
+                context.checkpoint_files.append(ck)
+        return mat
     dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
     if dyn.lower() == "true":
         return df

@@ -224,9 +224,11 @@ class PythonCommand(ETAlgorithm):
                         "!python on needs: on <table> '''<code>''' "
                         "[named <out>]")
                 source = args[1]
-                code = args[2]
-                if len(args) >= 5 and args[3] == "named":
-                    named = args[4]
+                rest = args[2:]
+                if len(rest) >= 3 and rest[-2] == "named":
+                    code, named = " ".join(rest[:-2]), rest[-1]
+                else:
+                    code = " ".join(rest)
             elif len(args) >= 3 and args[-2] == "named":
                 code, named = " ".join(args[:-2]), args[-1]
             else:

@@ -223,15 +223,7 @@ class RunScript(ETAlgorithm):
         if not code:
             code = df.limit(1).collect()[0][0]
         from streamingpro_spark.engine import Engine
-        eng = Engine(df.sparkSession)
-        if context is not None:
-            eng.context.env.update(context.env)
-            eng.context.connect_meta.update(context.connect_meta)
-            # the sub-script runs under the SAME auth policy — otherwise
-            # !runScript would bypass table_auth entirely
-            eng.context.owner = context.owner
-            eng.context.extra["table_auth"] = context.extra.get("table_auth")
-        return eng.execute(code)
+        return Engine.for_child(df.sparkSession, context).execute(code)
 
 
 @register_et("IteratorCommand")
@@ -260,7 +252,7 @@ class IteratorCommand(ETAlgorithm):
                 return
             spark.createDataFrame(rows, schema).createOrReplaceTempView("__batch__")
             if script:
-                Engine(spark).execute(script)
+                Engine.for_child(spark, context).execute(script)
             n_batches += 1
 
         for row in target.toLocalIterator():
@@ -453,10 +445,11 @@ class JDBCUpdatExt(ETAlgorithm):
              .option("url", url).option("dbtable", stage)
              .options(**conn_opts).mode("errorifexists").save())
         except Exception as e:
+            first_line = (str(e).splitlines() or [repr(e)])[0]
             raise ValueError(
                 f"JDBCUpdatExt staged strategy could not create the "
                 f"staging table {stage} (CREATE TABLE privilege needed): "
-                f"{str(e).splitlines()[0]} — use strategy=\"driver\" for "
+                f"{first_line} — use strategy=\"driver\" for "
                 f"update-only database accounts") from e
         conn = _jdbc_connect(spark, url, opts)
         try:
@@ -478,14 +471,16 @@ class JDBCUpdatExt(ETAlgorithm):
                     st.close()
             finally:
                 # a failed UPDATE must not leak the staging table on the
-                # remote database
-                st = conn.createStatement()
+                # remote database; a failed DROP (e.g. dead connection)
+                # must not mask the UPDATE's own error
                 try:
-                    st.executeUpdate(f"DROP TABLE {stage}")
+                    st = conn.createStatement()
+                    try:
+                        st.executeUpdate(f"DROP TABLE {stage}")
+                    finally:
+                        st.close()
                 except Exception:
                     pass
-                finally:
-                    st.close()
         finally:
             conn.close()
         return spark.createDataFrame([(updated,)], "updated: long")

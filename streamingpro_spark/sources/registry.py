@@ -511,11 +511,8 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         def run_batch(batch_df, batch_id):
             from streamingpro_spark.engine import Engine
             batch_df.createOrReplaceTempView("__batch_df__")
-            eng = Engine(batch_df.sparkSession)
+            eng = Engine.for_child(batch_df.sparkSession, ctx)
             eng.context.env["__batch_id__"] = str(batch_id)
-            # batch sub-scripts run under the same auth policy
-            eng.context.owner = ctx.owner
-            eng.context.extra["table_auth"] = ctx.extra.get("table_auth")
             eng.execute(script)
 
         writer = (df.writeStream.foreachBatch(run_batch)
@@ -537,10 +534,12 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         vp_mode = ("overwrite" if out_mode.lower() == "complete"
                    else "append")
 
+        vp_txn = ctx.resource_real_path(ckpt)
+
         def vp_batch(batch_df, batch_id):
             from streamingpro_spark.sources.versioned import save as vp_save
             vp_save(ctx, batch_df, stmt.path, vp_mode, options,
-                    stmt.partition_by, batch_id=batch_id)
+                    stmt.partition_by, batch_id=batch_id, txn_id=vp_txn)
 
         writer = (df.writeStream.foreachBatch(vp_batch)
                   .outputMode(out_mode.lower())

@@ -56,7 +56,7 @@ def read_commits(path: str) -> list[dict]:
 
 def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
          options: dict[str, str], partition_by: list[str],
-         batch_id: int | None = None) -> None:
+         batch_id: int | None = None, txn_id: str | None = None) -> None:
     real = ctx.resource_real_path(path)
     commits = read_commits(real)
     mode = mode.lower()
@@ -69,26 +69,38 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
         mode = "overwrite"
     if mode not in ("overwrite", "append"):
         raise ValueError(f"versionedParquet: unsupported mode {mode!r}")
-    if batch_id is not None and any(c.get("batchId") == batch_id
-                                    for c in commits):
+    if batch_id is not None and any(
+            c.get("batchId") == batch_id and c.get("txnId") == txn_id
+            for c in commits):
         # foreachBatch is at-least-once: a replayed micro-batch (crash
-        # between the data write and the streaming checkpoint) must not
-        # commit twice — the manifest's batchId makes the sink
-        # exactly-once, like the reference Delta sink's txn ids
+        # between data write and streaming checkpoint) must not commit
+        # twice.  Keyed on (txnId, batchId) — txnId is the query's
+        # checkpointLocation, so a RESTARTED query with a fresh
+        # checkpoint (batch ids reset to 0) is a new transaction and
+        # still commits (the reference Delta sink keys appId+batchId).
         return
     n = commits[-1]["version"] + 1 if commits else 0
-    # the commit POINT is the manifest append: a crash after writing
-    # v=N but before the manifest line leaves an orphan dir, which the
-    # next commit (same N) safely overwrites — never brick the lake
-    writer = df.write.mode("overwrite")
+    target = os.path.join(real, f"v={n}")
+    # the commit POINT is the manifest append.  A crash after writing
+    # v=N but before the manifest line leaves an orphan dir: provably
+    # uncommitted (not in the manifest), so the next commit clears it
+    # and rewrites.  The data write itself stays errorIfExists — it is
+    # the loud concurrent-writer guard (two racing writers both picking
+    # N: one wins, one errors; silent overwrite would duplicate the
+    # version in the manifest and corrupt every snapshot read).
+    if os.path.isdir(target) and n not in {c["version"] for c in commits}:
+        import shutil
+        shutil.rmtree(target)
+    writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(real, f"v={n}"))
+    writer.parquet(target)
     os.makedirs(real, exist_ok=True)
     record = {"version": n, "mode": mode,
               "timestamp": int(time.time() * 1000)}
     if batch_id is not None:
         record["batchId"] = batch_id
+        record["txnId"] = txn_id
     with open(_manifest(real), "a") as fh:
         fh.write(json.dumps(record) + "\n")
 

@@ -128,3 +128,45 @@ def test_table_auth_sees_through_includes(spark, sf_dir):
     with pytest.raises(PermissionError):
         eng.execute("include script.`hidden`; "
                     "select count(*) as n from li2 as out;")
+
+
+def test_table_auth_not_bypassed_by_iterator_command(spark, sf_dir):
+    """IteratorCommand's per-batch sub-engine inherits the policy too
+    (second-pass review finding)."""
+    import pytest
+    from streamingpro_spark import Engine
+
+    def deny_lineitem(owner, tables):
+        return not any("lineitem" in t["table"] for t in tables["inputs"])
+
+    eng = Engine(spark, owner="eve", table_auth=deny_lineitem)
+    with pytest.raises(PermissionError):
+        eng.execute(f"""
+        select 1 as a as seed;
+        run seed as IteratorCommand.`` where script='''
+        load parquet.`{sf_dir}/lineitem.parquet` as li3;
+        select count(*) as n from li3 as x;''' as out;
+        """)
+
+
+def test_table_auth_allows_set_then_include(spark):
+    """set-then-include (runtime include variable) still executes under
+    an auth-enabled engine, and the spliced text IS auth-checked."""
+    import pytest
+    from streamingpro_spark import Engine
+
+    eng = Engine(spark, owner="ok",
+                 table_auth=lambda o, t: not any(
+                     "forbidden" in x["table"] for x in t["inputs"]))
+    df = eng.execute("""
+    set body = '''select 5 as v as inc_t;''';
+    include script.`body`;
+    select v from inc_t as out;
+    """)
+    assert df.collect()[0]["v"] == 5
+    eng.context.env.pop("body", None)
+    with pytest.raises(PermissionError):
+        eng.execute("""
+        set body = '''load parquet.`/data/forbidden.parquet` as f;''';
+        include script.`body`;
+        """)

@@ -426,3 +426,37 @@ def test_versioned_parquet_complete_mode_no_duplication(engine, sf_dir,
         "select * from h as out;").collect()
     assert all(r["mode"] == "overwrite" for r in hist)
     assert all(r["timestamp"] > 0 for r in hist)
+
+
+def test_versioned_parquet_batch_dedup_keyed_by_txn(engine, tmp_path):
+    """Replayed (txn, batch) pairs are skipped, but a RESTARTED query
+    with a fresh checkpoint (batch ids reset) still commits
+    (second-pass review finding: batchId alone dropped data)."""
+    from streamingpro_spark.sources import versioned as vp
+    lake = str(tmp_path / "txn_lake")
+    df = engine.spark.range(3)
+    ctx = engine.context
+    vp.save(ctx, df, lake, "append", {}, [], batch_id=0, txn_id="ckA")
+    vp.save(ctx, df, lake, "append", {}, [], batch_id=0, txn_id="ckA")  # replay
+    vp.save(ctx, df, lake, "append", {}, [], batch_id=0, txn_id="ckB")  # restart
+    hist = vp.read_commits(lake)
+    assert len(hist) == 2
+    assert [c["txnId"] for c in hist] == ["ckA", "ckB"]
+
+
+def test_versioned_parquet_orphan_dir_recovered(engine, tmp_path):
+    """A crash between data write and manifest append leaves v=N with no
+    commit record; the next save clears the orphan and succeeds."""
+    import os
+    from streamingpro_spark.sources import versioned as vp
+    lake = str(tmp_path / "orphan_lake")
+    ctx = engine.context
+    vp.save(ctx, engine.spark.range(2), lake, "overwrite", {}, [])
+    # simulate the crash: v=1 data exists, manifest does not know it
+    os.makedirs(os.path.join(lake, "v=1"))
+    with open(os.path.join(lake, "v=1", "part-orphan.parquet"), "wb") as f:
+        f.write(b"junk")
+    vp.save(ctx, engine.spark.range(5), lake, "append", {}, [])
+    assert [c["version"] for c in vp.read_commits(lake)] == [0, 1]
+    n = vp.load(ctx, lake, {}).count()
+    assert n == 7
