@@ -88,6 +88,17 @@ def analyze(script: str, spark: "SparkSession | None" = None,
         except Exception:
             continue
         kind = type(stmt).__name__
+        if kind == "CommandStmt":
+            # macros read real tables (`!split docs ...` → run docs as
+            # RateSampler) — expand so the auth pass sees them
+            from streamingpro_spark.macros import MACROS, expand_macro
+            if stmt.command not in MACROS:
+                continue
+            try:
+                stmt = P.parse_statement(expand_macro(stmt))
+            except Exception:
+                continue
+            kind = type(stmt).__name__
         if kind == "SetStmt":
             env.setdefault(stmt.key, stmt.value if isinstance(stmt.value, str) else "")
         elif kind == "LoadStmt":

@@ -170,3 +170,12 @@ def test_table_auth_allows_set_then_include(spark):
         set body = '''load parquet.`/data/forbidden.parquet` as f;''';
         include script.`body`;
         """)
+
+
+def test_analyzer_expands_macros(spark):
+    """`!split docs by lang rate 0.9,0.1 named s` reads `docs` — the
+    macro must appear in the access list (auth completeness)."""
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("!split docs by lang rate 0.9,0.1 named s;").as_dict()
+    assert any(t["table"] == "docs" for t in res["inputs"])
+    assert any(t["table"] == "s" for t in res["outputs"])
