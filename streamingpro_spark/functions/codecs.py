@@ -250,3 +250,122 @@ def make_audio_meta_parser():
         return (sr, ch, bits, n, dur, "wav")
 
     return parse
+
+
+def make_png_decoder():
+    """-> decode(content) -> (height, width, 3) nested list of RGB rows,
+    or None.  REAL pixel decode for 8-bit RGB PNGs (color type 2,
+    non-interlaced): zlib-inflate the IDAT stream and reverse the five
+    scanline filters of the PNG spec (None/Sub/Up/Average/Paeth)."""
+    def decode(content):
+        import struct
+        import zlib
+        if content is None:
+            return None
+        b = bytes(content)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i = 8
+        w = h = None
+        idat = b""
+        while i + 8 <= len(b):
+            ln = struct.unpack(">I", b[i:i + 4])[0]
+            tag = b[i + 4:i + 8]
+            data = b[i + 8:i + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+                if depth != 8 or ctype != 2 or interlace != 0:
+                    return None        # only 8-bit RGB non-interlaced
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            i += 12 + ln
+        if not idat or w is None:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * 3
+        rows = []
+        prev = bytearray(stride)
+        pos = 0
+        for _ in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:                         # Sub
+                for x in range(3, stride):
+                    line[x] = (line[x] + line[x - 3]) & 0xFF
+            elif ftype == 2:                       # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:                       # Average
+                for x in range(stride):
+                    a = line[x - 3] if x >= 3 else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:                       # Paeth
+                for x in range(stride):
+                    a = line[x - 3] if x >= 3 else 0
+                    c = prev[x - 3] if x >= 3 else 0
+                    p = a + prev[x] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (prev[x] if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            prev = line
+            rows.append([[line[x * 3], line[x * 3 + 1], line[x * 3 + 2]]
+                         for x in range(w)])
+        return rows
+
+    return decode
+
+
+def make_bmp_decoder():
+    """-> decode(content) -> (height, width, 3) nested RGB rows, or
+    None.  24-bit BITMAPINFOHEADER, bottom-up rows with 4-byte padding,
+    BGR order per the spec."""
+    def decode(content):
+        import struct
+        if content is None:
+            return None
+        b = bytes(content)
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        offset = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        if bpp != 24 or h <= 0:
+            return None
+        row_bytes = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(h - 1, -1, -1):             # bottom-up storage
+            base = offset + y * row_bytes
+            rows.append([[b[base + x * 3 + 2], b[base + x * 3 + 1],
+                          b[base + x * 3]] for x in range(w)])
+        return rows
+
+    return decode
+
+
+def make_rgb_png_encoder():
+    """-> encode(rows) -> PNG bytes from (h, w, 3) nested RGB rows
+    (filter 0 scanlines, real CRCs — same container as make_png_encoder)."""
+    def encode(rows) -> bytes:
+        import binascii
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + bytes(int(c) & 0xFF for px in row for c in px)
+            for row in rows)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    return encode

@@ -9,9 +9,12 @@ Pandas UDFs over mapInPandas.
 Image, audio, and video metadata decode is REAL: pure-stdlib container
 parsing (PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data / AVI avih —
 functions/codecs.py), matching MLSQLImage.scala's width/height/nChannels
-surface without JVM codec deps.  Only pixel/sample-level work (resize,
-spectrograms, frame pixel decode) remains stubbed — those genuinely need
-PIL/ffmpeg-class libs absent from this container (MIGRATION.md).
+surface without JVM codec deps.  PIXEL work is real where the codec
+permits: ImageResize fully decodes 8-bit RGB PNG (zlib + scanline
+unfilter) and 24-bit BMP, resamples, and re-encodes PNG.  Entropy-coded
+formats (JPEG DCT, GIF LZW), spectrograms, and video frame pixels stay
+out of scope — those genuinely need PIL/ffmpeg-class libs absent from
+this container (MIGRATION.md).
 """
 
 from __future__ import annotations
@@ -160,6 +163,63 @@ class FrameSample(ETAlgorithm):
     def explain_params(self):
         return [("contentCol", "binary column", "content"),
                 ("numFrames", "frames per input row", "4")]
+
+
+@register_et("ImageResize")
+class ImageResize(ETAlgorithm):
+    """Resize images in a binary column — REAL pixel path for the
+    formats whose codecs ship here: 8-bit RGB PNG (zlib IDAT decode +
+    scanline unfilter) and 24-bit BMP, nearest-neighbor resampled with
+    numpy index math and re-encoded as PNG.  Other formats (JPEG DCT,
+    GIF LZW) yield null — entropy codecs need PIL-class libs
+    (MIGRATION.md).  Output column `resized` (PNG bytes).
+
+    Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
+    partitioning follows the binary scan and parallelism is free."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.functions.codecs import (make_bmp_decoder,
+                                                         make_png_decoder,
+                                                         make_rgb_png_encoder)
+        col = params.get("contentCol", "content")
+        tw = get_int(params, "width", 64)
+        th = get_int(params, "height", 64)
+        out_schema = T.StructType(df.schema.fields + [
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_format", T.StringType()),
+        ])
+        dec_png, dec_bmp = make_png_decoder(), make_bmp_decoder()
+        enc = make_rgb_png_encoder()
+
+        def resize_one(content):
+            import numpy as _np
+            px = dec_png(content)
+            if px is None:
+                px = dec_bmp(content)
+            if px is None:
+                return None
+            arr = _np.asarray(px, dtype=_np.uint8)      # (h, w, 3)
+            h, w = arr.shape[:2]
+            ys = _np.minimum((_np.arange(th) * h) // th, h - 1)
+            xs = _np.minimum((_np.arange(tw) * w) // tw, w - 1)
+            return enc(arr[ys][:, xs].tolist())
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                out = [resize_one(c) for c in pdf[col]]
+                pdf["resized"] = out
+                pdf["resized_format"] = ["png" if o is not None else None
+                                         for o in out]
+                yield pdf
+
+        return df.mapInPandas(run, out_schema)
+
+    def explain_params(self):
+        return [("contentCol", "binary column with encoded image bytes",
+                 "content"),
+                ("width", "target width", "64"),
+                ("height", "target height", "64")]
 
 
 @register_et("AudioFeatures")

@@ -746,3 +746,33 @@ def test_et_registry_covers_reference_list():
                "OpenCVImage", "JavaImage"}
     missing = reference - branching - dropped - set(registry._REGISTRY)
     assert missing == set()
+
+
+def test_image_resize_real_pixels(engine, tmp_path):
+    """ImageResize REALLY resamples pixels: a decoded PNG's gradient
+    survives the nearest-neighbor downscale, and the output is itself a
+    decodable PNG with the target dimensions."""
+    from streamingpro_spark.functions.codecs import (make_bmp_encoder,
+                                                     make_jpeg_header,
+                                                     make_png_decoder,
+                                                     make_png_encoder)
+    (tmp_path / "a.png").write_bytes(make_png_encoder()(16, 8, seed=0))
+    (tmp_path / "b.bmp").write_bytes(make_bmp_encoder()(10, 10))
+    (tmp_path / "c.jpg").write_bytes(make_jpeg_header()(640, 480))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as ImageResize.`` where width="4" and height="4" as out;
+    select path, resized, resized_format from out as final;
+    """)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    dec = make_png_decoder()
+    px = dec(bytes(rows["a.png"]["resized"]))
+    assert len(px) == 4 and len(px[0]) == 4
+    # source pixel value at (x,y) is (3x'+c+y)%256; nearest(4<-16) maps
+    # out x to src x=4x, out y to src y=2y
+    assert px[0][0] == [0, 1, 2]
+    assert px[1][1] == [(12 + 2) % 256, (13 + 2) % 256, (14 + 2) % 256]
+    bpx = dec(bytes(rows["b.bmp"]["resized"]))
+    assert len(bpx) == 4 and bpx[0][0] == [0, 0, 0]
+    assert rows["c.jpg"]["resized"] is None        # JPEG DCT: documented
+    assert rows["c.jpg"]["resized_format"] is None
