@@ -890,6 +890,35 @@ FROM documents
 """
 
 
+def _q_image_resize(spark, sf_dir):
+    # REAL pixel round trip: generate a PNG per document, resize it
+    # (decode + resample + re-encode), then PARSE THE RESIZED PNG — the
+    # oracle predicts the target dimensions, so a hash match proves the
+    # re-encoded container is genuine
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_png(doc_id % 64 + 8, doc_id % 48 + 8) as content
+    from documents as rz_in;
+    run rz_in as ImageResize.`` where width="12" and height="9" as rz_out;
+    select doc_id, resized as content from rz_out as rz_bin;
+    run rz_bin as ImageMetadata.`` as rz_meta;
+    select doc_id, image_meta.width as width, image_meta.height as height,
+           image_meta.format as format
+    from rz_meta as output;
+    """)
+
+
+_IMAGE_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(12 AS INT) AS width,
+       CAST(9 AS INT) AS height,
+       'png' AS format
+FROM documents
+"""
+
+
 def _q_video_metadata(spark, sf_dir):
     # REAL decode: generate a genuine RIFF/AVI container per document
     # (avih header fields derived from doc_id), then parse it back out.
@@ -1902,6 +1931,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
         "video_metadata": _q_video_metadata,
+        "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
     }
 
@@ -1993,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,
+        "image_resize": _IMAGE_RESIZE_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
     # order, nulls last — so order-sensitive value hashes match
