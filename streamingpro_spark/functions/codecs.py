@@ -116,25 +116,74 @@ def make_wav_encoder():
 
 
 def make_avi_encoder():
-    """-> avi_bytes(width, height, fps, n_frames) — a real RIFF/AVI
-    container (LIST hdrl + avih main header, empty movi list).  Carries
-    genuine dwMicroSecPerFrame/dwTotalFrames/dwWidth/dwHeight metadata;
-    no encoded frames (a video codec is out of scope without libs —
-    MIGRATION.md), same posture as the JPEG header encoder above."""
+    """-> avi_bytes(width, height, fps, n_frames, frames=None) — a real
+    RIFF/AVI container (LIST hdrl + avih main header + movi list).
+    Carries genuine dwMicroSecPerFrame/dwTotalFrames/dwWidth/dwHeight
+    metadata.  When `frames` (a list of per-frame payload bytes, e.g.
+    PNG or DIB data) is given, each is written as a word-aligned '00dc'
+    chunk inside the movi list — the container-level frame stream a
+    demuxer reads.  Without `frames` the movi list is empty (frame
+    PIXEL encoding is out of scope without codec libs — MIGRATION.md)."""
     def avi_bytes(width: int, height: int, fps: float,
-                  n_frames: int) -> bytes:
+                  n_frames: int, frames=None) -> bytes:
         import struct
         us_per_frame = int(round(1_000_000 / float(fps)))
         avih = struct.pack("<10I", us_per_frame, 0, 0, 0, int(n_frames),
                            0, 1, 0, int(width), int(height)) + b"\x00" * 16
         hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
-        movi = b"movi"
+        movi = bytearray(b"movi")
+        for payload in (frames or []):
+            payload = bytes(payload)
+            movi += b"00dc" + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                movi += b"\x00"            # RIFF chunks are word-aligned
         body = (b"AVI "
                 + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
-                + b"LIST" + struct.pack("<I", len(movi)) + movi)
+                + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi))
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
     return avi_bytes
+
+
+def make_avi_frame_extractor():
+    """-> extract(content) -> list[bytes] | None — REAL container-level
+    AVI demux: walk the RIFF chunk tree to the 'movi' LIST and collect
+    the payload of every video-frame chunk ('##dc' compressed / '##db'
+    uncompressed DIB — the stream-id digits are ignored, matching how
+    single-stream demuxers read).  Returns None when the bytes are not
+    a RIFF/AVI container; [] for an AVI with an empty movi list.  Frame
+    extraction is chunk walking, not codec work — the same pure-stdlib
+    posture as the WAV parser."""
+    def extract(content):
+        import struct
+        if content is None:
+            return None
+        b = bytes(content)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        frames: list = []
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if tag == b"LIST":
+                ltype = b[i + 8:i + 12]
+                if ltype == b"movi":
+                    j, end = i + 12, min(i + 8 + size, len(b))
+                    while j + 8 <= end:
+                        ctag = b[j:j + 4]
+                        csize = struct.unpack("<I", b[j + 4:j + 8])[0]
+                        if ctag[2:4] in (b"dc", b"db") \
+                                and ctag[:2].isdigit():
+                            frames.append(b[j + 8:j + 8 + csize])
+                        if ctag == b"LIST":     # 'rec ' grouping lists
+                            j += 12
+                        else:
+                            j += 8 + csize + (csize & 1)
+            i += 8 + size + (size & 1)
+        return frames
+
+    return extract
 
 
 def make_video_meta_parser():

@@ -11,8 +11,10 @@ parsing (PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data / AVI avih —
 functions/codecs.py), matching MLSQLImage.scala's width/height/nChannels
 surface without JVM codec deps.  PIXEL work is real where the codec
 permits: ImageResize fully decodes 8-bit RGB PNG (zlib + scanline
-unfilter) and 24-bit BMP, resamples, and re-encodes PNG.  Entropy-coded
-formats (JPEG DCT, GIF LZW), spectrograms, and video frame pixels stay
+unfilter) and 24-bit BMP, resamples, and re-encodes PNG; FrameSample
+demuxes real AVI movi-list frame chunks, so PNG/BMP-payload frames
+decode end-to-end (FrameSample → ImageResize).  Entropy-coded formats
+(JPEG DCT, GIF LZW), spectrograms, and inter-coded video codecs stay
 out of scope — those genuinely need PIL/ffmpeg-class libs absent from
 this container (MIGRATION.md).
 """
@@ -115,15 +117,21 @@ class VideoMetadata(ETAlgorithm):
 @register_et("FrameSample")
 class FrameSample(ETAlgorithm):
     """Sample N frames from a binary video column — one output row per
-    sampled frame.  For RIFF/AVI input the sampled positions are REAL:
-    frame indices spread uniformly over the container's dwTotalFrames
-    with timestamps from dwMicroSecPerFrame (source_frame/frame_time_ms).
-    Frame PIXEL decode stays stubbed (byte slices) — a video codec needs
-    ffmpeg-class libs absent here (MIGRATION.md).  Scale: output rows =
-    input × numFrames; map-only."""
+    sampled frame.  For RIFF/AVI input the demux is REAL: the movi list
+    is walked chunk-by-chunk (functions/codecs.py
+    make_avi_frame_extractor) and `frame_bytes` carries the actual
+    '00dc'/'00db' frame payloads at indices spread uniformly over the
+    stream, with timestamps from dwMicroSecPerFrame.  Frame payloads
+    stored as PNG/BMP then decode end-to-end with ImageResize.  For an
+    AVI whose movi list is empty, positions stay real (header-derived)
+    and frame_bytes is null; non-AVI bytes fall back to uniform byte
+    slices (pixel codecs for mp4-class formats need ffmpeg-class libs
+    absent here — MIGRATION.md).  Scale: output rows = input ×
+    numFrames; map-only."""
 
     def train(self, df, path, params, context=None):
-        from streamingpro_spark.functions.codecs import make_video_meta_parser
+        from streamingpro_spark.functions.codecs import (
+            make_avi_frame_extractor, make_video_meta_parser)
         col = params.get("contentCol", "content")
         n = get_int(params, "numFrames", 4)
         base_fields = [f for f in df.schema.fields if f.name != col]
@@ -134,6 +142,7 @@ class FrameSample(ETAlgorithm):
             T.StructField("frame_bytes", T.BinaryType()),
         ])
         parse = make_video_meta_parser()
+        extract = make_avi_frame_extractor()
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -141,19 +150,29 @@ class FrameSample(ETAlgorithm):
                 for _, row in pdf.iterrows():
                     content = row[col] or b""
                     _, _, fps, total, _, fmt = parse(content)
+                    frames = extract(content) if fmt == "avi" else None
+                    # demuxed stream length wins over the header count
+                    # (real files can disagree; the stream is the truth)
+                    eff_total = len(frames) if frames else total
                     chunk = max(len(content) // max(n, 1), 1)
                     for i in range(n):
                         out = {k: row[k] for k in pdf.columns if k != col}
                         out["frame_index"] = i
-                        if fmt == "avi" and total and fps:
-                            src = round(i * (total - 1) / max(n - 1, 1))
+                        if fmt == "avi" and eff_total and fps:
+                            src = round(i * (eff_total - 1) / max(n - 1, 1))
                             out["source_frame"] = src
                             out["frame_time_ms"] = int(src * 1000 / fps)
+                            out["frame_bytes"] = (bytes(frames[src])
+                                                  if frames else None)
+                        elif fmt == "avi":
+                            out["source_frame"] = None
+                            out["frame_time_ms"] = None
+                            out["frame_bytes"] = None
                         else:
                             out["source_frame"] = None
                             out["frame_time_ms"] = None
-                        out["frame_bytes"] = bytes(
-                            content[i * chunk:(i + 1) * chunk])
+                            out["frame_bytes"] = bytes(
+                                content[i * chunk:(i + 1) * chunk])
                         rows.append(out)
                 yield pd.DataFrame(rows,
                                    columns=[f.name for f in out_schema.fields])

@@ -373,11 +373,47 @@ def test_frame_sample_real_avi_positions(engine, tmp_path):
     df = engine.execute(f"""
     load binaryFile.`{tmp_path}/v.avi` as files;
     run files as FrameSample.`` where numFrames="4" as out;
-    select frame_index, source_frame, frame_time_ms from out as final;
+    select frame_index, source_frame, frame_time_ms, frame_bytes
+    from out as final;
     """)
     rows = sorted(df.collect(), key=lambda r: r["frame_index"])
     assert [r["source_frame"] for r in rows] == [0, 30, 60, 90]
     assert [r["frame_time_ms"] for r in rows] == [0, 3000, 6000, 9000]
+    # empty movi list: positions are real but there are no frame bytes
+    assert all(r["frame_bytes"] is None for r in rows)
+
+
+def test_frame_sample_real_demux(engine, tmp_path):
+    """End-to-end REAL frame path: AVI with PNG payloads in the movi
+    list → FrameSample demuxes the actual '00dc' chunks → ImageResize
+    pixel-decodes the extracted frame."""
+    from streamingpro_spark.functions.codecs import (make_avi_encoder,
+                                                     make_avi_frame_extractor,
+                                                     make_image_meta_parser,
+                                                     make_png_encoder)
+    png = make_png_encoder()
+    frames = [png(16, 12, seed=i) for i in range(7)]   # odd sizes too
+    avi = make_avi_encoder()(16, 12, 5, 7, frames=frames)
+    # unit level: the extractor returns the exact payloads back
+    assert make_avi_frame_extractor()(avi) == frames
+    (tmp_path / "v.avi").write_bytes(avi)
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/v.avi` as files;
+    run files as FrameSample.`` where numFrames="3" as out;
+    select frame_index, source_frame, frame_bytes as content from out
+    as fr;
+    run fr as ImageResize.`` where width="4" and height="4" as final;
+    """)
+    rows = sorted(df.collect(), key=lambda r: r["frame_index"])
+    assert [r["source_frame"] for r in rows] == [0, 3, 6]
+    # frame_bytes are the true movi payloads, not byte slices
+    assert [bytes(r["content"]) for r in rows] == [frames[0], frames[3],
+                                                   frames[6]]
+    # and the demuxed frame pixel-decodes: resized output is a real PNG
+    meta = make_image_meta_parser()
+    for r in rows:
+        w, h, ch, fmt = meta(bytes(r["resized"]))
+        assert (w, h, fmt) == (4, 4, "png")
 
 
 def test_pagerank(engine):
