@@ -43,16 +43,187 @@ def make_png_encoder():
 
 
 def make_gif_encoder():
-    """-> gif_bytes(width, height) — minimal GIF89a (header + logical
-    screen descriptor + global palette + trailer)."""
-    def gif_bytes(width: int, height: int) -> bytes:
+    """-> gif_bytes(width, height, seed=0) — a real, viewer-decodable
+    GIF89a: 256-entry grayscale global palette + a full image data
+    stream, LZW-compressed (variable-width codes, LSB-first packing,
+    4096-entry table reset via clear codes); `interlace=True` writes
+    rows in the GIF 8/8/4/2 interlaced order with the flag set."""
+    def gif_bytes(width: int, height: int, seed: int = 0,
+                  interlace: bool = False) -> bytes:
         import struct
-        # 2-entry global palette, no image data blocks needed for header
-        # metadata; trailer keeps the stream well-formed
-        return (b"GIF89a" + struct.pack("<HH", int(width), int(height))
-                + bytes([0x80, 0, 0]) + b"\x00\x00\x00\xff\xff\xff" + b"\x3b")
+        w, h = int(width), int(height)
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        row_order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2))) \
+            if interlace else range(h)
+        indices = [(x + y + seed) % 256
+                   for y in row_order for x in range(w)]
+
+        # LZW encode, min code size 8 (256-entry palette)
+        min_code = 8
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code, code_w = end + 1, min_code + 1
+        codes = [(clear, code_w)]
+        buf: tuple = ()
+        for k in indices:
+            cand = buf + (k,)
+            if cand in table:
+                buf = cand
+                continue
+            codes.append((table[buf], code_w))
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_w) and code_w < 12:
+                code_w += 1
+            if next_code == 4096:               # table full → reset
+                codes.append((clear, code_w))
+                table = {(i,): i for i in range(clear)}
+                next_code, code_w = end + 1, min_code + 1
+            buf = (k,)
+        if buf:
+            codes.append((table[buf], code_w))
+        codes.append((end, code_w))
+
+        # pack codes LSB-first, then split into ≤255-byte sub-blocks
+        bits = bytearray()
+        acc = nbits = 0
+        for code, cw in codes:
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            bits.append(acc & 0xFF)
+        data = bytearray([min_code])
+        for i in range(0, len(bits), 255):
+            block = bits[i:i + 255]
+            data += bytes([len(block)]) + block
+        data.append(0)
+
+        return (b"GIF89a" + struct.pack("<HH", w, h)
+                + bytes([0x80 | 0x07, 0, 0]) + palette      # 256-entry GCT
+                + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                + bytes([0x40 if interlace else 0x00])
+                + bytes(data) + b"\x3b")
 
     return gif_bytes
+
+
+def make_gif_decoder():
+    """-> decode(content) -> list[list[(r,g,b)]] | None — REAL pure-
+    stdlib GIF pixel decode of the first image: logical-screen + image
+    descriptors, global/local color tables, variable-width LSB-first
+    LZW decompression (clear/end codes, 12-bit table cap), interlace
+    de-scrambling.  Returns None for non-GIF or malformed streams."""
+    def decode(content):
+        if content is None:
+            return None
+        import struct
+        b = bytes(content)
+        if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+            return None
+        try:
+            packed = b[10]
+            gct = None
+            i = 13
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gct = [tuple(b[13 + 3 * j:16 + 3 * j]) for j in range(n)]
+                i = 13 + 3 * n
+            while i < len(b):
+                blk = b[i]
+                if blk == 0x3B:                  # trailer
+                    return None
+                if blk == 0x21:                  # extension: skip sub-blocks
+                    i += 2
+                    while b[i]:
+                        i += 1 + b[i]
+                    i += 1
+                    continue
+                if blk != 0x2C:
+                    return None
+                break
+            _, _, w, h = struct.unpack("<HHHH", b[i + 1:i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:                   # local color table wins
+                n = 2 << (ipacked & 0x07)
+                pal = [tuple(b[i + 3 * j:i + 3 + 3 * j]) for j in range(n)]
+                i += 3 * n
+            if pal is None:
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i]:
+                ln = b[i]
+                data += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            base = [(j,) for j in range(clear)] + [(), ()]
+            table = list(base)
+            code_w = min_code + 1
+            acc = nbits = pos = 0
+            out: list = []
+            prev = None
+            while True:
+                while nbits < code_w:
+                    if pos >= len(data):
+                        raise ValueError("truncated LZW stream")
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                code = acc & ((1 << code_w) - 1)
+                acc >>= code_w
+                nbits -= code_w
+                if code == clear:
+                    table = list(base)
+                    code_w = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    table.append(prev + (entry[0],))
+                elif code == len(table):
+                    entry = prev + (prev[0],)
+                    table.append(entry)
+                else:
+                    raise ValueError("bad LZW code")
+                out.extend(entry)
+                # early change: the decoder's table lags the encoder's
+                # by one pending entry, so grow the width one entry early
+                if prev is not None and len(table) == (1 << code_w) - 1 \
+                        and code_w < 12:
+                    code_w += 1
+                prev = entry
+                if len(out) >= w * h:
+                    break
+
+            if len(out) < w * h:
+                raise ValueError("short pixel stream")
+            rows = [[pal[out[y * w + x]] for x in range(w)]
+                    for y in range(h)]
+            if ipacked & 0x40:                   # interlaced: de-scramble
+                order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                         + list(range(2, h, 4)) + list(range(1, h, 2)))
+                fixed: list = [None] * h
+                for src, dst in enumerate(order):
+                    fixed[dst] = rows[src]
+                rows = fixed
+            return rows
+        except (IndexError, ValueError, struct.error):
+            return None
+
+    return decode
 
 
 def make_bmp_encoder():

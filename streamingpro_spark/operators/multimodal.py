@@ -11,12 +11,13 @@ parsing (PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data / AVI avih —
 functions/codecs.py), matching MLSQLImage.scala's width/height/nChannels
 surface without JVM codec deps.  PIXEL work is real where the codec
 permits: ImageResize fully decodes 8-bit RGB PNG (zlib + scanline
-unfilter) and 24-bit BMP, resamples, and re-encodes PNG; FrameSample
-demuxes real AVI movi-list frame chunks, so PNG/BMP-payload frames
-decode end-to-end (FrameSample → ImageResize).  Entropy-coded formats
-(JPEG DCT, GIF LZW), spectrograms, and inter-coded video codecs stay
-out of scope — those genuinely need PIL/ffmpeg-class libs absent from
-this container (MIGRATION.md).
+unfilter), 24-bit BMP, and GIF (variable-width LZW + palette,
+interlace de-scramble), resamples, and re-encodes PNG; FrameSample
+demuxes real AVI movi-list frame chunks, so PNG/BMP/GIF-payload frames
+decode end-to-end (FrameSample → ImageResize).  JPEG DCT entropy
+decode, spectrograms, and inter-coded video codecs stay out of scope —
+those genuinely need PIL/ffmpeg-class libs absent from this container
+(MIGRATION.md).
 """
 
 from __future__ import annotations
@@ -188,9 +189,10 @@ class FrameSample(ETAlgorithm):
 class ImageResize(ETAlgorithm):
     """Resize images in a binary column — REAL pixel path for the
     formats whose codecs ship here: 8-bit RGB PNG (zlib IDAT decode +
-    scanline unfilter) and 24-bit BMP, nearest-neighbor resampled with
-    numpy index math and re-encoded as PNG.  Other formats (JPEG DCT,
-    GIF LZW) yield null — entropy codecs need PIL-class libs
+    scanline unfilter), 24-bit BMP, and GIF (variable-width LZW
+    decompression + palette lookup, interlace de-scramble), nearest-
+    neighbor resampled with numpy index math and re-encoded as PNG.
+    JPEG yields null — the DCT entropy codec needs PIL-class libs
     (MIGRATION.md).  Output column `resized` (PNG bytes).
 
     Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
@@ -198,6 +200,7 @@ class ImageResize(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         from streamingpro_spark.functions.codecs import (make_bmp_decoder,
+                                                         make_gif_decoder,
                                                          make_png_decoder,
                                                          make_rgb_png_encoder)
         col = params.get("contentCol", "content")
@@ -208,6 +211,7 @@ class ImageResize(ETAlgorithm):
             T.StructField("resized_format", T.StringType()),
         ])
         dec_png, dec_bmp = make_png_decoder(), make_bmp_decoder()
+        dec_gif = make_gif_decoder()
         enc = make_rgb_png_encoder()
 
         def resize_one(content):
@@ -215,6 +219,8 @@ class ImageResize(ETAlgorithm):
             px = dec_png(content)
             if px is None:
                 px = dec_bmp(content)
+            if px is None:
+                px = dec_gif(content)
             if px is None:
                 return None
             arr = _np.asarray(px, dtype=_np.uint8)      # (h, w, 3)

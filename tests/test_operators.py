@@ -789,12 +789,14 @@ def test_image_resize_real_pixels(engine, tmp_path):
     survives the nearest-neighbor downscale, and the output is itself a
     decodable PNG with the target dimensions."""
     from streamingpro_spark.functions.codecs import (make_bmp_encoder,
+                                                     make_gif_encoder,
                                                      make_jpeg_header,
                                                      make_png_decoder,
                                                      make_png_encoder)
     (tmp_path / "a.png").write_bytes(make_png_encoder()(16, 8, seed=0))
     (tmp_path / "b.bmp").write_bytes(make_bmp_encoder()(10, 10))
     (tmp_path / "c.jpg").write_bytes(make_jpeg_header()(640, 480))
+    (tmp_path / "d.gif").write_bytes(make_gif_encoder()(16, 8, seed=3))
     df = engine.execute(f"""
     load binaryFile.`{tmp_path}/*` as files;
     run files as ImageResize.`` where width="4" and height="4" as out;
@@ -812,3 +814,27 @@ def test_image_resize_real_pixels(engine, tmp_path):
     assert len(bpx) == 4 and bpx[0][0] == [0, 0, 0]
     assert rows["c.jpg"]["resized"] is None        # JPEG DCT: documented
     assert rows["c.jpg"]["resized_format"] is None
+    # GIF: real LZW decode — source value at (x,y) is (x+y+3)%256 gray
+    gpx = dec(bytes(rows["d.gif"]["resized"]))
+    assert len(gpx) == 4 and len(gpx[0]) == 4
+    assert gpx[1][1] == [(4 + 2 + 3) % 256] * 3    # src (x=4, y=2)
+
+
+def test_gif_lzw_codec_roundtrip():
+    """The pure-stdlib GIF LZW codec round-trips pixel-exactly, with and
+    without interlacing, across the variable-code-width boundary."""
+    from streamingpro_spark.functions.codecs import (make_gif_decoder,
+                                                     make_gif_encoder)
+    enc, dec = make_gif_encoder(), make_gif_decoder()
+    for il in (False, True):
+        px = dec(enc(31, 17, seed=9, interlace=il))
+        assert len(px) == 17 and len(px[0]) == 31
+        for y in range(17):
+            for x in range(31):
+                v = (x + y + 9) % 256
+                assert px[y][x] == (v, v, v), (il, x, y)
+    # a big image crosses code-width growth and the 4096-entry reset
+    px = dec(enc(300, 200, seed=7))
+    assert px[199][299] == ((299 + 199 + 7) % 256,) * 3
+    for junk in (None, b"", b"GIF89a", b"GIF89a" + b"\x00" * 20, b"BM\x00"):
+        assert dec(junk) is None
