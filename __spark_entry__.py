@@ -826,9 +826,23 @@ def _register_media_gens(spark):
         return pd.Series([enc_avi(int(a), int(b), float(f), int(c))
                           for a, b, f, c in zip(w, h, fps, n)])
 
+    @F.pandas_udf("binary")
+    def gen_avi_frames(doc_id: pd.Series) -> pd.Series:
+        # nf ∈ {3,5,7,9} (odd → numFrames=3 sample positions are exact
+        # integers); frame j is a real PNG whose dimensions derive from
+        # (doc_id, j) so the oracle can predict the SAMPLED frame's size
+        def one(d):
+            d = int(d)
+            nf = 2 * (d % 4) + 3
+            frames = [enc_png((d + j) % 16 + 4, j % 8 + 2)
+                      for j in range(nf)]
+            return enc_avi(16, 16, 10.0 * 2 ** (d % 3), nf, frames=frames)
+        return pd.Series([one(d) for d in doc_id])
+
     spark.udf.register("gen_png", gen_png)
     spark.udf.register("gen_wav", gen_wav)
     spark.udf.register("gen_avi", gen_avi)
+    spark.udf.register("gen_avi_frames", gen_avi_frames)
 
 
 def _q_image_metadata(spark, sf_dir):
@@ -952,6 +966,48 @@ SELECT doc_id,
             // 1000 AS BIGINT) AS duration_ms,
        'avi' AS format
 FROM documents
+"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    # REAL demux round trip: per document, build an AVI whose movi list
+    # carries nf genuine PNG frames (nf and each frame's dimensions
+    # derived from doc_id), FrameSample 3 of them, then ImageMetadata-
+    # parse the DEMUXED frame bytes — the oracle predicts the sampled
+    # frame's PNG dimensions, so a hash match proves frame_bytes is the
+    # true movi payload at the right position, not a byte slice.
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_avi_frames(doc_id) as content
+    from documents as fs_in;
+    run fs_in as FrameSample.`` where numFrames="3" as fs_out;
+    select doc_id, frame_index, source_frame, frame_time_ms,
+           frame_bytes as content from fs_out as fs_bin;
+    run fs_bin as ImageMetadata.`` as fs_meta;
+    select doc_id, frame_index, source_frame, frame_time_ms,
+           image_meta.width as frame_w, image_meta.height as frame_h,
+           image_meta.format as format
+    from fs_meta as output;
+    """)
+
+
+# nf = 2*(doc_id%4)+3 frames; sampled source_frame = i*(nf-1)/2 =
+# i*(doc_id%4+1); fps = 10*2^(doc_id%3) → 1000/fps ∈ {100,50,25} exact;
+# frame j is a PNG of ((doc_id+j)%16+4) × (j%8+2)
+_FRAME_SAMPLE_ORACLE = """
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_index,
+       CAST(t.i * (d.doc_id % 4 + 1) AS BIGINT) AS source_frame,
+       CAST(t.i * (d.doc_id % 4 + 1)
+            * CAST(1000 / (10 * POWER(2, d.doc_id % 3)) AS BIGINT)
+            AS BIGINT) AS frame_time_ms,
+       CAST((d.doc_id + t.i * (d.doc_id % 4 + 1)) % 16 + 4 AS INT)
+         AS frame_w,
+       CAST(t.i * (d.doc_id % 4 + 1) % 8 + 2 AS INT) AS frame_h,
+       'png' AS format
+FROM documents d, (VALUES (0), (1), (2)) t(i)
 """
 
 
@@ -1931,6 +1987,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
         "video_metadata": _q_video_metadata,
+        "frame_sample": _q_frame_sample,
         "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
     }
@@ -2023,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
