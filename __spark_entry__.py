@@ -826,6 +826,15 @@ def _register_media_gens(spark):
         return pd.Series([enc_avi(int(a), int(b), float(f), int(c))
                           for a, b, f, c in zip(w, h, fps, n)])
 
+    from streamingpro_spark.functions.codecs import make_mp4_encoder
+    enc_mp4 = make_mp4_encoder()
+
+    @F.pandas_udf("binary")
+    def gen_mp4(w: pd.Series, h: pd.Series, fps: pd.Series,
+                n: pd.Series) -> pd.Series:
+        return pd.Series([enc_mp4(int(a), int(b), float(f), int(c))
+                          for a, b, f, c in zip(w, h, fps, n)])
+
     @F.pandas_udf("binary")
     def gen_avi_frames(doc_id: pd.Series) -> pd.Series:
         # nf ∈ {3,5,7,9} (odd → numFrames=3 sample positions are exact
@@ -842,6 +851,7 @@ def _register_media_gens(spark):
     spark.udf.register("gen_png", gen_png)
     spark.udf.register("gen_wav", gen_wav)
     spark.udf.register("gen_avi", gen_avi)
+    spark.udf.register("gen_mp4", gen_mp4)
     spark.udf.register("gen_avi_frames", gen_avi_frames)
 
 
@@ -934,17 +944,25 @@ FROM documents
 
 
 def _q_video_metadata(spark, sf_dir):
-    # REAL decode: generate a genuine RIFF/AVI container per document
-    # (avih header fields derived from doc_id), then parse it back out.
-    # fps values {10,20,40} keep 1e6/fps an exact integer so the
-    # round-trip is bit-exact against the oracle.
+    # REAL decode, BOTH container families: even doc_ids get a genuine
+    # RIFF/AVI (avih header), odd doc_ids a genuine ISO-BMFF/MP4 box
+    # tree (mvhd/tkhd/mdhd/stsz) — header fields derived from doc_id,
+    # parsed back out.  fps values {10,20,40} keep 1e6/fps an exact
+    # integer so the round-trip is bit-exact against the oracle, and
+    # duration_ms is the same arithmetic for both containers.
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'documents')}
-    select doc_id, gen_avi(doc_id % 320 + 16, doc_id % 240 + 16,
-                           10.0 * power(2, doc_id % 3),
-                           doc_id % 100 + 10) as content
+    select doc_id,
+           case when doc_id % 2 = 0
+                then gen_avi(doc_id % 320 + 16, doc_id % 240 + 16,
+                             10.0 * power(2, doc_id % 3),
+                             doc_id % 100 + 10)
+                else gen_mp4(doc_id % 320 + 16, doc_id % 240 + 16,
+                             10.0 * power(2, doc_id % 3),
+                             doc_id % 100 + 10)
+           end as content
     from documents as vid_docs;
     run vid_docs as VideoMetadata.`` as v_out;
     select doc_id, video_meta.width as width, video_meta.height as height,
@@ -964,7 +982,7 @@ SELECT doc_id,
        CAST((doc_id % 100 + 10)
             * CAST(1000000 / (10 * POWER(2, doc_id % 3)) AS BIGINT)
             // 1000 AS BIGINT) AS duration_ms,
-       'avi' AS format
+       CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS format
 FROM documents
 """
 

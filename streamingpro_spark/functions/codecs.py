@@ -357,18 +357,115 @@ def make_avi_frame_extractor():
     return extract
 
 
+def make_mp4_encoder():
+    """-> mp4_bytes(width, height, fps, n_frames) — a real ISO-BMFF
+    (MP4) box tree: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
+    minf(stbl(stsz))))), with genuine per-box big-endian sizes, 16.16
+    fixed-point tkhd dimensions, mvhd/mdhd timescales and an stsz
+    sample count.  No mdat media payload (sample encoding needs a video
+    codec — MIGRATION.md), same posture as the AVI encoder."""
+    def mp4_bytes(width: int, height: int, fps: float,
+                  n_frames: int) -> bytes:
+        import struct
+
+        def box(tag: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        w, h, n = int(width), int(height), int(n_frames)
+        mv_ts = 1000
+        md_ts = int(round(float(fps) * 1000))
+        md_dur = n * 1000                       # n / fps sec at md_ts
+        mv_dur = md_dur * mv_ts // md_ts if md_ts else 0
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, mv_ts, mv_dur)
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, mv_dur)
+                   + b"\x00" * 52
+                   + struct.pack(">II", w << 16, h << 16))
+        mdhd = box(b"mdhd", struct.pack(">B3xIIII2x2x", 0, 0, 0, md_ts,
+                                        md_dur))
+        stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n))
+        stbl = box(b"stbl", stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                   + b"isomiso2mp41")
+        return ftyp + moov
+
+    return mp4_bytes
+
+
 def make_video_meta_parser():
     """-> parse(content) -> (width, height, fps, n_frames, duration_ms,
-    format) from the RIFF/AVI 'avih' main header (same chunk walk as the
-    WAV parser — AVI is RIFF's video sibling).  MP4/ISO-BMFF is
-    documented out of scope (MIGRATION.md: box tree + per-track
-    timescales need a real demuxer).  All-None for unrecognized bytes."""
+    format) — REAL pure-stdlib demux headers for both container
+    families: the RIFF/AVI 'avih' main header (same chunk walk as the
+    WAV parser) and the ISO-BMFF (MP4) box tree (moov→mvhd for
+    duration, trak→tkhd for 16.16 fixed-point dimensions,
+    mdia→mdhd + stbl→stsz for the track timescale and sample count →
+    fps).  Version-0 and version-1 full boxes are both handled.
+    All-None for unrecognized bytes."""
+    def parse_mp4(b) -> tuple:
+        import struct
+        nulls = (None, None, None, None, None, None)
+        found = {}
+
+        def walk(lo: int, hi: int) -> None:
+            i = lo
+            while i + 8 <= hi:
+                size, tag = struct.unpack(">I4s", b[i:i + 8])
+                body = i + 8
+                if size == 1 and i + 16 <= hi:          # 64-bit largesize
+                    size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+                    body = i + 16
+                elif size == 0:                          # box runs to end
+                    size = hi - i
+                if size < 8 or i + size > hi:
+                    return
+                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(body, i + size)
+                elif tag in (b"mvhd", b"mdhd") and tag not in found:
+                    ver = b[body]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", b[body + 20:body + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", b[body + 12:body + 20])
+                    found[tag] = (ts, dur)
+                elif tag == b"tkhd" and tag not in found:
+                    off = body + (88 if b[body] == 1 else 76)
+                    wq, hq = struct.unpack(">II", b[off:off + 8])
+                    if wq and hq:
+                        found[tag] = (wq >> 16, hq >> 16)
+                elif tag == b"stsz" and tag not in found:
+                    found[tag] = struct.unpack(
+                        ">I", b[body + 8:body + 12])[0]
+                i += size
+
+        try:
+            walk(0, len(b))
+            w, h = found.get(b"tkhd", (None, None))
+            mv_ts, mv_dur = found.get(b"mvhd", (None, None))
+            md_ts, md_dur = found.get(b"mdhd", (None, None))
+            n = found.get(b"stsz")
+            dur_ms = (mv_dur * 1000 // mv_ts) if mv_ts else None
+            fps = (n * md_ts / md_dur) if (n and md_ts and md_dur) \
+                else None
+            if w is None and dur_ms is None and n is None:
+                return nulls
+            return (w, h, fps, n, dur_ms, "mp4")
+        except (IndexError, struct.error):
+            return nulls
+
     def parse(content) -> tuple:
         import struct
         nulls = (None, None, None, None, None, None)
         if content is None:
             return nulls
         b = bytes(content)
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            return parse_mp4(b)
         if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
             return nulls
         i = 12

@@ -83,10 +83,11 @@ VIDEO_META_SCHEMA = T.StructType([
 class VideoMetadata(ETAlgorithm):
     """Attach decoded video metadata to a binary column.
 
-    Decode is REAL for RIFF/AVI: the 'avih' main header carries
-    width/height/µs-per-frame/total-frames, parsed with the stdlib
-    (functions/codecs.py make_video_meta_parser — the WAV chunk walk's
-    sibling).  MP4/ISO-BMFF stays out of scope (MIGRATION.md).
+    Decode is REAL for both container families: RIFF/AVI ('avih' main
+    header — the WAV chunk walk's sibling) and ISO-BMFF/MP4 (box-tree
+    walk: moov→mvhd duration, trak→tkhd 16.16 fixed-point dimensions,
+    mdia→mdhd + stbl→stsz timescale/sample-count → fps), all stdlib
+    (functions/codecs.py make_video_meta_parser).
 
     Scale: map-only mapInPandas stage, no shuffle; partitioning follows
     the binary file scan."""

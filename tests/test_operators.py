@@ -365,6 +365,22 @@ def test_video_metadata_real_decode(engine, tmp_path):
     assert metas["x.bin"]["format"] is None
 
 
+def test_video_metadata_mp4_box_tree(engine, tmp_path):
+    """ISO-BMFF: a real ftyp+moov box tree parses back dimensions
+    (16.16 tkhd), fps (mdhd timescale / stsz count) and duration."""
+    from streamingpro_spark.functions.codecs import make_mp4_encoder
+    (tmp_path / "v.mp4").write_bytes(make_mp4_encoder()(1280, 720, 30, 900))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/v.mp4` as files;
+    run files as VideoMetadata.`` as out;
+    select video_meta.* from out as final;
+    """)
+    v = df.collect()[0]
+    assert (v["width"], v["height"], v["fps"], v["n_frames"],
+            v["duration_ms"], v["format"]) == (1280, 720, 30.0, 900,
+                                               30000, "mp4")
+
+
 def test_frame_sample_real_avi_positions(engine, tmp_path):
     """AVI input: sampled frame indices spread over the REAL total frame
     count with timestamps from the real frame rate."""
