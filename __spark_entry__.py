@@ -826,8 +826,24 @@ def _register_media_gens(spark):
         return pd.Series([enc_avi(int(a), int(b), float(f), int(c))
                           for a, b, f, c in zip(w, h, fps, n)])
 
-    from streamingpro_spark.functions.codecs import make_mp4_encoder
+    from streamingpro_spark.functions.codecs import (make_gif_encoder,
+                                                     make_jpeg_encoder,
+                                                     make_mp4_encoder)
     enc_mp4 = make_mp4_encoder()
+    enc_gif = make_gif_encoder()
+    enc_jpg = make_jpeg_encoder()
+
+    @F.pandas_udf("binary")
+    def gen_gif(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([enc_gif(int(a), int(b)) for a, b in zip(w, h)])
+
+    @F.pandas_udf("binary")
+    def gen_jpeg(w: pd.Series, h: pd.Series) -> pd.Series:
+        def one(a, b):
+            px = [[((x + y) % 256, (2 * x) % 256, (3 * y) % 256)
+                   for x in range(int(a))] for y in range(int(b))]
+            return enc_jpg(px, subsample=True)
+        return pd.Series([one(a, b) for a, b in zip(w, h)])
 
     @F.pandas_udf("binary")
     def gen_mp4(w: pd.Series, h: pd.Series, fps: pd.Series,
@@ -852,6 +868,8 @@ def _register_media_gens(spark):
     spark.udf.register("gen_wav", gen_wav)
     spark.udf.register("gen_avi", gen_avi)
     spark.udf.register("gen_mp4", gen_mp4)
+    spark.udf.register("gen_gif", gen_gif)
+    spark.udf.register("gen_jpeg", gen_jpeg)
     spark.udf.register("gen_avi_frames", gen_avi_frames)
 
 
@@ -915,15 +933,23 @@ FROM documents
 
 
 def _q_image_resize(spark, sf_dir):
-    # REAL pixel round trip: generate a PNG per document, resize it
-    # (decode + resample + re-encode), then PARSE THE RESIZED PNG — the
-    # oracle predicts the target dimensions, so a hash match proves the
-    # re-encoded container is genuine
+    # REAL pixel round trip across ALL FOUR decodable formats: each
+    # document gets a genuine PNG, GIF (LZW) or baseline JPEG (DCT,
+    # 4:2:0) by doc_id % 3; ImageResize fully decodes the pixels,
+    # resamples, re-encodes PNG, and the oracle predicts the parsed
+    # dimensions of the re-encoded output — a hash match proves every
+    # codec path produced a genuine image
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'documents')}
-    select doc_id, gen_png(doc_id % 64 + 8, doc_id % 48 + 8) as content
+    select doc_id,
+           case when doc_id % 3 = 0
+                then gen_png(doc_id % 64 + 8, doc_id % 48 + 8)
+                when doc_id % 3 = 1
+                then gen_gif(doc_id % 64 + 8, doc_id % 48 + 8)
+                else gen_jpeg(doc_id % 64 + 8, doc_id % 48 + 8)
+           end as content
     from documents as rz_in;
     run rz_in as ImageResize.`` where width="12" and height="9" as rz_out;
     select doc_id, resized as content from rz_out as rz_bin;

@@ -190,10 +190,12 @@ class FrameSample(ETAlgorithm):
 class ImageResize(ETAlgorithm):
     """Resize images in a binary column — REAL pixel path for the
     formats whose codecs ship here: 8-bit RGB PNG (zlib IDAT decode +
-    scanline unfilter), 24-bit BMP, and GIF (variable-width LZW
-    decompression + palette lookup, interlace de-scramble), nearest-
-    neighbor resampled with numpy index math and re-encoded as PNG.
-    JPEG yields null — the DCT entropy codec needs PIL-class libs
+    scanline unfilter), 24-bit BMP, GIF (variable-width LZW
+    decompression + palette lookup, interlace de-scramble), and
+    baseline JPEG (huffman + dequant + inverse DCT, 4:4:4/4:2:0/
+    grayscale, restart markers — functions/codecs.py
+    make_jpeg_decoder), nearest-neighbor resampled with numpy index
+    math and re-encoded as PNG.  Progressive JPEG yields null
     (MIGRATION.md).  Output column `resized` (PNG bytes).
 
     Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
@@ -202,6 +204,7 @@ class ImageResize(ETAlgorithm):
     def train(self, df, path, params, context=None):
         from streamingpro_spark.functions.codecs import (make_bmp_decoder,
                                                          make_gif_decoder,
+                                                         make_jpeg_decoder,
                                                          make_png_decoder,
                                                          make_rgb_png_encoder)
         col = params.get("contentCol", "content")
@@ -212,7 +215,7 @@ class ImageResize(ETAlgorithm):
             T.StructField("resized_format", T.StringType()),
         ])
         dec_png, dec_bmp = make_png_decoder(), make_bmp_decoder()
-        dec_gif = make_gif_decoder()
+        dec_gif, dec_jpeg = make_gif_decoder(), make_jpeg_decoder()
         enc = make_rgb_png_encoder()
 
         def resize_one(content):
@@ -222,6 +225,8 @@ class ImageResize(ETAlgorithm):
                 px = dec_bmp(content)
             if px is None:
                 px = dec_gif(content)
+            if px is None:
+                px = dec_jpeg(content)
             if px is None:
                 return None
             arr = _np.asarray(px, dtype=_np.uint8)      # (h, w, 3)

@@ -806,6 +806,7 @@ def test_image_resize_real_pixels(engine, tmp_path):
     decodable PNG with the target dimensions."""
     from streamingpro_spark.functions.codecs import (make_bmp_encoder,
                                                      make_gif_encoder,
+                                                     make_jpeg_encoder,
                                                      make_jpeg_header,
                                                      make_png_decoder,
                                                      make_png_encoder)
@@ -813,6 +814,8 @@ def test_image_resize_real_pixels(engine, tmp_path):
     (tmp_path / "b.bmp").write_bytes(make_bmp_encoder()(10, 10))
     (tmp_path / "c.jpg").write_bytes(make_jpeg_header()(640, 480))
     (tmp_path / "d.gif").write_bytes(make_gif_encoder()(16, 8, seed=3))
+    flat = [[(200, 100, 50)] * 16 for _ in range(8)]
+    (tmp_path / "e.jpg").write_bytes(make_jpeg_encoder()(flat))
     df = engine.execute(f"""
     load binaryFile.`{tmp_path}/*` as files;
     run files as ImageResize.`` where width="4" and height="4" as out;
@@ -828,12 +831,46 @@ def test_image_resize_real_pixels(engine, tmp_path):
     assert px[1][1] == [(12 + 2) % 256, (13 + 2) % 256, (14 + 2) % 256]
     bpx = dec(bytes(rows["b.bmp"]["resized"]))
     assert len(bpx) == 4 and bpx[0][0] == [0, 0, 0]
-    assert rows["c.jpg"]["resized"] is None        # JPEG DCT: documented
+    # header-only JPEG (no entropy scan): stays null
+    assert rows["c.jpg"]["resized"] is None
     assert rows["c.jpg"]["resized_format"] is None
     # GIF: real LZW decode — source value at (x,y) is (x+y+3)%256 gray
     gpx = dec(bytes(rows["d.gif"]["resized"]))
     assert len(gpx) == 4 and len(gpx[0]) == 4
     assert gpx[1][1] == [(4 + 2 + 3) % 256] * 3    # src (x=4, y=2)
+    # REAL baseline JPEG: huffman + IDCT decode of a flat color field —
+    # every resampled pixel lands within DCT quantization error
+    jpx = dec(bytes(rows["e.jpg"]["resized"]))
+    assert len(jpx) == 4 and len(jpx[0]) == 4
+    for row in jpx:
+        for px_ in row:
+            assert all(abs(a - b) <= 3 for a, b in zip(px_, (200, 100, 50)))
+
+
+def test_jpeg_codec_roundtrip():
+    """The pure-numpy baseline JPEG codec round-trips within
+    quantization error across 4:4:4, 4:2:0, grayscale and restart-
+    marker streams."""
+    from streamingpro_spark.functions.codecs import (make_jpeg_decoder,
+                                                     make_jpeg_encoder)
+    enc, dec = make_jpeg_encoder(), make_jpeg_decoder()
+    px = [[((x + y) % 256, (2 * x) % 256, (3 * y) % 256)
+           for x in range(33)] for y in range(21)]
+    for kw, tol in [({}, 4), ({"subsample": True}, 6),
+                    ({"restart": 2}, 4),
+                    ({"subsample": True, "restart": 1}, 6)]:
+        got = dec(enc(px, **kw))
+        assert len(got) == 21 and len(got[0]) == 33, kw
+        worst = max(abs(a - b) for rp, rg in zip(px, got)
+                    for pa, pb in zip(rp, rg) for a, b in zip(pa, pb))
+        assert worst <= tol, (kw, worst)
+    # grayscale: decode returns the luma replicated to rgb
+    g = dec(enc(px, grayscale=True))
+    assert g[0][0][0] == g[0][0][1] == g[0][0][2]
+    # junk and truncated streams are rejected, not crashed
+    real = enc(px)
+    for junk in (None, b"", b"\xff\xd8", real[:40], real[:-20]):
+        assert dec(junk) is None
 
 
 def test_gif_lzw_codec_roundtrip():
