@@ -573,6 +573,45 @@ def make_audio_meta_parser():
     return parse
 
 
+def make_wav_pcm_decoder():
+    """-> decode(content) -> (sample_rate, channels, samples) | None —
+    REAL PCM sample decode for RIFF/WAVE: the data chunk parsed into a
+    numpy int array of shape (n_samples, channels).  16-bit signed and
+    8-bit unsigned PCM (the two classic WAV layouts) are supported;
+    compressed formats (mp3/flac/ogg, WAVE_FORMAT beyond PCM) return
+    None — those genuinely need codec libs (MIGRATION.md)."""
+    def decode(content):
+        import struct
+        import numpy as np
+        if content is None:
+            return None
+        b = bytes(content)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i = 12
+        sr = ch = bits = fmt_tag = None
+        data = None
+        while i + 8 <= len(b):
+            tag = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if tag == b"fmt " and i + 24 <= len(b):
+                fmt_tag, ch, sr = struct.unpack("<HHI", b[i + 8:i + 16])
+                bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+            elif tag == b"data":
+                data = b[i + 8:i + 8 + size]
+            i += 8 + size + (size & 1)
+        if fmt_tag != 1 or not sr or not ch or bits not in (8, 16) \
+                or data is None:
+            return None                        # non-PCM needs codec libs
+        arr = np.frombuffer(data, dtype="<i2" if bits == 16 else "u1")
+        arr = arr[:len(arr) - len(arr) % ch].reshape(-1, ch).astype(int)
+        if bits == 8:
+            arr = arr - 128                    # u8 PCM centers at 128
+        return (sr, ch, arr)
+
+    return decode
+
+
 def make_png_decoder():
     """-> decode(content) -> (height, width, 3) nested list of RGB rows,
     or None.  REAL pixel decode for 8-bit RGB PNGs (color type 2,

@@ -260,8 +260,12 @@ class AudioFeatures(ETAlgorithm):
     `run files as AudioFeatures.`` where contentCol="content"`.
     Decode is REAL for RIFF/WAVE: fmt chunk (sample rate / channels /
     bit depth) + data chunk size → sample count and duration, parsed
-    with the stdlib (functions/codecs.py).  Non-WAV bytes yield nulls —
-    compressed formats (mp3/flac/ogg) need codec libs absent here.
+    with the stdlib (functions/codecs.py).  `computeStats="true"` also
+    PCM-decodes the data chunk (16-bit signed / 8-bit unsigned) and
+    computes real signal statistics over channel 0 with numpy: RMS
+    level, absolute peak, and zero-crossing count.  Non-WAV bytes yield
+    nulls — compressed formats (mp3/flac/ogg) need codec libs absent
+    here.
 
     Scale: map-only mapInPandas stage, no shuffle; partitioning follows
     the binary file scan.
@@ -276,12 +280,40 @@ class AudioFeatures(ETAlgorithm):
         T.StructField("format", T.StringType()),
     ])
 
+    STATS_SCHEMA = T.StructType([
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+
     def train(self, df, path, params, context=None):
-        from streamingpro_spark.functions.codecs import make_audio_meta_parser
+        from streamingpro_spark.functions.codecs import (
+            make_audio_meta_parser, make_wav_pcm_decoder)
         col = params.get("contentCol", "content")
-        out_schema = T.StructType(
-            df.schema.fields + [T.StructField("audio_meta", self.AUDIO_SCHEMA)])
+        stats = str(params.get("computeStats", "false")).lower() == "true"
+        fields = df.schema.fields + [T.StructField("audio_meta",
+                                                   self.AUDIO_SCHEMA)]
+        if stats:
+            fields = fields + [T.StructField("audio_stats",
+                                             self.STATS_SCHEMA)]
+        out_schema = T.StructType(fields)
         parse = make_audio_meta_parser()     # nested fn → by-value pickling
+        pcm = make_wav_pcm_decoder()
+
+        def one_stats(content):
+            import numpy as _np
+            dec = pcm(content)
+            if dec is None:
+                return {"rms": None, "peak": None, "zero_crossings": None}
+            _, _, arr = dec
+            c0 = arr[:, 0]
+            if not len(c0):
+                return {"rms": 0.0, "peak": 0, "zero_crossings": 0}
+            rms = float(_np.sqrt(_np.mean(c0.astype(float) ** 2)))
+            peak = int(_np.abs(c0).max())
+            zc = int(_np.count_nonzero(_np.diff(_np.signbit(
+                _np.where(c0 == 0, 1, c0)))))
+            return {"rms": rms, "peak": peak, "zero_crossings": zc}
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -291,9 +323,14 @@ class AudioFeatures(ETAlgorithm):
                     {"sample_rate": sr, "channels": ch, "bits_per_sample": bits,
                      "n_samples": n, "duration_ms": dur, "format": fmt}
                     for (sr, ch, bits, n, dur, fmt) in metas]
+                if stats:
+                    pdf["audio_stats"] = [one_stats(c) for c in pdf[col]]
                 yield pdf
 
         return df.mapInPandas(decode, out_schema)
 
     def explain_params(self):
-        return [("contentCol", "binary column with encoded audio bytes", "content")]
+        return [("contentCol", "binary column with encoded audio bytes",
+                 "content"),
+                ("computeStats", "PCM-decode and add rms/peak/"
+                 "zero_crossings signal stats", "false")]

@@ -847,6 +847,27 @@ def test_image_resize_real_pixels(engine, tmp_path):
             assert all(abs(a - b) <= 3 for a, b in zip(px_, (200, 100, 50)))
 
 
+def test_audio_features_pcm_stats(engine, tmp_path):
+    """computeStats PCM-decodes the data chunk for real: a 440 Hz sine
+    at half amplitude must show RMS ~ peak/sqrt(2), peak ~ 0.5*32767 and
+    the analytic zero-crossing count 2*f*n/sr."""
+    from streamingpro_spark.functions.codecs import make_wav_encoder
+    (tmp_path / "t.wav").write_bytes(
+        make_wav_encoder()(8000, 2000, channels=1, bits=16, freq=440.0))
+    (tmp_path / "x.bin").write_bytes(b"RIFFxxxxAVI ")     # not audio
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as AudioFeatures.`` where computeStats="true" as out;
+    select path, audio_stats.* from out as final;
+    """)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    s = rows["t.wav"]
+    assert 15000 <= s["peak"] <= 16383
+    assert abs(s["rms"] - s["peak"] / 2 ** 0.5) < 0.03 * s["peak"]
+    assert abs(s["zero_crossings"] - 2 * 440 * 2000 // 8000) <= 3
+    assert rows["x.bin"]["rms"] is None
+
+
 def test_jpeg_codec_roundtrip():
     """The pure-numpy baseline JPEG codec round-trips within
     quantization error across 4:4:4, 4:2:0, grayscale and restart-
