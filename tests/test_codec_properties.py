@@ -1,0 +1,101 @@
+"""Property-based tests for the pure-Python multimodal codecs.
+
+Pure Python/numpy — no Spark session.  Hypothesis drives random pixel
+arrays and PCM signals through encode→decode and asserts exact (PNG,
+GIF pattern, WAV) or quantization-bounded (JPEG) reconstruction.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from streamingpro_spark.functions.codecs import (
+    make_avi_encoder, make_avi_frame_extractor, make_gif_decoder,
+    make_gif_encoder, make_jpeg_decoder, make_jpeg_encoder,
+    make_mp4_encoder, make_png_decoder, make_rgb_png_encoder,
+    make_video_meta_parser, make_wav_pcm_decoder)
+
+
+@st.composite
+def images(draw, max_side=24):
+    w = draw(st.integers(1, max_side))
+    h = draw(st.integers(1, max_side))
+    px = [[tuple(draw(st.integers(0, 255)) for _ in range(3))
+           for _ in range(w)] for _ in range(h)]
+    return px
+
+
+@settings(max_examples=20, deadline=None)
+@given(images())
+def test_png_roundtrip_exact(px):
+    """PNG is lossless: arbitrary pixels reconstruct bit-exactly."""
+    got = make_png_decoder()(make_rgb_png_encoder()(px))
+    assert [[tuple(p) for p in row] for row in got] \
+        == [[tuple(p) for p in row] for row in px]
+
+
+@settings(max_examples=10, deadline=None)
+@given(images(max_side=20))
+def test_jpeg_roundtrip_bounded(px):
+    """Baseline JPEG 4:4:4 on arbitrary noise stays within the
+    accumulated quantization error bound of the uniform Q=4 table."""
+    got = make_jpeg_decoder()(make_jpeg_encoder()(px))
+    h, w = len(px), len(px[0])
+    assert len(got) == h and len(got[0]) == w
+    worst = max(abs(a - b) for rp, rg in zip(px, got)
+                for pa, pb in zip(rp, rg) for a, b in zip(pa, pb))
+    # 64 coeffs x 0.5*Q rounding error can align in the worst case;
+    # random noise stays well under the analytic bound of 128
+    assert worst <= 40, worst
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(0, 255),
+       st.booleans())
+def test_gif_roundtrip_exact(w, h, seed, interlace):
+    """GIF LZW is lossless over the palette: the encoder's gradient
+    reconstructs exactly, interlaced or not."""
+    px = make_gif_decoder()(make_gif_encoder()(w, h, seed,
+                                               interlace=interlace))
+    assert len(px) == h and len(px[0]) == w
+    for y in range(h):
+        for x in range(w):
+            v = (x + y + seed) % 256
+            assert px[y][x] == (v, v, v)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 12), st.integers(1, 40),
+       st.lists(st.binary(min_size=0, max_size=64), max_size=12))
+def test_avi_demux_roundtrip(wh, fps, frames):
+    """The AVI movi demux returns exactly the frame payloads written,
+    byte-for-byte, for any payload sizes (odd sizes exercise the RIFF
+    word-alignment padding)."""
+    avi = make_avi_encoder()(wh + 1, wh + 2, fps, len(frames),
+                             frames=frames)
+    assert make_avi_frame_extractor()(avi) == frames
+    meta = make_video_meta_parser()(avi)
+    assert meta[0] == wh + 1 and meta[3] == len(frames)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 4096), st.integers(1, 2160), st.integers(1, 120),
+       st.integers(0, 100000))
+def test_mp4_box_tree_roundtrip(w, h, fps, n):
+    """ISO-BMFF metadata round-trips for arbitrary header values."""
+    got = make_video_meta_parser()(make_mp4_encoder()(w, h, fps, n))
+    assert got[0] == w and got[1] == h and got[3] == n
+    if n:
+        assert abs(got[2] - fps) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1000, 48000), st.integers(0, 500),
+       st.integers(1, 2))
+def test_wav_pcm_decode_shape(sr, n, ch):
+    """PCM decode recovers the exact (n_samples, channels) layout the
+    encoder wrote."""
+    from streamingpro_spark.functions.codecs import make_wav_encoder
+    dec = make_wav_pcm_decoder()(make_wav_encoder()(sr, n, channels=ch))
+    assert dec is not None
+    got_sr, got_ch, arr = dec
+    assert (got_sr, got_ch) == (sr, ch)
+    assert arr.shape == (n, ch)
