@@ -748,23 +748,30 @@ JPEG_ZIGZAG = (
 
 
 def make_jpeg_encoder():
-    """-> encode(pixels, subsample=False) -> bytes — a REAL baseline
-    JFIF encoder: RGB->YCbCr, 8x8 forward DCT (numpy orthonormal DCT-II
-    matrix — exactly the JPEG FDCT definition), uniform quantization,
-    zigzag run-length + canonical-huffman entropy coding with byte
-    stuffing.  `pixels` is rows of (r, g, b); `subsample=True` writes
-    4:2:0 (2x2 luma blocks + averaged chroma per MCU), else 4:4:4.
+    """-> encode(pixels, subsample=False, grayscale=False, restart=0,
+    progressive=False) -> bytes — a REAL JFIF encoder: RGB->YCbCr, 8x8
+    forward DCT (numpy orthonormal DCT-II matrix — exactly the JPEG
+    FDCT definition), uniform quantization, zigzag run-length +
+    canonical-huffman entropy coding with byte stuffing.
+
+    Modes: `subsample=True` writes 4:2:0 (2x2 luma blocks + averaged
+    chroma per MCU), else 4:4:4; `grayscale=True` writes a 1-component
+    luma-only stream; `restart=n` emits DRI + RSTm markers every n
+    MCUs; `progressive=True` writes a spectral-selection progressive
+    stream (SOF2): one interleaved DC scan, then one full-band AC scan
+    per component (4:4:4/grayscale only — 4:2:0 progressive would need
+    the dotted non-interleaved chroma grid).
 
     The huffman tables are simple fixed-length canonical tables (DC: 12
     symbols at 4 bits; AC: 255 at 9 + 1 at 10) declared in the DHT
     segment — any conforming decoder reads tables from the stream, so
-    this trades compression ratio for simplicity, not validity.
-    `grayscale=True` writes a 1-component luma-only scan; `restart=n`
-    emits a DRI segment and RSTm markers every n MCUs."""
+    this trades compression ratio for simplicity, not validity."""
     def encode(pixels, subsample: bool = False, grayscale: bool = False,
-               restart: int = 0) -> bytes:
+               restart: int = 0, progressive: bool = False) -> bytes:
         import struct
         import numpy as np
+        if progressive and subsample:
+            raise ValueError("progressive is 4:4:4/grayscale only")
 
         # canonical fixed-length tables: symbol s -> (code, nbits)
         def canonical(counts_and_syms):
@@ -787,7 +794,8 @@ def make_jpeg_encoder():
                 bits[nbits - 1] = len(syms)
                 vals += syms
             payload = bytes([tclass << 4 | tid] + bits + vals)
-            return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+            return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) \
+                + payload
 
         arr = np.asarray(pixels, dtype=np.float64)      # (h, w, 3)
         h, w = arr.shape[:2]
@@ -816,35 +824,32 @@ def make_jpeg_encoder():
         qtab = bytes([0]) + bytes([QUANT] * 64)
 
         # pad each plane to whole blocks of its MCU-aligned grid
-        mcu_w, mcu_h = 8 * hs, 8 * vs
-        mcus_x = -(-w // mcu_w)
-        mcus_y = -(-h // mcu_h)
-        padded = []
-        for p, ch, cv in planes:
-            tw, th = mcus_x * ch * 8, mcus_y * cv * 8
-            pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
-                        mode="edge")
-            padded.append((pp, ch, cv))
-
+        mcus_x = -(-w // (8 * hs))
+        mcus_y = -(-h // (8 * vs))
         C = np.zeros((8, 8))
         for u in range(8):
             cu = (1 / 8) ** 0.5 if u == 0 else 0.5
             for x in range(8):
                 C[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
 
-        out = bytearray()
-        acc = [0, 0]                # bit accumulator: value, nbits
-
-        def put(code, nbits):
-            acc[0] = (acc[0] << nbits) | code
-            acc[1] += nbits
-            while acc[1] >= 8:
-                byte = (acc[0] >> (acc[1] - 8)) & 0xFF
-                out.append(byte)
-                if byte == 0xFF:
-                    out.append(0x00)            # byte stuffing
-                acc[1] -= 8
-                acc[0] &= (1 << acc[1]) - 1
+        # precompute quantized zigzag coefficients per component: a
+        # (blocks_y, blocks_x) grid of 64-length lists
+        grids = []
+        for p, ch, cv in planes:
+            tw, th = mcus_x * ch * 8, mcus_y * cv * 8
+            pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                        mode="edge")
+            grid = []
+            for by in range(th // 8):
+                row = []
+                for bx in range(tw // 8):
+                    blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = C @ (blk - 128.0) @ C.T
+                    q = np.round(coef / QUANT).astype(int)
+                    row.append([int(q.flat[JPEG_ZIGZAG[k]])
+                                for k in range(64)])
+                grid.append(row)
+            grids.append((grid, ch, cv))
 
         def put_val(v):
             """size category + value bits (one's-complement negatives)."""
@@ -854,90 +859,178 @@ def make_jpeg_encoder():
                 return size, bits
             return 0, 0
 
-        dc_pred = [0, 0, 0]
+        class Writer:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
 
-        def encode_block(block, ci):
-            coef = C @ (block - 128.0) @ C.T
-            q = np.round(coef / QUANT).astype(int)
-            zz = [int(q.flat[JPEG_ZIGZAG[i]]) for i in range(64)]
-            size, bits = put_val(zz[0] - dc_pred[ci])
-            dc_pred[ci] = zz[0]
+            def put(self, code, nbits):
+                self.acc = (self.acc << nbits) | code
+                self.n += nbits
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:
+                        self.out.append(0x00)    # byte stuffing
+                    self.n -= 8
+                    self.acc &= (1 << self.n) - 1
+
+            def flush(self):
+                if self.n:
+                    pad = 8 - self.n
+                    self.put((1 << pad) - 1, pad)
+
+        def emit_dc(wtr, zzb, dc_pred, ci):
+            size, bits = put_val(zzb[0] - dc_pred[ci])
+            dc_pred[ci] = zzb[0]
             code, nb = dc_tab[size]
-            put(code, nb)
+            wtr.put(code, nb)
             if size:
-                put(bits, size)
+                wtr.put(bits, size)
+
+        def emit_ac(wtr, zzb):
             run = 0
-            for v in zz[1:]:
+            for v in zzb[1:]:
                 if v == 0:
                     run += 1
                     continue
                 while run > 15:
-                    code, nb = ac_tab[0xF0]     # ZRL
-                    put(code, nb)
+                    code, nb = ac_tab[0xF0]      # ZRL
+                    wtr.put(code, nb)
                     run -= 16
                 size, bits = put_val(v)
                 code, nb = ac_tab[run << 4 | size]
-                put(code, nb)
-                put(bits, size)
+                wtr.put(code, nb)
+                wtr.put(bits, size)
                 run = 0
             if run:
-                code, nb = ac_tab[0x00]         # EOB
-                put(code, nb)
+                code, nb = ac_tab[0x00]          # EOB (EOBRUN=1 in prog)
+                wtr.put(code, nb)
 
-        def flush():
-            if acc[1]:                           # pad to byte with 1s
-                pad = 8 - acc[1]
-                put((1 << pad) - 1, pad)
+        def sos_header(comp_ids, ss, se):
+            body = bytes([len(comp_ids)]) \
+                + b"".join(bytes([cid, 0x00]) for cid in comp_ids) \
+                + bytes([ss, se, 0])
+            return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
 
-        n_mcu = 0
-        rst_m = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart and n_mcu and n_mcu % restart == 0:
-                    flush()
-                    out.extend((0xFF, 0xD0 + rst_m))
-                    rst_m = (rst_m + 1) % 8
-                    for ci in range(len(dc_pred)):
-                        dc_pred[ci] = 0
-                for ci, (pp, ch, cv) in enumerate(padded):
-                    for by in range(cv):
-                        for bx in range(ch):
-                            yy = (my * cv + by) * 8
-                            xx = (mx * ch + bx) * 8
-                            encode_block(pp[yy:yy + 8, xx:xx + 8], ci)
-                n_mcu += 1
-        flush()
+        scans = []
+        if progressive:
+            # scan 1: DC, all components interleaved (Ss=0, Se=0)
+            wtr = Writer()
+            dc_pred = [0] * ncomp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (grid, ch, cv) in enumerate(grids):
+                        emit_dc(wtr, grid[my][mx], dc_pred, ci)
+            wtr.flush()
+            scans.append(sos_header([i + 1 for i in range(ncomp)], 0, 0)
+                         + bytes(wtr.out))
+            # one full-band AC scan per component, non-interleaved, with
+            # EOB runs batched across blocks (EOBn symbols)
+            for ci, (grid, ch, cv) in enumerate(grids):
+                wtr = Writer()
+                eob_run = 0
+
+                def flush_eobrun(wtr=wtr):
+                    nonlocal eob_run
+                    r = eob_run
+                    eob_run = 0
+                    while r:
+                        n = min(r.bit_length() - 1, 14)
+                        take = min(r, (1 << (n + 1)) - 1)
+                        code, nb = ac_tab[n << 4]
+                        wtr.put(code, nb)
+                        if n:
+                            wtr.put(take - (1 << n), n)
+                        r -= take
+
+                for row in grid:
+                    for zzb in row:
+                        if not any(zzb[1:]):
+                            eob_run += 1         # block is one long EOB
+                            continue
+                        flush_eobrun()
+                        run = 0
+                        last_nz = max(k for k in range(1, 64) if zzb[k])
+                        for k in range(1, last_nz + 1):
+                            v = zzb[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, nb = ac_tab[0xF0]
+                                wtr.put(code, nb)
+                                run -= 16
+                            size, bits = put_val(v)
+                            code, nb = ac_tab[run << 4 | size]
+                            wtr.put(code, nb)
+                            wtr.put(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            eob_run = 1          # defer + merge forward
+                flush_eobrun()
+                wtr.flush()
+                scans.append(sos_header([ci + 1], 1, 63) + bytes(wtr.out))
+        else:
+            wtr = Writer()
+            dc_pred = [0] * ncomp
+            n_mcu = 0
+            rst_m = 0
+            body = bytearray()
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        wtr.flush()
+                        body += wtr.out
+                        body += bytes((0xFF, 0xD0 + rst_m))
+                        wtr = Writer()
+                        rst_m = (rst_m + 1) % 8
+                        dc_pred = [0] * ncomp
+                    for ci, (grid, ch, cv) in enumerate(grids):
+                        for by in range(cv):
+                            for bx in range(ch):
+                                zzb = grid[my * cv + by][mx * ch + bx]
+                                emit_dc(wtr, zzb, dc_pred, ci)
+                                emit_ac(wtr, zzb)
+                    n_mcu += 1
+            wtr.flush()
+            body += wtr.out
+            scans.append(sos_header([i + 1 for i in range(ncomp)], 0, 63)
+                         + bytes(body))
 
         app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         comp_hv = [(hs << 4 | vs), 0x11, 0x11]
+        sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
         sof = (struct.pack(">BHH", 8, h, w) + bytes([ncomp])
                + b"".join(bytes([i + 1, comp_hv[i], 0])
                           for i in range(ncomp)))
-        sos = bytes([ncomp]) \
-            + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp)) \
-            + bytes([0, 63, 0])
         dri = (b"\xff\xdd" + struct.pack(">HH", 4, restart)) if restart \
             else b""
         return (b"\xff\xd8"
                 + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
                 + b"\xff\xdb" + struct.pack(">H", len(qtab) + 2) + qtab
-                + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+                + sof_marker + struct.pack(">H", len(sof) + 2) + sof
                 + dht(0, 0, dc_spec) + dht(1, 0, ac_spec)
                 + dri
-                + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-                + bytes(out) + b"\xff\xd9")
+                + b"".join(scans) + b"\xff\xd9")
 
     return encode
 
 
+
 def make_jpeg_decoder():
-    """-> decode(content) -> list[list[(r,g,b)]] | None — a REAL
-    baseline JPEG (SOF0) decoder, pure Python + numpy: DQT/DHT/SOF/SOS/
-    DRI segment parse, canonical huffman decode with byte-unstuffing and
-    restart markers, dequantize + un-zigzag, 8x8 inverse DCT (numpy),
-    general h/v sampling-factor MCU layout with replication upsampling,
-    YCbCr->RGB.  Grayscale (1-component) scans are handled; progressive
-    (SOF2) and arithmetic-coded streams return None (documented)."""
+    """-> decode(content) -> list[list[(r,g,b)]] | None — a REAL JPEG
+    decoder, pure Python + numpy, for baseline (SOF0/SOF1) AND
+    spectral-selection progressive (SOF2) streams: DQT/DHT/SOF/SOS/DRI
+    parse, canonical huffman decode with byte-unstuffing and restart
+    markers, multi-scan coefficient accumulation (interleaved DC scans,
+    non-interleaved per-component AC band scans with EOBRUN), point
+    transform (Al) shifts, dequantize + un-zigzag, 8x8 inverse DCT,
+    general h/v sampling-factor layout with replication upsampling,
+    YCbCr->RGB.  Grayscale (1-component) streams are handled.
+    Successive-approximation refinement scans (Ah>0) and
+    arithmetic-coded streams return None (documented)."""
     def decode(content):
         if content is None:
             return None
@@ -959,8 +1052,8 @@ def make_jpeg_decoder():
             huff = {}
             sof = None
             dri = 0
+            scans = []           # (comps, Ss, Se, Ah, Al, data, rst_at)
             i = 2
-            scan_comps = None
             while i + 4 <= len(b):
                 if b[i] != 0xFF:
                     return None
@@ -972,7 +1065,7 @@ def make_jpeg_decoder():
                     i += 2
                     continue
                 if marker == 0xD9:
-                    return None                  # EOI before any scan
+                    break                        # EOI
                 seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
                 seg = b[i + 4:i + 2 + seglen]
                 if marker == 0xDB:               # DQT (multi-table)
@@ -1004,7 +1097,7 @@ def make_jpeg_decoder():
                             code <<= 1
                         huff[(tc, th)] = table
                         j += 17 + nvals
-                elif marker in (0xC0, 0xC1):     # baseline SOF
+                elif marker in (0xC0, 0xC1, 0xC2):   # baseline/progressive
                     prec, h, w = struct.unpack(">BHH", seg[:5])
                     nc = seg[5]
                     comps = []
@@ -1012,21 +1105,41 @@ def make_jpeg_decoder():
                         cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                         comps.append((cid, hv >> 4, hv & 0x0F, tq))
                     sof = (w, h, comps)
-                elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                    return None                  # progressive etc.
+                    return None                  # lossless/arithmetic
                 elif marker == 0xDD:             # DRI
                     dri = struct.unpack(">H", seg[:2])[0]
-                elif marker == 0xDA:             # SOS
+                elif marker == 0xDA:             # SOS: scan + entropy data
                     ns = seg[0]
-                    scan_comps = []
+                    scomps = []
                     for c in range(ns):
                         cid, tabs = seg[1 + 2 * c:3 + 2 * c]
-                        scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-                    i = i + 2 + seglen
-                    break
+                        scomps.append((cid, tabs >> 4, tabs & 0x0F))
+                    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                    data = bytearray()
+                    rst_at = []
+                    j = i + 2 + seglen
+                    while j + 1 < len(b):
+                        if b[j] == 0xFF:
+                            nxt = b[j + 1]
+                            if nxt == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            if 0xD0 <= nxt <= 0xD7:
+                                rst_at.append(len(data))
+                                j += 2
+                                continue
+                            break
+                        data.append(b[j])
+                        j += 1
+                    scans.append((scomps, ss, se, ahal >> 4, ahal & 0x0F,
+                                  data, rst_at))
+                    i = j
+                    continue
                 i += 2 + seglen
-            if sof is None or scan_comps is None:
+            if sof is None or not scans:
                 return None
             w, h, comps = sof
             if not (0 < w and 0 < h):
@@ -1036,25 +1149,129 @@ def make_jpeg_decoder():
             mcus_x = -(-w // (8 * hmax))
             mcus_y = -(-h // (8 * vmax))
 
-            # entropy-coded data: up to EOI, with byte unstuffing and
-            # restart markers recorded as sync points
-            data = bytearray()
-            rst_at = []                          # byte offsets of RSTs
-            j = i
-            while j + 1 < len(b):
-                if b[j] == 0xFF:
-                    nxt = b[j + 1]
-                    if nxt == 0x00:
-                        data.append(0xFF)
-                        j += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        rst_at.append(len(data))
-                        j += 2
-                        continue
-                    break                        # EOI or next marker
-                data.append(b[j])
-                j += 1
+            # per-component coefficient store (MCU-padded block grid)
+            coefs = {}
+            cinfo = {}
+            for (cid, ch, cv, tq) in comps:
+                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64))
+                cinfo[cid] = (ch, cv, tq)
+
+            def decode_scan(scomps, ss, se, ah, al, data, rst_at):
+                if ah != 0:
+                    raise ValueError("successive approximation")
+                pos = [0, 0]
+
+                def read_bit():
+                    byte_i, bit_i = pos
+                    if byte_i >= len(data):
+                        raise ValueError("truncated scan")
+                    bit = (data[byte_i] >> (7 - bit_i)) & 1
+                    bit_i += 1
+                    if bit_i == 8:
+                        byte_i, bit_i = byte_i + 1, 0
+                    pos[0], pos[1] = byte_i, bit_i
+                    return bit
+
+                def read_bits(n):
+                    v = 0
+                    for _ in range(n):
+                        v = (v << 1) | read_bit()
+                    return v
+
+                def huff_decode(table):
+                    code, ln = 0, 0
+                    while ln < 16:
+                        code = (code << 1) | read_bit()
+                        ln += 1
+                        sym = table.get((ln, code))
+                        if sym is not None:
+                            return sym
+                    raise ValueError("bad huffman code")
+
+                def extend(v, size):
+                    return v if v >= (1 << (size - 1)) \
+                        else v - (1 << size) + 1
+
+                dc_pred = {cid: 0 for (cid, *_) in scomps}
+                sctabs = {cid: (dc_t, ac_t)
+                          for (cid, dc_t, ac_t) in scomps}
+                eobrun = [0]
+
+                def decode_block_band(cid, blk):
+                    dc_t, ac_t = sctabs[cid]
+                    if ss == 0:                  # DC (+ rest if baseline)
+                        sym = huff_decode(huff[(0, dc_t)])
+                        diff = extend(read_bits(sym), sym) if sym else 0
+                        dc_pred[cid] += diff
+                        blk[0] = dc_pred[cid] << al
+                    if se == 0:
+                        return
+                    if eobrun[0] > 0:            # inside an EOB run
+                        eobrun[0] -= 1
+                        return
+                    k = max(ss, 1)
+                    while k <= se:
+                        sym = huff_decode(huff[(1, ac_t)])
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:        # ZRL
+                                k += 16
+                                continue
+                            # EOBn: run of (1<<run)-1+bits blocks
+                            eobrun[0] = (1 << run) - 1
+                            if run:
+                                eobrun[0] += read_bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC overflow")
+                        blk[k] = extend(read_bits(size), size) << al
+                        k += 1
+
+                interleaved = len(scomps) > 1
+                if interleaved or ss == 0 and len(scomps) == len(comps):
+                    n_mcu = 0
+                    rst_i = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            if dri and n_mcu and n_mcu % dri == 0:
+                                if rst_i < len(rst_at):
+                                    pos[0], pos[1] = rst_at[rst_i], 0
+                                    rst_i += 1
+                                for cid in dc_pred:
+                                    dc_pred[cid] = 0
+                                eobrun[0] = 0
+                            for (cid, _dc, _ac) in scomps:
+                                ch, cv, tq = cinfo[cid]
+                                for by in range(cv):
+                                    for bx in range(ch):
+                                        decode_block_band(
+                                            cid,
+                                            coefs[cid][my * cv + by,
+                                                       mx * ch + bx])
+                            n_mcu += 1
+                else:
+                    # non-interleaved: the component's own block grid
+                    cid = scomps[0][0]
+                    ch, cv, tq = cinfo[cid]
+                    bw = -(-(w * ch) // (8 * hmax))
+                    bh = -(-(h * cv) // (8 * vmax))
+                    n_blk = 0
+                    rst_i = 0
+                    for by in range(bh):
+                        for bx in range(bw):
+                            if dri and n_blk and n_blk % dri == 0:
+                                if rst_i < len(rst_at):
+                                    pos[0], pos[1] = rst_at[rst_i], 0
+                                    rst_i += 1
+                                for c2 in dc_pred:
+                                    dc_pred[c2] = 0
+                                eobrun[0] = 0
+                            decode_block_band(cid, coefs[cid][by, bx])
+                            n_blk += 1
+
+            for scan in scans:
+                decode_scan(*scan)
 
             C = np.zeros((8, 8))
             for u in range(8):
@@ -1062,97 +1279,23 @@ def make_jpeg_decoder():
                 for x in range(8):
                     C[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
 
-            pos = [0, 0]                         # byte idx, bit idx
-
-            def read_bit():
-                byte_i, bit_i = pos
-                if byte_i >= len(data):
-                    raise ValueError("truncated scan")
-                bit = (data[byte_i] >> (7 - bit_i)) & 1
-                bit_i += 1
-                if bit_i == 8:
-                    byte_i, bit_i = byte_i + 1, 0
-                pos[0], pos[1] = byte_i, bit_i
-                return bit
-
-            def read_bits(n):
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | read_bit()
-                return v
-
-            def huff_decode(table):
-                code, ln = 0, 0
-                while ln < 16:
-                    code = (code << 1) | read_bit()
-                    ln += 1
-                    sym = table.get((ln, code))
-                    if sym is not None:
-                        return sym
-                raise ValueError("bad huffman code")
-
-            def extend(v, size):
-                return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-            cdata = {}
-            for (cid, ch, cv, tq) in comps:
-                pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
-                cdata[cid] = (np.zeros((ph, pw)), ch, cv, tq)
-            dc_pred = {cid: 0 for (cid, *_ ) in comps}
-            rst_i = 0
-
-            def decode_block(cid, dc_t, ac_t):
-                q = qt[cdata[cid][3]]
-                coef = np.zeros(64)
-                sym = huff_decode(huff[(0, dc_t)])
-                diff = extend(read_bits(sym), sym) if sym else 0
-                dc_pred[cid] += diff
-                coef[zz[0]] = dc_pred[cid] * q[0]
-                k = 1
-                while k < 64:
-                    sym = huff_decode(huff[(1, ac_t)])
-                    if sym == 0x00:              # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run == 15:            # ZRL
-                            k += 16
-                            continue
-                        break
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC overflow")
-                    coef[zz[k]] = extend(read_bits(size), size) * q[k]
-                    k += 1
-                block = C.T @ coef.reshape(8, 8) @ C + 128.0
-                return np.clip(np.round(block), 0, 255)
-
-            sctabs = {cid: (dc_t, ac_t) for (cid, dc_t, ac_t) in scan_comps}
-            n_mcu = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if dri and n_mcu and n_mcu % dri == 0:
-                        # resync at the recorded restart boundary
-                        if rst_i < len(rst_at):
-                            pos[0], pos[1] = rst_at[rst_i], 0
-                            rst_i += 1
-                        for cid in dc_pred:
-                            dc_pred[cid] = 0
-                    for (cid, ch, cv, tq) in comps:
-                        dc_t, ac_t = sctabs[cid]
-                        plane = cdata[cid][0]
-                        for by in range(cv):
-                            for bx in range(ch):
-                                blk = decode_block(cid, dc_t, ac_t)
-                                yy = (my * cv + by) * 8
-                                xx = (mx * ch + bx) * 8
-                                plane[yy:yy + 8, xx:xx + 8] = blk
-                    n_mcu += 1
-
-            # upsample each component to full resolution and convert
+            # dequantize + un-zigzag + IDCT every block
             full = {}
             for (cid, ch, cv, tq) in comps:
-                plane = cdata[cid][0]
+                q = qt[tq]
+                grid = coefs[cid]
+                bh, bw = grid.shape[:2]
+                plane = np.zeros((bh * 8, bw * 8))
+                dq = np.array(q, dtype=float)
+                raster = np.zeros(64)
+                for by in range(bh):
+                    for bx in range(bw):
+                        zcoef = grid[by, bx] * dq
+                        for k2 in range(64):
+                            raster[zz[k2]] = zcoef[k2]
+                        blk = C.T @ raster.reshape(8, 8) @ C + 128.0
+                        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                            np.clip(np.round(blk), 0, 255)
                 plane = plane.repeat(vmax // cv, axis=0) \
                              .repeat(hmax // ch, axis=1)
                 full[cid] = plane[:h, :w]

@@ -191,12 +191,13 @@ class ImageResize(ETAlgorithm):
     """Resize images in a binary column — REAL pixel path for the
     formats whose codecs ship here: 8-bit RGB PNG (zlib IDAT decode +
     scanline unfilter), 24-bit BMP, GIF (variable-width LZW
-    decompression + palette lookup, interlace de-scramble), and
-    baseline JPEG (huffman + dequant + inverse DCT, 4:4:4/4:2:0/
-    grayscale, restart markers — functions/codecs.py
-    make_jpeg_decoder), nearest-neighbor resampled with numpy index
-    math and re-encoded as PNG.  Progressive JPEG yields null
-    (MIGRATION.md).  Output column `resized` (PNG bytes).
+    decompression + palette lookup, interlace de-scramble), and JPEG
+    (huffman + dequant + inverse DCT; baseline 4:4:4/4:2:0/grayscale
+    with restart markers AND spectral-selection progressive with
+    EOBRUN — functions/codecs.py make_jpeg_decoder), nearest-neighbor
+    resampled with numpy index math and re-encoded as PNG.
+    Successive-approximation progressive yields null (MIGRATION.md).
+    Output column `resized` (PNG bytes).
 
     Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
     partitioning follows the binary scan and parallelism is free."""

@@ -879,7 +879,8 @@ def test_jpeg_codec_roundtrip():
            for x in range(33)] for y in range(21)]
     for kw, tol in [({}, 4), ({"subsample": True}, 6),
                     ({"restart": 2}, 4),
-                    ({"subsample": True, "restart": 1}, 6)]:
+                    ({"subsample": True, "restart": 1}, 6),
+                    ({"progressive": True}, 4)]:
         got = dec(enc(px, **kw))
         assert len(got) == 21 and len(got[0]) == 33, kw
         worst = max(abs(a - b) for rp, rg in zip(px, got)
@@ -888,6 +889,12 @@ def test_jpeg_codec_roundtrip():
     # grayscale: decode returns the luma replicated to rgb
     g = dec(enc(px, grayscale=True))
     assert g[0][0][0] == g[0][0][1] == g[0][0][2]
+    # spectral-selection progressive must decode IDENTICALLY to
+    # baseline — the scans reorder the same quantized coefficients
+    # (flat background → multi-block EOBRUN symbols are exercised)
+    mixed = [[(120, 60, 200) if x > 12 else ((x * 7 + y) % 256,) * 3
+              for x in range(40)] for y in range(24)]
+    assert dec(enc(mixed, progressive=True)) == dec(enc(mixed))
     # junk and truncated streams are rejected, not crashed
     real = enc(px)
     for junk in (None, b"", b"\xff\xd8", real[:40], real[:-20]):
