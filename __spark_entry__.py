@@ -1905,6 +1905,141 @@ def _q_hash_tfidf(spark, sf_dir):
     """)
 
 
+def _q_ngram_lm_score(spark, sf_dir):
+    """Bigram-LM quality score trained on the corpus itself
+    (NgramLMScore ET — the CCNet-style perplexity filter)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as NgramLMScore.`` where vocabSize="200" and addK="0.1"
+        as output;
+    """)
+
+
+_NGRAM_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+),
+uni AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 200),
+vstats AS (SELECT CAST(sum(c) AS BIGINT) AS vsum, count(*) AS vn FROM vocab),
+tstats AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+cnt_w AS (
+  SELECT w, c FROM vocab
+  UNION ALL
+  SELECT '<unk>', total - vsum FROM vstats, tstats
+),
+vp AS (SELECT vn + 1 AS vp FROM vstats),
+m AS (
+  SELECT ex.doc_id, ex.pos,
+         CASE WHEN v.w IS NOT NULL THEN ex.w ELSE '<unk>' END AS wm
+  FROM ex LEFT JOIN vocab v ON ex.w = v.w
+),
+bi AS (
+  SELECT doc_id, wm,
+         lead(wm) OVER (PARTITION BY doc_id ORDER BY pos) AS wm2
+  FROM m
+  QUALIFY wm2 IS NOT NULL
+),
+cbg AS (SELECT wm, wm2, count(*) AS c12 FROM bi GROUP BY wm, wm2),
+sc AS (
+  SELECT bi.doc_id,
+         -ln((cbg.c12 + 0.1) / (cw.c + 0.1 * vp.vp)) AS nll
+  FROM bi
+  JOIN cnt_w cw ON bi.wm = cw.w
+  JOIN cbg ON bi.wm = cbg.wm AND bi.wm2 = cbg.wm2
+  CROSS JOIN vp
+),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS lm_score
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       per.lm_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash sampling per source stratum (data mixing)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as StratifiedSampleExt.`` where strataCol="source"
+        and defaultFraction="0.25" and ratio.src0="0.75"
+        and ratio.src1="0.5" as sampled;
+    select source, count(*) as n_kept, min(doc_id) as first_id
+    from sampled group by source as output;
+    """)
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
+FROM documents
+WHERE {_PHASH_DUCK.format(payload="'strat:' || CAST(doc_id AS VARCHAR)")}
+      % 1000000
+      < CASE source WHEN 'src0' THEN 750000
+                    WHEN 'src1' THEN 500000
+                    ELSE 250000 END
+GROUP BY source
+"""
+
+
+def _q_sequence_pack(spark, sf_dir):
+    """Token-budget sequence packing, chunk mode (concat-and-cut) —
+    pure window cumsum per hash bucket."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as SequencePack.`` where budget="512" and numBuckets="8"
+        and mode="chunk" as output;
+    """)
+
+
+_SEQUENCE_PACK_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_PHASH_DUCK.format(payload="'pack:' || CAST(doc_id AS VARCHAR)")}
+           % 8 AS bucket,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+)
+SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_first,
+       CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_last
+FROM w
+"""
+
+
+def _q_bpe_tokenize(spark, sf_dir):
+    """Real BPE: train merges on the corpus word counts, apply via
+    broadcast Arrow UDF (rows-only: the merge loop has no SQL oracle)."""
+    import tempfile
+    path = tempfile.mkdtemp(prefix="spk_bpe_")
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    train documents as BPETokenizer.`{path}/m` where numMerges="60"
+        and maxWords="5000";
+    predict documents as BPETokenizer.`{path}/m` as encoded;
+    select doc_id, cast(n_bpe_tokens as long) as n_bpe_tokens,
+           array_join(slice(bpe_tokens, 1, 8), ' ') as head_tokens
+    from encoded as output;
+    """)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1913,7 +2048,8 @@ def _q_hash_tfidf(spark, sf_dir):
 # (some return unsortable types like ml vectors)
 _ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
               "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
-              "tfidf_alg", "hash_tfidf_alg", "versioned_parquet_tt"}
+              "tfidf_alg", "hash_tfidf_alg", "versioned_parquet_tt",
+              "bpe_tokenize"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -2027,6 +2163,11 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
+        # LLM-pipeline: LM scoring / mixing / packing / tokenization
+        "ngram_lm_score": _q_ngram_lm_score,
+        "stratified_sample": _q_stratified_sample,
+        "sequence_pack": _q_sequence_pack,
+        "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
         "audio_features": _q_audio_features,
@@ -2121,6 +2262,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
+        "ngram_lm_score": _NGRAM_LM_ORACLE,
+        "stratified_sample": _STRATIFIED_ORACLE,
+        "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

@@ -1,0 +1,423 @@
+"""Training-data pipeline operators beyond the reference's surface
+(north-star family, joining dedup/similarity/text_analysis):
+
+- NgramLMScore        CCNet-style bigram-LM quality score (self-trained)
+- StratifiedSampleExt deterministic hash sampling per stratum (data mixing)
+- SequencePack        pack documents into fixed token-budget sequences
+- BPETokenizer        real byte-pair-encoding: distributed word counts →
+                      driver merge training → broadcast Arrow apply
+
+Closest reference ops: RateSampler (per-category sampling,
+SQLRateSampler.scala) and TfIdfInPlace (corpus-statistics featurization,
+SQLTfIdfInPlace.scala); these four are their LLM-pipeline descendants.
+
+Scale notes (100 TB): see each class docstring; SCALE.md has the
+per-operator shuffle inventory.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+from pyspark.sql import Window, functions as F
+
+from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
+                                               get_float, get_int, script_cache)
+from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
+from streamingpro_spark.operators.registry import register_et
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+# ---------------------------------------------------------------------------
+# NgramLMScore
+# ---------------------------------------------------------------------------
+
+@register_et("NgramLMScore")
+class NgramLMScore(ETAlgorithm):
+    """Bigram language-model score per document, trained on the corpus
+    itself (the CCNet/Gopher-style "perplexity filter" shape: documents
+    whose token transitions are unusual for the corpus score high).
+
+    score = mean over bigrams of -ln P(w2 | w1), with add-k smoothing
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V'), over a capped vocabulary:
+    the top-`vocabSize` tokens by frequency (ties broken by token text),
+    everything else mapped to '<unk>'; V' = |vocab| + 1.
+
+    Plan (all DataFrame, no Python in the hot path):
+      posexplode tokens → unigram counts (1 shuffle) → top-V via
+      distributed TakeOrdered (no single-partition sort) → broadcast
+      vocab join maps the token stream → window lead() forms bigrams
+      (1 shuffle on doc id) → bigram counts (1 shuffle) → count joins
+      (vocab/unigram side broadcast by size; bigram side left to AQE)
+      → per-doc aggregate (1 shuffle).
+
+    100 TB: ~4 shuffles of the token stream is inherent to corpus-wide
+    LM scoring; `trainFraction` cuts the count-building passes to a
+    deterministic hash-sample of documents (score ALL docs with counts
+    from the sample — the standard production shape) while keeping the
+    scoring pass map-side + one final per-doc aggregate.  The count
+    tables are bounded: unigrams by vocabSize, bigrams by observed
+    pairs over the capped vocab.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        vocab_size = get_int(params, "vocabSize", 10000)
+        k = get_float(params, "addK", 0.1)
+        train_fraction = get_float(params, "trainFraction", 1.0)
+        df = ensure_parallelism(df)
+
+        train_df = df
+        if train_fraction < 1.0:
+            # deterministic hash sample: portable, re-runnable, no RNG
+            gate = int(train_fraction * 1_000_000)
+            train_df = df.filter(
+                F.pmod(portable_hash64(F.col(id_col).cast("string"), "lmtrain"),
+                       F.lit(1_000_000)) < gate)
+
+        def token_stream(src):
+            return src.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(tokens_col(F.col(col))).alias("__pos", "__w"))
+
+        ex_train = token_stream(train_df)
+        uni_all = ex_train.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+        # TakeOrderedAndProject: per-partition top-V, merged on the driver
+        # side of the limit — never a global single-partition sort
+        vocab = (uni_all.orderBy(F.desc("__c"), F.asc("__w"))
+                 .limit(vocab_size))
+        vocab = script_cache(vocab, context, "lm_vocab")
+
+        # 1-row stats for the <unk> mass and V' (lazy; broadcast NLJ)
+        vstats = vocab.agg(F.sum("__c").alias("__vsum"),
+                           F.count(F.lit(1)).alias("__vn"))
+        tstats = uni_all.agg(F.sum("__c").alias("__total"))
+        unk_row = (vstats.crossJoin(tstats)
+                   .select(F.lit("<unk>").alias("__w"),
+                           (F.col("__total") - F.col("__vsum")).alias("__c")))
+        cnt_w = vocab.select("__w", "__c").unionAll(unk_row)
+        vprime = vstats.select((F.col("__vn") + F.lit(1)).alias("__vp"))
+
+        def mapped_bigrams(src):
+            ex = token_stream(src)
+            m = (ex.join(F.broadcast(vocab.select(F.col("__w"),
+                                                  F.lit(1).alias("__in"))),
+                         on="__w", how="left")
+                 .select("__id", "__pos",
+                         F.when(F.col("__in").isNotNull(), F.col("__w"))
+                          .otherwise(F.lit("<unk>")).alias("__wm")))
+            w = Window.partitionBy("__id").orderBy("__pos")
+            return (m.withColumn("__wm2", F.lead("__wm").over(w))
+                    .filter(F.col("__wm2").isNotNull()))
+
+        bi_train = mapped_bigrams(train_df)
+        cbg = bi_train.groupBy("__wm", "__wm2").agg(
+            F.count(F.lit(1)).alias("__c12"))
+
+        bi_score = (mapped_bigrams(df) if train_fraction < 1.0
+                    else bi_train)
+        # unseen bigrams (only possible when trainFraction < 1) fall back
+        # to the smoothing floor c12 = 0
+        scored = (bi_score
+                  .join(F.broadcast(cnt_w.withColumnRenamed("__w", "__wm")
+                                    .withColumnRenamed("__c", "__c1")),
+                        on="__wm", how="left")
+                  .join(cbg, on=["__wm", "__wm2"], how="left")
+                  .crossJoin(F.broadcast(vprime)))
+        prob = ((F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(k) * F.col("__vp")))
+        per_doc = (scored.groupBy("__id")
+                   .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                        F.round(F.avg(-F.log(prob)), 4).alias("lm_score")))
+        out = (df.select(F.col(id_col).alias("__id"))
+               .join(per_doc, on="__id", how="left")
+               .select(F.col("__id").alias(id_col),
+                       F.coalesce(F.col("n_bigrams"), F.lit(0))
+                        .alias("n_bigrams"),
+                       F.col("lm_score")))
+        return out
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("vocabSize", "top-N tokens kept; rest -> <unk>", "10000"),
+                ("addK", "add-k smoothing constant", "0.1"),
+                ("trainFraction",
+                 "hash-sample fraction for count building (score all)",
+                 "1.0")]
+
+
+# ---------------------------------------------------------------------------
+# StratifiedSampleExt
+# ---------------------------------------------------------------------------
+
+@register_et("StratifiedSampleExt")
+class StratifiedSampleExt(ETAlgorithm):
+    """Deterministic per-stratum sampling for data mixing: keep a row iff
+    pmod(md5-hash(id), 1e6) < fraction(stratum)·1e6.
+
+    The reference's RateSampler (SQLRateSampler.scala) samples per label
+    for train/test splits; this is the LLM-data-mixing version: fractions
+    keyed by a stratum column value (`ratio.<value>="0.3"`), hash-based so
+    the sample is reproducible across runs/engines and requires NO
+    shuffle, no RNG state, and no per-stratum counting pass.
+
+    100 TB: map-only — the filter is a codegen'd md5 + compare per row;
+    survives any scale-up untouched.  Changing fractions re-selects a
+    superset/subset (hash gates are nested), the property that makes
+    hash-sampling the production standard for reproducible mixing.
+    """
+
+    def train(self, df, path, params, context=None):
+        strata_col = params.get("strataCol", "source")
+        id_col = params.get("idCol", "doc_id")
+        default_frac = get_float(params, "defaultFraction", 1.0)
+        ratios: dict[str, float] = {}
+        for pk, pv in params.items():
+            if pk.startswith("ratio."):
+                ratios[pk[len("ratio."):]] = float(pv)
+        gate = F.lit(int(default_frac * 1_000_000))
+        for value, frac in sorted(ratios.items()):
+            gate = F.when(F.col(strata_col) == value,
+                          F.lit(int(frac * 1_000_000))).otherwise(gate)
+        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat"),
+                        F.lit(1_000_000))
+        return df.filter(bucket < gate)
+
+    def explain_params(self):
+        return [("strataCol", "stratum column", "source"),
+                ("idCol", "id column the hash gate keys on", "doc_id"),
+                ("defaultFraction", "fraction for unlisted strata", "1.0"),
+                ("ratio.<value>", "fraction for stratum <value>", "-")]
+
+
+# ---------------------------------------------------------------------------
+# SequencePack
+# ---------------------------------------------------------------------------
+
+@register_et("SequencePack")
+class SequencePack(ETAlgorithm):
+    """Assign documents to fixed token-budget training sequences.
+
+    Two modes:
+
+    - ``mode="chunk"`` (default; the 100 TB path): documents are laid
+      out end-to-end per bucket (deterministic hash bucket of the id,
+      ordered by id) and the token stream is cut every `budget` tokens —
+      documents may straddle a cut (the T5/GPT "concat-and-chunk"
+      packing).  Output per doc: bucket, n_tokens, start_offset,
+      seq_first, seq_last.  Pure window cumsum — ONE shuffle on the
+      bucket key, no Python, no driver state; buckets are independent so
+      the plan is embarrassingly parallel at any scale.
+    - ``mode="greedy"``: first-fit-in-order packing WITHOUT splitting
+      documents (each doc fully inside one sequence; a doc longer than
+      the budget gets its own sequence).  Running state per bucket →
+      applyInPandas per bucket.  Scale bound: one bucket must fit in
+      executor memory — size `numBuckets` ≥ corpus_tokens/budget/10⁴ at
+      the target SF (documented, asserted nowhere: the grouping itself
+      fails loudly on OOM).  Chunk mode is the recommended path at
+      scale.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        budget = get_int(params, "budget", 512)
+        num_buckets = get_int(params, "numBuckets", 8)
+        mode = params.get("mode", "chunk")
+        base = df.select(
+            F.col(id_col).alias("doc_id_"),
+            F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack"),
+                   F.lit(num_buckets)).alias("bucket"),
+            F.size(tokens_col(F.col(col))).alias("n_tokens"))
+        if mode == "chunk":
+            w = (Window.partitionBy("bucket").orderBy("doc_id_")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            cum = F.sum("n_tokens").over(w)
+            start = (cum - F.col("n_tokens")).alias("start_offset")
+            out = base.select(
+                F.col("doc_id_").alias(id_col), "bucket", "n_tokens",
+                start,
+                F.floor((cum - F.col("n_tokens")) / budget).alias("seq_first"),
+                F.floor((cum - 1) / budget).alias("seq_last"))
+            return out
+        if mode == "greedy":
+            import pandas as pd
+
+            def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                pdf = pdf.sort_values("doc_id_").reset_index(drop=True)
+                seq_ids, seq, used = [], 0, 0
+                for n in pdf["n_tokens"]:
+                    if used > 0 and used + n > budget:
+                        seq += 1
+                        used = 0
+                    seq_ids.append(seq)
+                    used += n
+                pdf["seq_id"] = seq_ids
+                return pdf
+
+            schema = ("doc_id_ long, bucket long, n_tokens int, "
+                      "seq_id long")
+            packed = base.groupBy("bucket").applyInPandas(pack, schema)
+            return packed.select(F.col("doc_id_").alias(id_col),
+                                 "bucket", "n_tokens", "seq_id")
+        raise ValueError(f'unknown mode {mode!r}; use "chunk" or "greedy"')
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("budget", "tokens per training sequence", "512"),
+                ("numBuckets", "independent packing streams", "8"),
+                ("mode", "chunk (split docs at cuts) | greedy (no splits)",
+                 "chunk")]
+
+
+# ---------------------------------------------------------------------------
+# BPETokenizer
+# ---------------------------------------------------------------------------
+
+def _bpe_train(word_counts: list[tuple[str, int]],
+               num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge training over a word-frequency table (Sennrich
+    et al. 2016 — the algorithm only needs word counts, never the
+    corpus).  Deterministic: ties on pair count break lexicographically.
+    Driver-side by design: the word table is capped (maxWords) so this
+    is O(maxWords · num_merges) independent of corpus size."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + ["</w>"], c) for w, c in word_counts if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        max_c = max(pairs.values())
+        # ties on count -> lexicographically smallest pair
+        best = min(p for p, c in pairs.items() if c == max_c)
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i, (syms, c) in enumerate(words):
+            j = 0
+            out = []
+            while j < len(syms):
+                if (j < len(syms) - 1 and syms[j] == best[0]
+                        and syms[j + 1] == best[1]):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (out, c)
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained merge table (lowest-rank pair
+    first — the standard BPE apply loop)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@register_et("BPETokenizer")
+class BPETokenizer(ETAlgorithm):
+    """Real byte-pair encoding, Spark-first:
+
+    train: word frequencies via ONE groupBy shuffle (the only
+    corpus-sized stage) → top-`maxWords` words (distributed TakeOrdered)
+    collected to the driver → classic merge-loop training (O(maxWords ·
+    numMerges), independent of corpus size — the standard scalable BPE
+    recipe) → merges saved as parquet at `path`.
+
+    batch_predict / register: merges broadcast to executors; an
+    Arrow-batched pandas UDF encodes each document (per-batch word
+    memoization — natural-language batches repeat most words, so the
+    merge loop runs once per DISTINCT word per batch).  Map-only.
+
+    The reference has no BPE; its TfIdf/word2vec ops
+    (SQLTfIdfInPlace.scala, SQLWord2Vec.scala) are the corpus-statistics
+    precedent.  Output of train: summary row; model artifact:
+    `{path}/merges.parquet` (rank, left, right).
+    """
+
+    model_type = "algorithm"
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        num_merges = get_int(params, "numMerges", 200)
+        max_words = get_int(params, "maxWords", 30000)
+        spark = df.sparkSession
+        df = ensure_parallelism(df)
+        wc = (df.select(F.explode(tokens_col(F.col(col))).alias("__w"))
+              .filter(F.col("__w") != "")
+              .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+              .orderBy(F.desc("__c"), F.asc("__w"))
+              .limit(max_words))
+        word_counts = [(r["__w"], r["__c"]) for r in wc.collect()]
+        merges = _bpe_train(word_counts, num_merges)
+        merges_df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank: int, left: string, right: string")
+        merges_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/merges.parquet")
+        return spark.createDataFrame(
+            [(len(word_counts), len(merges),
+              " ".join(a + b for a, b in merges[:10]))],
+            "distinct_words: long, num_merges: long, first_merges: string")
+
+    def _load_ranks(self, spark, path) -> dict[tuple[str, str], int]:
+        rows = spark.read.parquet(f"{path}/merges.parquet").collect()
+        return {(r["left"], r["right"]): r["rank"] for r in rows}
+
+    def _encode_udf(self, ranks: dict[tuple[str, str], int]):
+        @F.pandas_udf("array<string>")
+        def bpe_encode(texts: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+
+            def enc(text):
+                if text is None:
+                    return []
+                out = []
+                for w in text.lower().split():
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = _bpe_apply(w, ranks)
+                        cache[w] = toks
+                    out.extend(toks)
+                return out
+
+            return texts.map(enc)
+
+        return bpe_encode
+
+    def batch_predict(self, df, path, params):
+        col = params.get("contentCol", "text")
+        ranks = self._load_ranks(df.sparkSession, path)
+        enc = self._encode_udf(ranks)
+        return (df.withColumn("bpe_tokens", enc(F.col(col)))
+                .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
+
+    def load(self, spark, path, params, context=None):
+        return self._load_ranks(spark, path)
+
+    def predict(self, spark, model, name, params):
+        return spark.udf.register(name, self._encode_udf(model))
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("numMerges", "BPE merge operations to learn", "200"),
+                ("maxWords", "word-frequency table cap (driver)", "30000")]

@@ -43,6 +43,7 @@ def _ensure_loaded() -> None:
     import streamingpro_spark.operators.script_udf     # noqa: F401
     import streamingpro_spark.operators.map_ops        # noqa: F401
     import streamingpro_spark.operators.corpus_ops     # noqa: F401
+    import streamingpro_spark.operators.pipeline_ops   # noqa: F401
     import streamingpro_spark.operators.infra_cmds     # noqa: F401
     import streamingpro_spark.streaming.stateful       # noqa: F401
 

@@ -1,0 +1,199 @@
+"""LLM-pipeline operators beyond dedup/similarity: NgramLMScore,
+StratifiedSampleExt, SequencePack, BPETokenizer
+(streamingpro_spark/operators/pipeline_ops.py)."""
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# NgramLMScore
+# ---------------------------------------------------------------------------
+
+def _lm_rows(engine, extra=""):
+    df = engine.execute(f"""
+    select * from (values
+      (0, 'the cat sat on the mat the cat sat on the mat'),
+      (1, 'the cat sat on the mat the cat sat on the mat'),
+      (2, 'the cat sat on the mat the cat sat on the mat'),
+      (3, 'zebra quark fjord vex numb glyph wizard jumps'))
+      v(doc_id, text) as docs;
+    run docs as NgramLMScore.`` where idCol="doc_id" and vocabSize="50"
+        {extra} as output;
+    select * from output as output;
+    """)
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_ngram_lm_repetitive_scores_lower(engine):
+    """Docs made of corpus-frequent transitions score LOWER (more
+    predictable) than a doc of corpus-rare words."""
+    rows = _lm_rows(engine)
+    assert rows[0]["lm_score"] == rows[1]["lm_score"]  # identical docs
+    assert rows[0]["lm_score"] < rows[3]["lm_score"]
+    assert rows[0]["n_bigrams"] == 11  # 12 tokens -> 11 bigrams
+
+
+def test_ngram_lm_short_docs_null_score(engine):
+    df = engine.execute("""
+    select * from (values (0, 'hello'), (1, 'a b a b')) v(doc_id, text) as d;
+    run d as NgramLMScore.`` as output;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["n_bigrams"] == 0 and rows[0]["lm_score"] is None
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["lm_score"] is not None
+
+
+def test_ngram_lm_train_fraction_scores_all_docs(engine):
+    """trainFraction < 1 builds counts on a hash-sample but still scores
+    EVERY doc; unseen bigrams take the add-k floor instead of failing."""
+    rows = _lm_rows(engine, 'and trainFraction="0.5"')
+    assert set(rows) == {0, 1, 2, 3}
+    scored = [r for r in rows.values() if r["lm_score"] is not None]
+    assert len(scored) == 4
+
+
+# ---------------------------------------------------------------------------
+# StratifiedSampleExt
+# ---------------------------------------------------------------------------
+
+def _strat(engine, where):
+    return engine.execute(f"""
+    select id as doc_id,
+           case when id % 2 = 0 then 'web' else 'code' end as src,
+           'x' as text
+    from range(200) as docs;
+    run docs as StratifiedSampleExt.`` where strataCol="src" {where} as output;
+    """).collect()
+
+
+def test_stratified_zero_and_one(engine):
+    rows = _strat(engine, 'and defaultFraction="1.0" and ratio.web="0.0"')
+    srcs = {r["src"] for r in rows}
+    assert srcs == {"code"}          # web fully dropped
+    assert len(rows) == 100          # code fully kept
+
+
+def test_stratified_deterministic_and_nested(engine):
+    small = {r["doc_id"] for r in _strat(engine, 'and defaultFraction="0.3"')}
+    small2 = {r["doc_id"] for r in _strat(engine, 'and defaultFraction="0.3"')}
+    big = {r["doc_id"] for r in _strat(engine, 'and defaultFraction="0.6"')}
+    assert small == small2           # reproducible, no RNG
+    assert small <= big              # hash gates nest: superset property
+    assert 30 <= len(small) <= 90    # ~60 of 200 at 0.3
+
+
+def test_stratified_map_only_plan(spark, sf_dir):
+    """The sample filter is map-only: no exchange in the plan at all."""
+    import __spark_entry__ as em
+    eng = em._engine(spark)
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as documents;
+    run documents as StratifiedSampleExt.`` where defaultFraction="0.5"
+        as output;
+    """)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = je.explainString(mode)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SequencePack
+# ---------------------------------------------------------------------------
+
+def test_sequence_pack_chunk_offsets_contiguous(engine):
+    rows = engine.execute("""
+    select id as doc_id, repeat('w ', 100 + cast(id as int)) as text
+    from range(40) as docs;
+    run docs as SequencePack.`` where budget="256" and numBuckets="4"
+        and mode="chunk" as output;
+    """).collect()
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        nxt = by_bucket.get(r["bucket"], 0)
+        assert r["start_offset"] == nxt        # end-to-end layout, no gaps
+        assert r["seq_first"] == r["start_offset"] // 256
+        assert r["seq_last"] == (r["start_offset"] + r["n_tokens"] - 1) // 256
+        by_bucket[r["bucket"]] = nxt + r["n_tokens"]
+
+
+def test_sequence_pack_greedy_matches_simulation(engine):
+    rows = engine.execute("""
+    select id as doc_id, repeat('w ', 50 + cast(id as int) * 7 % 90) as text
+    from range(60) as docs;
+    run docs as SequencePack.`` where budget="200" and numBuckets="3"
+        and mode="greedy" as output;
+    """).collect()
+    by_bucket: dict = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket_rows in by_bucket.values():
+        seq, used = 0, 0
+        for r in bucket_rows:
+            n = r["n_tokens"]
+            if used > 0 and used + n > 200:
+                seq, used = seq + 1, 0
+            assert r["seq_id"] == seq
+            used += n
+
+
+def test_sequence_pack_greedy_oversized_doc_own_sequence(engine):
+    rows = engine.execute("""
+    select * from (values (0, repeat('w ', 500)), (1, 'a b'), (2, 'c d'))
+      v(doc_id, text) as docs;
+    run docs as SequencePack.`` where budget="100" and numBuckets="1"
+        and mode="greedy" as output;
+    """).collect()
+    rows = sorted(rows, key=lambda r: r["doc_id"])
+    assert rows[0]["seq_id"] == 0            # oversized doc alone in seq 0
+    assert rows[1]["seq_id"] == rows[2]["seq_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# BPETokenizer
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_merges_most_frequent_pair_first():
+    from streamingpro_spark.operators.pipeline_ops import (_bpe_apply,
+                                                           _bpe_train)
+    merges = _bpe_train([("aaab", 10), ("aab", 5)], 2)
+    assert merges[0] == ("a", "a")           # 'aa' appears 10*2 + 5 times
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _bpe_apply("aaab", ranks)
+    assert "".join(toks).replace("</w>", "") == "aaab"  # lossless
+
+
+def test_bpe_roundtrip_and_register(engine, tmp_path):
+    """train -> predict adds bpe_tokens; register exposes the UDF; the
+    concatenated tokens reconstruct the original lowercased text."""
+    df = engine.execute(f"""
+    select * from (values
+      (0, 'low lower lowest low low'),
+      (1, 'new newer newest new')) v(doc_id, text) as docs;
+    train docs as BPETokenizer.`{tmp_path}/bpe` where numMerges="30";
+    predict docs as BPETokenizer.`{tmp_path}/bpe` as enc;
+    select doc_id, text, bpe_tokens, n_bpe_tokens from enc as output;
+    """)
+    for r in df.collect():
+        rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(r["text"].lower().split())
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
+    reg = engine.execute(f"""
+    register BPETokenizer.`{tmp_path}/bpe` as bpe_encode;
+    select bpe_encode('low lower') as toks as output;
+    """)
+    toks = reg.collect()[0]["toks"]
+    assert "".join(toks).replace("</w>", " ").strip() == "low lower"
+
+
+def test_bpe_merges_artifact_saved(engine, tmp_path, spark):
+    engine.execute(f"""
+    select * from (values (0, 'ab ab ab ab')) v(doc_id, text) as docs;
+    train docs as BPETokenizer.`{tmp_path}/bpe2` where numMerges="5" as t;
+    """)
+    m = spark.read.parquet(f"{tmp_path}/bpe2/merges.parquet").collect()
+    assert {tuple(r) for r in
+            m} >= {(0, "a", "b")} or m[0]["left"] == "a"
