@@ -57,6 +57,10 @@ MACROS: dict[str, str] = {
     "saveUploadFileToHome": 'run command as DownloadExt.`` where from="{}" and to="{1}"',
     # reference CommandCollection.scala:48 — !model history <path>
     "model": 'run command as ModelCommand.`{1}` where action="{0}"',
+    # reference CommandCollection.scala:46 — !resource add 8c
+    "resource": 'run command as EngineResource.`` where action="{0}" and cpus="{1}"',
+    # reference CommandCollection.scala:60 — !scheduler "<path>" with "<cron>"
+    "scheduler": "run command as SchedulerCommand.`` where parameters='''{:all-json}'''",
 }
 
 

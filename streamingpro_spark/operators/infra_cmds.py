@@ -282,6 +282,160 @@ class ModelCommand(ETAlgorithm):
         return [("action", "history", "history")]
 
 
+@register_et("EngineResource")
+class EngineResource(ETAlgorithm):
+    """Inspect / resize the engine's executor resources (reference
+    tech/mlsql/ets/EngineResource.scala:28-135: no action → a
+    ResourceStatus row; add/remove/set cpus → ExecutorAllocationClient
+    requestTotalExecutors/killExecutors; local master rejects resize).
+
+    Difference from the reference: the STATUS query works in local mode
+    too (the reference throws even for status; reporting is harmless and
+    useful), sourced from SparkContext.getExecutorMemoryStatus.  Resize
+    actions mirror the reference exactly — local mode raises, cluster
+    mode calls the allocation client through the JVM gateway, capped at
+    20 cpus per call (EngineResource.scala:60-64)."""
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        master = sc.getConf().get("spark.master", "")
+        is_local = master == "local" or master.startswith("local[")
+        action = params.get("action", "")
+        if not action:
+            jsc = sc._jsc.sc()
+            mem = jsc.getExecutorMemoryStatus()
+            executors = mem.size()
+            cores_per = int(sc.getConf().get("spark.executor.cores", "0")) \
+                or sc.defaultParallelism
+            rows = [(master, int(executors), int(sc.defaultParallelism),
+                     int(cores_per))]
+            return spark.createDataFrame(
+                rows, "master: string, executors: int, totalCores: int, "
+                      "executorCores: int")
+        if is_local:
+            raise ValueError("Local mode not support this action")
+        cpus_s = params.get("cpus", "0").lower()
+        cpus = int(cpus_s[:-1]) if cpus_s.endswith("c") else int(cpus_s)
+        if cpus > 20:
+            raise ValueError("Too many cpus added at one time. "
+                             "Please add them with multi times.")
+        exec_cores = int(sc.getConf().get("spark.executor.cores", "1"))
+        delta = max(cpus // exec_cores, 1)
+        jsc = sc._jsc.sc()
+        current = jsc.getExecutorMemoryStatus().size() - 1  # minus driver
+        jvm = sc._jvm
+        # scala companion objects via py4j: Map$.MODULE$ / PythonUtils
+        empty_map = getattr(getattr(jvm, "scala.collection.immutable.Map$"),
+                            "MODULE$").empty()
+        py_utils = jvm.org.apache.spark.api.python.PythonUtils
+        if action in ("add", "+"):
+            jsc.requestTotalExecutors(current + delta, 0, empty_map)
+        elif action in ("remove", "-"):
+            # kill the newest N executors (the reference's
+            # SparkDynamicControlExecutors.killExecutors(n) equivalent)
+            ids = sorted([str(x) for x in jsc.getExecutorIds()])[-delta:]
+            jsc.killExecutors(py_utils.toSeq(ids))
+        elif action == "set":
+            jsc.requestTotalExecutors(delta, 0, empty_map)
+        else:
+            raise ValueError(f"unknown action {action!r}; use add/remove/set")
+        return spark.createDataFrame(
+            [(action, cpus)], "action: string, cpus: int")
+
+    def explain_params(self):
+        return [("action", "(empty=status) | add | remove | set", ""),
+                ("cpus", "cpu count, e.g. 8 or 8c", "0"),
+                ("timeout", "allocation wait ms (reference parity)",
+                 "60000")]
+
+
+@register_et("SchedulerCommand")
+class SchedulerCommand(ETAlgorithm):
+    """`!scheduler` — cron jobs over MLSQL script files
+    (reference tech/mlsql/ets/SchedulerCommand.scala:28-140 +
+    tech/mlsql/scheduler/client/*; see scheduler.py module docstring for
+    the deliberate differences: script FILES instead of console script
+    ids, JSON store under the engine home instead of DBStore).
+
+    Forms (parameters JSON array, exactly the reference's macro shape):
+      !scheduler "<path>" with "0 3 * * *";   -- add/update timer job
+      !scheduler "<path>" with "";            -- remove job + edges
+      !scheduler "<dep>" depends on "<p1,p2>";-- run <dep> after parents
+      !scheduler list;                        -- job table
+      !scheduler run "<path>";                -- execute now (+dependents)
+      !scheduler start; / !scheduler stop;    -- background minute loop
+    """
+
+    def _service(self, spark, context):
+        from streamingpro_spark.scheduler import SchedulerService
+        key = "scheduler_service"
+        svc = context.extra.get(key) if context else None
+        if svc is None:
+            store = None
+            if context is not None and context.home:
+                store = os.path.join(context.home, context.owner,
+                                     "__mlsql__", "scheduler.json")
+            svc = SchedulerService(store_path=store)
+            svc.load()
+            if context is not None:
+                context.extra[key] = svc
+        # (re)bind execution to the CURRENT context so auth/home follow
+        # the engine that issued the command (sub-engine policy —
+        # Engine.for_child inherits table_auth)
+        from streamingpro_spark.engine import Engine
+
+        def run(script: str):
+            return Engine.for_child(spark, context).execute(script)
+
+        svc.execute = run
+        return svc
+
+    def train(self, df, path, params, context=None):
+        spark = df.sparkSession
+        args = json.loads(params.get("parameters", "[]"))
+        svc = self._service(spark, context)
+
+        def job_table():
+            rows = [(p, c, svc.last_run.get(p, ""), svc.last_error.get(p, ""),
+                     ",".join(svc.dependencies.get(p, [])))
+                    for p, c in sorted(svc.timer_jobs.items())]
+            return spark.createDataFrame(
+                rows, "script: string, cron: string, lastRun: string, "
+                      "lastError: string, triggers: string")
+
+        if not args or args == ["list"]:
+            return job_table()
+        if args[0] == "start":
+            started = svc.start()
+            return spark.createDataFrame(
+                [("started" if started else "already-running",)],
+                "scheduler: string")
+        if args[0] == "stop":
+            stopped = svc.stop()
+            return spark.createDataFrame(
+                [("stopped" if stopped else "not-running",)],
+                "scheduler: string")
+        if args[0] == "run" and len(args) == 2:
+            svc.run_job(args[1])
+            return job_table()
+        if len(args) == 3 and args[1] == "with":
+            svc.add_timer(args[0], args[2])
+            return job_table()
+        if len(args) == 4 and args[1] == "depends" and args[2] == "on":
+            parents = [p.strip() for p in args[3].split(",") if p.strip()]
+            svc.add_dependency(args[0], parents)
+            return job_table()
+        raise ValueError(
+            f"!scheduler: unrecognized form {args!r}; use "
+            '<path> with <cron> | <path> depends on <p1,p2> | list | '
+            'run <path> | start | stop')
+
+    def explain_params(self):
+        return [("parameters", "JSON arg array from the !scheduler macro",
+                 "[]")]
+
+
 @register_et("NothingET")
 class NothingET(ETAlgorithm):
     """No-op ET (reference tech/mlsql/ets/NothingET — placeholder target

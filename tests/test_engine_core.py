@@ -293,11 +293,10 @@ def test_macro_registry_covers_reference_list():
     # engine-level statements, not macro expansions (engine.py branch ctx)
     branching = {"if", "elif", "then", "else", "fi"}
     # documented out of scope (SURVEY §7 / MIGRATION.md): conda env mgmt
-    # (PythonCommand covers native python), executor scaling, cron
-    # scheduler, Ray external compute
+    # (PythonCommand covers native python), Ray external compute
     dropped = {"createPythonEnv", "removePythonEnv",
                "createPythonEnvFromFile", "removePythonEnvFromFile",
-               "resource", "scheduler", "ray"}
+               "ray"}
     aliased = {"unCache": "uncache"}  # case-variant of an implemented macro
     missing = reference - branching - dropped - set(aliased) - set(MACROS)
     assert missing == set()

@@ -794,8 +794,7 @@ def test_et_registry_covers_reference_list():
     branching = {"IfCommand", "ElifCommand", "ThenCommand", "FiCommand",
                  "ElseCommand"}
     # documented out of scope (SURVEY §7 / MIGRATION.md)
-    dropped = {"DTF", "Ray", "EngineResource", "SchedulerCommand",
-               "OpenCVImage", "JavaImage"}
+    dropped = {"DTF", "Ray", "OpenCVImage", "JavaImage"}
     missing = reference - branching - dropped - set(registry._REGISTRY)
     assert missing == set()
 

@@ -1,0 +1,171 @@
+"""SchedulerCommand (`!scheduler`) + EngineResource (`!resource`) —
+streamingpro_spark/scheduler.py, operators/infra_cmds.py."""
+
+import time
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# CronPattern
+# ---------------------------------------------------------------------------
+
+def _t(minute=0, hour=0, mday=1):
+    """struct_time for 2024-01-<mday>.  Jan 1 2024 is a Monday, so
+    mday=1 is cron dow 1 and mday=7 is Sunday (cron dow 0)."""
+    return time.struct_time(time.strptime(
+        f"2024-01-{mday:02d} {hour:02d}:{minute:02d}", "%Y-%m-%d %H:%M"))
+
+
+def test_cron_basic_fields():
+    from streamingpro_spark.scheduler import CronPattern
+    p = CronPattern("30 3 * * *")
+    assert p.matches(_t(minute=30, hour=3))
+    assert not p.matches(_t(minute=31, hour=3))
+    assert not p.matches(_t(minute=30, hour=4))
+
+
+def test_cron_steps_ranges_lists():
+    from streamingpro_spark.scheduler import CronPattern
+    p = CronPattern("*/15 8-10 1,15 * *")
+    assert p.matches(_t(minute=45, hour=9, mday=1))
+    assert not p.matches(_t(minute=46, hour=9, mday=1))
+    q = CronPattern("0 0 * * 1-5")      # weekdays (cron 1=Monday)
+    assert q.matches(_t(mday=1))        # Jan 1 2024: Monday
+    assert not q.matches(_t(mday=7))    # Jan 7 2024: Sunday
+
+
+def test_cron_validation_errors():
+    from streamingpro_spark.scheduler import CronPattern
+    with pytest.raises(ValueError):
+        CronPattern("61 * * * *")       # out of range
+    with pytest.raises(ValueError):
+        CronPattern("* * * *")          # 4 fields
+
+
+# ---------------------------------------------------------------------------
+# SchedulerService
+# ---------------------------------------------------------------------------
+
+def test_service_run_due_and_dependencies(tmp_path):
+    from streamingpro_spark.scheduler import SchedulerService
+    ran = []
+    svc = SchedulerService()
+    svc.execute = ran.append
+    a = tmp_path / "a.mlsql"
+    b = tmp_path / "b.mlsql"
+    a.write_text("select 1 as x as a_out;")
+    b.write_text("select 2 as x as b_out;")
+    svc.add_timer(str(a), "0 3 * * *")
+    svc.add_dependency(str(b), [str(a)])
+    assert svc.run_due(_t(minute=0, hour=3)) == [str(a)]
+    assert ran == [a.read_text(), b.read_text()]   # parent then dependent
+    assert svc.run_due(_t(minute=1, hour=3)) == []
+
+
+def test_service_failing_parent_skips_dependent(tmp_path):
+    from streamingpro_spark.scheduler import SchedulerService
+    ran = []
+    svc = SchedulerService()
+
+    def boom(script):
+        ran.append(script)
+        raise RuntimeError("job failed")
+
+    svc.execute = boom
+    a = tmp_path / "a.mlsql"
+    b = tmp_path / "b.mlsql"
+    a.write_text("bad;")
+    b.write_text("good;")
+    svc.add_timer(str(a), "* * * * *")
+    svc.add_dependency(str(b), [str(a)])
+    svc.run_due(_t())
+    assert ran == ["bad;"]              # dependent never ran
+    assert str(a) in svc.last_error
+
+
+def test_service_dependency_requires_timer_parent(tmp_path):
+    from streamingpro_spark.scheduler import SchedulerService
+    svc = SchedulerService()
+    with pytest.raises(ValueError, match="should be timer job"):
+        svc.add_dependency("dep", ["not-registered"])
+
+
+def test_service_store_roundtrip(tmp_path):
+    from streamingpro_spark.scheduler import SchedulerService
+    store = str(tmp_path / "sched" / "scheduler.json")
+    svc = SchedulerService(store_path=store)
+    svc.add_timer("/x/a.mlsql", "0 0 * * *")
+    svc2 = SchedulerService(store_path=store)
+    svc2.load()
+    assert svc2.timer_jobs == {"/x/a.mlsql": "0 0 * * *"}
+    svc2.add_timer("/x/a.mlsql", "")      # empty cron removes
+    svc3 = SchedulerService(store_path=store)
+    svc3.load()
+    assert svc3.timer_jobs == {}
+
+
+# ---------------------------------------------------------------------------
+# the !scheduler macro end-to-end through the engine
+# ---------------------------------------------------------------------------
+
+def test_scheduler_macro_add_list_run(engine, spark, tmp_path):
+    job = tmp_path / "job.mlsql"
+    job.write_text("select 41 + 1 as answer as sched_out;")
+    listing = engine.execute(f"""
+    !scheduler "{job}" with "0 4 * * *";
+    !scheduler list;
+    """)
+    rows = listing.collect()
+    assert len(rows) == 1 and rows[0]["cron"] == "0 4 * * *"
+    engine.execute(f'!scheduler run "{job}";')
+    assert spark.table("sched_out").collect()[0]["answer"] == 42
+    after = engine.execute('!scheduler list;').collect()
+    assert after[0]["lastRun"] != ""
+    # remove
+    engine.execute(f'!scheduler "{job}" with "";')
+    assert engine.execute('!scheduler list;').collect() == []
+
+
+def test_scheduler_background_thread_runs_due_job(engine, spark, tmp_path):
+    """start → the minute loop fires a `* * * * *` job within ~2s of the
+    first tick; stop terminates the thread."""
+    job = tmp_path / "tick.mlsql"
+    job.write_text("select 'ticked' as v as tick_out;")
+    engine.execute(f"""
+    !scheduler "{job}" with "* * * * *";
+    !scheduler start;
+    """)
+    try:
+        deadline = time.time() + 10
+        ok = False
+        while time.time() < deadline:
+            try:
+                if spark.table("tick_out").collect()[0]["v"] == "ticked":
+                    ok = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert ok, "scheduler thread never ran the due job"
+    finally:
+        out = engine.execute('!scheduler stop;').collect()
+        assert out[0]["scheduler"] == "stopped"
+
+
+# ---------------------------------------------------------------------------
+# EngineResource
+# ---------------------------------------------------------------------------
+
+def test_engine_resource_status_local(engine):
+    rows = engine.execute(
+        "run command as EngineResource.`` as output;").collect()
+    assert rows[0]["master"].startswith("local")
+    assert rows[0]["totalCores"] >= 1
+
+
+def test_engine_resource_resize_rejected_in_local(engine):
+    """Resize parity with the reference: local master raises
+    (EngineResource.scala:40-43)."""
+    with pytest.raises(Exception, match="Local mode"):
+        engine.execute('!resource add 8c;')
