@@ -1905,6 +1905,84 @@ def _q_hash_tfidf(spark, sf_dir):
     """)
 
 
+def _q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition filter (RepetitionScore ET): per-row
+    sort+fold duplicate stats over words / 2-grams / 3-grams / lines."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as RepetitionScore.`` as rep;
+    select doc_id, top_word_frac, frac_dup_2grams, frac_dup_3grams,
+           frac_dup_lines, keep from rep as output;
+    """)
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+ws AS (
+  SELECT doc_id, max(c) AS best_w
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+g2s AS (
+  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dups
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1]
+                             for i in generate_series(1, len(toks)-1)]) AS g
+              FROM t)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3s AS (
+  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dups
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             for i in generate_series(1, len(toks)-2)]) AS g
+              FROM t)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+ls AS (
+  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dups
+  FROM (SELECT doc_id, l, count(*) AS c
+        FROM (SELECT doc_id, unnest(lines) AS l FROM t)
+        GROUP BY doc_id, l)
+  GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_id,
+         round(ws.best_w * 1.0 / greatest(len(t.toks), 1), 4)
+           AS top_word_frac,
+         round(coalesce(g2s.dups, 0) * 1.0
+               / greatest(greatest(len(t.toks) - 1, 0), 1), 4)
+           AS frac_dup_2grams,
+         round(coalesce(g3s.dups, 0) * 1.0
+               / greatest(greatest(len(t.toks) - 2, 0), 1), 4)
+           AS frac_dup_3grams,
+         round(coalesce(ls.dups, 0) * 1.0 / greatest(len(t.lines), 1), 4)
+           AS frac_dup_lines
+  FROM t
+  LEFT JOIN ws USING (doc_id)
+  LEFT JOIN g2s USING (doc_id)
+  LEFT JOIN g3s USING (doc_id)
+  LEFT JOIN ls USING (doc_id)
+)
+SELECT doc_id, top_word_frac, frac_dup_2grams, frac_dup_3grams,
+       frac_dup_lines,
+       (top_word_frac <= 0.3 AND frac_dup_2grams <= 0.4
+        AND frac_dup_3grams <= 0.4 AND frac_dup_lines <= 0.3) AS keep
+FROM m
+"""
+
+
 def _q_ngram_lm_score(spark, sf_dir):
     """Bigram-LM quality score trained on the corpus itself
     (NgramLMScore ET — the CCNet-style perplexity filter)."""
@@ -2164,6 +2242,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         # LLM-pipeline: LM scoring / mixing / packing / tokenization
+        "repetition_score": _q_repetition_score,
         "ngram_lm_score": _q_ngram_lm_score,
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
@@ -2262,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
+        "repetition_score": _REPETITION_ORACLE,
         "ngram_lm_score": _NGRAM_LM_ORACLE,
         "stratified_sample": _STRATIFIED_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, get_int
+from streamingpro_spark.operators.base import ETAlgorithm, get_float, get_int
 from streamingpro_spark.operators.registry import register_et
 from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
 
@@ -233,3 +233,97 @@ class ChunkDocuments(ETAlgorithm):
         return [("contentCol", "text column", "text"),
                 ("chunkSize", "tokens per chunk", "128"),
                 ("overlap", "tokens shared between consecutive chunks", "0")]
+
+
+def dup_stats_col(arr: Column) -> Column:
+    """struct(dups, best) over an array: `dups` = number of instances
+    whose value occurs more than once in the array, `best` = max
+    multiplicity of any value.  ONE sort_array + one aggregate fold over
+    the sorted copy (runs of equal values) — O(L log L) per row, all
+    JVM, no explode, no shuffle."""
+    s = F.sort_array(arr)
+    init = F.struct(F.lit("\x00<init>").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit(0).alias("singles"))
+
+    def step(acc, x):
+        same = x == acc["prev"]
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            (acc["singles"] + F.when((~same) & (acc["run"] == 1), 1)
+                               .otherwise(0)).alias("singles"))
+
+    def fin(acc):
+        singles = acc["singles"] + F.when(acc["run"] == 1, 1).otherwise(0)
+        return F.struct((F.size(arr) - singles).alias("dups"),
+                        acc["best"].alias("best"))
+
+    return F.aggregate(s, init, step, fin)
+
+
+def contiguous_ngrams_col(toks: Column, n: int) -> Column:
+    """ALL contiguous word n-grams (with repeats — unlike shingles_col's
+    array_distinct); empty array when the doc has fewer than n tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+                  ).otherwise(F.array_remove(F.array(F.lit("")), ""))
+
+
+@register_et("RepetitionScore")
+class RepetitionScore(ETAlgorithm):
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1: repetition
+    heuristics over words, n-grams and lines): per document,
+
+    - top_word_frac      max word multiplicity / n_tokens
+    - frac_dup_2grams    instances of repeated 2-grams / n_2grams
+    - frac_dup_3grams    instances of repeated 3-grams / n_3grams
+    - frac_dup_lines     instances of repeated lines / n_lines
+    - keep               all fractions under the (configurable) caps
+
+    All per-row JVM array expressions (sort + fold, no explode) — no
+    shuffle, no Python; survives any scale-up untouched, same as the
+    other text-analysis ops.  Reference precedent: FeatureExtractInPlace
+    (SQLFeatureExtractInPlace.scala) extracts per-row text ratios."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        max_top = get_float(params, "maxTopWordFrac", 0.3)
+        max_dup = get_float(params, "maxDupNgramFrac", 0.4)
+        max_lines = get_float(params, "maxDupLineFrac", 0.3)
+        toks = tokens_col(F.col(col))
+        lines = F.split(F.col(col), "\n")
+        w = dup_stats_col(toks)
+        g2 = dup_stats_col(contiguous_ngrams_col(toks, 2))
+        g3 = dup_stats_col(contiguous_ngrams_col(toks, 3))
+        ln = dup_stats_col(lines)
+
+        def frac(numer, denom):
+            return F.round(numer.cast("double")
+                           / F.greatest(denom, F.lit(1)), 4)
+
+        out = (df
+               .withColumn("__t", toks).withColumn("__l", lines)
+               .withColumn("top_word_frac", frac(w["best"], F.size(toks)))
+               .withColumn("frac_dup_2grams",
+                           frac(g2["dups"],
+                                F.greatest(F.size(F.col("__t")) - 1, F.lit(0))))
+               .withColumn("frac_dup_3grams",
+                           frac(g3["dups"],
+                                F.greatest(F.size(F.col("__t")) - 2, F.lit(0))))
+               .withColumn("frac_dup_lines",
+                           frac(ln["dups"], F.size(F.col("__l"))))
+               .drop("__t", "__l"))
+        keep = ((F.col("top_word_frac") <= max_top)
+                & (F.col("frac_dup_2grams") <= max_dup)
+                & (F.col("frac_dup_3grams") <= max_dup)
+                & (F.col("frac_dup_lines") <= max_lines))
+        return out.withColumn("keep", keep)
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("maxTopWordFrac", "cap on top-word token fraction", "0.3"),
+                ("maxDupNgramFrac", "cap on duplicated 2/3-gram fraction",
+                 "0.4"),
+                ("maxDupLineFrac", "cap on duplicated line fraction", "0.3")]

@@ -197,3 +197,55 @@ def test_bpe_merges_artifact_saved(engine, tmp_path, spark):
     m = spark.read.parquet(f"{tmp_path}/bpe2/merges.parquet").collect()
     assert {tuple(r) for r in
             m} >= {(0, "a", "b")} or m[0]["left"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# RepetitionScore
+# ---------------------------------------------------------------------------
+
+def _rep(engine, rows_sql):
+    df = engine.execute(f"""
+    select * from (values {rows_sql}) v(doc_id, text) as docs;
+    run docs as RepetitionScore.`` as output;
+    """)
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_repetition_known_fractions(engine):
+    rows = _rep(engine, "(0, 'a a a a'), (1, 'x y z w')")
+    r0, r1 = rows[0], rows[1]
+    assert r0["top_word_frac"] == 1.0       # 'a' ×4 of 4 tokens
+    assert r0["frac_dup_2grams"] == 1.0     # all three 'a a' repeat
+    assert r0["keep"] is False
+    assert r1["top_word_frac"] == 0.25      # all unique
+    assert r1["frac_dup_2grams"] == 0.0
+    assert r1["frac_dup_3grams"] == 0.0
+    assert r1["keep"] is True
+
+
+def test_repetition_duplicate_lines(engine):
+    rows = _rep(engine, r"(0, 'aa bb\ncc dd\naa bb')")
+    r = rows[0]
+    assert r["frac_dup_lines"] == 0.6667    # 2 of 3 line instances repeat
+    assert r["keep"] is False               # over the 0.3 line cap
+
+
+def test_repetition_short_doc_zero_ngram_fracs(engine):
+    rows = _rep(engine, "(0, 'solo')")
+    r = rows[0]
+    assert r["top_word_frac"] == 1.0
+    assert r["frac_dup_2grams"] == 0.0 and r["frac_dup_3grams"] == 0.0
+
+
+def test_repetition_score_jvm_only_plan(spark, sf_dir):
+    import __spark_entry__ as em
+    eng = em._engine(spark)
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as documents;
+    run documents as RepetitionScore.`` as output;
+    """)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan           # map-only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
