@@ -2101,6 +2101,41 @@ FROM w
 """
 
 
+def _q_data_mixing(spark, sf_dir):
+    """Mixture planner (DataMixing ET): per-stratum sampling fractions
+    that hit target token weights without upsampling."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DataMixing.`` where strataCol="source"
+        and weight.src0="0.5" and weight.src1="0.3" and weight.src2="0.2"
+        as output;
+    """)
+
+
+_DATA_MIXING_ORACLE = """
+WITH c AS (
+  SELECT source AS stratum, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+    wv(stratum, target_weight)
+),
+t AS (
+  SELECT min(c.n_tokens / w.target_weight) AS cap
+  FROM c JOIN w USING (stratum)
+)
+SELECT c.stratum, c.n_docs, c.n_tokens,
+       coalesce(w.target_weight, 0.0) AS target_weight,
+       round(coalesce(w.target_weight * t.cap / c.n_tokens, 0.0), 4)
+         AS sample_fraction
+FROM c LEFT JOIN w USING (stratum) CROSS JOIN t
+"""
+
+
 def _q_bpe_tokenize(spark, sf_dir):
     """Real BPE: train merges on the corpus word counts, apply via
     broadcast Arrow UDF (rows-only: the merge loop has no SQL oracle)."""
@@ -2246,6 +2281,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _q_ngram_lm_score,
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
+        "data_mixing": _q_data_mixing,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -2345,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_score": _NGRAM_LM_ORACLE,
         "stratified_sample": _STRATIFIED_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
+        "data_mixing": _DATA_MIXING_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

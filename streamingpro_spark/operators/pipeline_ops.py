@@ -421,3 +421,85 @@ class BPETokenizer(ETAlgorithm):
         return [("contentCol", "text column", "text"),
                 ("numMerges", "BPE merge operations to learn", "200"),
                 ("maxWords", "word-frequency table cap (driver)", "30000")]
+
+
+# ---------------------------------------------------------------------------
+# DataMixing
+# ---------------------------------------------------------------------------
+
+@register_et("DataMixing")
+class DataMixing(ETAlgorithm):
+    """Mixture planner for pretraining data: given target WEIGHTS per
+    stratum (fraction of the final token mass — `weight.<value>="0.5"`),
+    compute the per-stratum sampling fractions that hit the target
+    WITHOUT upsampling: the achievable total is capped by the scarcest
+    stratum (T = min over strata of n_tokens/weight), and
+    sample_fraction = weight·T / n_tokens.
+
+    Output (plan mode, default): one row per stratum —
+    (stratum, n_docs, n_tokens, target_weight, sample_fraction) — ready
+    to feed StratifiedSampleExt's `ratio.<value>` gates.  With
+    `apply="true"` the plan is applied in the same pass: rows sampled by
+    the deterministic hash gate at the computed fractions.
+
+    Scale: ONE aggregate shuffle over the corpus (per-stratum token
+    sums — map-side combined to |strata| rows); the plan math is a
+    |strata|-row DataFrame, no driver loop in plan mode; apply mode
+    collects only the |strata| fractions to build the filter gate.
+    Strata without a weight get fraction 0 (excluded from the mix).
+    """
+
+    def train(self, df, path, params, context=None):
+        strata_col = params.get("strataCol", "source")
+        col = params.get("contentCol", "text")
+        id_col = params.get("idCol", "doc_id")
+        weights: dict[str, float] = {}
+        for pk, pv in params.items():
+            if pk.startswith("weight."):
+                weights[pk[len("weight."):]] = float(pv)
+        if not weights:
+            raise ValueError('DataMixing needs at least one weight.<value> '
+                             'param, e.g. weight.web="0.6"')
+        total_w = sum(weights.values())
+        weights = {k: v / total_w for k, v in weights.items()}  # normalize
+        spark = df.sparkSession
+        counts = (df.groupBy(F.col(strata_col).alias("stratum"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.size(tokens_col(F.col(col))))
+                        .alias("n_tokens")))
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "stratum: string, target_weight: double")
+        joined = counts.join(wdf, on="stratum", how="left")
+        cap = (joined.filter(F.col("target_weight").isNotNull())
+               .agg(F.min(F.col("n_tokens") / F.col("target_weight"))
+                    .alias("__cap")))
+        plan = (joined.crossJoin(F.broadcast(cap))
+                .select("stratum", "n_docs",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.coalesce(F.col("target_weight"), F.lit(0.0))
+                         .alias("target_weight"),
+                        F.round(F.coalesce(
+                            F.col("target_weight") * F.col("__cap")
+                            / F.col("n_tokens"), F.lit(0.0)), 4)
+                         .alias("sample_fraction")))
+        if params.get("apply", "false").lower() != "true":
+            return plan
+        fracs = {r["stratum"]: r["sample_fraction"]
+                 for r in plan.collect()}          # |strata| rows only
+        gate = F.lit(0)
+        for value, frac in sorted(fracs.items()):
+            gate = F.when(F.col(strata_col) == value,
+                          F.lit(int(frac * 1_000_000))).otherwise(gate)
+        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat"),
+                        F.lit(1_000_000))
+        return df.filter(bucket < gate)
+
+    def explain_params(self):
+        return [("strataCol", "stratum column", "source"),
+                ("contentCol", "text column (token mass)", "text"),
+                ("idCol", "id column for the apply-mode hash gate",
+                 "doc_id"),
+                ("weight.<value>", "target mixture weight for <value> "
+                 "(normalized over listed strata)", "-"),
+                ("apply", "true = return sampled rows, not the plan",
+                 "false")]

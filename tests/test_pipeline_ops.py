@@ -249,3 +249,62 @@ def test_repetition_score_jvm_only_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan           # map-only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DataMixing
+# ---------------------------------------------------------------------------
+
+def test_data_mixing_plan_math(engine):
+    """Two strata, 100 docs each of 2 tokens: weights 0.75/0.25 → the
+    scarce target (web at 0.75) caps the mix; web keeps everything,
+    code downsamples to a third."""
+    df = engine.execute("""
+    select id as doc_id,
+           case when id < 100 then 'web' else 'code' end as source,
+           'w w' as text
+    from range(200) as docs;
+    run docs as DataMixing.`` where weight.web="0.75" and weight.code="0.25"
+        as output;
+    """)
+    rows = {r["stratum"]: r for r in df.collect()}
+    assert rows["web"]["n_tokens"] == 200
+    assert rows["web"]["sample_fraction"] == 1.0     # binding stratum
+    assert abs(rows["code"]["sample_fraction"] - 0.3333) < 1e-9
+    assert rows["web"]["target_weight"] == 0.75
+
+
+def test_data_mixing_weights_normalized_and_unlisted_zero(engine):
+    df = engine.execute("""
+    select id as doc_id,
+           case when id % 3 = 0 then 'a' when id % 3 = 1 then 'b'
+                else 'drop_me' end as source,
+           'x' as text
+    from range(90) as docs;
+    run docs as DataMixing.`` where weight.a="2" and weight.b="2" as output;
+    """)
+    rows = {r["stratum"]: r for r in df.collect()}
+    assert rows["a"]["target_weight"] == 0.5         # 2/(2+2) normalized
+    assert rows["drop_me"]["target_weight"] == 0.0
+    assert rows["drop_me"]["sample_fraction"] == 0.0
+
+
+def test_data_mixing_apply_hits_target(engine):
+    """apply=true: the sampled corpus approximates the target token mix
+    and excludes unweighted strata entirely."""
+    rows = engine.execute("""
+    select id as doc_id,
+           case when id < 600 then 'big' when id < 800 then 'small'
+                else 'junk' end as source,
+           'w w w w' as text
+    from range(1000) as docs;
+    run docs as DataMixing.`` where weight.big="0.5" and weight.small="0.5"
+        and apply="true" as output;
+    """).collect()
+    by_src = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert "junk" not in by_src
+    assert by_src["small"] > 150                     # ~200 kept (binding)
+    # big downsampled to ≈ small's mass: ratio near 1, hash noise allowed
+    assert 0.6 < by_src["big"] / by_src["small"] < 1.4
