@@ -499,6 +499,19 @@ WHERE round(list_dot_product(a.u, b.u), 4) >= 0.45
 """
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-scoped embedding dedup) at nlist=1 — the
+    degenerate config that is provably identical to brute-force pair
+    generation, checked against the same oracle as EmbeddingDedup."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    run embeddings as SemDeDup.`` where threshold="0.45" and nlist="1"
+        as pairs;
+    select id_a, id_b, cosine from pairs as output;
+    """)
+
+
 def _q_language_id(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
@@ -2263,6 +2276,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "simhash_fingerprint": _q_simhash,
         "embedding_dedup": _q_embedding_dedup,
+        "semdedup_exact": _q_semdedup,
         # LLM-pipeline: similarity search
         "embedding_topk": _q_embedding_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2366,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _NGRAM_JACCARD_ORACLE,
         "simhash_fingerprint": _simhash_oracle(),
         "embedding_dedup": _EMBEDDING_DEDUP_ORACLE,
+        "semdedup_exact": _EMBEDDING_DEDUP_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_topk": _EMBEDDING_TOPK_ORACLE,
         "language_id": _language_id_oracle(),

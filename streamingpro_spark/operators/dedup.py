@@ -642,3 +642,136 @@ class ContaminationCheck(ETAlgorithm):
                 ("benchContentCol", "benchmark text column", "text"),
                 ("shingleSize", "words per shingle", "3"),
                 ("minOverlap", "min shared distinct shingles", "2")]
+
+
+@register_et("SemDeDup")
+class SemDeDup(ETAlgorithm):
+    """Semantic dedup via cluster-scoped cosine (SemDeDup, Abbas et al.
+    2023): k-means cells over the embedding space, full pairwise cosine
+    ONLY within each cell — the O(N²/K) trick that makes embedding dedup
+    tractable at corpus scale.  Output: (id_a, id_b, cosine, cell)
+    candidate pairs with cosine ≥ threshold; feed DupClusters to pick
+    keepers.
+
+    Plan: centroids trained on a bounded driver sample (shared recipe
+    with IVFSimilaritySearch — sample quality affects recall, never
+    correctness of emitted pairs); ONE Arrow pass assigns cells; a
+    window count sub-splits cells larger than `maxCellSize` by a
+    secondary hash (bounded per-group memory — documented recall trade,
+    same spirit as MinHashDedup's bucket cap); applyInPandas per
+    (cell, sub) runs a CHUNKED matmul (1024-row blocks, upper triangle)
+    so peak memory is block×cell, not cell².
+
+    `nlist="1"` degenerates to exact brute-force pair generation — that
+    configuration is the DuckDB-oracle contract (same oracle as
+    EmbeddingDedup); recall at nlist > 1 is the tunable approximation.
+    """
+
+    def train(self, df, path, params, context=None):
+        import numpy as np
+        id_col = params.get("idCol", "vec_id")
+        col = params.get("embeddingCol", "embedding")
+        threshold = get_float(params, "threshold", 0.9)
+        nlist = get_int(params, "nlist", 16)
+        seed = get_int(params, "seed", 42)
+        iters = get_int(params, "kmeansIter", 5)
+        sample_n = get_int(params, "trainSample", 10000)
+        max_cell = get_int(params, "maxCellSize", 8192)
+        df = ensure_parallelism(df)
+        base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
+
+        def _l2(M):
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return M / n
+
+        # spherical k-means on a bounded driver sample (IVF recipe)
+        sample = _l2(np.array(
+            [list(r[0]) for r in base.select("__v").limit(sample_n).collect()],
+            dtype=float))
+        nlist = max(1, min(nlist, len(sample)))
+        rng = np.random.RandomState(seed)
+        cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
+        for _ in range(iters):
+            assign = (sample @ cent.T).argmax(axis=1)
+            for c in range(nlist):
+                members = sample[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    nn = np.linalg.norm(m)
+                    if nn > 0:
+                        cent[c] = m / nn
+        bc = df.sparkSession.sparkContext.broadcast(cent)
+
+        def assign_cells(batches):
+            import numpy as _np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np.array([list(v) for v in pdf["__v"]], dtype=float)
+                nn = _np.linalg.norm(M, axis=1, keepdims=True)
+                nn[nn == 0] = 1.0
+                pdf = pdf.copy()
+                pdf["__cell"] = ((M / nn) @ bc.value.T).argmax(axis=1)
+                yield pdf
+
+        v_t = df.schema[col].dataType.simpleString()
+        id_t = df.schema[id_col].dataType.simpleString()
+        assigned = base.mapInPandas(
+            assign_cells, f"__id {id_t}, __v {v_t}, __cell int")
+
+        # sub-split oversized cells by a secondary hash: the window count
+        # shuffles ONCE on __cell and that partitioning feeds the group
+        from pyspark.sql import Window
+        w = Window.partitionBy("__cell")
+        assigned = (assigned
+                    .withColumn("__n", F.count(F.lit(1)).over(w))
+                    .withColumn("__sub",
+                                F.pmod(portable_hash64(
+                                    F.col("__id").cast("string"), "semcell"),
+                                    F.ceil(F.col("__n") / max_cell)
+                                     .cast("long")))
+                    .drop("__n"))
+
+        thr = threshold
+
+        def cell_pairs(pdf):
+            import numpy as _np
+            import pandas as _pd
+            out_a, out_b, out_c, out_cell = [], [], [], []
+            if len(pdf) > 1:
+                order = _np.argsort(pdf["__id"].to_numpy(), kind="stable")
+                ids = pdf["__id"].to_numpy()[order]
+                M = _np.array([list(v) for v in pdf["__v"]],
+                              dtype=float)[order]
+                nn = _np.linalg.norm(M, axis=1, keepdims=True)
+                nn[nn == 0] = 1.0
+                M = M / nn
+                cell = int(pdf["__cell"].iloc[0])
+                # chunked upper-triangle matmul: block × cell, never cell²
+                B = 1024
+                for s in range(0, len(M), B):
+                    S = _np.round(M[s:s + B] @ M.T, 4)     # (b, n)
+                    for i in range(S.shape[0]):
+                        gi = s + i
+                        js = _np.nonzero(S[i, gi + 1:] >= thr)[0] + gi + 1
+                        out_a.extend([ids[gi]] * len(js))
+                        out_b.extend(ids[js])
+                        out_c.extend(S[i, js])
+                        out_cell.extend([cell] * len(js))
+            return _pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                  "cosine": out_c, "cell": out_cell})
+
+        out_schema = (f"id_a {id_t}, id_b {id_t}, cosine double, cell int")
+        return (assigned.groupBy("__cell", "__sub")
+                .applyInPandas(cell_pairs, out_schema))
+
+    def explain_params(self):
+        return [("idCol", "id column", "vec_id"),
+                ("embeddingCol", "embedding array column", "embedding"),
+                ("threshold", "cosine similarity cutoff", "0.9"),
+                ("nlist", "k-means cells (1 = exact brute force)", "16"),
+                ("maxCellSize", "cells above this split by hash", "8192"),
+                ("trainSample", "driver sample rows for k-means", "10000"),
+                ("kmeansIter", "Lloyd iterations", "5"),
+                ("seed", "sampling/init seed", "42")]
