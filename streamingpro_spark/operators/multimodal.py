@@ -335,3 +335,15 @@ class AudioFeatures(ETAlgorithm):
                  "content"),
                 ("computeStats", "PCM-decode and add rms/peak/"
                  "zero_crossings signal stats", "false")]
+
+
+# The reference registers OpenCVImage / JavaImage
+# (TrainAdaptor.scala:154-155) for in-table image resizing; their
+# implementation modules (streaming.dsl.mmlib.algs.processing.*) depend
+# on OpenCV/AWT.  ImageResize covers the same capability — real pixel
+# decode + resample + re-encode — on pure-stdlib codecs, so both names
+# resolve to it (param surface: contentCol/width/height).
+from streamingpro_spark.operators.registry import alias_et  # noqa: E402
+
+alias_et("JavaImage", "ImageResize")
+alias_et("OpenCVImage", "ImageResize")

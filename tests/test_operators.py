@@ -794,7 +794,7 @@ def test_et_registry_covers_reference_list():
     branching = {"IfCommand", "ElifCommand", "ThenCommand", "FiCommand",
                  "ElseCommand"}
     # documented out of scope (SURVEY §7 / MIGRATION.md)
-    dropped = {"DTF", "Ray", "OpenCVImage", "JavaImage"}
+    dropped = {"DTF", "Ray"}
     missing = reference - branching - dropped - set(registry._REGISTRY)
     assert missing == set()
 

@@ -368,3 +368,18 @@ def test_repetition_arrow_matches_sql_engine(engine, sf_dir):
                               r["frac_dup_3grams"], r["frac_dup_lines"],
                               r["keep"]) for r in df.collect()}
     assert run("arrow") == run("sql")
+
+
+def test_java_image_alias_resizes(engine, tmp_path, spark):
+    """JavaImage / OpenCVImage (reference TrainAdaptor.scala:154-155)
+    resolve to ImageResize: real decode + resample through the alias."""
+    from streamingpro_spark.functions.codecs import (make_png_decoder,
+                                                     make_png_encoder)
+    (tmp_path / "img.png").write_bytes(make_png_encoder()(16, 8, seed=3))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/img.png` as imgs;
+    run imgs as JavaImage.`` where width="4" and height="4" as output;
+    """)
+    row = df.collect()[0]
+    pix = make_png_decoder()(bytes(row["resized"]))
+    assert len(pix) == 4 and len(pix[0]) == 4    # (h, w) rows of RGB
