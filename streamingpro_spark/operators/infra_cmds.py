@@ -333,9 +333,12 @@ class EngineResource(ETAlgorithm):
             jsc.requestTotalExecutors(current + delta, 0, empty_map)
         elif action in ("remove", "-"):
             # kill the newest N executors (the reference's
-            # SparkDynamicControlExecutors.killExecutors(n) equivalent)
-            ids = sorted([str(x) for x in jsc.getExecutorIds()])[-delta:]
-            jsc.killExecutors(py_utils.toSeq(ids))
+            # SparkDynamicControlExecutors.killExecutors(n) equivalent).
+            # getExecutorIds returns a scala Seq — index it via py4j
+            # (scala Seq is not java-Iterable, so no direct iteration)
+            seq = jsc.getExecutorIds()
+            ids = sorted(str(seq.apply(i)) for i in range(seq.size()))
+            jsc.killExecutors(py_utils.toSeq(ids[-delta:]))
         elif action == "set":
             jsc.requestTotalExecutors(delta, 0, empty_map)
         else:

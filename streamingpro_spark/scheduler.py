@@ -131,10 +131,16 @@ class SchedulerService:
         self.save()
 
     # ---- running -----------------------------------------------------
-    def run_job(self, path: str) -> None:
+    def run_job(self, path: str, _seen: set | None = None) -> None:
         """Run one script file, then its dependents (depth-first; a
-        failing parent stops its chain, matching run-after-success)."""
+        failing parent stops its chain, matching run-after-success).
+        A visited set breaks dependency cycles — A→B→A runs each job
+        once per trigger instead of recursing forever."""
         assert self.execute is not None, "scheduler has no engine binding"
+        seen = _seen if _seen is not None else set()
+        if path in seen:
+            return
+        seen.add(path)
         with open(path) as f:
             script = f.read()
         stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
@@ -147,7 +153,7 @@ class SchedulerService:
             self.last_error[path] = f"{stamp} {e}"
             return
         for dep in self.dependencies.get(path, []):
-            self.run_job(dep)
+            self.run_job(dep, seen)
 
     def run_due(self, t: "time.struct_time") -> list[str]:
         ran = []

@@ -169,3 +169,22 @@ def test_engine_resource_resize_rejected_in_local(engine):
     (EngineResource.scala:40-43)."""
     with pytest.raises(Exception, match="Local mode"):
         engine.execute('!resource add 8c;')
+
+
+def test_service_dependency_cycle_runs_each_once(tmp_path):
+    """A→B→A dependency cycle: one trigger runs each job exactly once
+    (visited set) instead of recursing forever."""
+    from streamingpro_spark.scheduler import SchedulerService
+    ran = []
+    svc = SchedulerService()
+    svc.execute = ran.append
+    a = tmp_path / "a.mlsql"
+    b = tmp_path / "b.mlsql"
+    a.write_text("a;")
+    b.write_text("b;")
+    svc.add_timer(str(a), "* * * * *")
+    svc.add_timer(str(b), "* * * * *")
+    svc.add_dependency(str(b), [str(a)])
+    svc.add_dependency(str(a), [str(b)])
+    svc.run_job(str(a))
+    assert ran == ["a;", "b;"]
