@@ -500,14 +500,15 @@ WHERE round(list_dot_product(a.u, b.u), 4) >= 0.45
 
 
 def _q_semdedup(spark, sf_dir):
-    """SemDeDup (cluster-scoped embedding dedup) at nlist=1 — the
-    degenerate config that is provably identical to brute-force pair
-    generation, checked against the same oracle as EmbeddingDedup."""
+    """SemDeDup (cluster-scoped embedding dedup) at nlist=1 with the
+    sub-split disabled (maxCellSize >= corpus) — the degenerate config
+    that is provably identical to brute-force pair generation, checked
+    against the same oracle as EmbeddingDedup."""
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'embeddings')}
     run embeddings as SemDeDup.`` where threshold="0.45" and nlist="1"
-        as pairs;
+        and maxCellSize="10000000" as pairs;
     select id_a, id_b, cosine from pairs as output;
     """)
 

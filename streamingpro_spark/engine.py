@@ -176,6 +176,9 @@ class Engine:
         eng = cls(spark)
         if parent_context is not None:
             eng.context.owner = parent_context.owner
+            eng.context.home = parent_context.home  # keep the per-owner
+            # path prefix: a child without it would write relative paths
+            # OUTSIDE the multi-tenant sandbox (review finding, round 4)
             eng.context.env.update(parent_context.env)
             eng.context.connect_meta.update(parent_context.connect_meta)
             eng.context.extra["table_auth"] = \

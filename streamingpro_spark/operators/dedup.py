@@ -662,9 +662,11 @@ class SemDeDup(ETAlgorithm):
     (cell, sub) runs a CHUNKED matmul (1024-row blocks, upper triangle)
     so peak memory is block×cell, not cell².
 
-    `nlist="1"` degenerates to exact brute-force pair generation — that
-    configuration is the DuckDB-oracle contract (same oracle as
-    EmbeddingDedup); recall at nlist > 1 is the tunable approximation.
+    `nlist="1"` with `maxCellSize` >= the corpus row count degenerates
+    to exact brute-force pair generation — that configuration is the
+    DuckDB-oracle contract (same oracle as EmbeddingDedup); recall at
+    nlist > 1 (or once the sub-split engages) is the tunable
+    approximation.
     """
 
     def train(self, df, path, params, context=None):
@@ -686,9 +688,15 @@ class SemDeDup(ETAlgorithm):
             return M / n
 
         # spherical k-means on a bounded driver sample (IVF recipe)
-        sample = _l2(np.array(
-            [list(r[0]) for r in base.select("__v").limit(sample_n).collect()],
-            dtype=float))
+        sample_rows = base.select("__v").limit(sample_n).collect()
+        id_t = df.schema[id_col].dataType.simpleString()
+        if not sample_rows:
+            # empty input (a normal upstream-filter outcome) -> zero
+            # pairs, not a numpy axis error on a 1-D empty array
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cosine double, cell int")
+        sample = _l2(np.array([list(r[0]) for r in sample_rows],
+                              dtype=float))
         nlist = max(1, min(nlist, len(sample)))
         rng = np.random.RandomState(seed)
         cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
@@ -716,7 +724,6 @@ class SemDeDup(ETAlgorithm):
                 yield pdf
 
         v_t = df.schema[col].dataType.simpleString()
-        id_t = df.schema[id_col].dataType.simpleString()
         assigned = base.mapInPandas(
             assign_cells, f"__id {id_t}, __v {v_t}, __cell int")
 

@@ -337,7 +337,10 @@ class EngineResource(ETAlgorithm):
             # getExecutorIds returns a scala Seq — index it via py4j
             # (scala Seq is not java-Iterable, so no direct iteration)
             seq = jsc.getExecutorIds()
-            ids = sorted(str(seq.apply(i)) for i in range(seq.size()))
+            ids = [str(seq.apply(i)) for i in range(seq.size())]
+            # numeric sort: executor ids are decimal strings, and a
+            # lexicographic sort would rank "9" above "12"
+            ids.sort(key=lambda x: (int(x) if x.isdigit() else 0, x))
             jsc.killExecutors(py_utils.toSeq(ids[-delta:]))
         elif action == "set":
             jsc.requestTotalExecutors(delta, 0, empty_map)

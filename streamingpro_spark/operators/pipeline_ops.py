@@ -260,7 +260,8 @@ class SequencePack(ETAlgorithm):
                 pdf["seq_id"] = seq_ids
                 return pdf
 
-            schema = ("doc_id_ long, bucket long, n_tokens int, "
+            id_t = df.schema[id_col].dataType.simpleString()
+            schema = (f"doc_id_ {id_t}, bucket long, n_tokens int, "
                       "seq_id long")
             packed = base.groupBy("bucket").applyInPandas(pack, schema)
             return packed.select(F.col("doc_id_").alias(id_col),
@@ -388,11 +389,19 @@ class BPETokenizer(ETAlgorithm):
         def bpe_encode(texts: pd.Series) -> pd.Series:
             cache: dict[str, list[str]] = {}
 
+            import re as _re
+
             def enc(text):
                 if text is None:
                     return []
                 out = []
-                for w in text.lower().split():
+                # the SAME split as the training word counts
+                # (tokens_col → Java \s+, ASCII): Python str.split()
+                # would split Unicode whitespace the trainer kept inside
+                # words, so apply-time words would miss the merge table
+                for w in _re.split(r"\s+", text.lower(), flags=_re.ASCII):
+                    if not w:
+                        continue
                     toks = cache.get(w)
                     if toks is None:
                         toks = _bpe_apply(w, ranks)
@@ -490,7 +499,12 @@ class DataMixing(ETAlgorithm):
         for value, frac in sorted(fracs.items()):
             gate = F.when(F.col(strata_col) == value,
                           F.lit(int(frac * 1_000_000))).otherwise(gate)
-        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat"),
+        # hash seed differs from StratifiedSampleExt's "strat" ON
+        # PURPOSE: chaining the two samplers must compose as independent
+        # gates, not intersect on the same hash (which would keep 100%
+        # of an already-sampled stratum — review finding, round 4)
+        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"),
+                                        "datamix"),
                         F.lit(1_000_000))
         return df.filter(bucket < gate)
 

@@ -358,10 +358,20 @@ class RepetitionScore(ETAlgorithm):
                 tw, f2, f3, fl = [], [], [], []
                 for text in pdf[col]:
                     if text is None:
-                        text = ""
+                        # null text -> null metrics, matching the SQL
+                        # engine (split(NULL) propagates)
+                        tw.append(None)
+                        f2.append(None)
+                        f3.append(None)
+                        fl.append(None)
+                        continue
                     # same semantics as Spark split(lower, '\\s+'):
-                    # leading/trailing whitespace yields empty tokens
-                    toks = _np.array(_re.split(r"\s+", text.lower()),
+                    # Java \\s is ASCII-only, so re.ASCII here keeps
+                    # Unicode whitespace INSIDE tokens like the JVM
+                    # engine and the RE2 oracle do; leading/trailing
+                    # whitespace yields empty tokens on both
+                    toks = _np.array(_re.split(r"\s+", text.lower(),
+                                               flags=_re.ASCII),
                                      dtype=object)
                     n = len(toks)
                     _, c = _np.unique(toks, return_counts=True)
@@ -391,7 +401,8 @@ class RepetitionScore(ETAlgorithm):
                 pdf["frac_dup_2grams"] = f2
                 pdf["frac_dup_3grams"] = f3
                 pdf["frac_dup_lines"] = fl
-                pdf["keep"] = [(a <= max_top and b <= max_dup
+                pdf["keep"] = [None if a is None else
+                               (a <= max_top and b <= max_dup
                                 and c <= max_dup and d <= max_lines)
                                for a, b, c, d in zip(tw, f2, f3, fl)]
                 yield pdf

@@ -141,10 +141,13 @@ class SchedulerService:
         if path in seen:
             return
         seen.add(path)
-        with open(path) as f:
-            script = f.read()
         stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
         try:
+            # the open() is INSIDE the isolation block: a deleted script
+            # must record last_error and let the other due jobs run,
+            # not unwind the whole tick
+            with open(path) as f:
+                script = f.read()
             self.execute(script)
             self.last_run[path] = stamp
             self.last_error.pop(path, None)
@@ -190,6 +193,10 @@ class SchedulerService:
             return False
         self._stop.set()
         self._thread.join(timeout=5)
-        alive = self._thread.is_alive()
+        if self._thread.is_alive():
+            # keep the handle: discarding it would let a later start()
+            # clear _stop and REVIVE this loop next to a new one
+            # (double-running every job)
+            return False
         self._thread = None
-        return not alive
+        return True

@@ -188,3 +188,16 @@ def test_service_dependency_cycle_runs_each_once(tmp_path):
     svc.add_dependency(str(a), [str(b)])
     svc.run_job(str(a))
     assert ran == ["a;", "b;"]
+
+
+def test_for_child_inherits_home(spark, tmp_path):
+    """Sub-script engines (RunScript, scheduler jobs) keep the parent's
+    per-owner path prefix — a child without `home` would write relative
+    paths outside the multi-tenant sandbox."""
+    from streamingpro_spark.engine import Engine
+    parent = Engine(spark, owner="alice", home=str(tmp_path))
+    child = Engine.for_child(spark, parent.context)
+    assert child.context.home == str(tmp_path)
+    assert child.context.owner == "alice"
+    assert child.context.resource_real_path("data/x.parquet") == \
+        parent.context.resource_real_path("data/x.parquet")
