@@ -2167,6 +2167,148 @@ def _q_bpe_tokenize(spark, sf_dir):
     """)
 
 
+
+def _q_exact_substr(spark, sf_dir):
+    """ExactSubstrDedup (Lee et al. 2022 window-hash approximation):
+    per-doc duplicated-window counts over 8-token windows."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as ExactSubstrDedup.`` where windowSize="8" as esd;
+    select doc_id, n_windows, dup_windows, dup_window_fraction
+    from esd as output;
+    """)
+
+
+_EXACT_SUBSTR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN list_transform(range(1, len(t)-8+2),
+                                  i -> array_to_string(t[i:i+7], ' '))
+              ELSE []::VARCHAR[] END AS ws
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(ws) AS w FROM wins
+), cnt AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+per AS (
+  SELECT e.doc_id, count(*) AS n_windows,
+         CAST(coalesce(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS dup_windows
+  FROM ex e JOIN cnt c USING (w) GROUP BY e.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       round(coalesce(p.dup_windows, 0)
+             / greatest(coalesce(p.n_windows, 0), 1), 4) AS dup_window_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """ParagraphDedup (CCNet): global first-occurrence paragraph dedup.
+    The synthetic corpus has no newlines, so both engines derive
+    paragraphs by turning the frequent token ' table ' into one."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, replace(text, ' table ', chr(10)) as text
+    from documents as pdocs;
+    run pdocs as ParagraphDedup.`` as pd_out;
+    select doc_id, text, n_paras, n_kept from pd_out as output;
+    """)
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+WITH pdocs AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+), arrs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM pdocs
+), paras AS (
+  SELECT doc_id, unnest(arr) AS para,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM arrs
+), nz AS (
+  SELECT doc_id, pos, para
+  FROM paras
+  WHERE trim(regexp_replace(lower(para), '[^a-z0-9 ]', '', 'g')) <> ''
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY regexp_replace(lower(para), '[^a-z0-9 ]', '', 'g')
+      ORDER BY doc_id, pos) AS rn
+  FROM nz
+), np AS (
+  SELECT doc_id, count(*) AS n_paras FROM nz GROUP BY doc_id
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT np.doc_id, coalesce(reb.text, '') AS text, np.n_paras,
+       coalesce(reb.n_kept, 0) AS n_kept
+FROM np LEFT JOIN reb USING (doc_id)
+"""
+
+
+def _q_c4_quality(spark, sf_dir):
+    """C4QualityFilter: line keep/drop + page flags.  The corpus has no
+    punctuation or newlines, so both engines plant them ('. ' for
+    ' row ', '.'+newline for ' agg ') before filtering."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           replace(replace(text, ' row ', '. '), ' agg ',
+                   concat('.', chr(10))) as text
+    from documents as cdocs;
+    run cdocs as C4QualityFilter.`` where minWordsPerLine="3"
+        and badWords="vector,carbon" as c4;
+    select doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+           has_brace, has_bad_word, keep, text_clean from c4 as output;
+    """)
+
+
+_C4_QUALITY_ORACLE = """
+WITH cdocs AS (
+  SELECT doc_id,
+         replace(replace(text, ' row ', '. '), ' agg ', '.' || chr(10)) AS text
+  FROM documents
+), st AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]\\s*$')
+                          AND len(string_split_regex(trim(l), '\\s+')) >= 3)
+           AS good
+  FROM cdocs
+), flags AS (
+  SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(good) AS BIGINT) AS n_kept_lines,
+       CAST(greatest(len(string_split_regex(text, '[.!?]')) - 1, 0) AS BIGINT)
+         AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       (list_contains(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+            'vector')
+        OR list_contains(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+            'carbon')) AS has_bad_word,
+       coalesce(array_to_string(good, chr(10)), '') AS text_clean
+  FROM st
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       has_bad_word,
+       (n_kept_lines > 0 AND n_sentences >= 3 AND NOT has_lorem
+        AND NOT has_brace AND NOT has_bad_word) AS keep,
+       text_clean
+FROM flags
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2291,6 +2433,9 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
+        "exact_substr_dedup": _q_exact_substr,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "c4_quality_filter": _q_c4_quality,
         # LLM-pipeline: LM scoring / mixing / packing / tokenization
         "repetition_score": _q_repetition_score,
         "ngram_lm_score": _q_ngram_lm_score,
@@ -2393,6 +2538,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
+        "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
+        "c4_quality_filter": _C4_QUALITY_ORACLE,
         "repetition_score": _REPETITION_ORACLE,
         "ngram_lm_score": _NGRAM_LM_ORACLE,
         "stratified_sample": _STRATIFIED_ORACLE,

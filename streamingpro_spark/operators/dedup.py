@@ -782,3 +782,155 @@ class SemDeDup(ETAlgorithm):
                 ("trainSample", "driver sample rows for k-means", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
                 ("seed", "sampling/init seed", "42")]
+
+
+@register_et("ExactSubstrDedup")
+class ExactSubstrDedup(ETAlgorithm):
+    """Exact duplicated-substring detection — the window-hash
+    approximation of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    arXiv:2107.06499).  No reference counterpart (closest:
+    SQLRawSimilarInPlace.scala, whole-doc similarity).
+
+    Instead of one corpus-global suffix array (inherently sequential),
+    slide a `windowSize`-token window (stride `stride`) over every
+    document and hash each window; any window occurring more than once
+    corpus-wide marks a duplicated span — exactly the ≥W-token repeated
+    substrings a suffix array finds, discretized to stride positions.
+
+    mode=annotate (default): input + n_windows / dup_windows /
+    dup_window_fraction per doc.
+    mode=remove: additionally excise every token covered by a
+    duplicated window (text_dedup column) — per-token coverage is an
+    `exists` over the doc's duplicated window starts, pure codegen.
+
+    Scale: the explode produces ~tokens/stride rows per doc; the ONLY
+    shuffles are the window-hash groupBy (uniform md5-derived keys,
+    map-side combined) and the per-doc re-agg.  At 100 TB use
+    stride=windowSize/2 (guarantees any ≥2W-token duplicate still
+    collides) to cut explode volume, and xxhash64 instead of the
+    oracle-portable md5 hash.  Boilerplate windows (licence headers)
+    make hot keys for the count join — AQE skew-join handles them, and
+    `maxDf` caps the per-window count considered (a window in more docs
+    than maxDf is still just "duplicated").
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        w = get_int(params, "windowSize", 50)
+        stride = get_int(params, "stride", 1)
+        mode = params.get("mode", "annotate")
+        df = ensure_parallelism(df)
+
+        toks = tokens_col(F.col(col))
+        starts = F.when(
+            F.size(toks) >= w,
+            F.sequence(F.lit(1), F.size(toks) - (w - 1), F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+        wins = F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("__start"),
+                portable_hash64(F.concat_ws(" ", F.slice(toks, i, w)),
+                                "esd").alias("__wh")))
+
+        ex = (df.select(F.col(id_col).alias("__id"),
+                        F.explode_outer(wins).alias("__w"))
+                .select("__id", F.col("__w.__start").alias("__start"),
+                        F.col("__w.__wh").alias("__wh")))
+        # corpus-wide occurrence counts: groupBy (map-side combine; keys
+        # are uniform hashes except boilerplate — AQE skew join on the
+        # count join absorbs those)
+        counts = ex.groupBy("__wh").agg(F.count(F.lit(1)).alias("__cnt"))
+        flagged = (ex.join(counts, "__wh", "left")
+                     .withColumn("__dup", F.col("__cnt") > 1))
+        per_doc = (flagged.groupBy("__id").agg(
+            F.count(F.col("__wh")).alias("n_windows"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("dup_windows"),
+            F.sort_array(F.collect_list(
+                F.when(F.col("__dup"), F.col("__start")))).alias("__dup_starts")))
+        out = (df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
+                 .drop("__id")
+                 .withColumn("n_windows", F.coalesce("n_windows", F.lit(0)))
+                 .withColumn("dup_windows", F.coalesce("dup_windows", F.lit(0)))
+                 .withColumn("dup_window_fraction",
+                             F.round(F.col("dup_windows") /
+                                     F.greatest("n_windows", F.lit(1)), 4)))
+        if mode == "remove":
+            toks2 = tokens_col(F.col(col))
+            starts_arr = F.coalesce(F.col("__dup_starts"),
+                                    F.array().cast("array<int>"))
+            survivors = F.filter(
+                toks2,
+                lambda t, i: ~F.exists(
+                    starts_arr,
+                    lambda s: (i + 1 >= s) & (i + 1 < s + w)))
+            out = out.withColumn("text_dedup", F.concat_ws(" ", survivors))
+        return out.drop("__dup_starts")
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("windowSize", "tokens per window", "50"),
+                ("stride", "window start step (W/2 at scale)", "1"),
+                ("mode", "annotate | remove (excise covered tokens)", "annotate")]
+
+
+@register_et("ParagraphDedup")
+class ParagraphDedup(ETAlgorithm):
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1): split docs into paragraphs, normalize
+    (lowercase, strip non-alphanumeric), hash, keep only the globally
+    FIRST occurrence of each paragraph (min (doc_id, position)), and
+    reassemble documents from the surviving paragraphs.
+
+    Output: doc_id, text (deduped), n_paras, n_kept.  Documents whose
+    every paragraph was seen earlier elsewhere come back with n_kept=0
+    and empty text (CCNet drops them downstream).
+
+    Scale: one posexplode (rows × paragraphs), one min-struct groupBy
+    on the paragraph hash (map-side combined — the survivor pick never
+    builds a per-hash row list), one join back on (hash,doc,pos), one
+    per-doc reassembly groupBy.  Normalized-empty paragraphs are
+    dropped before the shuffle: the "" paragraph is the one degenerate
+    hot key in real corpora.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        sep = params.get("sep", "\n")
+        df = ensure_parallelism(df)
+
+        paras = (df.select(F.col(id_col).alias("__id"),
+                           F.posexplode(F.split(F.col(col), sep))
+                            .alias("__pos", "__para"))
+                   .withColumn("__norm",
+                               F.regexp_replace(F.lower(F.col("__para")),
+                                                "[^a-z0-9 ]", ""))
+                   .filter(F.trim(F.col("__norm")) != "")
+                   .withColumn("__ph", portable_hash64(F.col("__norm"), "pd")))
+        first = (paras.groupBy("__ph")
+                      .agg(F.min(F.struct("__id", "__pos")).alias("__first")))
+        kept = (paras.join(first, "__ph")
+                     .filter((F.col("__id") == F.col("__first.__id"))
+                             & (F.col("__pos") == F.col("__first.__pos")))
+                     .drop("__first"))
+        n_paras = (paras.groupBy("__id")
+                        .agg(F.count(F.lit(1)).alias("n_paras")))
+        rebuilt = (kept.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"]), sep).alias("text")))
+        return (n_paras.join(rebuilt, "__id", "left")
+                .select(F.col("__id").alias(id_col),
+                        F.coalesce("text", F.lit("")).alias("text"),
+                        "n_paras",
+                        F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("sep", "paragraph separator", "\\n")]

@@ -422,3 +422,74 @@ class RepetitionScore(ETAlgorithm):
                 ("maxDupNgramFrac", "cap on duplicated 2/3-gram fraction",
                  "0.4"),
                 ("maxDupLineFrac", "cap on duplicated line fraction", "0.3")]
+
+
+@register_et("C4QualityFilter")
+class C4QualityFilter(ETAlgorithm):
+    """C4-style heuristic page cleaning (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2).  No reference counterpart — part of the
+    training-data curation family alongside QualityScore (Gopher) and
+    RepetitionScore.
+
+    Line stage: keep only lines that end in terminal punctuation
+    (. ! ? ") AND contain at least `minWordsPerLine` words; the
+    surviving lines are rejoined as `text_clean`.
+    Page stage (flags on the ORIGINAL text): at least `minSentences`
+    sentence-final marks, no "lorem ipsum", no '{' (code), no word
+    from the `badWords` list.  `keep` is the conjunction, requiring at
+    least one surviving line.
+
+    mode=annotate (default) returns every row with the flags;
+    mode=filter returns only kept rows.
+
+    Scale: entirely per-row whole-stage codegen (split / filter /
+    rlike / array_join) — zero shuffles, zero Python; the filter is a
+    narrow map over the corpus scan.
+    """
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        min_words = get_int(params, "minWordsPerLine", 5)
+        min_sent = get_int(params, "minSentences", 3)
+        bad_words = [w.strip().lower()
+                     for w in params.get("badWords", "").split(",") if w.strip()]
+        mode = params.get("mode", "annotate")
+
+        text = F.col(col)
+        lines = F.split(text, "\n")
+        good = F.filter(
+            lines,
+            lambda l: l.rlike('[.!?"]\\s*$')
+            & (F.size(F.split(F.trim(l), "\\s+")) >= min_words))
+        n_sent = F.size(F.split(text, "[.!?]")) - 1
+        lower = F.lower(text)
+        has_lorem = lower.contains("lorem ipsum")
+        has_brace = text.contains("{")
+        has_bad = F.lit(False)
+        for w in bad_words:
+            has_bad = has_bad | F.array_contains(
+                F.split(F.regexp_replace(lower, "[^a-z0-9 ]", " "), "\\s+"), w)
+
+        out = (df.withColumn("n_lines", F.size(lines).cast("long"))
+                 .withColumn("n_kept_lines", F.size(good).cast("long"))
+                 .withColumn("text_clean", F.array_join(good, "\n"))
+                 .withColumn("n_sentences",
+                             F.greatest(n_sent, F.lit(0)).cast("long"))
+                 .withColumn("has_lorem", has_lorem)
+                 .withColumn("has_brace", has_brace)
+                 .withColumn("has_bad_word", has_bad)
+                 .withColumn("keep",
+                             (F.col("n_kept_lines") > 0)
+                             & (F.col("n_sentences") >= min_sent)
+                             & ~F.col("has_lorem") & ~F.col("has_brace")
+                             & ~F.col("has_bad_word")))
+        if mode == "filter":
+            out = out.filter(F.col("keep")).drop("keep")
+        return out
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("minWordsPerLine", "line word minimum", "5"),
+                ("minSentences", "page sentence minimum", "3"),
+                ("badWords", "comma-separated blocklist", ""),
+                ("mode", "annotate | filter", "annotate")]

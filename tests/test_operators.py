@@ -918,3 +918,117 @@ def test_gif_lzw_codec_roundtrip():
     assert px[199][299] == ((299 + 199 + 7) % 256,) * 3
     for junk in (None, b"", b"GIF89a", b"GIF89a" + b"\x00" * 20, b"BM\x00"):
         assert dec(junk) is None
+
+
+def test_exact_substr_dedup_annotate_and_remove(engine):
+    # docs 1 and 2 share the 4-token span "a b c d"; doc 3 is clean
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"a b c d x y z w"}
+    {"doc_id":2,"text":"p q a b c d r s"}
+    {"doc_id":3,"text":"k l m n o u v t"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactSubstrDedup.`` where windowSize="4" and mode="remove" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["dup_windows"] == 1 and rows[2]["dup_windows"] == 1
+    assert rows[3]["dup_windows"] == 0
+    # remove mode excises exactly the covered 4 tokens
+    assert rows[1]["text_dedup"] == "x y z w"
+    assert rows[2]["text_dedup"] == "p q r s"
+    assert rows[3]["text_dedup"] == "k l m n o u v t"
+    # doc shorter than the window: zero windows, nothing removed
+    short = engine.execute("""
+    set data = '''
+    {"doc_id":9,"text":"one two"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactSubstrDedup.`` where windowSize="4" and mode="remove" as out;
+    """).collect()[0]
+    assert short["n_windows"] == 0 and short["text_dedup"] == "one two"
+
+
+def test_exact_substr_dedup_stride(engine):
+    # stride=2 halves the window count for a 10-token doc (starts 1,3,5,7)
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactSubstrDedup.`` where windowSize="4" and stride="2" as out;
+    """)
+    assert df.collect()[0]["n_windows"] == 4
+
+
+def test_paragraph_dedup_first_occurrence_wins(engine):
+    # "shared para" appears in docs 1 and 2 — doc 1 (earlier id) keeps it;
+    # normalization ignores case and punctuation
+    df = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"shared para\nunique one"}
+    {"doc_id":2,"text":"SHARED, para!\nunique two"}
+    {"doc_id":3,"text":"unique three"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ParagraphDedup.`` where idCol="doc_id" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["n_kept"] == 2 and rows[1]["text"] == "shared para\nunique one"
+    assert rows[2]["n_kept"] == 1 and rows[2]["text"] == "unique two"
+    assert rows[3]["n_kept"] == 1
+    # all-duplicate doc comes back empty rather than vanishing
+    alld = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"only para"}
+    {"doc_id":2,"text":"only para"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ParagraphDedup.`` as out;
+    """)
+    rows = {r["doc_id"]: r for r in alld.collect()}
+    assert rows[2]["n_kept"] == 0 and rows[2]["text"] == ""
+
+
+def test_c4_quality_filter_modes(engine):
+    df = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"This is a good line.\nAnother proper sentence here!\nAnd one more to pass.\nno punct line"}
+    {"doc_id":2,"text":"lorem ipsum dolor sit amet. More text follows here. And again more."}
+    {"doc_id":3,"text":"code { return 1; }. Sentence two is here. Sentence three is here."}
+    {"doc_id":4,"text":"Too short.\nTiny!"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as C4QualityFilter.`` where minWordsPerLine="4" and minSentences="3" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["keep"] is True
+    assert rows[1]["n_kept_lines"] == 3          # the no-punct line drops
+    assert "no punct line" not in rows[1]["text_clean"]
+    assert rows[2]["keep"] is False and rows[2]["has_lorem"] is True
+    assert rows[3]["keep"] is False and rows[3]["has_brace"] is True
+    assert rows[4]["keep"] is False              # lines under 4 words
+    # filter mode returns only kept rows
+    kept = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"This is a good line. Second sentence right here. Third one lands too."}
+    {"doc_id":2,"text":"lorem ipsum dolor sit. More text follows here. And again more words."}
+    ''';
+    load jsonStr.`data` as t;
+    run t as C4QualityFilter.`` where minWordsPerLine="4" and mode="filter" as out;
+    """).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_c4_quality_bad_words(engine):
+    df = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"A clean sentence sits here. Another clean one follows now. Third sentence closes it."}
+    {"doc_id":2,"text":"A spammy sentence sits here. Another clean one follows now. Third sentence closes it."}
+    ''';
+    load jsonStr.`data` as t;
+    run t as C4QualityFilter.`` where minWordsPerLine="4" and badWords="spammy" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["keep"] is True and rows[1]["has_bad_word"] is False
+    assert rows[2]["keep"] is False and rows[2]["has_bad_word"] is True

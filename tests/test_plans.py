@@ -113,3 +113,29 @@ def test_versioned_parquet_scan_keeps_pushdown(spark, sf_dir, tmp_path):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"o_orderkey"}
+
+
+def test_exact_substr_dedup_jvm_only(spark, sf_dir):
+    # window hashing + coverage excision are codegen expressions; the
+    # only exchanges are the count groupBy / count join / per-doc re-agg
+    plan = _plan(spark, "exact_substr_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paragraph_dedup_jvm_only(spark, sf_dir):
+    plan = _plan(spark, "paragraph_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_quality_filter_map_only(spark, sf_dir):
+    # per-row line filtering: no Python, and no exchange at all before
+    # the harness's compare-order sort
+    import __spark_entry__ as em
+    df = em.base_queries()["c4_quality_filter"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
