@@ -1032,3 +1032,73 @@ def test_c4_quality_bad_words(engine):
     rows = {r["doc_id"]: r for r in df.collect()}
     assert rows[1]["keep"] is True and rows[1]["has_bad_word"] is False
     assert rows[2]["keep"] is False and rows[2]["has_bad_word"] is True
+
+
+def test_exact_substr_dedup_matches_python_reference(engine, spark):
+    # deterministic pseudo-random corpus with planted repeats; compare
+    # per-doc counts against a direct python implementation
+    import json
+    W = 3
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = []
+    for i in range(30):
+        toks = [vocab[(i * 7 + j * 3) % 5] for j in range(6 + i % 5)]
+        docs.append((i, " ".join(toks)))
+    payload = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    df = engine.execute(f"""
+    set data = '''
+    {payload}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactSubstrDedup.`` where windowSize="{W}" as out;
+    """)
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"]) for r in df.collect()}
+
+    from collections import Counter
+    wins = {}
+    for i, t in docs:
+        toks = t.lower().split()
+        wins[i] = [" ".join(toks[s:s + W]) for s in range(len(toks) - W + 1)]
+    counts = Counter(w for ws in wins.values() for w in ws)
+    for i, _ in docs:
+        exp_n = len(wins[i])
+        exp_dup = sum(1 for w in wins[i] if counts[w] > 1)
+        assert got[i] == (exp_n, exp_dup), (i, got[i], (exp_n, exp_dup))
+
+
+def test_paragraph_dedup_matches_python_reference(engine):
+    import json
+    import re
+    paras_pool = ["alpha beta", "gamma delta", "epsilon zeta", "eta theta"]
+    docs = []
+    for i in range(20):
+        ps = [paras_pool[(i + j) % 4] for j in range(1 + i % 3)]
+        docs.append((i, "\n".join(ps)))
+    payload = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    df = engine.execute(f"""
+    set data = '''
+    {payload}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ParagraphDedup.`` as out;
+    """)
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text"])
+           for r in df.collect()}
+
+    seen, keep = set(), {}
+    for i, t in docs:
+        kept = []
+        for p in t.split("\n"):
+            norm = re.sub(r"[^a-z0-9 ]", "", p.lower())
+            if not norm.strip():
+                continue
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(p)
+        keep[i] = kept
+    # every normalized paragraph survives exactly once corpus-wide
+    assert sum(k for _, k, _ in got.values()) == len(seen)
+    for i, t in docs:
+        n_paras = len([p for p in t.split("\n")
+                       if re.sub(r"[^a-z0-9 ]", "", p.lower()).strip()])
+        assert got[i] == (n_paras, len(keep[i]), "\n".join(keep[i])), i
