@@ -810,9 +810,7 @@ class ExactSubstrDedup(ETAlgorithm):
     stride=windowSize/2 (guarantees any ≥2W-token duplicate still
     collides) to cut explode volume, and xxhash64 instead of the
     oracle-portable md5 hash.  Boilerplate windows (licence headers)
-    make hot keys for the count join — AQE skew-join handles them, and
-    `maxDf` caps the per-window count considered (a window in more docs
-    than maxDf is still just "duplicated").
+    make hot keys for the count join — AQE skew-join splits them.
     """
 
     def train(self, df, path, params, context=None):
@@ -845,11 +843,16 @@ class ExactSubstrDedup(ETAlgorithm):
         counts = ex.groupBy("__wh").agg(F.count(F.lit(1)).alias("__cnt"))
         flagged = (ex.join(counts, "__wh", "left")
                      .withColumn("__dup", F.col("__cnt") > 1))
-        per_doc = (flagged.groupBy("__id").agg(
+        aggs = [
             F.count(F.col("__wh")).alias("n_windows"),
             F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("dup_windows"),
-            F.sort_array(F.collect_list(
-                F.when(F.col("__dup"), F.col("__start")))).alias("__dup_starts")))
+        ]
+        if mode == "remove":
+            # the per-doc start list is only needed for span excision —
+            # annotate mode skips the collect_list shuffle bytes
+            aggs.append(F.sort_array(F.collect_list(
+                F.when(F.col("__dup"), F.col("__start")))).alias("__dup_starts"))
+        per_doc = flagged.groupBy("__id").agg(*aggs)
         out = (df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
                  .drop("__id")
                  .withColumn("n_windows", F.coalesce("n_windows", F.lit(0)))
@@ -858,16 +861,20 @@ class ExactSubstrDedup(ETAlgorithm):
                              F.round(F.col("dup_windows") /
                                      F.greatest("n_windows", F.lit(1)), 4)))
         if mode == "remove":
-            toks2 = tokens_col(F.col(col))
+            # filter the RAW token split (same \s+ boundaries as the
+            # lowercased hashing tokens, so indices align) — excision
+            # must not lowercase the surviving text
+            raw_toks = F.split(F.col(col), r"\s+")
             starts_arr = F.coalesce(F.col("__dup_starts"),
                                     F.array().cast("array<int>"))
             survivors = F.filter(
-                toks2,
+                raw_toks,
                 lambda t, i: ~F.exists(
                     starts_arr,
                     lambda s: (i + 1 >= s) & (i + 1 < s + w)))
-            out = out.withColumn("text_dedup", F.concat_ws(" ", survivors))
-        return out.drop("__dup_starts")
+            out = (out.withColumn("text_dedup", F.concat_ws(" ", survivors))
+                      .drop("__dup_starts"))
+        return out
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
@@ -885,16 +892,23 @@ class ParagraphDedup(ETAlgorithm):
     FIRST occurrence of each paragraph (min (doc_id, position)), and
     reassemble documents from the surviving paragraphs.
 
-    Output: doc_id, text (deduped), n_paras, n_kept.  Documents whose
-    every paragraph was seen earlier elsewhere come back with n_kept=0
-    and empty text (CCNet drops them downstream).
+    Output: doc_id, text (deduped), n_paras, n_kept — one row per INPUT
+    document.  Documents whose every paragraph was seen earlier
+    elsewhere (or whose text is null/normalized-empty) come back with
+    n_kept=0 and empty text (CCNet drops them downstream).
 
-    Scale: one posexplode (rows × paragraphs), one min-struct groupBy
-    on the paragraph hash (map-side combined — the survivor pick never
-    builds a per-hash row list), one join back on (hash,doc,pos), one
-    per-doc reassembly groupBy.  Normalized-empty paragraphs are
-    dropped before the shuffle: the "" paragraph is the one degenerate
-    hot key in real corpora.
+    `sep` is a LITERAL separator (applied via \\Q..\\E regex quoting on
+    split, and verbatim on reassembly); a sep containing the literal
+    sequence \\E is unsupported.
+
+    Scale: one posexplode (rows × paragraphs) into a script-lifetime
+    cache (three consumers — survivor pick, per-doc counts, reassembly
+    — would otherwise re-scan and re-hash the corpus 3×), one
+    min-struct groupBy on the paragraph hash (map-side combined — the
+    survivor pick never builds a per-hash row list), one join back on
+    (hash,doc,pos), one per-doc reassembly groupBy.  Normalized-empty
+    paragraphs are dropped before the shuffle: the "" paragraph is the
+    one degenerate hot key in real corpora.
     """
 
     def train(self, df, path, params, context=None):
@@ -903,14 +917,18 @@ class ParagraphDedup(ETAlgorithm):
         sep = params.get("sep", "\n")
         df = ensure_parallelism(df)
 
-        paras = (df.select(F.col(id_col).alias("__id"),
-                           F.posexplode(F.split(F.col(col), sep))
-                            .alias("__pos", "__para"))
-                   .withColumn("__norm",
-                               F.regexp_replace(F.lower(F.col("__para")),
-                                                "[^a-z0-9 ]", ""))
-                   .filter(F.trim(F.col("__norm")) != "")
-                   .withColumn("__ph", portable_hash64(F.col("__norm"), "pd")))
+        paras = script_cache(
+            (df.select(F.col(id_col).alias("__id"),
+                       F.posexplode(F.split(F.col(col),
+                                            "\\Q" + sep + "\\E"))
+                        .alias("__pos", "__para"))
+               .withColumn("__norm",
+                           F.regexp_replace(F.lower(F.col("__para")),
+                                            "[^a-z0-9 ]", ""))
+               .filter(F.trim(F.col("__norm")) != "")
+               .withColumn("__ph", portable_hash64(F.col("__norm"), "pd"))),
+            context, "paradedup_paras")
+        paras.count()  # materialize once before the three consumers
         first = (paras.groupBy("__ph")
                       .agg(F.min(F.struct("__id", "__pos")).alias("__first")))
         kept = (paras.join(first, "__ph")
@@ -924,13 +942,19 @@ class ParagraphDedup(ETAlgorithm):
             F.array_join(F.transform(
                 F.sort_array(F.collect_list(F.struct("__pos", "__para"))),
                 lambda s: s["__para"]), sep).alias("text")))
-        return (n_paras.join(rebuilt, "__id", "left")
-                .select(F.col("__id").alias(id_col),
-                        F.coalesce("text", F.lit("")).alias("text"),
-                        "n_paras",
-                        F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+        # join back to the input ids: a doc whose every paragraph was
+        # dropped (all-duplicate OR null/normalized-empty text) still
+        # emits its row
+        # (no eager_materialize here: the output is corpus-sized — the
+        # paragraph cache is freed by the engine's script-lifetime reaper)
+        return (df.select(F.col(id_col).alias("__id"))
+                  .join(n_paras.join(rebuilt, "__id", "left"), "__id", "left")
+                  .select(F.col("__id").alias(id_col),
+                          F.coalesce("text", F.lit("")).alias("text"),
+                          F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                          F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
                 ("contentCol", "text column", "text"),
-                ("sep", "paragraph separator", "\\n")]
+                ("sep", "literal paragraph separator", "\\n")]

@@ -465,10 +465,15 @@ class C4QualityFilter(ETAlgorithm):
         lower = F.lower(text)
         has_lorem = lower.contains("lorem ipsum")
         has_brace = text.contains("{")
-        has_bad = F.lit(False)
-        for w in bad_words:
-            has_bad = has_bad | F.array_contains(
-                F.split(F.regexp_replace(lower, "[^a-z0-9 ]", " "), "\\s+"), w)
+        if bad_words:
+            # one split + arrays_overlap with the literal blocklist —
+            # an OR-chain of array_contains would clone the split
+            # subtree per entry (C4's real blocklist is ~400 words)
+            words = F.split(F.regexp_replace(lower, "[^a-z0-9 ]", " "), "\\s+")
+            has_bad = F.arrays_overlap(
+                words, F.array(*[F.lit(w) for w in bad_words]))
+        else:
+            has_bad = F.lit(False)
 
         out = (df.withColumn("n_lines", F.size(lines).cast("long"))
                  .withColumn("n_kept_lines", F.size(good).cast("long"))

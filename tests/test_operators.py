@@ -1102,3 +1102,53 @@ def test_paragraph_dedup_matches_python_reference(engine):
         n_paras = len([p for p in t.split("\n")
                        if re.sub(r"[^a-z0-9 ]", "", p.lower()).strip()])
         assert got[i] == (n_paras, len(keep[i]), "\n".join(keep[i])), i
+
+
+def test_exact_substr_remove_preserves_casing(engine):
+    # excision must keep the original casing of surviving tokens even
+    # though duplicate DETECTION is case-insensitive
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"A B C D Keep Me Here Now"}
+    {"doc_id":2,"text":"x y a b c d z w"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ExactSubstrDedup.`` where windowSize="4" and mode="remove" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["dup_windows"] == 1          # "a b c d" matches doc 2
+    assert rows[1]["text_dedup"] == "Keep Me Here Now"
+    assert rows[2]["text_dedup"] == "x y z w"
+
+
+def test_paragraph_dedup_degenerate_docs_keep_their_row(engine):
+    # punctuation-only and all-duplicate docs still emit a row
+    df = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"real para"}
+    {"doc_id":2,"text":"---"}
+    {"doc_id":3,"text":"real para"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ParagraphDedup.`` as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_paras"] == 0 and rows[2]["n_kept"] == 0
+    assert rows[2]["text"] == ""
+    assert rows[3]["n_kept"] == 0
+
+
+def test_paragraph_dedup_literal_separator(engine):
+    # sep is literal, not a regex: "|" must not split per character
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"first para|second para"}
+    {"doc_id":2,"text":"second para|third para"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ParagraphDedup.`` where sep="|" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["text"] == "first para|second para"
+    assert rows[2]["n_kept"] == 1 and rows[2]["text"] == "third para"
