@@ -1152,3 +1152,19 @@ def test_paragraph_dedup_literal_separator(engine):
     rows = {r["doc_id"]: r for r in df.collect()}
     assert rows[1]["n_paras"] == 2 and rows[1]["text"] == "first para|second para"
     assert rows[2]["n_kept"] == 1 and rows[2]["text"] == "third para"
+
+
+def test_exact_substr_count_strategies_agree(engine, sf_dir):
+    # the skew-safe join path and the 1-pass window path are the same
+    # operator — identical per-doc counts on the fixture corpus
+    outs = {}
+    for strat in ("window", "join"):
+        df = engine.execute(f"""
+        load parquet.`{sf_dir}/documents.parquet` as docs;
+        run docs as ExactSubstrDedup.`` where windowSize="8"
+            and countStrategy="{strat}" as out;
+        select doc_id, n_windows, dup_windows from out as output;
+        """)
+        outs[strat] = sorted((r["doc_id"], r["n_windows"], r["dup_windows"])
+                             for r in df.collect())
+    assert outs["window"] == outs["join"]
