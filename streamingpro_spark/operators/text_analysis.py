@@ -455,7 +455,9 @@ class C4QualityFilter(ETAlgorithm):
                      for w in params.get("badWords", "").split(",") if w.strip()]
         mode = params.get("mode", "annotate")
 
-        text = F.col(col)
+        # null text behaves as empty (F.size(split(NULL)) is -1, which
+        # would leak a negative n_lines and a non-deterministic keep)
+        text = F.coalesce(F.col(col), F.lit(""))
         lines = F.split(text, "\n")
         good = F.filter(
             lines,

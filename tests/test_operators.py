@@ -1168,3 +1168,29 @@ def test_exact_substr_count_strategies_agree(engine, sf_dir):
         outs[strat] = sorted((r["doc_id"], r["n_windows"], r["dup_windows"])
                              for r in df.collect())
     assert outs["window"] == outs["join"]
+
+
+def test_curation_ops_null_text(engine):
+    # null text must not leak negative sizes or crash any of the three
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":null}
+    {"doc_id":2,"text":"a real sentence sits here."}
+    ''';
+    load jsonStr.`data` as t;
+    run t as C4QualityFilter.`` where minWordsPerLine="3" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["n_lines"] >= 0 and rows[1]["keep"] is False
+    for op, extra in [("ExactSubstrDedup", ' where windowSize="4"'),
+                      ("ParagraphDedup", "")]:
+        df = engine.execute(f"""
+        set data = '''
+        {{"doc_id":1,"text":null}}
+        {{"doc_id":2,"text":"alpha beta gamma delta"}}
+        ''';
+        load jsonStr.`data` as t;
+        run t as {op}.``{extra} as out;
+        """)
+        ids = sorted(r["doc_id"] for r in df.collect())
+        assert ids == [1, 2], (op, ids)
