@@ -151,16 +151,20 @@ class RawSimilarInPlace(ETAlgorithm):
                    "numHashes": params.get("numHashes", "12"),
                    "numBands": params.get("numBands", "4"),
                    "shingleSize": params.get("shingleSize", "3")}, context)
-        # undirected neighbor edges -> smallest neighbor id per doc
-        edges = (pairs.select(F.col("doc_a").alias("id"), F.col("doc_b").alias("nbr"))
-                 .union(pairs.select(F.col("doc_b").alias("id"),
-                                     F.col("doc_a").alias("nbr"))))
-        rep = edges.groupBy("id").agg(F.min("nbr").alias("min_nbr"))
-        return (df.join(rep, df[id_col] == rep["id"], "left")
+        # undirected neighbor edges -> smallest neighbor id per doc.
+        # __rsp_-prefixed internals: a plain "id"/"min_nbr" alias would
+        # make the trailing drop() delete same-named USER columns
+        edges = (pairs.select(F.col("doc_a").alias("__rsp_id"),
+                              F.col("doc_b").alias("__rsp_nbr"))
+                 .union(pairs.select(F.col("doc_b").alias("__rsp_id"),
+                                     F.col("doc_a").alias("__rsp_nbr"))))
+        rep = edges.groupBy("__rsp_id").agg(F.min("__rsp_nbr").alias("__rsp_min"))
+        return (df.join(rep, df[id_col] == rep["__rsp_id"], "left")
                   .withColumn("__similar__",
-                              F.least(F.coalesce(F.col("min_nbr"), F.col(id_col)),
+                              F.least(F.coalesce(F.col("__rsp_min"),
+                                                 F.col(id_col)),
                                       F.col(id_col)))
-                  .drop("id", "min_nbr"))
+                  .drop("__rsp_id", "__rsp_min"))
 
 
 @register_et("CorpusExplainInPlace")
@@ -170,8 +174,10 @@ class CorpusExplainInPlace(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("inputCol", "text")
+        # n_docs from the raw scan, NOT from the tokenized projection —
+        # counting `toks` ran the regexp tokenization pass twice
+        n_docs = df.count()
         toks = df.select(_tokenize_col(col).alias("toks"))
-        n_docs = toks.count()
         stats = (toks.withColumn("__doc", F.monotonically_increasing_id())
                  .select(F.col("__doc"), F.explode("toks").alias("token"))
                  .groupBy("token")

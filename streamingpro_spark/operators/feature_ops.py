@@ -59,6 +59,68 @@ class TfIdfInPlace(ETAlgorithm):
         return {"idf": IDFModel.load(os.path.join(path, "idf")),
                 "meta": _load_meta(path)}
 
+    def predict(self, spark, model, name, params):
+        """Serving UDF: text → tf-idf vector, reproducing the train
+        chain (lowercase \\s+ tokenize → english stopwords → murmur3
+        HashingTF counts → ×idf) in pure python — same closure-by-value
+        convention as the HashTfIdf alg (ml_algs.py), whose murmur3 is
+        pinned against JVM indices by test."""
+        from pyspark.ml.feature import StopWordsRemover
+        from pyspark.ml.linalg import VectorUDT
+        idf = [float(v) for v in model["idf"].idf]
+        n = int(model["meta"]["nFeatures"])
+        stop = set(StopWordsRemover.loadDefaultStopWords("english"))
+
+        def tfidf_text(text):
+            import re as _re
+
+            from pyspark.ml.linalg import Vectors
+
+            def murmur3(data: bytes, seed: int = 42) -> int:
+                # nested by-value copy of the murmur3_x86_32 the JVM
+                # HashingTF uses (pinned against JVM indices by the
+                # HashTfIdf test in test_ml)
+                c1, c2 = 0xCC9E2D51, 0x1B873593
+                h = seed
+                m = 0xFFFFFFFF
+                nblocks = len(data) // 4
+                for b in range(nblocks):
+                    k = int.from_bytes(data[b * 4:b * 4 + 4], "little")
+                    k = (k * c1) & m
+                    k = ((k << 15) | (k >> 17)) & m
+                    k = (k * c2) & m
+                    h ^= k
+                    h = ((h << 13) | (h >> 19)) & m
+                    h = (h * 5 + 0xE6546B64) & m
+                k = 0
+                for shift, byte in enumerate(data[nblocks * 4:]):
+                    k ^= byte << (8 * shift)
+                if k:
+                    k = (k * c1) & m
+                    k = ((k << 15) | (k >> 17)) & m
+                    k = (k * c2) & m
+                    h ^= k
+                h ^= len(data)
+                h ^= h >> 16
+                h = (h * 0x85EBCA6B) & m
+                h ^= h >> 13
+                h = (h * 0xC2B2AE35) & m
+                h ^= h >> 16
+                if h >= 1 << 31:
+                    h -= 1 << 32
+                return ((h % n) + n) % n
+
+            words = [w for w in _re.split(r"\s+", (text or "").lower())
+                     if w and w not in stop]
+            counts = {}
+            for w in words:
+                i = murmur3(w.encode("utf-8"))
+                counts[i] = counts.get(i, 0.0) + 1.0
+            idx = sorted(counts)
+            return Vectors.sparse(n, idx, [counts[i] * idf[i] for i in idx])
+
+        return spark.udf.register(name, tfidf_text, VectorUDT())
+
     def explain_params(self):
         return [("inputCol", "text column to replace with tf-idf vector", "content"),
                 ("nFeatures", "hashing dimension", "8192")]
@@ -84,6 +146,32 @@ class Word2VecInPlace(ETAlgorithm):
         return (w2v.transform(words).drop(col, "__words")
                 .withColumnRenamed("__vec", col))
 
+    def load(self, spark, path, params, context=None):
+        from pyspark.ml.feature import Word2VecModel
+        return {"w2v": Word2VecModel.load(os.path.join(path, "w2v")),
+                "meta": _load_meta(path)}
+
+    def predict(self, spark, model, name, params):
+        """Serving UDF: text → mean word vector (the ml.Word2Vec doc
+        embedding).  The vocabulary (bounded by minCount) is collected
+        once at register time and shipped in the closure."""
+        from pyspark.ml.linalg import VectorUDT
+        dim = int(model["meta"]["vectorSize"])
+        vocab = {r["word"]: [float(x) for x in r["vector"]]
+                 for r in model["w2v"].getVectors().collect()}
+
+        def doc_vec(text):
+            import re as _re
+
+            from pyspark.ml.linalg import Vectors
+            vs = [vocab[w] for w in _re.split(r"\s+", (text or "").lower())
+                  if w in vocab]
+            if not vs:
+                return Vectors.dense([0.0] * dim)
+            return Vectors.dense([sum(col) / len(vs) for col in zip(*vs)])
+
+        return spark.udf.register(name, doc_vec, VectorUDT())
+
     def explain_params(self):
         return [("inputCol", "text column", "content"),
                 ("vectorSize", "embedding dim", "64"),
@@ -107,9 +195,14 @@ class ScalerInPlace(ETAlgorithm):
                 aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"),
                          F.avg(c).alias(f"{c}__avg"), F.stddev_pop(c).alias(f"{c}__std")]
             row = df.agg(*aggs).collect()[0].asDict()
+            # an all-null column (or empty table) returns None stats —
+            # neutral defaults keep the transform a no-op-on-null
+            # instead of a driver TypeError
+            neutral = {"min": 0.0, "max": 0.0, "avg": 0.0, "std": 1.0}
             for c in cols:
-                stats[c] = {k.split("__")[1]: row[f"{c}__{k.split('__')[1]}"]
-                            for k in (f"{c}__min", f"{c}__max", f"{c}__avg", f"{c}__std")}
+                stats[c] = {k: (row[f"{c}__{k}"] if row[f"{c}__{k}"] is not None
+                                else neutral[k])
+                            for k in ("min", "max", "avg", "std")}
         out = df
         for c in cols:
             if method == "min-max":
@@ -235,6 +328,10 @@ class FeatureExtractInPlace(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("inputCol", "doc")
+        # null text behaves as empty: regexp/length over NULL would
+        # propagate NULL into every feature, silently dropping null-text
+        # rows from numeric predicates downstream
+        text = F.coalesce(F.col(col), F.lit(""))
         patterns = {
             "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
             "url": r"https?://[^\s]+",
@@ -245,11 +342,11 @@ class FeatureExtractInPlace(ETAlgorithm):
         for name, pat in patterns.items():
             # idx=0 — whole-match counting (these patterns have no groups)
             out = out.withColumn(
-                name, F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))))
-        out = (out.withColumn("length", F.length(F.col(col)))
+                name, F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))))
+        out = (out.withColumn("length", F.length(text))
                .withColumn("numberRatio",
-                           F.length(F.regexp_replace(F.col(col), r"[^0-9]", ""))
-                           / F.greatest(F.length(F.col(col)), F.lit(1))))
+                           F.length(F.regexp_replace(text, r"[^0-9]", ""))
+                           / F.greatest(F.length(text), F.lit(1))))
         return out
 
     def explain_params(self):

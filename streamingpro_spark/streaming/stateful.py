@@ -33,6 +33,9 @@ class StatefulCount(ETAlgorithm):
     def train(self, df, path, params, context=None):
         key = params.get("keyCol", "key")
         value = params.get("valueCol")
+        # the output key column mirrors the INPUT key's type — a
+        # hardcoded `key long` killed the query on string keys
+        key_t = df.schema[key].dataType.simpleString()
 
         def update(key_tuple, pdfs, state):
             import pandas as pd
@@ -48,7 +51,7 @@ class StatefulCount(ETAlgorithm):
         return (df.groupBy(F.col(key))
                 .applyInPandasWithState(
                     update,
-                    outputStructType="key long, events long, total double",
+                    outputStructType=f"key {key_t}, events long, total double",
                     stateStructType="events long, total double",
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))
@@ -62,60 +65,85 @@ class StatefulCount(ETAlgorithm):
 class StreamingSessionizer(ETAlgorithm):
     """Custom session assembly with EVENT-TIME STATE TIMEOUT — the state
     machine `session_window` can't express (e.g. emit-on-close with
-    custom session payloads).  One running session per key; a session
-    closes (and emits) when the watermark passes last_event + gap.
+    custom session payloads).  State per key is a LIST of open islands
+    (start, last, count): out-of-order events within the watermark that
+    belong to an EARLIER island (or bridge two islands) merge correctly
+    instead of inflating the latest session.  An island closes (and
+    emits) once the watermark passes its last_event + gap — at that
+    point no admissible event can extend or bridge it.
 
     `run stream_t as StreamingSessionizer.`` where keyCol="user_id" and
     tsCol="ts" and gap="1800"` → (key, session_start, session_end,
     n_events) rows, one per CLOSED session (append semantics).
 
     Scale: state is per-key in the state store (one shuffle on key);
-    timeout eviction bounds state exactly like a watermark does.
-    Requires an upstream watermark on `tsCol` (load with eventTimeCol/
-    delayThreshold or `!withWatermark`)."""
+    watermark-driven island eviction bounds state to the open sessions
+    of each key.  Requires an upstream watermark on `tsCol` (load with
+    eventTimeCol/delayThreshold or `!withWatermark`)."""
 
     def train(self, df, path, params, context=None):
         key = params.get("keyCol", "user_id")
         ts = params.get("tsCol", "ts")
         gap = get_int(params, "gap", 1800)
+        key_t = df.schema[key].dataType.simpleString()
 
         def update(key_tuple, pdfs, state):
             import numpy as np
             import pandas as pd
             out = []
             if state.hasTimedOut:
-                start, last, n = state.get
-                out.append((key_tuple[0], start, last, n))
+                starts, lasts, ns = state.get
+                for s, l, n in zip(starts, lasts, ns):
+                    out.append((key_tuple[0], int(s), int(l), int(n)))
                 state.remove()
             else:
                 secs = np.sort(np.concatenate(
                     [(pdf[ts].astype("int64") // 1_000_000_000).to_numpy()
                      for pdf in pdfs] or [np.array([], dtype="int64")]))
                 if secs.size:
-                    # islands: split the sorted batch wherever gap exceeded
                     cuts = np.nonzero(np.diff(secs) > gap)[0] + 1
-                    islands = np.split(secs, cuts)
-                    cur = state.get if state.exists else None
-                    for isl in islands:
-                        mn, mx, cnt = int(isl[0]), int(isl[-1]), len(isl)
-                        if cur is not None and mn - cur[1] <= gap:
-                            cur = (min(cur[0], mn), max(cur[1], mx),
-                                   cur[2] + cnt)
+                    batch_islands = [(int(i[0]), int(i[-1]), len(i))
+                                     for i in np.split(secs, cuts)]
+                    cur = ([tuple(map(int, t)) for t in zip(*state.get)]
+                           if state.exists else [])
+                    # merge sorted islands; a batch island adjacent
+                    # (within gap) to a stored one coalesces — including
+                    # bridging events that fuse two stored islands
+                    merged: list[tuple[int, int, int]] = []
+                    for s, e, c in sorted(cur + batch_islands):
+                        if merged and s - merged[-1][1] <= gap:
+                            ps, pe, pc = merged[-1]
+                            merged[-1] = (ps, max(pe, e), pc + c)
                         else:
-                            if cur is not None:
-                                out.append((key_tuple[0], *cur))
-                            cur = (mn, mx, cnt)
-                    state.update(cur)
-                    state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+                            merged.append((s, e, c))
+                    # emit islands already beyond the watermark — no
+                    # admissible event can touch them
+                    wm_s = state.getCurrentWatermarkMs() // 1000
+                    still_open = []
+                    for s, e, c in merged:
+                        if wm_s > 0 and e + gap <= wm_s:
+                            out.append((key_tuple[0], s, e, c))
+                        else:
+                            still_open.append((s, e, c))
+                    if still_open:
+                        state.update((
+                            [s for s, _, _ in still_open],
+                            [e for _, e, _ in still_open],
+                            [c for _, _, c in still_open]))
+                        state.setTimeoutTimestamp(
+                            (max(e for _, e, _ in still_open) + gap) * 1000)
+                    elif state.exists:
+                        state.remove()
             yield pd.DataFrame(
                 out, columns=["key", "session_start", "session_end", "n_events"])
 
         return (df.groupBy(F.col(key))
                 .applyInPandasWithState(
                     update,
-                    outputStructType=("key long, session_start long, "
+                    outputStructType=(f"key {key_t}, session_start long, "
                                       "session_end long, n_events long"),
-                    stateStructType="start long, last long, n long",
+                    stateStructType=("starts array<long>, lasts array<long>, "
+                                     "ns array<long>"),
                     outputMode="append",
                     timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
@@ -127,21 +155,29 @@ class StreamingSessionizer(ETAlgorithm):
 
 @register_et("StreamingDedup")
 class StreamingDedup(ETAlgorithm):
-    """Streaming exact-dedup on key columns within the watermark window
-    (`dropDuplicates` + state store — Spark-native; the state is bounded
-    by the event-time watermark, the correct 100 TB design: unbounded
-    dedup state would grow forever)."""
+    """Streaming exact-dedup on key columns.  With `eventTimeCol` set,
+    uses `dropDuplicatesWithinWatermark` — duplicates of the SAME key
+    arriving with different timestamps (the retry/replay case) are
+    still dropped, and the state store is bounded by the watermark (the
+    correct 100 TB design: unbounded dedup state grows forever)."""
 
     def train(self, df, path, params, context=None):
-        cols = [c.strip() for c in params.get("dedupCols", "").split(",") if c.strip()]
+        cols = [c.strip() for c in params.get("dedupCols", "").split(",")
+                if c.strip()]
+        if not cols:
+            raise ValueError(
+                "StreamingDedup needs dedupCols=\"col1[,col2...]\" — an "
+                "empty subset would collapse the whole stream to one row "
+                "(dropDuplicates([]) keeps a single arbitrary row)")
         ts = params.get("eventTimeCol")
         delay = params.get("delayThreshold", "10 minutes")
         if ts:
-            df = df.withWatermark(ts, delay)
-            return df.dropDuplicates(cols + [ts])
+            from streamingpro_spark.streaming.watermark import apply_watermark
+            df = apply_watermark(df, ts, delay)
+            return df.dropDuplicatesWithinWatermark(cols)
         return df.dropDuplicates(cols)
 
     def explain_params(self):
-        return [("dedupCols", "key columns", ""),
+        return [("dedupCols", "key columns (required)", ""),
                 ("eventTimeCol", "watermark column (bounds state)", ""),
                 ("delayThreshold", "watermark delay", "10 minutes")]

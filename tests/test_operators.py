@@ -1194,3 +1194,97 @@ def test_curation_ops_null_text(engine):
         """)
         ids = sorted(r["doc_id"] for r in df.collect())
         assert ids == [1, 2], (op, ids)
+
+
+def test_tfidf_in_place_register_serving(engine, tmp_path):
+    """register TfIdfInPlace as a serving UDF: the pure-python murmur3
+    chain reproduces the JVM train-time vector exactly."""
+    df = engine.execute(f"""
+    set data = '''
+    {{"content":"spark spark streaming"}}
+    {{"content":"flink batch"}}
+    ''';
+    load jsonStr.`data` as corpus;
+    train corpus as TfIdfInPlace.`{tmp_path}/tfip` where inputCol="content" as trained;
+    register TfIdfInPlace.`{tmp_path}/tfip` as tfip_fn;
+    select tfip_fn('spark spark streaming') as v,
+           tfip_fn(null) as v_null as output;
+    """)
+    row = df.collect()[0]
+    trained = {tuple(r["content"].indices.tolist()):
+               [round(x, 6) for x in r["content"].values.tolist()]
+               for r in engine.execute(f"""
+    set data = '''
+    {{"content":"spark spark streaming"}}
+    {{"content":"flink batch"}}
+    ''';
+    load jsonStr.`data` as corpus;
+    train corpus as TfIdfInPlace.`{tmp_path}/tfip2` where inputCol="content" as t2;
+    """).collect()}
+    got = (tuple(row["v"].indices.tolist()),
+           [round(x, 6) for x in row["v"].values.tolist()])
+    assert got[0] in trained and trained[got[0]] == got[1], (got, trained)
+    assert row["v_null"].numNonzeros() == 0
+
+
+def test_word2vec_in_place_register_serving(engine, tmp_path):
+    df = engine.execute(f"""
+    set data = '''
+    {{"content":"spark streaming engine"}}
+    {{"content":"spark batch engine"}}
+    ''';
+    load jsonStr.`data` as corpus;
+    train corpus as Word2VecInPlace.`{tmp_path}/w2vip` where inputCol="content"
+        and vectorSize="8" and minCount="1" as trained;
+    register Word2VecInPlace.`{tmp_path}/w2vip` as w2v_fn;
+    select w2v_fn('spark batch engine') as v, w2v_fn('zzz unknown') as v0 as output;
+    """)
+    row = df.collect()[0]
+    assert len(row["v"]) == 8 and any(abs(x) > 0 for x in row["v"])
+    assert all(x == 0.0 for x in row["v0"])
+
+
+def test_scaler_all_null_column(engine):
+    # all-null input must not crash stats collection; nulls stay null
+    df = engine.execute("""
+    set data = '''
+    {"a":null,"b":1.0}
+    {"a":null,"b":3.0}
+    ''';
+    load jsonStr.`data` as t;
+    run t as ScalerInPlace.`` where inputCols="a,b" and scaleMethod="min-max" as out;
+    """)
+    rows = df.collect()
+    assert all(r["a"] is None for r in rows)
+    assert sorted(r["b"] for r in rows) == [0.0, 1.0]
+
+
+def test_feature_extract_null_text(engine):
+    df = engine.execute("""
+    set data = '''
+    {"doc":null}
+    {"doc":"mail me at a@b.co now"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as FeatureExtractInPlace.`` where inputCol="doc" as out;
+    """)
+    rows = sorted(df.collect(), key=lambda r: r["length"])
+    assert rows[0]["email"] == 0 and rows[0]["length"] == 0 \
+        and rows[0]["numberRatio"] == 0.0
+    assert rows[1]["email"] == 1
+
+
+def test_raw_similar_preserves_user_id_column(engine):
+    # a user column literally named "id" must survive the operator
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"id":"keep-a","text":"alpha beta gamma delta epsilon"}
+    {"doc_id":2,"id":"keep-b","text":"alpha beta gamma delta epsilon"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as RawSimilarInPlace.`` where idCol="doc_id" and textCol="text"
+        and threshold="0.5" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["id"] == "keep-a" and rows[2]["id"] == "keep-b"
+    assert rows[1]["__similar__"] == 1 and rows[2]["__similar__"] == 1

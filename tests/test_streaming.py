@@ -460,3 +460,114 @@ def test_versioned_parquet_orphan_dir_recovered(engine, tmp_path):
     assert [c["version"] for c in vp.read_commits(lake)] == [0, 1]
     n = vp.load(ctx, lake, {}).count()
     assert n == 7
+
+
+def test_stateful_count_string_keys(engine, tmp_path):
+    """Output key schema follows the input key type (string keys killed
+    the query when `key long` was hardcoded)."""
+    import pandas as pd
+    spark = engine.spark
+    src = tmp_path / "skey_src"
+    src.mkdir()
+    pd.DataFrame({"name": ["alice", "bob", "alice"],
+                  "value": [1.0, 2.0, 3.0]}).to_parquet(src / "a.parquet")
+    engine.execute(f"""
+    set streamName = "skeys";
+    load streamParquet.`{src}/a.parquet` as sk;
+    run sk as StatefulCount.`` where keyCol="name" and valueCol="value" as skc;
+    """)
+    q = (spark.table("skc").writeStream.format("memory")
+         .queryName("skeys_sink").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cks")).start())
+    try:
+        q.processAllAvailable()
+        rows = {r["key"]: (r["events"], r["total"])
+                for r in spark.sql("select * from skeys_sink").collect()}
+        assert rows == {"alice": (2, 4.0), "bob": (1, 2.0)}
+    finally:
+        q.stop()
+
+
+def test_sessionizer_out_of_order_island(engine, tmp_path):
+    """An in-watermark event far EARLIER than the stored session must
+    become its own island, not inflate the stored one."""
+    import pandas as pd
+    spark = engine.spark
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    pd.DataFrame({"user_id": [1], "ts": [t0]}).astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
+    engine.execute(f"""
+    set streamName = "oooses";
+    load streamParquet.`{src}/*.parquet` where eventTimeCol="ts"
+        and delayThreshold="2 hours" as oz;
+    run oz as StreamingSessionizer.`` where keyCol="user_id" and tsCol="ts"
+        and gap="60" as osess;
+    """)
+    q = (spark.table("osess").writeStream.format("memory")
+         .queryName("oooses_sink").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cko")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: 11:30 — above watermark (12:00 - 2h), 30 min before the
+        # stored session with gap=60s → separate island
+        pd.DataFrame({"user_id": [1],
+                      "ts": [pd.Timestamp("2024-01-01 11:30:00")]}
+                     ).astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+        q.processAllAvailable()
+        # batch 3: far-future event pushes the watermark past both islands
+        pd.DataFrame({"user_id": [1],
+                      "ts": [pd.Timestamp("2024-01-02 12:00:00")]}
+                     ).astype({"ts": "datetime64[us]"}).to_parquet(src / "c.parquet")
+        q.processAllAvailable()
+        # one more batch so the new watermark drives the timeout/eviction
+        pd.DataFrame({"user_id": [1],
+                      "ts": [pd.Timestamp("2024-01-02 12:00:01")]}
+                     ).astype({"ts": "datetime64[us]"}).to_parquet(src / "d.parquet")
+        q.processAllAvailable()
+        rows = sorted((r["session_start"], r["session_end"], r["n_events"])
+                      for r in spark.sql(
+                          "select * from oooses_sink").collect())
+        t1130 = int(pd.Timestamp("2024-01-01 11:30:00").timestamp())
+        t1200 = int(pd.Timestamp("2024-01-01 12:00:00").timestamp())
+        assert (t1130, t1130, 1) in rows, rows
+        assert (t1200, t1200, 1) in rows, rows
+        assert not any(s == t1130 and e == t1200 for s, e, _ in rows), rows
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_same_key_different_ts(engine, tmp_path):
+    """Within-watermark dedup drops the same key even when the replay
+    carries a different timestamp; empty dedupCols is a rendered error."""
+    import pandas as pd
+    import pytest as _pytest
+    spark = engine.spark
+    src = tmp_path / "wmk_src"
+    src.mkdir()
+    pd.DataFrame({
+        "msg_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:00:05",
+                              "2024-01-01 10:01:00"]),
+    }).astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
+    engine.execute(f"""
+    set streamName = "wdedup";
+    load streamParquet.`{src}/a.parquet` as wd;
+    run wd as StreamingDedup.`` where dedupCols="msg_id"
+        and eventTimeCol="ts" and delayThreshold="10 minutes" as wdd;
+    """)
+    q = (spark.table("wdd").writeStream.format("memory")
+         .queryName("wdedup_sink")
+         .option("checkpointLocation", str(tmp_path / "ckw")).start())
+    try:
+        q.processAllAvailable()
+        ids = sorted(r["msg_id"] for r in
+                     spark.sql("select msg_id from wdedup_sink").collect())
+        assert ids == [1, 2], ids   # the ts-10:00:05 replay of msg 1 dropped
+    finally:
+        q.stop()
+    with _pytest.raises(ValueError, match="dedupCols"):
+        engine.execute(f"""
+        load parquet.`{src}/a.parquet` as wb;
+        run wb as StreamingDedup.`` as bad;
+        """)
