@@ -152,9 +152,10 @@ def _register_vector(spark: SparkSession) -> None:
     udf("onehot", onehot, VT)
 
     udf("matrix_dense",
-        lambda rows: DenseMatrix(len(rows), len(rows[0]),
-                                 [float(x) for col in zip(*rows) for x in col]),
-        "string")  # placeholder type; matrix rarely used — kept for surface parity
+        lambda rows: [[float(x) for x in row] for row in (rows or [])],
+        "array<array<double>>")  # nested-array matrix repr: composes with
+    # matrix_sum/matrix_array (a DenseMatrix under a string SQL type could
+    # never produce a usable value)
     udf("matrix_sum",
         lambda m, axis: [float(x) for x in np.asarray(m).sum(axis=int(axis))],
         "array<double>")
@@ -194,7 +195,12 @@ def _register_time(spark: SparkSession) -> None:
     udf("parseLongAsDate",
         lambda ts, p="yyyy-MM-dd HH:mm:ss":
         dt.datetime.fromtimestamp(int(ts)).strftime(_java2py_pattern(p)), "string")
-    udf("timeAgo", lambda spec: int(dt.datetime.now().timestamp() - _parse_duration(spec)), "long")
+    from pyspark.sql.functions import udf as _udf_f
+    spark.udf.register(
+        "timeAgo",
+        _udf_f(lambda spec: int(dt.datetime.now().timestamp()
+                                - _parse_duration(spec)),
+               "long").asNondeterministic())
     udf("timePlus", lambda ts, spec: int(int(ts) + _parse_duration(spec)), "long")
     udf("timeMinus", lambda ts, spec: int(int(ts) - _parse_duration(spec)), "long")
 
@@ -203,9 +209,15 @@ def _register_time(spark: SparkSession) -> None:
 
     def byte_string_as(s, unit_div):
         import re
-        m = re.match(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(s))
-        n, u = int(m.group(1)), (m.group(2) or "b").lower()
-        return n * _BYTES[u] // unit_div
+        if s is None:
+            return None
+        m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]*)\s*", str(s))
+        unit = (m.group(2) or "b").lower() if m else None
+        if m is None or unit not in _BYTES:
+            raise ValueError(
+                f"byteStringAs: cannot parse {s!r} (expected e.g. '1g', "
+                f"'1.5gb', '300m', '1024kb')")
+        return int(float(m.group(1)) * _BYTES[unit]) // unit_div
     udf("byteStringAsBytes", lambda s: byte_string_as(s, 1), "long")
     udf("byteStringAsKb", lambda s: byte_string_as(s, 1024), "long")
     udf("byteStringAsMb", lambda s: byte_string_as(s, 1024**2), "long")
@@ -222,16 +234,28 @@ def _register_misc(spark: SparkSession) -> None:
     import time
     udf = spark.udf.register
 
-    udf("uuid", lambda: str(_uuid.uuid4()).replace("-", ""), "string")
+    # uuid/sleep must NOT be marked deterministic: the optimizer
+    # deduplicates deterministic zero-arg calls (select uuid() a, uuid() b
+    # would return the same id twice) and may re-evaluate them freely
+    from pyspark.sql.functions import udf as _udf_f
+    spark.udf.register(
+        "uuid", _udf_f(lambda: str(_uuid.uuid4()).replace("-", ""),
+                       "string").asNondeterministic())
 
     def _sleep(ms):
         time.sleep(int(ms) / 1000.0)
         return ""
-    udf("sleep", _sleep, "string")
-    udf("keepChinese",
-        lambda s, keep_punct=False, extras=None:
-        "".join(ch for ch in (s or "") if "一" <= ch <= "鿿"
-                or (extras and ch in extras)), "string")
+    spark.udf.register("sleep", _udf_f(_sleep, "string").asNondeterministic())
+    _CN_PUNCT = set("，。！？；：、“”‘’（）《》【】…—·")
+
+    def keep_chinese(s, keep_punct=False, extras=None):
+        kp = str(keep_punct).lower() in ("true", "1")
+        return "".join(
+            ch for ch in (s or "")
+            if "一" <= ch <= "鿿"
+            or (kp and ch in _CN_PUNCT)
+            or (extras and ch in extras))
+    udf("keepChinese", keep_chinese, "string")
     udf("crawler_md5", lambda s: hashlib.md5((s or "").encode()).hexdigest(), "string")
     # kafka value bytes → string (Functions.scala decodeKafka)
     udf("decodeKafka",

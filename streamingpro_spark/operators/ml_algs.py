@@ -92,7 +92,12 @@ class _MLWrapper(ETAlgorithm):
         nor executor-usable, so serving extracts the parameters into a
         pure-numpy closure (operators/serving.py)."""
         from streamingpro_spark.operators.serving import extract_predictor
-        fn = extract_predictor(model, params.get("__path__"))
+        raw = params.get("__path__")
+        # keepVersion models live under path/_model_N — the tree-ensemble
+        # serving path reads files from disk, so it needs the SAME
+        # resolved path load() used, not the raw register path
+        real = self._resolve_path(raw, params or {}, for_write=False) if raw else raw
+        fn = extract_predictor(model, real)
         return spark.udf.register(name, fn, "double")
 
 
@@ -150,7 +155,7 @@ _make("KMeans",
       ints=("k", "maxIter", "seed"), strs=("featuresCol",))
 _make("LDA",
       "pyspark.ml.clustering.LDA",
-      "pyspark.ml.clustering.LDAModel",
+      "pyspark.ml.clustering.LocalLDAModel",
       ints=("k", "maxIter", "seed"), strs=("featuresCol",))
 _make("FPGrowth",
       "pyspark.ml.fpm.FPGrowth",
@@ -344,7 +349,10 @@ class PageRank(ETAlgorithm):
         dst = params.get("dstCol", "dst")
         d = float(params.get("dampingFactor", "0.85"))
         iters = int(params.get("maxIter", "10"))
-        edges = df.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+        from streamingpro_spark.operators.base import script_cache
+        edges = script_cache(
+            df.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            context, "pagerank_edges")
         verts = edges.select(F.col("src").alias("id")) \
                      .union(edges.select(F.col("dst").alias("id"))).distinct()
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))

@@ -22,7 +22,6 @@ path wins (see MinHash/SimHash kernel notes).
 from __future__ import annotations
 
 import math
-import re
 
 from typing import TYPE_CHECKING
 
@@ -138,10 +137,13 @@ def norm_col(a: Column) -> Column:
 
 def normalized_col(a: Column) -> Column:
     """L2-normalize an array<float> into array<double> (normalize once at
-    ingest so cosine == dot at query time)."""
+    ingest so cosine == dot at query time).  Zero vectors divide by 1.0
+    (the numpy kernels' nn[nn==0]=1.0 convention) — a raw /0 yields NULL
+    elements and NaN cosines, and Spark ranks NaN above every double."""
     dbl = F.transform(a, lambda v: v.cast("double"))
     n = norm_col(dbl)
-    return F.transform(dbl, lambda v: v / n)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(dbl, lambda v: v / safe)
 
 
 @register_et("SimilaritySearch")
@@ -181,14 +183,19 @@ class SimilaritySearch(ETAlgorithm):
         qrows = bounded_collect(qdf.select(id_col, col), max_q,
                                 "SimilaritySearch query set", "maxQueryRows",
                                 hint="narrow it with queryTable/queryFilter")
+        id_t = df.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+        if not qrows:
+            # empty query set (normal filter outcome) — not a numpy
+            # AxisError on a (0,)-shaped matrix
+            return df.sparkSession.createDataFrame(
+                [], out_schema + ", rank int")
         qids = np.array([r[0] for r in qrows])
         Q = np.array([list(r[1]) for r in qrows], dtype=float)
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         bc = df.sparkSession.sparkContext.broadcast((qids, Q / qn))
         kk = k
-        id_t = df.schema[id_col].dataType.simpleString()
-        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
 
         def part_topk(batches):
             import numpy as _np
@@ -264,7 +271,13 @@ class LSHSimilaritySearch(ETAlgorithm):
             bits = get_int(params, "bitsPerTable", 8)
         seed = get_int(params, "seed", 42)
         df = ensure_parallelism(df)
-        dim = len(df.select(col).first()[0])
+        first = df.select(col).first()
+        id_t0 = df.schema[id_col].dataType.simpleString()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"query_id {id_t0}, neighbor_id {id_t0}, "
+                    "cosine double, rank int")
+        dim = len(first[0])
 
         rng = np.random.RandomState(seed)
         # (T*B, dim) hyperplane matrix, broadcast once; signature = one
@@ -285,9 +298,12 @@ class LSHSimilaritySearch(ETAlgorithm):
         expl = F.posexplode("__sigs")
         tables = with_sig.select("__id", expl).withColumnRenamed("pos", "__t") \
                          .withColumnRenamed("col", "__sig")
-        qfilter = re.sub(rf"\b{re.escape(id_col)}\b", "__id",
-                         params.get("queryFilter", "true"))
-        queries = with_sig.filter(F.expr(qfilter))
+        # queryFilter evaluates against the ORIGINAL columns (semi-join
+        # on id) — the old regex rewrite of idCol over the SQL string
+        # mangled string literals and broke filters on other columns
+        q_ids = (df.filter(F.expr(params.get("queryFilter", "true")))
+                   .select(F.col(id_col).alias("__id")))
+        queries = with_sig.join(q_ids, "__id", "left_semi")
         q_tables = (queries.select(F.col("__id").alias("query_id"), expl)
                     .withColumnRenamed("pos", "__t")
                     .withColumnRenamed("col", "__sig"))
@@ -390,12 +406,17 @@ class IVFSimilaritySearch(ETAlgorithm):
                 cent = np.array(_json.load(fh), dtype=float)
             nlist = len(cent)
             nprobe = min(nprobe, nlist)
+        id_t = df.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
         if cent is None:
             # Lloyd iterations on a bounded driver sample
-            sample = _l2(np.array(
-                [list(r[0]) for r in
-                 base.select("__v").limit(sample_n).collect()],
-                dtype=float))
+            sample_rows = base.select("__v").limit(sample_n).collect()
+            if not sample_rows:
+                # empty corpus: zero neighbors, not a numpy AxisError
+                return df.sparkSession.createDataFrame(
+                    [], out_schema + ", rank int")
+            sample = _l2(np.array([list(r[0]) for r in sample_rows],
+                                  dtype=float))
             nlist = min(nlist, len(sample))
             nprobe = min(nprobe, nlist)
             rng = np.random.RandomState(seed)
@@ -416,13 +437,19 @@ class IVFSimilaritySearch(ETAlgorithm):
         # queries: driver-bounded like SimilaritySearch — a hard cap, not
         # a convention: the default queryFilter="true" would otherwise
         # collect the entire corpus to the driver
-        qfilter = re.sub(rf"\b{re.escape(id_col)}\b", "__id",
-                         params.get("queryFilter", "true"))
+        # queryFilter evaluates against the ORIGINAL columns (semi-join
+        # on id), not a regex-rewritten string over the projected plan
+        q_ids = (df.filter(F.expr(params.get("queryFilter", "true")))
+                   .select(F.col(id_col).alias("__id")))
         max_q = get_int(params, "maxQueryRows", 100_000)
-        qrows = bounded_collect(base.filter(F.expr(qfilter)).select("__id", "__v"),
+        qrows = bounded_collect(base.join(q_ids, "__id", "left_semi")
+                                    .select("__id", "__v"),
                                 max_q, "IVFSimilaritySearch query set",
                                 "maxQueryRows",
                                 hint="narrow it with queryFilter")
+        if not qrows:
+            return df.sparkSession.createDataFrame(
+                [], out_schema + ", rank int")
         qids = np.array([r[0] for r in qrows])
         Q = _l2(np.array([list(r[1]) for r in qrows], dtype=float))
         probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]
@@ -431,8 +458,6 @@ class IVFSimilaritySearch(ETAlgorithm):
             member[j, probe[j]] = True
         bc = df.sparkSession.sparkContext.broadcast((cent, qids, Q, member))
         kk = k
-        id_t = df.schema[id_col].dataType.simpleString()
-        out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
 
         # ONE mapInPandas pass fuses cell-assign + probe-mask + dot +
         # batch-local top-k (same exact-compositionality argument as

@@ -1288,3 +1288,68 @@ def test_raw_similar_preserves_user_id_column(engine):
     rows = {r["doc_id"]: r for r in df.collect()}
     assert rows[1]["id"] == "keep-a" and rows[2]["id"] == "keep-b"
     assert rows[1]["__similar__"] == 1 and rows[2]["__similar__"] == 1
+
+
+def test_similarity_empty_query_set(engine, sf_dir):
+    # a filter matching no rows returns an empty frame, not AxisError
+    for op, extra in [("SimilaritySearch", ""),
+                      ("IVFSimilaritySearch", ' and nlist="4"'),
+                      ("LSHSimilaritySearch", "")]:
+        df = engine.execute(f"""
+        load parquet.`{sf_dir}/embeddings.parquet` as emb;
+        run emb as {op}.`` where queryFilter="vec_id < 0"{extra} as out;
+        """)
+        assert df.count() == 0, op
+
+
+def test_similarity_zero_vector_no_nan(engine):
+    # a zero vector must not produce NaN cosines that outrank real hits
+    df = engine.execute("""
+    set data = '''
+    {"vec_id":1,"embedding":[0.0,0.0]}
+    {"vec_id":2,"embedding":[1.0,0.0]}
+    {"vec_id":3,"embedding":[0.9,0.1]}
+    ''';
+    load jsonStr.`data` as emb;
+    run emb as LSHSimilaritySearch.`` where k="1"
+        and queryFilter="vec_id = 2" as out;
+    """)
+    rows = df.collect()
+    assert rows and all(r["cosine"] == r["cosine"] for r in rows)  # not NaN
+    assert rows[0]["neighbor_id"] == 3, rows
+
+
+def test_similarity_query_filter_on_original_columns(engine):
+    # queryFilter referencing a non-id column must work (the old regex
+    # rewrite ran against the projected plan and failed)
+    df = engine.execute("""
+    set data = '''
+    {"vec_id":1,"grp":"q","embedding":[1.0,0.0]}
+    {"vec_id":2,"grp":"c","embedding":[0.9,0.1]}
+    {"vec_id":3,"grp":"c","embedding":[0.0,1.0]}
+    ''';
+    load jsonStr.`data` as emb;
+    run emb as LSHSimilaritySearch.`` where k="2"
+        and queryFilter="grp = 'q'" as out;
+    """)
+    rows = df.collect()
+    assert {r["query_id"] for r in rows} == {1}
+
+
+def test_lda_predict_register_roundtrip(engine, tmp_path):
+    # LDAModel.load does not exist; the wrapper must resolve the
+    # concrete LocalLDAModel for predict/register verbs
+    df = engine.execute(f"""
+    set data = '''
+    {{"text":"spark streaming data engine"}}
+    {{"text":"sql query plan optimizer"}}
+    {{"text":"spark sql engine plan"}}
+    ''';
+    load jsonStr.`data` as corpus;
+    run corpus as TfIdfInPlace.`` where inputCol="text" as feats;
+    select text as features from feats as lda_in;
+    train lda_in as LDA.`{tmp_path}/lda` where k="2" and maxIter="3" as t;
+    predict lda_in as LDA.`{tmp_path}/lda` as scored;
+    """)
+    rows = df.collect()
+    assert len(rows) == 3 and "topicDistribution" in df.columns
