@@ -455,7 +455,8 @@ class Engine:
         ctx = self.context
         df = ctx.spark.table(stmt.table)
         alg = find_algorithm(stmt.algorithm)
-        path = ctx.resource_real_path(stmt.path)
+        path = (stmt.path if getattr(alg, "skip_path_prefix", False)
+                else ctx.resource_real_path(stmt.path))
         options = {**stmt.options, "__table__": stmt.table}
         if stmt.verb == "predict":
             out = alg.batch_predict(df, path, options)
@@ -474,7 +475,8 @@ class Engine:
         from streamingpro_spark.operators.registry import find_algorithm
         ctx = self.context
         alg = find_algorithm(stmt.algorithm)
-        path = ctx.resource_real_path(stmt.path)
+        path = (stmt.path if getattr(alg, "skip_path_prefix", False)
+                else ctx.resource_real_path(stmt.path))
         model = alg.load(ctx.spark, path, stmt.options, ctx)
         opts = {**stmt.options, "__path__": path}
         fn = alg.predict(ctx.spark, model, stmt.function, opts)

@@ -17,6 +17,10 @@ if TYPE_CHECKING:
 
 class ETAlgorithm:
     """Base class for `train/run/predict/register` targets."""
+    #: True when `path` is a table/job/connection NAME, not a
+    #: filesystem path (the reference's skipPathPrefix): the engine
+    #: must not home-prefix it
+    skip_path_prefix = False
 
     #: "algorithm" (trains a model) or "processing" (pure transform)
     model_type: str = "processing"

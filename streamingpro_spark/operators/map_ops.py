@@ -39,18 +39,22 @@ class MapET(ETAlgorithm):
     (reference: streaming/dsl/mmlib/algs/SQLMap.scala:32-51)."""
 
     model_type = "algorithm"
+    skip_path_prefix = True   # `path` is a table name
 
     def train(self, df, path, params, context=None):
         return df.sparkSession.createDataFrame([], "dummy: string")
 
     def load(self, spark, path, params, context=None):
-        # `path` is a table name here (skipPathPrefix in the reference)
         row = spark.table(path).limit(1).collect()[0].asDict()
         return {str(k): "" if v is None else str(v) for k, v in row.items()}
 
     def predict(self, spark, model, name, params):
         d = dict(model)
-        return spark.udf.register(name, lambda k: d.get(k), "string")
+        # keys were stringified at load — stringify the lookup arg too,
+        # or int key columns would miss every row
+        return spark.udf.register(
+            name, lambda k: d.get(str(k)) if k is not None else None,
+            "string")
 
 
 @register_et("MapValues")
@@ -89,13 +93,17 @@ class MapValues(ETAlgorithm):
         in_c, out_c, missing = meta["inputCol"], meta["outputCol"], meta["mapMissingTo"]
         out_type = dict_df.schema[out_c].dataType.simpleString()
         rows = dict_df.collect()
-        mapping = {r[in_c]: r[out_c] for r in rows}
-        default = mapping[missing]
+        # str-keyed: train() accepts non-string inputCol dict tables
+        # (Spark coerces the mapMissingTo comparison), so predict must
+        # match them — raw keys made mapping[missing] a KeyError and
+        # lookups miss for int columns
+        mapping = {str(r[in_c]): r[out_c] for r in rows}
+        default = mapping[str(missing)]
         bc = spark.sparkContext.broadcast((mapping, default))
 
         def lookup(k):
             m, d = bc.value
-            return m.get(k, d)
+            return m.get(str(k), d) if k is not None else d
 
         spark.udf.register(f"{name}_array",
                            lambda ks: [lookup(k) for k in (ks or [])],
@@ -123,7 +131,9 @@ class TableToMap(ETAlgorithm):
 
     def predict(self, spark, model, name, params):
         bc = spark.sparkContext.broadcast(dict(model))
-        return spark.udf.register(name, lambda k: bc.value.get(k), "string")
+        return spark.udf.register(
+            name, lambda k: bc.value.get(str(k)) if k is not None else None,
+            "string")
 
 
 @register_et("DicOrTableToArray")
@@ -348,6 +358,8 @@ class JDBCExt(ETAlgorithm):
     returns a table).  Connection options merge from `connect ... as db`
     when `path` names a connection."""
 
+    skip_path_prefix = True   # `path` names a connection, not a file
+
     def train(self, df, path, params, context=None):
         spark = df.sparkSession
         opts = dict(params)
@@ -401,6 +413,8 @@ class JDBCUpdatExt(ETAlgorithm):
       typed setters (timestamp/date/decimal/null, matching
       SQLJDBCUpdatExt.scala:116-132), one transaction with rollback on
       failure (ibid:102,136-144), hard ``maxRows`` collect cap."""
+
+    skip_path_prefix = True   # `path` is db.table, not a file
 
     def train(self, df, path, params, context=None):
         key_param = params.get("keyCol")

@@ -29,6 +29,10 @@ class TableRepartition(ETAlgorithm):
         cols = [c.strip() for c in params.get("partitionCols", "").split(",") if c.strip()]
         shuffle = get_bool(params, "shuffle", True)
         if params.get("partitionType") == "range":
+            if not cols:
+                raise ValueError(
+                    'partitionType="range" requires partitionCols — '
+                    "range partitioning has no columns to order by")
             return df.repartitionByRange(int(n), *cols) if n else df.repartitionByRange(*cols)
         if n and not shuffle:
             return df.coalesce(int(n))
@@ -154,8 +158,9 @@ class TreeBuildExt(ETAlgorithm):
     """Hierarchy closure from (id, parentId) edges — per-node level and
     full descendant set (reference: SQLTreeBuildExt.scala:37-130).
 
-    Iterative self-joins doubling path length each round (O(log depth)
-    shuffles), cycle-guarded by maxDepth.
+    Iterative frontier-joins-edges expansion, one level per round
+    (each frontier cached so rounds are O(frontier), not a re-execution
+    of the whole lineage), cycle-guarded by maxDepth.
     """
 
     def train(self, df, path, params, context=None):
@@ -169,17 +174,28 @@ class TreeBuildExt(ETAlgorithm):
         closure = edges.select(F.col("parent").alias("anc"),
                                F.col("child").alias("desc"),
                                F.lit(1).alias("depth"))
-        frontier = closure
-        for _ in range(max_depth):
-            nxt = (frontier.alias("f")
-                   .join(edges.alias("e"), F.col("f.desc") == F.col("e.parent"))
-                   .select(F.col("f.anc").alias("anc"),
-                           F.col("e.child").alias("desc"),
-                           (F.col("f.depth") + 1).alias("depth")))
+        from streamingpro_spark.operators.base import script_cache
+        edges = script_cache(edges, context, "tree_edges")
+        # each frontier is materialized (script-lifetime cache): the
+        # emptiness probe and the final closure agg would otherwise
+        # re-execute the whole k-join lineage every round — O(depth²)
+        frontier = script_cache(closure, context, "tree_frontier0")
+        parts = [frontier]
+        for i in range(max_depth):
+            nxt = script_cache(
+                (frontier.alias("f")
+                 .join(edges.alias("e"), F.col("f.desc") == F.col("e.parent"))
+                 .select(F.col("f.anc").alias("anc"),
+                         F.col("e.child").alias("desc"),
+                         (F.col("f.depth") + 1).alias("depth"))),
+                context, f"tree_frontier{i + 1}")
             if nxt.limit(1).count() == 0:
                 break
-            closure = closure.union(nxt)
+            parts.append(nxt)
             frontier = nxt
+        closure = parts[0]
+        for p in parts[1:]:
+            closure = closure.union(p)
         closure = closure.groupBy("anc", "desc").agg(F.min("depth").alias("depth"))
         if mode == "treePerRow":
             return (closure.groupBy("anc")
@@ -204,6 +220,8 @@ class TreeBuildExt(ETAlgorithm):
 class SchemaCommand(ETAlgorithm):
     """!desc t — describe a table's schema
     (reference: external/mlsql-ets/.../SchemaCommand.scala)."""
+
+    skip_path_prefix = True   # `path` is a table name
 
     def train(self, df, path, params, context=None):
         spark = df.sparkSession
@@ -265,6 +283,8 @@ class PrintCommand(ETAlgorithm):
 class DropTempTable(ETAlgorithm):
     """Drop a temp view (companion of reference table mgmt commands)."""
 
+    skip_path_prefix = True   # `path` is a view name
+
     def train(self, df, path, params, context=None):
         df.sparkSession.catalog.dropTempView(path)
         return None
@@ -284,6 +304,8 @@ class EmptyTableWithSchema(ETAlgorithm):
 class Kill(ETAlgorithm):
     """!kill jobName — stop a stream / cancel a job group
     (reference: tech/mlsql/job/JobManager.scala:150+)."""
+
+    skip_path_prefix = True   # `path` is a job name
 
     def train(self, df, path, params, context=None):
         name = path or params.get("jobName", "")
@@ -331,6 +353,11 @@ class JsonExpandExt(ETAlgorithm):
         samples = [r[0] for r in df.select(col).filter(F.col(col).isNotNull())
                    .limit(100).collect()]
         spark = df.sparkSession
+        if not samples:
+            # nothing to infer from (empty table / all-null column):
+            # pass the input through instead of an opaque
+            # "Unable to infer schema" AnalysisException
+            return df
         schema = spark.read.json(spark.sparkContext.parallelize(samples)).schema
         out = df.withColumn("__j", F.from_json(F.col(col), schema))
         for f in schema.fields:

@@ -270,7 +270,11 @@ def _load_jdbc(ctx, path, options):
         # pushdown via Spark's `query` option — its generated subquery
         # alias is portable (a hand-rolled `(...) __x` alias trips DBs
         # that reject leading-underscore identifiers, e.g. Derby)
-        sql = opts.pop("sql", None) or options.get("sql")
+        sql = opts.pop("sql", None)
+        if not sql:
+            raise ValueError(
+                'directQuery="true" requires a `sql` option with the '
+                "pushdown query text")
         opts.pop("dbtable", None)
         reader = reader.option("query", sql)
     else:
@@ -437,7 +441,14 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
     if df.isStreaming:
         _save_stream(ctx, df, stmt)
         return
-    fmt, path, options = stmt.format, ctx.resource_real_path(stmt.path), stmt.options
+    fmt = stmt.format
+    # db/table names are NOT filesystem paths: home-prefixing
+    # "mydb.users" would break the connect-meta lookup and saveAsTable
+    _non_fs = fmt in ("jdbc", "hive", "table", "console", "kafka",
+                      "es", "solr", "redis", "mongo")
+    path = stmt.path if _non_fs else ctx.resource_real_path(stmt.path)
+    options = stmt.options
+    _NANOS_CACHE.pop(path, None)   # a rewrite changes the footer schema
     if "fileNum" in options:  # SaveAdaptor.scala:109-111
         df = df.repartition(int(options["fileNum"]))
     if fmt == "console":
@@ -490,6 +501,20 @@ def _norm_mode(mode: str) -> str:
     return {"errorifexists": "error"}.get(mode.lower(), mode.lower())
 
 
+def _finalize_stream(ctx, writer, out_mode, ckpt, duration):
+    """Shared stream-writer tail: output mode, checkpoint, queryName,
+    trigger, start, job registration — one copy for every sink branch."""
+    writer = (writer.outputMode(out_mode.lower())
+              .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+    if ctx.stream_name:
+        writer = writer.queryName(ctx.stream_name)
+    if duration >= 0:
+        writer = writer.trigger(processingTime=f"{duration} seconds")
+    query = writer.start()
+    ctx.jobs[ctx.stream_name or query.id] = query
+    return query
+
+
 def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> None:
     """Stream sink contract (MLSQLBaseStreamSource.scala:19-89): required
     keys duration + checkpointLocation; outputMode from `mode` option or
@@ -515,15 +540,8 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
             eng.context.env["__batch_id__"] = str(batch_id)
             eng.execute(script)
 
-        writer = (df.writeStream.foreachBatch(run_batch)
-                  .outputMode(out_mode.lower())
-                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
-        if ctx.stream_name:
-            writer = writer.queryName(ctx.stream_name)
-        if duration >= 0:
-            writer = writer.trigger(processingTime=f"{duration} seconds")
-        query = writer.start()
-        ctx.jobs[ctx.stream_name or query.id] = query
+        _finalize_stream(ctx, df.writeStream.foreachBatch(run_batch),
+                         out_mode, ckpt, duration)
         return
     if fmt == "versionedParquet":
         # delta-like streaming sink: one time-travel commit per
@@ -541,15 +559,8 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
             vp_save(ctx, batch_df, stmt.path, vp_mode, options,
                     stmt.partition_by, batch_id=batch_id, txn_id=vp_txn)
 
-        writer = (df.writeStream.foreachBatch(vp_batch)
-                  .outputMode(out_mode.lower())
-                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
-        if ctx.stream_name:
-            writer = writer.queryName(ctx.stream_name)
-        if duration >= 0:
-            writer = writer.trigger(processingTime=f"{duration} seconds")
-        query = writer.start()
-        ctx.jobs[ctx.stream_name or query.id] = query
+        _finalize_stream(ctx, df.writeStream.foreachBatch(vp_batch),
+                         out_mode, ckpt, duration)
         return
     if fmt == "newParquet":
         # overwrite-able file stream sink (reference NewFileStreamSink:
@@ -560,22 +571,13 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         def overwrite_batch(batch_df, batch_id):
             batch_df.write.mode("overwrite").parquet(target)
 
-        writer = (df.writeStream.foreachBatch(overwrite_batch)
-                  .outputMode(out_mode.lower())
-                  .option("checkpointLocation", ctx.resource_real_path(ckpt)))
-        if ctx.stream_name:
-            writer = writer.queryName(ctx.stream_name)
-        if duration >= 0:
-            writer = writer.trigger(processingTime=f"{duration} seconds")
-        query = writer.start()
-        ctx.jobs[ctx.stream_name or query.id] = query
+        _finalize_stream(ctx, df.writeStream.foreachBatch(overwrite_batch),
+                         out_mode, ckpt, duration)
         return
     # webConsole is the reference's console-to-web-client sink
     # (MLSQLConsole.scala + web push); locally both land on the console
-    writer = (df.writeStream.format(
-                  "console" if fmt in ("console", "webConsole") else fmt)
-              .outputMode(out_mode.lower())
-              .option("checkpointLocation", ctx.resource_real_path(ckpt)))
+    writer = df.writeStream.format(
+        "console" if fmt in ("console", "webConsole") else fmt)
     for k, v in _spark_opts(options).items():
         if k not in ("checkpointLocation", "duration", "mode"):
             writer = writer.option(k, v)
@@ -583,9 +585,4 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         writer = writer.option("path", ctx.resource_real_path(stmt.path))
     if stmt.partition_by:
         writer = writer.partitionBy(*stmt.partition_by)
-    if ctx.stream_name:
-        writer = writer.queryName(ctx.stream_name)
-    if duration >= 0:
-        writer = writer.trigger(processingTime=f"{duration} seconds")
-    query = writer.start()
-    ctx.jobs[ctx.stream_name or query.id] = query
+    _finalize_stream(ctx, writer, out_mode, ckpt, duration)

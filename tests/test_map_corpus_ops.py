@@ -339,3 +339,90 @@ public class Neg implements UDF1<Long, Long> {
     select neg_fn(5L) as v as out;
     """)
     assert df.collect()[0]["v"] == -5
+
+
+def test_map_et_int_keys(engine):
+    # dict keys are stringified at load — int key columns must still hit
+    df = engine.execute("""
+    set dict = '''
+    {"1":"one","2":"two"}
+    ''';
+    load jsonStr.`dict` as dict_t;
+    register Map.`dict_t` as map_fn;
+    set data = '''
+    {"k":1}
+    ''';
+    load jsonStr.`data` as t;
+    select map_fn('1') as v1 as output;
+    """)
+    assert df.collect()[0]["v1"] == "one"
+
+
+def test_table_to_map_int_key_column(engine, tmp_path):
+    df = engine.execute(f"""
+    set dict = '''
+    {{"key":1,"value":"one"}}
+    {{"key":2,"value":"two"}}
+    ''';
+    load jsonStr.`dict` as dict_t;
+    train dict_t as TableToMap.`{tmp_path}/ttm` as t;
+    register TableToMap.`{tmp_path}/ttm` as ttm_fn;
+    set data = '''
+    {{"k":1}}
+    {{"k":3}}
+    ''';
+    load jsonStr.`data` as t2;
+    select k, ttm_fn(k) as v from t2 as output;
+    """)
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert rows == {1: "one", 3: None}
+
+
+def test_map_values_int_dict_table(engine, tmp_path):
+    # train accepts an int inputCol (Spark coerces the comparison);
+    # register must serve it rather than KeyError on the default lookup
+    df = engine.execute(f"""
+    set dict = '''
+    {{"code":0,"label":"default"}}
+    {{"code":1,"label":"alpha"}}
+    ''';
+    load jsonStr.`dict` as dict_t;
+    train dict_t as MapValues.`{tmp_path}/mv` where inputCol="code"
+        and outputCol="label" and mapMissingTo="0" as t;
+    register MapValues.`{tmp_path}/mv` as mv_fn;
+    set data = '''
+    {{"code":1}}
+    {{"code":9}}
+    ''';
+    load jsonStr.`data` as t2;
+    select code, mv_fn(code) as lab from t2 as output;
+    """)
+    rows = {r["code"]: r["lab"] for r in df.collect()}
+    assert rows == {1: "alpha", 9: "default"}
+
+
+def test_home_prefix_skipped_for_name_paths(spark, tmp_path):
+    """With a per-owner home set, ETs whose path is a table name must
+    NOT have it rewritten to home/owner/name."""
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    eng.context.home = str(tmp_path)
+    eng.context.owner = "alice"
+    df = eng.execute("""
+    set dict = '''
+    {"key":"a","value":"1"}
+    ''';
+    load jsonStr.`dict` as named_dict;
+    register Map.`named_dict` as hm_fn;
+    select hm_fn('key') as v as output;
+    """)
+    assert df.collect()[0]["v"] == "a"
+    # !desc on a view name works under home too
+    out = eng.execute("""
+    set data = '''
+    {"x":1}
+    ''';
+    load jsonStr.`data` as desc_me;
+    !desc desc_me;
+    """)
+    assert "x" in [r["col_name"] for r in out.collect()]

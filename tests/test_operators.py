@@ -1353,3 +1353,28 @@ def test_lda_predict_register_roundtrip(engine, tmp_path):
     """)
     rows = df.collect()
     assert len(rows) == 3 and "topicDistribution" in df.columns
+
+
+def test_table_repartition_range_requires_cols(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partitionCols"):
+        engine.execute("""
+        set data = '''
+        {"x":1}
+        ''';
+        load jsonStr.`data` as t;
+        run t as TableRepartition.`` where partitionType="range"
+            and partitionNum="4" as out;
+        """)
+
+
+def test_json_expand_all_null_column(engine):
+    df = engine.execute("""
+    set data = '''
+    {"value":null}
+    {"value":null}
+    ''';
+    load jsonStr.`data` as t;
+    run t as JsonExpandExt.`` where inputCol="value" as out;
+    """)
+    assert df.count() == 2   # passthrough, not "Unable to infer schema"
