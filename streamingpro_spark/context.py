@@ -61,7 +61,15 @@ class ExecutionContext:
             return path
         if self.home is None or os.path.isabs(path) or "://" in path:
             return path
-        return os.path.join(self.home, self.owner, path)
+        base = os.path.normpath(os.path.join(self.home, self.owner))
+        real = os.path.normpath(os.path.join(base, path))
+        # containment: '..' segments must not escape the per-owner
+        # sandbox (server.py's _safe_path does this for uploads; loads/
+        # saves/train paths need the same check)
+        if real != base and not real.startswith(base + os.sep):
+            raise PermissionError(
+                f"path {path!r} escapes the per-owner directory")
+        return real
 
     # ---- branch state ----
     def branch_active(self) -> bool:

@@ -25,8 +25,12 @@ from streamingpro_spark.context import BranchFrame, ExecutionContext
 from streamingpro_spark.expr import evaluate_condition
 from streamingpro_spark.macros import MACROS, expand_macro
 
-_COMMAND_VIEW_SESSIONS: set[int] = set()
-_SHIPPED_CONTEXTS: set[int] = set()
+import weakref
+
+# keyed by the LIVE session/context object: an id() key can be reused by
+# a NEW session allocated at a freed address, silently skipping setup
+_COMMAND_VIEW_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+_SHIPPED_CONTEXTS: "weakref.WeakSet" = weakref.WeakSet()
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
@@ -40,9 +44,9 @@ def _ship_package(spark: "SparkSession") -> None:
     repo root.  Convention is still by-value nested defs in hot paths —
     this is the backstop that turns a crash into a non-event."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    if sc in _SHIPPED_CONTEXTS:
         return
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_CONTEXTS.add(sc)
     try:
         import tempfile
         import zipfile
@@ -90,8 +94,8 @@ class Engine:
         # the 1-row `command` dummy view used as input for `run command as ...`
         # (reference: SparkRuntime.scala:200-202); session-keyed guard —
         # catalog.listTables() is a py4j scan that grows with view count
-        if id(spark) not in _COMMAND_VIEW_SESSIONS:
-            _COMMAND_VIEW_SESSIONS.add(id(spark))
+        if spark not in _COMMAND_VIEW_SESSIONS:
+            _COMMAND_VIEW_SESSIONS.add(spark)
             spark.createDataFrame([("command",)], "command: string") \
                  .createOrReplaceTempView("command")
         if register_functions:
@@ -183,6 +187,15 @@ class Engine:
             eng.context.connect_meta.update(parent_context.connect_meta)
             eng.context.extra["table_auth"] = \
                 parent_context.extra.get("table_auth")
+            # load/render hooks ARE policy (row filters / column masks):
+            # a child without them bypasses data masking exactly like a
+            # missing table_auth bypassed auth
+            eng.context.load_hooks = list(parent_context.load_hooks)
+            eng.context.render_hooks = list(parent_context.render_hooks)
+            # share the checkpoint ledger — files created by sub-scripts
+            # must be deleted by the PARENT's end-of-session reaper, not
+            # recorded in a throwaway child list
+            eng.context.checkpoint_files = parent_context.checkpoint_files
         return eng
 
     def validate(self, script: str) -> list[dict]:
@@ -221,8 +234,13 @@ class Engine:
                                "text": raw.strip()[:200]})
                 continue
             if isinstance(stmt, P.SetStmt):
-                env.setdefault(stmt.key, stmt.value
-                               if isinstance(stmt.value, str) else "")
+                val = stmt.value if isinstance(stmt.value, str) else ""
+                # real `set` semantics overwrite; only type=defaultParam
+                # keeps an earlier assignment
+                if stmt.options.get("type", "") == "defaultParam":
+                    env.setdefault(stmt.key, val)
+                else:
+                    env[stmt.key] = val
                 continue
             sql = stmt.sql if isinstance(stmt, (P.SelectStmt,
                                                 P.RawSqlStmt)) else None
@@ -383,8 +401,10 @@ class Engine:
             df = ctx.spark.sql(stmt.sql)
             head = stmt.sql.lstrip().split(None, 1)[0].lower()
             if head in ("explain", "describe", "desc", "show"):
-                df.createOrReplaceTempView("__raw_sql_result__")
-                ctx.set_last_table("__raw_sql_result__")
+                import uuid as _uuid
+                view = f"__raw_sql_result_{_uuid.uuid4().hex[:12]}__"
+                df.createOrReplaceTempView(view)
+                ctx.set_last_table(view)
         else:
             raise ValueError(f"unhandled statement: {raw[:80]}")
 
@@ -488,12 +508,15 @@ class Engine:
         reads/writes (reference pass D, ScriptSQLExec.scala:122-142 +
         Protocal.scala:67-111)."""
         out: list[dict] = []
-        for raw in self._expand_includes(P.split_statements(script)):
+        for raw in self._expand_includes(P.split_statements(script),
+                                         best_effort=True):
             kind = P.statement_kind(raw)
             merged = P.template_merge(raw, self.context.env)
             try:
                 stmt = P.parse_statement(merged)
-            except ValueError:
+            except Exception:
+                # analysis must not crash on what execute() tolerates —
+                # truncated statements raise IndexError in token walkers
                 continue
             if isinstance(stmt, P.LoadStmt):
                 out.append({"op": "load", "format": stmt.format,

@@ -18,14 +18,17 @@ import numpy as np
 from pyspark.ml.linalg import DenseMatrix, DenseVector, SparseVector, Vector, VectorUDT
 from pyspark.sql import SparkSession, functions as F, types as T
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# keyed by the live session object — an id() key can be reused by a new
+# session allocated at a freed address, silently skipping registration
+_REGISTERED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_all(spark: SparkSession) -> None:
-    key = id(spark)
-    if key in _REGISTERED:
+    if spark in _REGISTERED:
         return
-    _REGISTERED.add(key)
+    _REGISTERED.add(spark)
     _register_array(spark)
     _register_vector(spark)
     _register_time(spark)

@@ -188,8 +188,11 @@ class MLSQLServer:
                     self._send(200, {"status": "ok"})
                 elif self.path.startswith("/runningjobs"):
                     with outer.jobs._lock:
-                        self._send(200, [j.as_dict()
-                                         for j in outer.jobs.jobs.values()])
+                        snapshot = [j.as_dict()
+                                    for j in outer.jobs.jobs.values()]
+                    # send AFTER releasing: a slow reader blocking the
+                    # socket write must not stall job registration
+                    self._send(200, snapshot)
                 elif self.path.startswith("/download"):
                     from urllib.parse import parse_qs as _pq, urlparse as _up
                     q = {k: v[0] for k, v in _pq(_up(self.path).query).items()}
@@ -205,14 +208,14 @@ class MLSQLServer:
                     self._send(404, {"msg": "not found"})
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(n).decode()
-                ctype = self.headers.get("Content-Type", "")
-                if "json" in ctype:
-                    params = json.loads(raw or "{}")
-                else:
-                    params = {k: v[0] for k, v in parse_qs(raw).items()}
                 try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n).decode()
+                    ctype = self.headers.get("Content-Type", "")
+                    if "json" in ctype:
+                        params = json.loads(raw or "{}")
+                    else:
+                        params = {k: v[0] for k, v in parse_qs(raw).items()}
                     if self.path.startswith("/run/script"):
                         self._send(200, outer.run_script(params))
                     elif self.path.startswith("/upload_file"):
@@ -339,4 +342,5 @@ class MLSQLServer:
 
     def stop(self) -> None:
         self.httpd.shutdown()
+        self.httpd.server_close()   # release the listener fd (re-bind)
         self.jobs.shutdown()

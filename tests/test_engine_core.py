@@ -692,3 +692,62 @@ def test_validate_reports_truncated_statements(spark):
     from streamingpro_spark import Engine
     errs = Engine(spark).validate("load ;")
     assert len(errs) == 1 and errs[0]["statement"] == 0
+
+
+def test_home_prefix_blocks_path_traversal(spark, tmp_path):
+    """'..' in a relative path must not escape the per-owner sandbox."""
+    import pytest as _pytest
+    from streamingpro_spark import Engine
+    eng = Engine(spark)
+    eng.context.home = str(tmp_path)
+    eng.context.owner = "alice"
+    (tmp_path / "bob").mkdir()
+    (tmp_path / "bob" / "secret.json").write_text('{"x": 1}')
+    with _pytest.raises(PermissionError, match="escapes"):
+        eng.execute("load json.`../bob/secret.json` as t;")
+    # in-sandbox relative paths still resolve
+    (tmp_path / "alice").mkdir()
+    (tmp_path / "alice" / "mine.json").write_text('{"x": 2}')
+    df = eng.execute("load json.`mine.json` as t; select x from t as out;")
+    assert df.collect()[0]["x"] == 2
+
+
+def test_validate_uses_latest_set_value(engine):
+    """`set` overwrites — validate must check the LAST assignment."""
+    errs = engine.validate("""
+    set q = "select 1 as a";
+    set q = "selct 2 frm nope";
+    ${q} as t;
+    """)
+    assert errs, "the reassigned bad SQL must be caught"
+    clean = engine.validate("""
+    set q = "selct bad";
+    set q = "select 1 as a";
+    ${q} as t;
+    """)
+    assert clean == []
+
+
+def test_analyze_tolerates_runtime_includes(engine):
+    """analyze() must not crash on set-then-include scripts that execute
+    fine (the include variable exists only at runtime)."""
+    out = engine.analyze("""
+    set body = '''select 1 as a;''';
+    include script.`body`;
+    """)
+    assert isinstance(out, list)
+
+
+def test_for_child_inherits_load_hooks(spark):
+    """Sub-script engines keep row-filter/column-mask policy."""
+    from streamingpro_spark import Engine
+    parent = Engine(spark)
+    calls = []
+
+    def hook(ctx, fmt, path, df):
+        calls.append(fmt)
+        return df
+    parent.context.load_hooks.append(hook)
+    child = Engine.for_child(spark, parent.context)
+    assert child.context.load_hooks == parent.context.load_hooks
+    assert child.context.checkpoint_files is parent.context.checkpoint_files
