@@ -41,6 +41,8 @@ _FUNCS: dict[str, Any] = {
 
 
 def _coerce(v: str) -> Any:
+    if isinstance(v, str) and v.strip().lower() in ("true", "false"):
+        return v.strip().lower() == "true"
     try:
         return int(v)
     except (TypeError, ValueError):
@@ -66,6 +68,28 @@ def evaluate_condition(cond: str, context: "ExecutionContext") -> bool:
         cond = cond[1:-1]
     names: dict[str, Any] = {}
 
+    # mask string literals FIRST: every later textual rewrite (:var,
+    # = → ==, AND/OR/NOT, true/false) must not touch quoted operands —
+    # ':s == "a=b"' used to become '__v_s == "a==b"'.  Literal values
+    # re-enter the expression as bound names.  "true"/"false" literals
+    # coerce to bool (matching env-var coercion, so :flag == "true" and
+    # :flag == true both work); other strings stay strings so function
+    # args like startsWith(:v, "5") keep their text form.
+    def lit_repl(m: re.Match) -> str:
+        py = f"__lit_{len(names)}"
+        raw = m.group(0)
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw[1:-1]
+        if isinstance(val, str) and val.strip().lower() in ("true", "false"):
+            val = val.strip().lower() == "true"
+        names[py] = val
+        return py
+
+    py_expr = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
+                     lit_repl, cond)
+
     def repl(m: re.Match) -> str:
         var = m.group(1)
         py = f"__v_{var}"
@@ -73,7 +97,7 @@ def evaluate_condition(cond: str, context: "ExecutionContext") -> bool:
         names[py] = _coerce(raw)
         return py
 
-    py_expr = re.sub(r":([A-Za-z_][A-Za-z0-9_]*)", repl, cond)
+    py_expr = re.sub(r":([A-Za-z_][A-Za-z0-9_]*)", repl, py_expr)
     # SQL-style operators → python
     py_expr = re.sub(r"(?<![<>!=])=(?!=)", "==", py_expr)
     py_expr = re.sub(r"\bAND\b", "and", py_expr)

@@ -50,10 +50,10 @@ class DeltaCommandWrapper(ETAlgorithm):
             commits = vp.read_commits(target)
             if commits:
                 if args[0] == "history":
-                    return spark.createDataFrame(
-                        [(c["version"], c["mode"], c["timestamp"])
-                         for c in commits],
-                        "version: long, mode: string, timestamp: long")
+                    # single source of truth for the history schema —
+                    # vp.load renders it for `load versionedParquet ...
+                    # where history="true"` too
+                    return vp.load(context, args[1], {"history": "true"})
                 if args[0] == "compact":
                     # rewrite the CURRENT snapshot as one fresh overwrite
                     # commit with n files (the OPTIMIZE equivalent)
@@ -305,7 +305,10 @@ class EngineResource(ETAlgorithm):
         if not action:
             jsc = sc._jsc.sc()
             mem = jsc.getExecutorMemoryStatus()
-            executors = mem.size()
+            # the status map includes the DRIVER entry (which is why the
+            # resize path below subtracts one) — don't report it as an
+            # executor
+            executors = max(mem.size() - 1, 0)
             cores_per = int(sc.getConf().get("spark.executor.cores", "0")) \
                 or sc.defaultParallelism
             rows = [(master, int(executors), int(sc.defaultParallelism),
@@ -373,19 +376,23 @@ class SchedulerCommand(ETAlgorithm):
       !scheduler start; / !scheduler stop;    -- background minute loop
     """
 
+    #: process-global registry keyed by store path: the REST server
+    #: builds a fresh context PER REQUEST, so a context-cached service
+    #: would make a started scheduler unreachable from any later
+    #: request (stop/list would silently talk to a new empty instance)
+    _services: dict = {}
+
     def _service(self, spark, context):
         from streamingpro_spark.scheduler import SchedulerService
-        key = "scheduler_service"
-        svc = context.extra.get(key) if context else None
+        store = None
+        if context is not None and context.home:
+            store = os.path.join(context.home, context.owner,
+                                 "__mlsql__", "scheduler.json")
+        svc = SchedulerCommand._services.get(store)
         if svc is None:
-            store = None
-            if context is not None and context.home:
-                store = os.path.join(context.home, context.owner,
-                                     "__mlsql__", "scheduler.json")
             svc = SchedulerService(store_path=store)
             svc.load()
-            if context is not None:
-                context.extra[key] = svc
+            SchedulerCommand._services[store] = svc
         # (re)bind execution to the CURRENT context so auth/home follow
         # the engine that issued the command (sub-engine policy —
         # Engine.for_child inherits table_auth)
@@ -422,15 +429,21 @@ class SchedulerCommand(ETAlgorithm):
             return spark.createDataFrame(
                 [("stopped" if stopped else "not-running",)],
                 "scheduler: string")
+        def _resolve(p):
+            # per-owner sandbox: scheduler scripts resolve through the
+            # same path-prefix/containment rule as load/save/include
+            return context.resource_real_path(p) if context else p
+
         if args[0] == "run" and len(args) == 2:
-            svc.run_job(args[1])
+            svc.run_job(_resolve(args[1]))
             return job_table()
         if len(args) == 3 and args[1] == "with":
-            svc.add_timer(args[0], args[2])
+            svc.add_timer(_resolve(args[0]), args[2])
             return job_table()
         if len(args) == 4 and args[1] == "depends" and args[2] == "on":
-            parents = [p.strip() for p in args[3].split(",") if p.strip()]
-            svc.add_dependency(args[0], parents)
+            parents = [_resolve(p.strip())
+                       for p in args[3].split(",") if p.strip()]
+            svc.add_dependency(_resolve(args[0]), parents)
             return job_table()
         raise ValueError(
             f"!scheduler: unrecognized form {args!r}; use "

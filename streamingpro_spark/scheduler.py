@@ -56,6 +56,10 @@ class CronPattern:
             elif "-" in part:
                 a, b = part.split("-", 1)
                 lo2, hi2 = int(a), int(b)
+            elif step != 1:
+                # standard cron: 'v/step' steps from v through the max
+                # ('5/15 * * * *' = minutes 5,20,35,50 — not just 5)
+                lo2, hi2 = int(part), hi
             else:
                 lo2 = hi2 = int(part)
             if lo2 < lo or hi2 > hi or lo2 > hi2:
@@ -87,7 +91,7 @@ class SchedulerService:
     last_error: dict[str, str] = field(default_factory=dict)
     _thread: "threading.Thread | None" = None
     _stop: "threading.Event" = field(default_factory=threading.Event)
-    _last_minute: int = -1
+    _last_minute: int = -1   # epoch seconds of the last processed minute
 
     # ---- persistence -------------------------------------------------
     def load(self) -> None:
@@ -174,14 +178,20 @@ class SchedulerService:
 
         def loop():
             while not self._stop.wait(1.0):
-                now = time.localtime()
-                minute_key = now.tm_yday * 1440 + now.tm_hour * 60 + now.tm_min
-                if minute_key != self._last_minute:
-                    self._last_minute = minute_key
+                now_epoch = int(time.time()) // 60 * 60
+                if self._last_minute < 0:
+                    self._last_minute = now_epoch - 60
+                # evaluate EVERY minute since the last processed one: a
+                # job running past the next boundary must not swallow
+                # other jobs' firings in the skipped minutes
+                m = self._last_minute + 60
+                while m <= now_epoch and not self._stop.is_set():
+                    self._last_minute = m
                     try:
-                        self.run_due(now)
+                        self.run_due(time.localtime(m))
                     except Exception:  # noqa: BLE001 — keep ticking
                         pass
+                    m += 60
 
         self._thread = threading.Thread(
             target=loop, name="mlsql-scheduler", daemon=True)

@@ -49,9 +49,23 @@ def _manifest(path: str) -> str:
 def read_commits(path: str) -> list[dict]:
     try:
         with open(_manifest(path)) as fh:
-            return [json.loads(ln) for ln in fh if ln.strip()]
+            lines = [ln for ln in fh if ln.strip()]
     except OSError:
         return []
+    out: list[dict] = []
+    for i, ln in enumerate(lines):
+        try:
+            out.append(json.loads(ln))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                # a crash mid-append leaves a truncated LAST line: the
+                # commit never happened — ignore it (save() re-lands the
+                # newline before appending, so the file self-heals)
+                break
+            raise ValueError(
+                f"versionedParquet manifest {_manifest(path)} is "
+                f"corrupted at line {i + 1}") from None
+    return out
 
 
 def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
@@ -90,18 +104,47 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
     # version in the manifest and corrupt every snapshot read).
     if os.path.isdir(target) and n not in {c["version"] for c in commits}:
         import shutil
-        shutil.rmtree(target)
+        # only clear STALE orphans (crash leftovers): a fresh dir may be
+        # a concurrent writer's in-progress v=N — deleting it would let
+        # both writers succeed and double-commit the version
+        newest = max((os.path.getmtime(os.path.join(r, f))
+                      for r, _, fs in os.walk(target) for f in fs),
+                     default=os.path.getmtime(target))
+        if time.time() - newest > 60:
+            shutil.rmtree(target)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)
+    # concurrent-writer backstop: if someone committed version n while
+    # we were writing, appending ours would list v=N twice in the
+    # manifest and duplicate every row of that snapshot forever
+    if any(c.get("version") == n for c in read_commits(real)):
+        raise ValueError(
+            f"versionedParquet.`{path}`: concurrent writer committed "
+            f"version {n} first (single-writer contract) — retry")
     os.makedirs(real, exist_ok=True)
     record = {"version": n, "mode": mode,
               "timestamp": int(time.time() * 1000)}
     if batch_id is not None:
         record["batchId"] = batch_id
         record["txnId"] = txn_id
-    with open(_manifest(real), "a") as fh:
+    manifest = _manifest(real)
+    # self-heal a truncated trailing line from a crashed append: rewrite
+    # the valid prefix atomically (tmp+rename), THEN append the commit —
+    # appending straight onto a newline-less partial line would weld two
+    # records together and brick the lake
+    raw_lines = []
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            raw_lines = [ln for ln in fh if ln.strip()]
+    if len(raw_lines) != len(commits):
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            for c in commits:
+                fh.write(json.dumps(c) + "\n")
+        os.replace(tmp, manifest)
+    with open(manifest, "a") as fh:
         fh.write(json.dumps(record) + "\n")
 
 

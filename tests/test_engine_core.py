@@ -751,3 +751,56 @@ def test_for_child_inherits_load_hooks(spark):
     child = Engine.for_child(spark, parent.context)
     assert child.context.load_hooks == parent.context.load_hooks
     assert child.context.checkpoint_files is parent.context.checkpoint_files
+
+
+def test_if_condition_string_literal_operands(engine):
+    """Textual SQL→python rewrites must not corrupt quoted operands."""
+    df = engine.execute("""
+    set s = "a=b";
+    set flag = "true";
+    !if ''':s == "a=b"''';
+    select 'literal-eq' as branch as out;
+    !else;
+    select 'broken' as branch as out;
+    !fi;
+    """)
+    assert df.collect()[0]["branch"] == "literal-eq"
+    # boolean flag: both spellings work
+    for cond in [':flag == true', ':flag == "true"']:
+        df = engine.execute(f"""
+        set flag = "true";
+        !if '''{cond}''';
+        select 'yes' as b as out;
+        !else;
+        select 'no' as b as out;
+        !fi;
+        """)
+        assert df.collect()[0]["b"] == "yes", cond
+
+
+def test_versioned_parquet_truncated_manifest_self_heals(engine, tmp_path):
+    lake = tmp_path / "lake"
+    engine.execute(f"""
+    set data = '''
+    {{"x":1}}
+    ''';
+    load jsonStr.`data` as t;
+    save overwrite t as versionedParquet.`{lake}`;
+    """)
+    # crash mid-append: truncated trailing line
+    mf = lake / "_commits.json"
+    with open(mf, "a") as fh:
+        fh.write('{"version": 1, "mo')
+    df = engine.execute(f"load versionedParquet.`{lake}` as v; select x from v as out;")
+    assert df.collect()[0]["x"] == 1
+    # next save self-heals the manifest and lands version 1
+    engine.execute(f"""
+    set data = '''
+    {{"x":2}}
+    ''';
+    load jsonStr.`data` as t2;
+    save append t2 as versionedParquet.`{lake}`;
+    """)
+    hist = engine.execute(
+        f'load versionedParquet.`{lake}` where history="true" as h;').collect()
+    assert [r["version"] for r in hist] == [0, 1]

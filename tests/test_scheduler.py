@@ -201,3 +201,52 @@ def test_for_child_inherits_home(spark, tmp_path):
     assert child.context.owner == "alice"
     assert child.context.resource_real_path("data/x.parquet") == \
         parent.context.resource_real_path("data/x.parquet")
+
+
+def test_cron_value_step():
+    from streamingpro_spark.scheduler import CronPattern
+    import time as _time
+    p = CronPattern("5/15 * * * *")
+    mins = p.sets[0]
+    assert mins == {5, 20, 35, 50}
+
+
+def test_scheduler_catches_up_missed_minutes(tmp_path):
+    """A job running past the minute boundary must not swallow other
+    jobs' firings for the skipped minutes — run_due is evaluated for
+    every elapsed minute."""
+    import time as _time
+    from streamingpro_spark.scheduler import SchedulerService
+    svc = SchedulerService()
+    ran = []
+    svc.execute = lambda s: ran.append(s)
+    a = tmp_path / "a.mlsql"
+    a.write_text("select 1 as t;")
+    svc.timer_jobs[str(a)] = "* * * * *"
+    # simulate: loop last processed minute M, clock jumps to M+3
+    now = int(_time.time()) // 60 * 60
+    svc._last_minute = now - 180
+    # inline the loop body logic via run_due over each catchup minute
+    m = svc._last_minute + 60
+    fired = 0
+    while m <= now:
+        fired += len(svc.run_due(_time.localtime(m)))
+        m += 60
+    assert fired == 3
+
+
+def test_scheduler_service_shared_across_contexts(spark, tmp_path):
+    """Two engines (per-request contexts) with the same home must talk
+    to the SAME scheduler service — a start from one is visible (and
+    stoppable) from the other."""
+    from streamingpro_spark import Engine
+    e1, e2 = Engine(spark), Engine(spark)
+    for e in (e1, e2):
+        e.context.home = str(tmp_path)
+        e.context.owner = "alice"
+    script = tmp_path / "alice" / "job.mlsql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("select 1 as t;")
+    e1.execute('!scheduler "job.mlsql" with "0 3 * * *";')
+    rows = e2.execute("!scheduler list;").collect()
+    assert len(rows) == 1 and rows[0]["script"].endswith("job.mlsql")
