@@ -68,8 +68,11 @@ def _tables_in_sql(sql: str, spark: "SparkSession | None") -> list[str]:
                     for n in m.split(",")}
             names = re.findall(r"'UnresolvedRelation \[([^\]]+)\]", tree)
             if names:
-                return sorted({n.split(", ")[0] for n in names
-                               if n.split(", ")[0] not in ctes})
+                # multipart names render as [db, tbl] — keep ALL parts
+                # (split[0] reported `db.tbl` to the auth pass as `db`)
+                full = {".".join(p.strip() for p in n.split(","))
+                        for n in names}
+                return sorted({n for n in full if n not in ctes})
         except Exception:
             pass
     return sorted({m.group(1) for m in _FROM_JOIN_RE.finditer(sql)
@@ -100,7 +103,14 @@ def analyze(script: str, spark: "SparkSession | None" = None,
                 continue
             kind = type(stmt).__name__
         if kind == "SetStmt":
-            env.setdefault(stmt.key, stmt.value if isinstance(stmt.value, str) else "")
+            val = stmt.value if isinstance(stmt.value, str) else ""
+            # execution OVERWRITES on re-assignment (only defaultParam
+            # keeps the first value) — the analyzer must resolve ${var}
+            # the same way or auth checks the wrong path
+            if stmt.options.get("type", "") == "defaultParam":
+                env.setdefault(stmt.key, val)
+            else:
+                env[stmt.key] = val
         elif kind == "LoadStmt":
             src = ("file" if stmt.format in _FILE_TYPES else stmt.format)
             result.inputs.append(TableRef(stmt.path, "load", src))
@@ -114,6 +124,10 @@ def analyze(script: str, spark: "SparkSession | None" = None,
             result.outputs.append(TableRef(stmt.path, "save",
                                            "file" if stmt.format in _FILE_TYPES
                                            else stmt.format))
+        elif kind == "RegisterStmt":
+            # `register Alg.`path` as fn` READS the model path (or the
+            # ScriptUDF source table) — the auth pass must see it
+            result.inputs.append(TableRef(stmt.path, "register", "model"))
         elif kind == "TrainStmt":
             result.inputs.append(TableRef(stmt.table, stmt.verb, "temp"))
             if stmt.out_table:

@@ -74,11 +74,8 @@ def expand_macro(cmd: "CommandStmt") -> str:
         nonlocal pos
         token = m.group(1)
         if token == "":
-            i, pos_ = pos, pos
-            pos_ += 1
-            # assignment to nonlocal inside nested scope
-            result = args[i] if i < len(args) else ""
-            _advance()
+            result = args[pos] if pos < len(args) else ""
+            pos += 1
             return result
         if token == ":all":
             return " ".join(args)
@@ -88,9 +85,6 @@ def expand_macro(cmd: "CommandStmt") -> str:
         idx = int(token)
         return args[idx] if idx < len(args) else ""
 
-    def _advance() -> None:
-        nonlocal pos
-        pos += 1
 
     expanded = re.sub(r"\{(\d*|:all|:all-json)\}", repl, template)
     # a template ending in `as {N}` with the arg absent would leave a

@@ -97,7 +97,7 @@ class _MLWrapper(ETAlgorithm):
         # serving path reads files from disk, so it needs the SAME
         # resolved path load() used, not the raw register path
         real = self._resolve_path(raw, params or {}, for_write=False) if raw else raw
-        fn = extract_predictor(model, real)
+        fn = extract_predictor(model, real, spark=spark)
         return spark.udf.register(name, fn, "double")
 
 

@@ -233,7 +233,10 @@ class SequencePack(ETAlgorithm):
             F.col(id_col).alias("doc_id_"),
             F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack"),
                    F.lit(num_buckets)).alias("bucket"),
-            F.size(tokens_col(F.col(col))).alias("n_tokens"))
+            F.when(F.trim(F.coalesce(F.col(col), F.lit(""))) == "",
+                   F.lit(0))
+             .otherwise(F.size(tokens_col(F.col(col))))
+             .alias("n_tokens"))
         if mode == "chunk":
             w = (Window.partitionBy("bucket").orderBy("doc_id_")
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -472,13 +475,25 @@ class DataMixing(ETAlgorithm):
         total_w = sum(weights.values())
         weights = {k: v / total_w for k, v in weights.items()}  # normalize
         spark = df.sparkSession
-        counts = (df.groupBy(F.col(strata_col).alias("stratum"))
-                  .agg(F.count(F.lit(1)).alias("n_docs"),
-                       F.sum(F.size(tokens_col(F.col(col))))
-                        .alias("n_tokens")))
+        counts = script_cache(
+            (df.groupBy(F.col(strata_col).alias("stratum"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(tokens_col(F.col(col))))
+                     .alias("n_tokens"))),
+            context, "datamix_counts")  # consumed by the missing-weight
+        # check, the cap agg, and the plan join — one corpus scan, not 3
         wdf = spark.createDataFrame(
             sorted(weights.items()), "stratum: string, target_weight: double")
         joined = counts.join(wdf, on="stratum", how="left")
+        # a weight key that matches NO data (typo'd stratum name) would
+        # silently skew the realized mixture: the other strata still
+        # normalize over it while its mass never materializes
+        present = {r["stratum"] for r in counts.select("stratum").collect()}
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"DataMixing: weight keys {missing} match no rows in "
+                f"{strata_col!r} — present strata: {sorted(present)[:20]}")
         cap = (joined.filter(F.col("target_weight").isNotNull())
                .agg(F.min(F.col("n_tokens") / F.col("target_weight"))
                     .alias("__cap")))

@@ -104,6 +104,8 @@ class ScriptUDF(ETAlgorithm):
     pandas GROUPED_AGG aggregate over a single column.
     """
 
+    skip_path_prefix = True   # `path` is a table/variable name (reference skipPathPrefix)
+
     def load(self, spark, path, params, context=None):
         # source: a 1-row table (name, content) from `load script.`var``
         # or a variable in env
@@ -147,7 +149,11 @@ class ScriptUDF(ETAlgorithm):
         rtype = _resolve_return_type(params.get("dataType", ""))
         if params.get("udfType") == "udaf":
             import pandas as pd  # noqa: F401
-            pudf = F.pandas_udf(fn, rtype)
+            from pyspark.sql.functions import PandasUDFType
+            # explicit GROUPED_AGG: without type hints pandas_udf
+            # silently defaults to SCALAR and group-by queries fail with
+            # an opaque "not an aggregate function"
+            pudf = F.pandas_udf(fn, rtype, PandasUDFType.GROUPED_AGG)
             spark.udf.register(name, pudf)
             return pudf
         return spark.udf.register(name, fn, rtype)

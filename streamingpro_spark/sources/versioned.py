@@ -104,14 +104,11 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
     # version in the manifest and corrupt every snapshot read).
     if os.path.isdir(target) and n not in {c["version"] for c in commits}:
         import shutil
-        # only clear STALE orphans (crash leftovers): a fresh dir may be
-        # a concurrent writer's in-progress v=N — deleting it would let
-        # both writers succeed and double-commit the version
-        newest = max((os.path.getmtime(os.path.join(r, f))
-                      for r, _, fs in os.walk(target) for f in fs),
-                     default=os.path.getmtime(target))
-        if time.time() - newest > 60:
-            shutil.rmtree(target)
+        # provably uncommitted (not in the manifest) — clear it.  If it
+        # was a CONCURRENT writer's in-progress v=N rather than a crash
+        # leftover, the post-write manifest re-check below still stops
+        # the second committer from double-listing the version.
+        shutil.rmtree(target)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -179,3 +179,26 @@ def test_analyzer_expands_macros(spark):
     res = analyze("!split docs by lang rate 0.9,0.1 named s;").as_dict()
     assert any(t["table"] == "docs" for t in res["inputs"])
     assert any(t["table"] == "s" for t in res["outputs"])
+
+
+def test_analyzer_multipart_table_names(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("select * from warehouse.orders as t;", spark=spark)
+    assert "warehouse.orders" in [r.table for r in res.inputs]
+
+
+def test_analyzer_set_overwrite_semantics(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("""
+    set p = "staging";
+    set p = "prod";
+    load parquet.`/data/${p}` as t;
+    """, spark=spark)
+    assert any(r.table == "/data/prod" for r in res.inputs)
+
+
+def test_analyzer_register_reads_model_path(spark):
+    from streamingpro_spark.analyzer import analyze
+    res = analyze("register RandomForest.`/secure/models/rf` as p;",
+                  spark=spark)
+    assert any(r.table == "/secure/models/rf" for r in res.inputs)

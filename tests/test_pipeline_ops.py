@@ -383,3 +383,39 @@ def test_java_image_alias_resizes(engine, tmp_path, spark):
     row = df.collect()[0]
     pix = make_png_decoder()(bytes(row["resized"]))
     assert len(pix) == 4 and len(pix[0]) == 4    # (h, w) rows of RGB
+
+
+def test_sequence_pack_null_text(engine):
+    # null text = 0 tokens; greedy packing must not poison the counter
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"a b c d"}
+    {"doc_id":2,"text":null}
+    {"doc_id":3,"text":"e f g h"}
+    {"doc_id":4,"text":"i j k l"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as SequencePack.`` where budget="8" and numBuckets="1"
+        and mode="greedy" as out;
+    """)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[2]["n_tokens"] == 0
+    # budget 8 with 4-token docs: two real docs per sequence
+    seqs = {}
+    for r in rows.values():
+        seqs.setdefault(r["seq_id"], 0)
+        seqs[r["seq_id"]] += r["n_tokens"]
+    assert all(v <= 8 for v in seqs.values()), seqs
+
+
+def test_data_mixing_unknown_stratum_errors(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="match no rows"):
+        engine.execute("""
+        set data = '''
+        {"doc_id":1,"source":"web","text":"a b"}
+        ''';
+        load jsonStr.`data` as t;
+        run t as DataMixing.`` where strataCol="source"
+            and weight.web="0.5" and weight.books="0.5" as out;
+        """)
