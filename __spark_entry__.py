@@ -852,12 +852,18 @@ def _register_media_gens(spark):
         return pd.Series([enc_gif(int(a), int(b)) for a, b in zip(w, h)])
 
     @F.pandas_udf("binary")
-    def gen_jpeg(w: pd.Series, h: pd.Series) -> pd.Series:
-        def one(a, b):
+    def gen_jpeg(w: pd.Series, h: pd.Series, mode: pd.Series) -> pd.Series:
+        # mode 0: baseline 4:2:0 · 1: spectral-selection progressive ·
+        # 2: successive-approximation progressive (SOF2, Al-split scans)
+        def one(a, b, m):
             px = [[((x + y) % 256, (2 * x) % 256, (3 * y) % 256)
                    for x in range(int(a))] for y in range(int(b))]
+            if int(m) == 1:
+                return enc_jpg(px, progressive=True)
+            if int(m) == 2:
+                return enc_jpg(px, successive=True)
             return enc_jpg(px, subsample=True)
-        return pd.Series([one(a, b) for a, b in zip(w, h)])
+        return pd.Series([one(a, b, m) for a, b, m in zip(w, h, mode)])
 
     @F.pandas_udf("binary")
     def gen_mp4(w: pd.Series, h: pd.Series, fps: pd.Series,
@@ -948,11 +954,13 @@ FROM documents
 
 def _q_image_resize(spark, sf_dir):
     # REAL pixel round trip across ALL FOUR decodable formats: each
-    # document gets a genuine PNG, GIF (LZW) or baseline JPEG (DCT,
-    # 4:2:0) by doc_id % 3; ImageResize fully decodes the pixels,
-    # resamples, re-encodes PNG, and the oracle predicts the parsed
-    # dimensions of the re-encoded output — a hash match proves every
-    # codec path produced a genuine image
+    # document gets a genuine PNG, GIF (LZW) or JPEG by doc_id % 3 —
+    # and the JPEG third itself cycles baseline 4:2:0 / spectral-
+    # selection progressive / successive-approximation progressive by
+    # doc_id % 9 // 3; ImageResize fully decodes the pixels, resamples,
+    # re-encodes PNG, and the oracle predicts the parsed dimensions of
+    # the re-encoded output — a hash match proves every codec path
+    # produced a genuine image
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
@@ -962,7 +970,8 @@ def _q_image_resize(spark, sf_dir):
                 then gen_png(doc_id % 64 + 8, doc_id % 48 + 8)
                 when doc_id % 3 = 1
                 then gen_gif(doc_id % 64 + 8, doc_id % 48 + 8)
-                else gen_jpeg(doc_id % 64 + 8, doc_id % 48 + 8)
+                else gen_jpeg(doc_id % 64 + 8, doc_id % 48 + 8,
+                              doc_id % 9 div 3)
            end as content
     from documents as rz_in;
     run rz_in as ImageResize.`` where width="12" and height="9" as rz_out;

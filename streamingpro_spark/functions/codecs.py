@@ -760,16 +760,25 @@ def make_jpeg_encoder():
     MCUs; `progressive=True` writes a spectral-selection progressive
     stream (SOF2): one interleaved DC scan, then one full-band AC scan
     per component (4:4:4/grayscale only — 4:2:0 progressive would need
-    the dotted non-interleaved chroma grid).
+    the dotted non-interleaved chroma grid); `successive=True` (implies
+    progressive) additionally splits every scan across the point
+    transform: DC/AC first scans at Al=1, then an appended-bit DC
+    refinement scan and a per-component AC refinement scan (Ah=1,
+    Al=0) with newly-nonzero symbols, buffered correction bits and
+    EOB-run batching — the G.1.2 / libjpeg encode_mcu_AC_refine
+    algorithm.
 
     The huffman tables are simple fixed-length canonical tables (DC: 12
     symbols at 4 bits; AC: 255 at 9 + 1 at 10) declared in the DHT
     segment — any conforming decoder reads tables from the stream, so
     this trades compression ratio for simplicity, not validity."""
     def encode(pixels, subsample: bool = False, grayscale: bool = False,
-               restart: int = 0, progressive: bool = False) -> bytes:
+               restart: int = 0, progressive: bool = False,
+               successive: bool = False) -> bytes:
         import struct
         import numpy as np
+        if successive:
+            progressive = True
         if progressive and subsample:
             raise ValueError("progressive is 4:4:4/grayscale only")
 
@@ -908,26 +917,113 @@ def make_jpeg_encoder():
                 code, nb = ac_tab[0x00]          # EOB (EOBRUN=1 in prog)
                 wtr.put(code, nb)
 
-        def sos_header(comp_ids, ss, se):
+        def sos_header(comp_ids, ss, se, ahal=0):
             body = bytes([len(comp_ids)]) \
                 + b"".join(bytes([cid, 0x00]) for cid in comp_ids) \
-                + bytes([ss, se, 0])
+                + bytes([ss, se, ahal])
             return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
 
         scans = []
         if progressive:
-            # scan 1: DC, all components interleaved (Ss=0, Se=0)
+            al = 1 if successive else 0
+            # scan 1: DC first, all components interleaved (Ss=0, Se=0)
             wtr = Writer()
             dc_pred = [0] * ncomp
             for my in range(mcus_y):
                 for mx in range(mcus_x):
                     for ci, (grid, ch, cv) in enumerate(grids):
-                        emit_dc(wtr, grid[my][mx], dc_pred, ci)
+                        v = grid[my][mx][0] >> al    # arithmetic shift
+                        size, bits = put_val(v - dc_pred[ci])
+                        dc_pred[ci] = v
+                        code, nb = dc_tab[size]
+                        wtr.put(code, nb)
+                        if size:
+                            wtr.put(bits, size)
             wtr.flush()
-            scans.append(sos_header([i + 1 for i in range(ncomp)], 0, 0)
-                         + bytes(wtr.out))
-            # one full-band AC scan per component, non-interleaved, with
-            # EOB runs batched across blocks (EOBn symbols)
+            scans.append(sos_header([i + 1 for i in range(ncomp)],
+                                    0, 0, al) + bytes(wtr.out))
+            if successive:
+                # DC refinement (Ah=1, Al=0): one appended bit / block
+                wtr = Writer()
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci, (grid, ch, cv) in enumerate(grids):
+                            wtr.put(grid[my][mx][0] & 1, 1)
+                wtr.flush()
+                scans.append(sos_header([i + 1 for i in range(ncomp)],
+                                        0, 0, 0x10) + bytes(wtr.out))
+
+            def ac_refine_scan(grid):
+                """Refinement-scan body (Ah=1, Al=0): explicit symbols
+                only for newly-nonzero coefs (|v|==1); history coefs
+                (|v|>1) ride as correction bits appended to the next
+                emitted symbol; trailing runs batch into EOBn whose
+                buffered bits follow it (libjpeg encode_mcu_AC_refine,
+                spec figure G.7)."""
+                wtr = Writer()
+                eob_run = 0
+                ebits = []           # bits deferred to the pending EOBn
+
+                def flush_eob():
+                    nonlocal eob_run, ebits
+                    if eob_run:
+                        n = eob_run.bit_length() - 1
+                        code, nb = ac_tab[n << 4]
+                        wtr.put(code, nb)
+                        if n:
+                            wtr.put(eob_run - (1 << n), n)
+                        eob_run = 0
+                    for bit in ebits:
+                        wtr.put(bit, 1)
+                    ebits = []
+
+                for row in grid:
+                    for zzb in row:
+                        absv = [abs(v) for v in zzb]
+                        # last newly-nonzero position (|v| == 1)
+                        eob_k = 0
+                        for k in range(1, 64):
+                            if absv[k] == 1:
+                                eob_k = k
+                        run = 0
+                        br = []      # this block's pending history bits
+                        for k in range(1, 64):
+                            t = absv[k]
+                            if t == 0:
+                                run += 1
+                                continue
+                            while run > 15 and k <= eob_k:
+                                flush_eob()
+                                code, nb = ac_tab[0xF0]
+                                wtr.put(code, nb)
+                                run -= 16
+                                for bit in br:
+                                    wtr.put(bit, 1)
+                                br = []
+                            if t > 1:            # history: correction bit
+                                br.append(t & 1)
+                                continue
+                            flush_eob()          # newly-nonzero (|v|==1)
+                            code, nb = ac_tab[run << 4 | 1]
+                            wtr.put(code, nb)
+                            wtr.put(1 if zzb[k] > 0 else 0, 1)
+                            for bit in br:
+                                wtr.put(bit, 1)
+                            br = []
+                            run = 0
+                        if run > 0 or br:
+                            eob_run += 1
+                            ebits.extend(br)
+                            if eob_run == 32767:
+                                flush_eob()
+                flush_eob()
+                wtr.flush()
+                return bytes(wtr.out)
+
+            # one full-band AC first scan per component (values point-
+            # transformed by Al), non-interleaved, with EOB runs batched
+            # across blocks (EOBn symbols); + a refinement scan when
+            # successive
             for ci, (grid, ch, cv) in enumerate(grids):
                 wtr = Writer()
                 eob_run = 0
@@ -947,14 +1043,17 @@ def make_jpeg_encoder():
 
                 for row in grid:
                     for zzb in row:
-                        if not any(zzb[1:]):
+                        tz = zzb if al == 0 else \
+                            [v >> al if v >= 0 else -((-v) >> al)
+                             for v in zzb]
+                        if not any(tz[1:]):
                             eob_run += 1         # block is one long EOB
                             continue
                         flush_eobrun()
                         run = 0
-                        last_nz = max(k for k in range(1, 64) if zzb[k])
+                        last_nz = max(k for k in range(1, 64) if tz[k])
                         for k in range(1, last_nz + 1):
-                            v = zzb[k]
+                            v = tz[k]
                             if v == 0:
                                 run += 1
                                 continue
@@ -971,7 +1070,11 @@ def make_jpeg_encoder():
                             eob_run = 1          # defer + merge forward
                 flush_eobrun()
                 wtr.flush()
-                scans.append(sos_header([ci + 1], 1, 63) + bytes(wtr.out))
+                scans.append(sos_header([ci + 1], 1, 63, al)
+                             + bytes(wtr.out))
+                if successive:
+                    scans.append(sos_header([ci + 1], 1, 63, 0x10)
+                                 + ac_refine_scan(grid))
         else:
             wtr = Writer()
             dc_pred = [0] * ncomp
@@ -1026,11 +1129,14 @@ def make_jpeg_decoder():
     parse, canonical huffman decode with byte-unstuffing and restart
     markers, multi-scan coefficient accumulation (interleaved DC scans,
     non-interleaved per-component AC band scans with EOBRUN), point
-    transform (Al) shifts, dequantize + un-zigzag, 8x8 inverse DCT,
-    general h/v sampling-factor layout with replication upsampling,
-    YCbCr->RGB.  Grayscale (1-component) streams are handled.
-    Successive-approximation refinement scans (Ah>0) and
-    arithmetic-coded streams return None (documented)."""
+    transform (Al) shifts, successive-approximation refinement scans
+    (Ah>0: DC bit appends; AC correction-bit decoding with
+    newly-nonzero placement, ZRL history skips and EOBRUN coverage —
+    the G.1.2 / libjpeg decode_mcu_AC_refine algorithm), dequantize +
+    un-zigzag, 8x8 inverse DCT, general h/v sampling-factor layout with
+    replication upsampling, YCbCr->RGB.  Grayscale (1-component)
+    streams are handled.  Arithmetic-coded and lossless streams return
+    None (documented)."""
     def decode(content):
         if content is None:
             return None
@@ -1153,12 +1259,13 @@ def make_jpeg_decoder():
             coefs = {}
             cinfo = {}
             for (cid, ch, cv, tq) in comps:
-                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64))
+                # int64: refinement scans (Ah>0) apply bitwise
+                # correction appends to stored coefficients
+                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                                      dtype=np.int64)
                 cinfo[cid] = (ch, cv, tq)
 
             def decode_scan(scomps, ss, se, ah, al, data, rst_at):
-                if ah != 0:
-                    raise ValueError("successive approximation")
                 pos = [0, 0]
 
                 def read_bit():
@@ -1197,8 +1304,61 @@ def make_jpeg_decoder():
                           for (cid, dc_t, ac_t) in scomps}
                 eobrun = [0]
 
+                def refine_rest(blk, k, p1, m1):
+                    """Append a correction bit to every already-nonzero
+                    coefficient in positions k..Se (EOB-run coverage)."""
+                    while k <= se:
+                        if blk[k] != 0:
+                            if read_bit() and (int(blk[k]) & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+
                 def decode_block_band(cid, blk):
                     dc_t, ac_t = sctabs[cid]
+                    if ah != 0:                  # refinement scan
+                        p1, m1 = 1 << al, -(1 << al)
+                        if ss == 0:              # DC: one appended bit
+                            if read_bit():
+                                blk[0] = int(blk[0]) | p1
+                            return
+                        if eobrun[0] > 0:        # block inside an EOB run
+                            eobrun[0] -= 1
+                            refine_rest(blk, ss, p1, m1)
+                            return
+                        k = ss
+                        while k <= se:
+                            sym = huff_decode(huff[(1, ac_t)])
+                            run, size = sym >> 4, sym & 0x0F
+                            sval = 0
+                            if size:
+                                if size != 1:
+                                    raise ValueError("bad refine size")
+                                sval = p1 if read_bit() else m1
+                            elif run != 15:      # EOBn (run=15 is ZRL)
+                                eobrun[0] = (1 << run) - 1
+                                if run:
+                                    eobrun[0] += read_bits(run)
+                                refine_rest(blk, k, p1, m1)
+                                return
+                            # advance over `run` zero-history coefs +
+                            # any nonzero-history ones (correction bits)
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if read_bit() \
+                                            and (int(blk[k]) & p1) == 0:
+                                        blk[k] += p1 if blk[k] >= 0 \
+                                            else m1
+                                else:
+                                    run -= 1
+                                    if run < 0:
+                                        break
+                                k += 1
+                            if sval:
+                                if k > se:
+                                    raise ValueError("refine overflow")
+                                blk[k] = sval
+                            k += 1
+                        return
                     if ss == 0:                  # DC (+ rest if baseline)
                         sym = huff_decode(huff[(0, dc_t)])
                         diff = extend(read_bits(sym), sym) if sym else 0

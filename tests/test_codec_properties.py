@@ -47,6 +47,18 @@ def test_jpeg_roundtrip_bounded(px):
     assert worst <= 40, worst
 
 
+@settings(max_examples=8, deadline=None)
+@given(images(max_side=20), st.booleans())
+def test_jpeg_progressive_matches_baseline(px, successive):
+    """Progressive scans — spectral selection, and with
+    successive=True the Al=1 / refinement bit-split — are a lossless
+    reordering of the same quantized coefficients: decode must be
+    bit-identical to the baseline stream's decode on ANY input."""
+    enc, dec = make_jpeg_encoder(), make_jpeg_decoder()
+    assert dec(enc(px, progressive=True, successive=successive)) \
+        == dec(enc(px))
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.integers(1, 64), st.integers(1, 64), st.integers(0, 255),
        st.booleans())

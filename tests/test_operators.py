@@ -888,12 +888,17 @@ def test_jpeg_codec_roundtrip():
     # grayscale: decode returns the luma replicated to rgb
     g = dec(enc(px, grayscale=True))
     assert g[0][0][0] == g[0][0][1] == g[0][0][2]
-    # spectral-selection progressive must decode IDENTICALLY to
-    # baseline — the scans reorder the same quantized coefficients
-    # (flat background → multi-block EOBRUN symbols are exercised)
+    # spectral-selection progressive AND successive-approximation
+    # must decode IDENTICALLY to baseline — the scans reorder (and for
+    # SA, bit-split) the same quantized coefficients (flat background
+    # → multi-block EOBRUN symbols + buffered correction bits)
     mixed = [[(120, 60, 200) if x > 12 else ((x * 7 + y) % 256,) * 3
               for x in range(40)] for y in range(24)]
     assert dec(enc(mixed, progressive=True)) == dec(enc(mixed))
+    assert dec(enc(mixed, successive=True)) == dec(enc(mixed))
+    assert dec(enc(px, successive=True)) == dec(enc(px))
+    assert dec(enc(px, grayscale=True, successive=True)) \
+        == dec(enc(px, grayscale=True))
     # junk and truncated streams are rejected, not crashed
     real = enc(px)
     for junk in (None, b"", b"\xff\xd8", real[:40], real[:-20]):
