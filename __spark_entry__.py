@@ -875,13 +875,20 @@ def _register_media_gens(spark):
     def gen_avi_frames(doc_id: pd.Series) -> pd.Series:
         # nf ∈ {3,5,7,9} (odd → numFrames=3 sample positions are exact
         # integers); frame j is a real PNG whose dimensions derive from
-        # (doc_id, j) so the oracle can predict the SAMPLED frame's size
+        # (doc_id, j) so the oracle can predict the SAMPLED frame's
+        # size.  Container alternates by parity — even doc_ids get a
+        # RIFF/AVI movi list, odd doc_ids an ISO-BMFF/MP4 with genuine
+        # stsz/stsc/stco tables + mdat — so one oracle proves BOTH
+        # demux paths return the true stored payloads.
         def one(d):
             d = int(d)
             nf = 2 * (d % 4) + 3
             frames = [enc_png((d + j) % 16 + 4, j % 8 + 2)
                       for j in range(nf)]
-            return enc_avi(16, 16, 10.0 * 2 ** (d % 3), nf, frames=frames)
+            fps = 10.0 * 2 ** (d % 3)
+            if d % 2 == 0:
+                return enc_avi(16, 16, fps, nf, frames=frames)
+            return enc_mp4(16, 16, fps, nf, frames=frames)
         return pd.Series([one(d) for d in doc_id])
 
     spark.udf.register("gen_png", gen_png)
@@ -1037,12 +1044,15 @@ FROM documents
 
 
 def _q_frame_sample(spark, sf_dir):
-    # REAL demux round trip: per document, build an AVI whose movi list
-    # carries nf genuine PNG frames (nf and each frame's dimensions
-    # derived from doc_id), FrameSample 3 of them, then ImageMetadata-
-    # parse the DEMUXED frame bytes — the oracle predicts the sampled
-    # frame's PNG dimensions, so a hash match proves frame_bytes is the
-    # true movi payload at the right position, not a byte slice.
+    # REAL demux round trip over BOTH container families: per document,
+    # build an AVI movi list (even doc_ids) or an MP4 with genuine
+    # stsz/stsc/stco sample tables + mdat (odd doc_ids) carrying nf
+    # genuine PNG frames (nf and each frame's dimensions derived from
+    # doc_id), FrameSample 3 of them, then ImageMetadata-parse the
+    # DEMUXED frame bytes — the oracle predicts the sampled frame's PNG
+    # dimensions, so a hash match proves frame_bytes is the true stored
+    # payload at the right position in either container, not a byte
+    # slice.
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""

@@ -361,41 +361,163 @@ def make_avi_frame_extractor():
     return extract
 
 
+def make_mp4_sample_extractor():
+    """-> extract(content) -> list[bytes] | None — REAL ISO-BMFF sample
+    extraction (the standard MP4 demux path): walk the box tree to stbl,
+    read the stsz sample sizes, the stsc sample-to-chunk runs and the
+    stco/co64 absolute chunk offsets, then slice each sample's bytes
+    straight out of the file at its computed offset.  Returns None when
+    the bytes are not ISO-BMFF or the sample tables are absent
+    (header-only fixtures).  Payload decode is the caller's problem —
+    intra-coded payloads (PNG/JPEG/GIF/BMP) feed the image codecs;
+    inter-coded video codecs stay out of scope (MIGRATION.md)."""
+    def extract(content):
+        import struct
+        if content is None:
+            return None
+        b = bytes(content)
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            return None
+        found = {}
+
+        def walk(lo: int, hi: int) -> None:
+            i = lo
+            while i + 8 <= hi:
+                size, tag = struct.unpack(">I4s", b[i:i + 8])
+                body = i + 8
+                if size == 1 and i + 16 <= hi:          # 64-bit largesize
+                    size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+                    body = i + 16
+                elif size == 0:                          # box runs to end
+                    size = hi - i
+                if size < 8 or i + size > hi:
+                    return
+                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(body, i + size)
+                elif tag in (b"stsz", b"stsc", b"stco", b"co64") \
+                        and tag not in found:
+                    found[tag] = body
+                i += size
+
+        try:
+            walk(0, len(b))
+            if b"stsz" not in found or b"stsc" not in found \
+                    or (b"stco" not in found and b"co64" not in found):
+                return None
+            lo = found[b"stsz"]
+            fixed, count = struct.unpack(">II", b[lo + 4:lo + 12])
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                sizes = list(struct.unpack(
+                    ">%dI" % count, b[lo + 12:lo + 12 + 4 * count]))
+            if b"co64" in found:
+                lo = found[b"co64"]
+                nch = struct.unpack(">I", b[lo + 4:lo + 8])[0]
+                offs = struct.unpack(">%dQ" % nch,
+                                     b[lo + 8:lo + 8 + 8 * nch])
+            else:
+                lo = found[b"stco"]
+                nch = struct.unpack(">I", b[lo + 4:lo + 8])[0]
+                offs = struct.unpack(">%dI" % nch,
+                                     b[lo + 8:lo + 8 + 4 * nch])
+            lo = found[b"stsc"]
+            ne = struct.unpack(">I", b[lo + 4:lo + 8])[0]
+            runs = [struct.unpack(">III",
+                                  b[lo + 8 + 12 * k:lo + 20 + 12 * k])
+                    for k in range(ne)]
+            samples = []
+            si = 0
+            for ci in range(nch):
+                spc = 0              # samples in chunk ci+1 per stsc runs
+                for (first, cnt, _desc) in runs:
+                    if first <= ci + 1:
+                        spc = cnt
+                    else:
+                        break
+                off = offs[ci]
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    sz = sizes[si]
+                    if off + sz > len(b):
+                        return None
+                    samples.append(b[off:off + sz])
+                    off += sz
+                    si += 1
+            return samples
+        except (IndexError, struct.error):
+            return None
+
+    return extract
+
+
 def make_mp4_encoder():
-    """-> mp4_bytes(width, height, fps, n_frames) — a real ISO-BMFF
-    (MP4) box tree: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
-    minf(stbl(stsz))))), with genuine per-box big-endian sizes, 16.16
-    fixed-point tkhd dimensions, mvhd/mdhd timescales and an stsz
-    sample count.  No mdat media payload (sample encoding needs a video
-    codec — MIGRATION.md), same posture as the AVI encoder."""
+    """-> mp4_bytes(width, height, fps, n_frames, frames=None) — a real
+    ISO-BMFF (MP4) box tree: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
+    minf(stbl(...))))), with genuine per-box big-endian sizes, 16.16
+    fixed-point tkhd dimensions and mvhd/mdhd timescales.  When
+    `frames` (a list of per-sample payload bytes, e.g. PNG or JPEG
+    data) is given, the file carries a REAL sample layout: stsz with
+    per-sample sizes, a one-run stsc sample-to-chunk map, an stco whose
+    single chunk offset points at the mdat payload, and the mdat box
+    itself — the tables a demuxer walks.  Without `frames` only an stsz
+    sample count is written (sample PIXEL encoding is out of scope
+    without codec libs — MIGRATION.md), same posture as the AVI
+    encoder."""
     def mp4_bytes(width: int, height: int, fps: float,
-                  n_frames: int) -> bytes:
+                  n_frames: int, frames=None) -> bytes:
         import struct
 
         def box(tag: bytes, payload: bytes) -> bytes:
             return struct.pack(">I", 8 + len(payload)) + tag + payload
 
-        w, h, n = int(width), int(height), int(n_frames)
+        w, h = int(width), int(height)
+        if frames is not None:
+            frames = [bytes(f) for f in frames]
+            n = len(frames)
+        else:
+            n = int(n_frames)
         mv_ts = 1000
         md_ts = int(round(float(fps) * 1000))
         md_dur = n * 1000                       # n / fps sec at md_ts
         mv_dur = md_dur * mv_ts // md_ts if md_ts else 0
-        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, mv_ts, mv_dur)
-                   + b"\x00" * 80)
-        tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, mv_dur)
-                   + b"\x00" * 52
-                   + struct.pack(">II", w << 16, h << 16))
-        mdhd = box(b"mdhd", struct.pack(">B3xIIII2x2x", 0, 0, 0, md_ts,
-                                        md_dur))
-        stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n))
-        stbl = box(b"stbl", stsz)
-        minf = box(b"minf", stbl)
-        mdia = box(b"mdia", mdhd + minf)
-        trak = box(b"trak", tkhd + mdia)
-        moov = box(b"moov", mvhd + trak)
+
+        def build_moov(mdat_off: int) -> bytes:
+            mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, mv_ts,
+                                            mv_dur) + b"\x00" * 80)
+            tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0,
+                                            mv_dur)
+                       + b"\x00" * 52
+                       + struct.pack(">II", w << 16, h << 16))
+            mdhd = box(b"mdhd", struct.pack(">B3xIIII2x2x", 0, 0, 0,
+                                            md_ts, md_dur))
+            if frames is None:
+                stbl = box(b"stbl",
+                           box(b"stsz", struct.pack(">B3xII", 0, 0, n)))
+            else:
+                stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n)
+                           + b"".join(struct.pack(">I", len(f))
+                                      for f in frames))
+                stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1,
+                                                1, max(n, 1), 1))
+                stco = box(b"stco", struct.pack(">B3xII", 0, 1, mdat_off))
+                stbl = box(b"stbl", stsz + stsc + stco)
+            minf = box(b"minf", stbl)
+            mdia = box(b"mdia", mdhd + minf)
+            trak = box(b"trak", tkhd + mdia)
+            return box(b"moov", mvhd + trak)
+
         ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
                    + b"isomiso2mp41")
-        return ftyp + moov
+        if frames is None:
+            return ftyp + build_moov(0)
+        # stco holds an absolute file offset into mdat; a second build
+        # with the measured offset leaves every box length unchanged
+        moov_len = len(build_moov(0))
+        mdat_off = len(ftyp) + moov_len + 8
+        payload = b"".join(frames)
+        return ftyp + build_moov(mdat_off) + box(b"mdat", payload)
 
     return mp4_bytes
 

@@ -11,13 +11,14 @@ parsing (PNG IHDR / JPEG SOF / GIF / BMP / WAV fmt+data / AVI avih —
 functions/codecs.py), matching MLSQLImage.scala's width/height/nChannels
 surface without JVM codec deps.  PIXEL work is real where the codec
 permits: ImageResize fully decodes 8-bit RGB PNG (zlib + scanline
-unfilter), 24-bit BMP, and GIF (variable-width LZW + palette,
-interlace de-scramble), resamples, and re-encodes PNG; FrameSample
-demuxes real AVI movi-list frame chunks, so PNG/BMP/GIF-payload frames
-decode end-to-end (FrameSample → ImageResize).  JPEG DCT entropy
-decode, spectrograms, and inter-coded video codecs stay out of scope —
-those genuinely need PIL/ffmpeg-class libs absent from this container
-(MIGRATION.md).
+unfilter), 24-bit BMP, GIF (variable-width LZW + palette, interlace
+de-scramble) and JPEG (baseline + full progressive), resamples, and
+re-encodes PNG; FrameSample demuxes real AVI movi-list frame chunks
+AND real MP4 samples (stsz/stsc/stco → mdat slices), so
+PNG/BMP/GIF/JPEG-payload frames decode end-to-end (FrameSample →
+ImageResize).  Spectrograms and inter-coded video codecs stay out of
+scope — those genuinely need PIL/ffmpeg-class libs absent from this
+container (MIGRATION.md).
 """
 
 from __future__ import annotations
@@ -119,21 +120,24 @@ class VideoMetadata(ETAlgorithm):
 @register_et("FrameSample")
 class FrameSample(ETAlgorithm):
     """Sample N frames from a binary video column — one output row per
-    sampled frame.  For RIFF/AVI input the demux is REAL: the movi list
-    is walked chunk-by-chunk (functions/codecs.py
-    make_avi_frame_extractor) and `frame_bytes` carries the actual
-    '00dc'/'00db' frame payloads at indices spread uniformly over the
-    stream, with timestamps from dwMicroSecPerFrame.  Frame payloads
-    stored as PNG/BMP then decode end-to-end with ImageResize.  For an
-    AVI whose movi list is empty, positions stay real (header-derived)
-    and frame_bytes is null; non-AVI bytes fall back to uniform byte
-    slices (pixel codecs for mp4-class formats need ffmpeg-class libs
-    absent here — MIGRATION.md).  Scale: output rows = input ×
-    numFrames; map-only."""
+    sampled frame.  The demux is REAL for both container families: the
+    RIFF/AVI movi list is walked chunk-by-chunk
+    (make_avi_frame_extractor) and ISO-BMFF/MP4 samples are sliced out
+    of mdat via the stsz/stsc/stco tables (make_mp4_sample_extractor) —
+    `frame_bytes` carries the actual stored payloads at indices spread
+    uniformly over the stream, with timestamps from the container frame
+    rate.  Frame payloads stored as PNG/BMP/GIF/JPEG then decode
+    end-to-end with ImageResize.  For a container with no stored
+    samples (empty movi list / header-only moov), positions stay real
+    (header-derived) and frame_bytes is null; unrecognized bytes fall
+    back to uniform byte slices.  Inter-coded video codecs (H.264-class)
+    stay out of scope — those need ffmpeg-class libs absent here
+    (MIGRATION.md).  Scale: output rows = input × numFrames; map-only."""
 
     def train(self, df, path, params, context=None):
         from streamingpro_spark.functions.codecs import (
-            make_avi_frame_extractor, make_video_meta_parser)
+            make_avi_frame_extractor, make_mp4_sample_extractor,
+            make_video_meta_parser)
         col = params.get("contentCol", "content")
         n = get_int(params, "numFrames", 4)
         base_fields = [f for f in df.schema.fields if f.name != col]
@@ -144,7 +148,8 @@ class FrameSample(ETAlgorithm):
             T.StructField("frame_bytes", T.BinaryType()),
         ])
         parse = make_video_meta_parser()
-        extract = make_avi_frame_extractor()
+        extract_avi = make_avi_frame_extractor()
+        extract_mp4 = make_mp4_sample_extractor()
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -152,7 +157,12 @@ class FrameSample(ETAlgorithm):
                 for _, row in pdf.iterrows():
                     content = row[col] or b""
                     _, _, fps, total, _, fmt = parse(content)
-                    frames = extract(content) if fmt == "avi" else None
+                    if fmt == "avi":
+                        frames = extract_avi(content)
+                    elif fmt == "mp4":
+                        frames = extract_mp4(content)
+                    else:
+                        frames = None
                     # demuxed stream length wins over the header count
                     # (real files can disagree; the stream is the truth)
                     eff_total = len(frames) if frames else total
@@ -160,13 +170,13 @@ class FrameSample(ETAlgorithm):
                     for i in range(n):
                         out = {k: row[k] for k in pdf.columns if k != col}
                         out["frame_index"] = i
-                        if fmt == "avi" and eff_total and fps:
+                        if fmt in ("avi", "mp4") and eff_total and fps:
                             src = round(i * (eff_total - 1) / max(n - 1, 1))
                             out["source_frame"] = src
                             out["frame_time_ms"] = int(src * 1000 / fps)
                             out["frame_bytes"] = (bytes(frames[src])
                                                   if frames else None)
-                        elif fmt == "avi":
+                        elif fmt in ("avi", "mp4"):
                             out["source_frame"] = None
                             out["frame_time_ms"] = None
                             out["frame_bytes"] = None

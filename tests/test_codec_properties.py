@@ -99,6 +99,22 @@ def test_mp4_box_tree_roundtrip(w, h, fps, n):
         assert abs(got[2] - fps) < 1e-6
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 12), st.integers(1, 40),
+       st.lists(st.binary(min_size=0, max_size=64), max_size=12))
+def test_mp4_sample_extraction_roundtrip(wh, fps, frames):
+    """stsz/stsc/stco sample tables + mdat round-trip: the extractor
+    slices back exactly the sample payloads written, byte-for-byte,
+    for any payload sizes."""
+    from streamingpro_spark.functions.codecs import (
+        make_mp4_sample_extractor)
+    mp4 = make_mp4_encoder()(wh + 1, wh + 2, fps, len(frames),
+                             frames=frames)
+    assert make_mp4_sample_extractor()(mp4) == frames
+    meta = make_video_meta_parser()(mp4)
+    assert meta[0] == wh + 1 and meta[3] == len(frames)
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.integers(1000, 48000), st.integers(0, 500),
        st.integers(1, 2))

@@ -432,6 +432,49 @@ def test_frame_sample_real_demux(engine, tmp_path):
         assert (w, h, fmt) == (4, 4, "png")
 
 
+def test_frame_sample_real_mp4_demux(engine, tmp_path):
+    """End-to-end REAL MP4 frame path: samples stored in mdat with
+    genuine stsz/stsc/stco tables → FrameSample slices the actual
+    sample bytes → ImageResize pixel-decodes the extracted frame."""
+    from streamingpro_spark.functions.codecs import (
+        make_image_meta_parser, make_mp4_encoder,
+        make_mp4_sample_extractor, make_png_encoder)
+    png = make_png_encoder()
+    frames = [png(16, 12, seed=i) for i in range(7)]
+    mp4 = make_mp4_encoder()(16, 12, 5, 7, frames=frames)
+    # unit level: the extractor returns the exact payloads back
+    assert make_mp4_sample_extractor()(mp4) == frames
+    (tmp_path / "v.mp4").write_bytes(mp4)
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/v.mp4` as files;
+    run files as FrameSample.`` where numFrames="3" as out;
+    select frame_index, source_frame, frame_time_ms, frame_bytes as content
+    from out as fr;
+    run fr as ImageResize.`` where width="4" and height="4" as final;
+    """)
+    rows = sorted(df.collect(), key=lambda r: r["frame_index"])
+    assert [r["source_frame"] for r in rows] == [0, 3, 6]
+    assert [r["frame_time_ms"] for r in rows] == [0, 600, 1200]
+    # frame_bytes are the true mdat sample payloads, not byte slices
+    assert [bytes(r["content"]) for r in rows] == [frames[0], frames[3],
+                                                   frames[6]]
+    meta = make_image_meta_parser()
+    for r in rows:
+        w, h, ch, fmt = meta(bytes(r["resized"]))
+        assert (w, h, fmt) == (4, 4, "png")
+    # header-only MP4 (no sample tables): real positions, null bytes
+    (tmp_path / "h.mp4").write_bytes(make_mp4_encoder()(64, 48, 10, 91))
+    df2 = engine.execute(f"""
+    load binaryFile.`{tmp_path}/h.mp4` as files2;
+    run files2 as FrameSample.`` where numFrames="4" as out2;
+    select frame_index, source_frame, frame_time_ms, frame_bytes
+    from out2 as final2;
+    """)
+    rows2 = sorted(df2.collect(), key=lambda r: r["frame_index"])
+    assert [r["source_frame"] for r in rows2] == [0, 30, 60, 90]
+    assert all(r["frame_bytes"] is None for r in rows2)
+
+
 def test_pagerank(engine):
     df = engine.execute("""
     set data = '''
