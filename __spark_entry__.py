@@ -891,6 +891,32 @@ def _register_media_gens(spark):
             return enc_mp4(16, 16, fps, nf, frames=frames)
         return pd.Series([one(d) for d in doc_id])
 
+    from streamingpro_spark.functions.codecs import make_rgb_png_encoder
+    enc_rgb = make_rgb_png_encoder()
+
+    @F.pandas_udf("binary")
+    def gen_phash_png(doc_id: pd.Series) -> pd.Series:
+        # 16x16 image whose 2x2 cells render the bits of a per-group
+        # 64-bit pattern (group = doc_id % 50) as bright/dark pixels,
+        # plus a brightness shift that varies WITHIN the group — the
+        # files are byte-distinct but aHash-identical, so the oracle
+        # can predict the exact phash value AND the survivor set
+        def one(d):
+            d = int(d)
+            pat = (d % 50) * 2654435761 + 99991
+            shift = ((d // 50) % 3) * 8
+            rows = []
+            for y in range(16):
+                r = []
+                for x in range(16):
+                    i = (y // 2) * 8 + (x // 2)
+                    v = (200 if (pat >> i) & 1 else 64) + shift
+                    r.append((v, v, v))
+                rows.append(r)
+            return enc_rgb(rows)
+        return pd.Series([one(d) for d in doc_id])
+
+    spark.udf.register("gen_phash_png", gen_phash_png)
     spark.udf.register("gen_png", gen_png)
     spark.udf.register("gen_wav", gen_wav)
     spark.udf.register("gen_avi", gen_avi)
@@ -1085,6 +1111,58 @@ SELECT d.doc_id,
        CAST(t.i * (d.doc_id % 4 + 1) % 8 + 2 AS INT) AS frame_h,
        'png' AS format
 FROM documents d, (VALUES (0), (1), (2)) t(i)
+"""
+
+
+def _q_image_phash_dedup(spark, sf_dir):
+    # Perceptual image dedup, fully oracle-predicted: each document's
+    # PNG renders a per-group 64-bit pattern as 2x2 bright/dark cells
+    # with a WITHIN-group brightness shift (byte-distinct files), so
+    # aHash must reproduce the pattern bits exactly — the oracle pins
+    # both the surviving doc_ids (min per group) and the exact phash
+    # value, proving decode → luma → block-mean → threshold end to end
+    # and the brightness invariance that byte-level dedup lacks.
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_phash_png(doc_id) as content
+    from documents as ph_in;
+    run ph_in as ImageDedup.`` where idCol="doc_id" as ph_out;
+    select doc_id, phash from ph_out as output;
+    """)
+
+
+_IMAGE_PHASH_DEDUP_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id * 2654435761 + 99991 AS BIGINT) AS phash
+FROM documents
+WHERE doc_id < 50
+"""
+
+
+def _q_image_dedup_pairs(spark, sf_dir):
+    # Banded-Hamming path over the same fixture: maxHamming=2 splits
+    # the hash into 3 bands, bucket-joins, and verifies bit_count(xor);
+    # every same-group pair (including cross-brightness ones) must come
+    # back at distance 0 and nothing else may appear.
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_phash_png(doc_id) as content
+    from documents as phb_in;
+    run phb_in as ImageDedup.`` where idCol="doc_id" and maxHamming="2"
+    as phb_out;
+    select id_a, id_b, hamming from phb_out as output;
+    """)
+
+
+_IMAGE_DEDUP_PAIRS_ORACLE = """
+SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents d1
+JOIN documents d2
+  ON d1.doc_id % 50 = d2.doc_id % 50 AND d1.doc_id < d2.doc_id
 """
 
 
@@ -2467,6 +2545,8 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_metadata": _q_video_metadata,
         "frame_sample": _q_frame_sample,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "image_dedup_pairs": _q_image_dedup_pairs,
         "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
     }
@@ -2569,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "image_phash_dedup": _IMAGE_PHASH_DEDUP_ORACLE,
+        "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection

@@ -203,10 +203,11 @@ class ImageResize(ETAlgorithm):
     scanline unfilter), 24-bit BMP, GIF (variable-width LZW
     decompression + palette lookup, interlace de-scramble), and JPEG
     (huffman + dequant + inverse DCT; baseline 4:4:4/4:2:0/grayscale
-    with restart markers AND spectral-selection progressive with
-    EOBRUN — functions/codecs.py make_jpeg_decoder), nearest-neighbor
-    resampled with numpy index math and re-encoded as PNG.
-    Successive-approximation progressive yields null (MIGRATION.md).
+    with restart markers AND full progressive — spectral selection
+    with EOBRUN plus successive-approximation refinement scans —
+    functions/codecs.py make_jpeg_decoder), nearest-neighbor resampled
+    with numpy index math and re-encoded as PNG.  Arithmetic-coded and
+    lossless JPEG yield null (MIGRATION.md).
     Output column `resized` (PNG bytes).
 
     Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
@@ -345,6 +346,200 @@ class AudioFeatures(ETAlgorithm):
                  "content"),
                 ("computeStats", "PCM-decode and add rms/peak/"
                  "zero_crossings signal stats", "false")]
+
+
+def _phash_transform(df, col, htype):
+    """Shared ImagePHash/ImageDedup decode→hash pass: adds a `phash`
+    long column (null when the bytes decode with none of the codecs)."""
+    from streamingpro_spark.functions.codecs import (make_bmp_decoder,
+                                                     make_gif_decoder,
+                                                     make_jpeg_decoder,
+                                                     make_png_decoder)
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("phash", T.LongType())])
+    dec_png, dec_bmp = make_png_decoder(), make_bmp_decoder()
+    dec_gif, dec_jpeg = make_gif_decoder(), make_jpeg_decoder()
+    dhash = htype == "dhash"
+
+    def hash_one(content):
+        import numpy as _np
+        px = dec_png(content)
+        if px is None:
+            px = dec_bmp(content)
+        if px is None:
+            px = dec_gif(content)
+        if px is None:
+            px = dec_jpeg(content)
+        if px is None:
+            return None
+        arr = _np.asarray(px, dtype=_np.float64)        # (h, w, 3)
+        gray = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                + 0.114 * arr[..., 2])
+        gh, gw = (8, 9) if dhash else (8, 8)
+        h, w = gray.shape
+        # block-mean pool via a 4x-oversampled nearest grid: exact for
+        # any input size (including h < gh), and a uniform brightness
+        # shift moves every cell equally — the invariance the
+        # thresholds below rely on
+        ys = (_np.arange(gh * 4) * h) // (gh * 4)
+        xs = (_np.arange(gw * 4) * w) // (gw * 4)
+        cells = gray[ys][:, xs].reshape(gh, 4, gw, 4).mean(axis=(1, 3))
+        if dhash:
+            bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+        else:
+            bits = (cells > cells.mean()).ravel()
+        val = 0
+        for i, b in enumerate(bits):
+            if b:
+                val |= 1 << i
+        if val >= 1 << 63:                 # two's-complement signed long
+            val -= 1 << 64
+        return val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["phash"] = pd.array([hash_one(c) for c in pdf[col]],
+                                    dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+@register_et("ImagePHash")
+class ImagePHash(ETAlgorithm):
+    """Perceptual hash for a binary image column — output column
+    `phash` (64 bits as a signed long).
+
+    Decode runs the same real pure-Python codecs as ImageResize
+    (PNG/BMP/GIF/JPEG); decoded pixels are luma-converted (ITU-R 601
+    weights), block-mean pooled to the hash grid and thresholded:
+    `hashType="ahash"` (default) bit i = cell i > mean(cells) on an
+    8x8 grid; `hashType="dhash"` bit = horizontal gradient sign on a
+    9x8 grid.  Both are invariant to uniform brightness shifts (a
+    constant moves every cell and the mean equally), which is what
+    makes perceptual dedup stronger than byte-level ExactDedup —
+    re-encoded or brightness-adjusted copies of an image still
+    collide.  Undecodable bytes yield a null phash.
+
+    Scale: map-only mapInPandas, no shuffle; CPU-bound per row, so
+    parallelism follows the binary scan (spread via
+    ensure_parallelism for small inputs)."""
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.operators.base import ensure_parallelism
+        col = params.get("contentCol", "content")
+        htype = params.get("hashType", "ahash")
+        if htype not in ("ahash", "dhash"):
+            raise ValueError("hashType must be ahash or dhash")
+        return _phash_transform(ensure_parallelism(df), col, htype)
+
+    def explain_params(self):
+        return [("contentCol", "binary column with encoded image bytes",
+                 "content"),
+                ("hashType", "ahash (8x8 mean) | dhash (9x8 gradient)",
+                 "ahash")]
+
+
+@register_et("ImageDedup")
+class ImageDedup(ETAlgorithm):
+    """Near-duplicate image detection on perceptual hashes — the dedup
+    family's multimodal member.
+
+    `maxHamming="0"` (default): exact-phash survivors — one uniform
+    shuffle keyed by the 64-bit hash, min-id row kept per hash
+    (ExactDedup's shape); rows with a null phash (undecodable bytes)
+    pass through untouched rather than collapsing together.
+
+    `maxHamming="k"` (k>0): banded Hamming LSH candidate pairs — the
+    64-bit hash splits into k+1 bands (pigeonhole: two hashes within
+    Hamming distance k agree exactly on at least one band), bucket
+    self-join on (band, bits) with the same window-count skew guard as
+    MinHashDedup, then exact verify bit_count(xor) <= k.  Output
+    (id_a, id_b, hamming), like MinHashDedup's pair contract.  No
+    cross join at any point.
+
+    `hashCol` reuses a precomputed hash column (skips decode) — e.g.
+    ImagePHash output persisted once and re-deduped at several
+    thresholds without re-decoding the corpus."""
+
+    def train(self, df, path, params, context=None):
+        from pyspark.sql import Window
+        from streamingpro_spark.operators.base import (ensure_parallelism,
+                                                       script_cache)
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "content")
+        htype = params.get("hashType", "ahash")
+        hash_col = params.get("hashCol")
+        k = get_int(params, "maxHamming", 0)
+        max_bucket = get_int(params, "maxBucketSize", 10000)
+        if hash_col:
+            hashed = df.withColumn("__ph", F.col(hash_col).cast("long"))
+        else:
+            hashed = _phash_transform(ensure_parallelism(df), col, htype) \
+                .withColumnRenamed("phash", "__ph")
+
+        if k <= 0:
+            survivors = (hashed.filter(F.col("__ph").isNotNull())
+                         .groupBy("__ph").agg(F.min(id_col).alias(id_col)))
+            kept = hashed.join(survivors.select(id_col), [id_col],
+                               "left_semi")
+            undecodable = hashed.filter(F.col("__ph").isNull())
+            return kept.unionByName(undecodable) \
+                       .withColumnRenamed("__ph", "phash")
+
+        bands = k + 1
+        width = 64 // bands
+        ids = hashed.select(F.col(id_col).alias("__id"), "__ph") \
+                    .filter(F.col("__ph").isNotNull())
+        band_struct = F.array(*[
+            F.struct(
+                F.lit(j).alias("__band"),
+                # last band takes the 64 - width*(bands-1) remainder
+                (F.shiftright(F.col("__ph"), j * width).bitwiseAND(F.lit(
+                    -1 if j == bands - 1
+                    else (1 << width) - 1))).alias("__bh"))
+            for j in range(bands)])
+        guard_w = Window.partitionBy("__band", "__bh")
+        bounded = script_cache(
+            ids.select("__id", "__ph",
+                       F.explode(band_struct).alias("__e"))
+               .select("__id", "__ph",
+                       F.col("__e.__band").alias("__band"),
+                       F.col("__e.__bh").alias("__bh"))
+               .withColumn("__n", F.count(F.lit(1)).over(guard_w))
+               .filter(F.col("__n") <= max_bucket).drop("__n"),
+            context, "imagededup_buckets")
+        bounded.count()      # materialize before the self-join fans out
+        a, b = bounded.alias("a"), bounded.alias("b")
+        pairs = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                        & (F.col("a.__bh") == F.col("b.__bh"))
+                        & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"),
+                         F.bit_count(F.col("a.__ph").bitwiseXOR(
+                             F.col("b.__ph"))).alias("hamming"))
+                 .distinct()
+                 .filter(F.col("hamming") <= k))
+        from streamingpro_spark.operators.base import eager_materialize
+        mat = eager_materialize(pairs, params, context)
+        if mat is not pairs:
+            bounded.unpersist()
+        return mat
+
+    def explain_params(self):
+        return [("idCol", "image id column", "doc_id"),
+                ("contentCol", "binary column with encoded image bytes",
+                 "content"),
+                ("hashCol", "precomputed 64-bit hash column (skips "
+                 "decode)", ""),
+                ("hashType", "ahash | dhash", "ahash"),
+                ("maxHamming", "0 = exact-hash survivors; >0 = banded "
+                 "LSH pairs within this Hamming distance", "0"),
+                ("maxBucketSize", "skew guard: drop larger LSH buckets",
+                 "10000"),
+                ("eagerCache", "materialize pair output, free bucket "
+                 "cache", "true")]
 
 
 # The reference registers OpenCVImage / JavaImage

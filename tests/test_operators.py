@@ -475,6 +475,75 @@ def test_frame_sample_real_mp4_demux(engine, tmp_path):
     assert all(r["frame_bytes"] is None for r in rows2)
 
 
+def test_image_phash_brightness_invariance(engine, tmp_path):
+    """Uniformly brightness-shifted copies of an image are
+    byte-distinct files but hash identically (aHash and dHash);
+    a structurally different image hashes differently; junk bytes
+    yield a null phash."""
+    from streamingpro_spark.functions.codecs import make_rgb_png_encoder
+    enc = make_rgb_png_encoder()
+
+    def img(shift, flip=False):
+        rows = []
+        for y in range(16):
+            r = []
+            for x in range(16):
+                v = (180 if ((x // 2 + y // 2) % 2 == 0) != flip else 70) \
+                    + shift
+                r.append((v, v, v))
+            rows.append(r)
+        return enc(rows)
+
+    (tmp_path / "a0.png").write_bytes(img(0))
+    (tmp_path / "a1.png").write_bytes(img(20))
+    (tmp_path / "b.png").write_bytes(img(0, flip=True))
+    (tmp_path / "x.bin").write_bytes(b"not an image at all")
+    assert img(0) != img(20)               # genuinely different bytes
+    for htype in ("ahash", "dhash"):
+        df = engine.execute(f"""
+        load binaryFile.`{tmp_path}/*` as files;
+        run files as ImagePHash.`` where hashType="{htype}" as out;
+        select path, phash from out as final;
+        """)
+        ph = {r["path"].rsplit("/", 1)[-1]: r["phash"]
+              for r in df.collect()}
+        assert ph["a0.png"] == ph["a1.png"], htype
+        assert ph["a0.png"] != ph["b.png"], htype
+        assert ph["x.bin"] is None, htype
+
+
+def test_image_dedup_hamming_pairs_hashcol(engine):
+    """Banded-Hamming pair detection on a precomputed hash column:
+    pairs within maxHamming come back with the exact distance, pairs
+    beyond it are verified away even when a band collides, and
+    negative longs (bit 63 set) band correctly."""
+    base = -(1 << 63) + 0x123456789AB      # bit 63 set → negative long
+    rows = [(1, base),
+            (2, base),                     # distance 0
+            (3, base ^ 0b11),              # distance 2 (band 0 only)
+            (4, base ^ 0b11111),           # distance 5: candidate via
+            (5, 0x0F0F0F0F)]               # bands 1-2, must verify away
+    import json
+    data = "\n".join(json.dumps({"id": i, "h": h}) for i, h in rows)
+    df = engine.execute(f"""
+    set hjson = '''{data}''';
+    load jsonStr.`hjson` as hashes;
+    run hashes as ImageDedup.`` where idCol="id" and hashCol="h"
+    and maxHamming="2" as out;
+    select id_a, id_b, hamming from out as final;
+    """)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in df.collect()}
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+    # exact-survivor mode on the same hashes: min id per hash value
+    df2 = engine.execute(f"""
+    set hjson = '''{data}''';
+    load jsonStr.`hjson` as hashes2;
+    run hashes2 as ImageDedup.`` where idCol="id" and hashCol="h" as s;
+    select id from s as final2;
+    """)
+    assert sorted(r["id"] for r in df2.collect()) == [1, 3, 4, 5]
+
+
 def test_pagerank(engine):
     df = engine.execute("""
     set data = '''
