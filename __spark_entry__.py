@@ -1166,6 +1166,71 @@ JOIN documents d2
 """
 
 
+def _q_url_filter(spark, sf_dir):
+    # RefinedWeb URL curation: URLs synthesized from doc_id arithmetic
+    # (scheme / host / keyword / extension / fragment variants), the ET
+    # parses + flags them, and the oracle recomputes every parsed
+    # column and flag from the same arithmetic — host lowering, www
+    # stripping, subdomain blocklist matching, keyword and extension
+    # flags, normalization, and the final keep conjunction.
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           concat(case when doc_id % 7 = 0 then 'ftp' else 'https' end,
+                  '://',
+                  case cast(doc_id % 5 as int)
+                    when 0 then 'www.good.com'
+                    when 1 then 'blog.example.org'
+                    when 2 then 'ads.tracker.net'
+                    when 3 then 'sub.ads.tracker.net'
+                    else 'News.GOOD.com' end,
+                  case when doc_id % 11 = 0 then '/casino' else '' end,
+                  '/p', cast(doc_id as string),
+                  case when doc_id % 3 = 0 then '.css' else '.html' end,
+                  case when doc_id % 2 = 1 then '#sec' else '' end)
+           as url
+    from documents as uf_in;
+    run uf_in as UrlFilter.`` where blockedDomains="tracker.net"
+      and blockedKeywords="casino" and blockedExtensions="css" as uf_out;
+    select doc_id, url, url_host, url_domain, url_normalized,
+           bad_scheme, blocked_domain, blocked_keyword,
+           blocked_extension, keep
+    from uf_out as output;
+    """)
+
+
+_URL_FILTER_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'ftp' ELSE 'https' END AS sch,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'www.good.com'
+           WHEN 1 THEN 'blog.example.org'
+           WHEN 2 THEN 'ads.tracker.net'
+           WHEN 3 THEN 'sub.ads.tracker.net'
+           ELSE 'News.GOOD.com' END AS hostp,
+         CASE WHEN doc_id % 11 = 0 THEN '/casino' ELSE '' END
+           || '/p' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '.css' ELSE '.html' END AS pth,
+         CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END AS frag
+  FROM documents)
+SELECT doc_id,
+       sch || '://' || hostp || pth || frag AS url,
+       LOWER(hostp) AS url_host,
+       REGEXP_REPLACE(LOWER(hostp), '^www\.', '') AS url_domain,
+       REGEXP_REPLACE(LOWER(hostp), '^www\.', '') || pth
+         AS url_normalized,
+       doc_id % 7 = 0 AS bad_scheme,
+       CAST(doc_id % 5 AS INT) IN (2, 3) AS blocked_domain,
+       doc_id % 11 = 0 AS blocked_keyword,
+       doc_id % 3 = 0 AS blocked_extension,
+       doc_id % 7 <> 0 AND CAST(doc_id % 5 AS INT) NOT IN (2, 3)
+         AND doc_id % 11 <> 0 AND doc_id % 3 <> 0 AS keep
+FROM u
+"""
+
+
 def _q_versioned_parquet(spark, sf_dir):
     """versionedParquet time travel (rows-only: writes to a temp lake):
     overwrite + two appends, then per-version snapshot counts — v0 <
@@ -2545,6 +2610,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_metadata": _q_video_metadata,
         "frame_sample": _q_frame_sample,
+        "url_filter": _q_url_filter,
         "image_phash_dedup": _q_image_phash_dedup,
         "image_dedup_pairs": _q_image_dedup_pairs,
         "image_resize": _q_image_resize,
@@ -2649,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "url_filter": _URL_FILTER_ORACLE,
         "image_phash_dedup": _IMAGE_PHASH_DEDUP_ORACLE,
         "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,

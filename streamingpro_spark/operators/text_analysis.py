@@ -500,3 +500,103 @@ class C4QualityFilter(ETAlgorithm):
                 ("minSentences", "page sentence minimum", "3"),
                 ("badWords", "comma-separated blocklist", ""),
                 ("mode", "annotate | filter", "annotate")]
+
+
+@register_et("UrlFilter")
+class UrlFilter(ETAlgorithm):
+    """RefinedWeb-style URL curation (Penedo et al. 2023,
+    arXiv:2306.01116 §3.1).  No reference counterpart — part of the
+    training-data curation family alongside C4QualityFilter.
+
+    Parses the URL with codegen regexps and attaches:
+    `url_host` (lowercased authority minus userinfo/port),
+    `url_domain` (host minus a leading www.), and `url_normalized`
+    (lowercased, scheme/www/fragment stripped, trailing slashes
+    trimmed — the canonical form RefinedWeb exact-URL dedup keys on;
+    chain with `ExactDedup contentCol="url_normalized"`).  Flags:
+    `bad_scheme` (scheme outside `allowedSchemes`), `blocked_domain`
+    (url_domain equals or is a subdomain of a `blockedDomains` entry),
+    `blocked_keyword` (a `blockedKeywords` substring anywhere in the
+    lowercased URL — the C4/RefinedWeb word-blocklist filter), and
+    `blocked_extension` (path ends in a `blockedExtensions` entry).
+    `keep` requires a parseable host and no raised flag.
+    mode=annotate (default) | filter, like C4QualityFilter.
+
+    Scale: per-row whole-stage codegen (regexp_extract / exists over
+    literal arrays) — zero shuffles, zero Python; a narrow map over
+    the corpus scan.
+    """
+
+    def train(self, df, path, params, context=None):
+        col = params.get("urlCol", "url")
+        allowed = [s.strip().lower() for s in
+                   params.get("allowedSchemes", "http,https").split(",")
+                   if s.strip()]
+        domains = [d.strip().lower() for d in
+                   params.get("blockedDomains", "").split(",") if d.strip()]
+        keywords = [k.strip().lower() for k in
+                    params.get("blockedKeywords", "").split(",") if k.strip()]
+        exts = [e.strip().lower().lstrip(".") for e in
+                params.get("blockedExtensions", "").split(",") if e.strip()]
+        mode = params.get("mode", "annotate")
+
+        url = F.coalesce(F.col(col), F.lit(""))
+        scheme = F.lower(F.regexp_extract(
+            url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+        auth = F.regexp_extract(
+            url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+        host = F.lower(F.regexp_replace(
+            F.regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""))
+        domain = F.regexp_replace(host, "^www\\.", "")
+        path = F.lower(F.regexp_extract(
+            url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1))
+        normalized = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.lower(url),
+            "^[a-z][a-z0-9+.-]*://", ""),      # scheme
+            "#.*$", ""),                        # fragment
+            "/+$", "")                          # trailing slashes
+        normalized = F.regexp_replace(normalized, "^www\\.", "")
+
+        def any_of(values, pred):
+            if not values:
+                return F.lit(False)
+            return F.exists(F.array(*[F.lit(v) for v in values]), pred)
+
+        bad_scheme = ~scheme.isin(allowed)
+        blocked_domain = any_of(
+            domains,
+            lambda d: (F.col("url_domain") == d)
+            | F.col("url_domain").endswith(F.concat(F.lit("."), d)))
+        blocked_keyword = any_of(
+            keywords, lambda k: F.lower(url).contains(k))
+        blocked_ext = any_of(
+            exts, lambda e: path.endswith(F.concat(F.lit("."), e)))
+
+        out = (df.withColumn("url_host", host)
+                 .withColumn("url_domain", domain)
+                 .withColumn("url_normalized", normalized)
+                 .withColumn("bad_scheme", bad_scheme)
+                 .withColumn("blocked_domain", blocked_domain)
+                 .withColumn("blocked_keyword", blocked_keyword)
+                 .withColumn("blocked_extension", blocked_ext)
+                 .withColumn("keep",
+                             (F.col("url_host") != "")
+                             & ~F.col("bad_scheme")
+                             & ~F.col("blocked_domain")
+                             & ~F.col("blocked_keyword")
+                             & ~F.col("blocked_extension")))
+        if mode == "filter":
+            out = out.filter(F.col("keep")).drop("keep")
+        return out
+
+    def explain_params(self):
+        return [("urlCol", "URL column", "url"),
+                ("allowedSchemes", "comma-separated scheme allowlist",
+                 "http,https"),
+                ("blockedDomains", "comma-separated domain blocklist "
+                 "(matches the domain and its subdomains)", ""),
+                ("blockedKeywords", "comma-separated substrings blocked "
+                 "anywhere in the URL", ""),
+                ("blockedExtensions", "comma-separated blocked path "
+                 "extensions", ""),
+                ("mode", "annotate | filter", "annotate")]

@@ -1137,6 +1137,56 @@ def test_c4_quality_filter_modes(engine):
     assert [r["doc_id"] for r in kept] == [1]
 
 
+def test_url_filter_parse_and_flags(engine):
+    """URL parsing edges: userinfo and port stripped from the host,
+    www and fragment stripped plus trailing slashes trimmed in the
+    normalized form, schemeless/null URLs dropped, and filter mode
+    keeps only clean rows."""
+    import json
+    urls = [
+        (1, "https://user:pw@WWW.Example.COM:8443/a/b/?q=1#frag"),
+        (2, "http://ads.bad.net/x.html"),
+        (3, "relative/path/only"),
+        (4, None),
+        (5, "https://ok.org/page.html"),
+    ]
+    data = "\n".join(json.dumps({"id": i, "url": u}) for i, u in urls)
+    df = engine.execute(f"""
+    set ujson = '''{data}''';
+    load jsonStr.`ujson` as t;
+    run t as UrlFilter.`` where blockedDomains="bad.net" as out;
+    select id, url_host, url_domain, url_normalized, blocked_domain,
+           keep from out as final;
+    """)
+    r = {row["id"]: row for row in df.collect()}
+    assert r[1]["url_host"] == "www.example.com"
+    assert r[1]["url_domain"] == "example.com"
+    # normalized: lowercased, scheme and fragment gone; userinfo/port
+    # are host-parse concerns and stay in the canonical string
+    assert r[1]["url_normalized"] == "user:pw@www.example.com:8443/a/b/?q=1"
+    assert r[1]["keep"] is True
+    assert r[2]["blocked_domain"] is True and r[2]["keep"] is False
+    assert r[3]["url_host"] == "" and r[3]["keep"] is False
+    assert r[4]["url_host"] == "" and r[4]["keep"] is False
+    assert r[5]["keep"] is True
+    # filter mode keeps only the clean rows and drops the keep column
+    df2 = engine.execute(f"""
+    set ujson = '''{data}''';
+    load jsonStr.`ujson` as t2;
+    run t2 as UrlFilter.`` where blockedDomains="bad.net"
+    and mode="filter" as out2;
+    select id from out2 as final2;
+    """)
+    assert sorted(row["id"] for row in df2.collect()) == [1, 5]
+    # trailing slashes trim in the normalized form
+    df3 = engine.execute("""
+    select "https://A.com/path///" as url as t3;
+    run t3 as UrlFilter.`` as out3;
+    select url_normalized from out3 as final3;
+    """)
+    assert df3.first()["url_normalized"] == "a.com/path"
+
+
 def test_c4_quality_bad_words(engine):
     df = engine.execute(r"""
     set data = '''

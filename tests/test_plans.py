@@ -139,3 +139,15 @@ def test_c4_quality_filter_map_only(spark, sf_dir):
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_url_filter_map_only(spark, sf_dir):
+    # URL parse + blocklist flags are pure codegen: no Python, no
+    # exchange — a narrow map over the corpus scan
+    import __spark_entry__ as em
+    df = em.base_queries()["url_filter"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
