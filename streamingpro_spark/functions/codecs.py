@@ -380,6 +380,11 @@ def make_mp4_sample_extractor():
             return None
         found = {}
 
+        # twin of make_video_meta_parser's parse_mp4 walk — kept
+        # duplicated on purpose: every make_* codec closes over ONLY
+        # nested defs so it pickles by value to executors (a shared
+        # module-level walker would pickle as a streamingpro_spark.*
+        # reference workers can't import).  Fix both when fixing one.
         def walk(lo: int, hi: int) -> None:
             i = lo
             while i + 8 <= hi:
@@ -407,6 +412,10 @@ def make_mp4_sample_extractor():
             lo = found[b"stsz"]
             fixed, count = struct.unpack(">II", b[lo + 4:lo + 12])
             if fixed:
+                # untrusted 32-bit count: samples totalling more bytes
+                # than the file can't be real — reject before allocating
+                if fixed * count > len(b):
+                    return None
                 sizes = [fixed] * count
             else:
                 sizes = list(struct.unpack(
@@ -446,7 +455,9 @@ def make_mp4_sample_extractor():
                     off += sz
                     si += 1
             return samples
-        except (IndexError, struct.error):
+        except (IndexError, struct.error, RecursionError):
+            # RecursionError: crafted deep moov nesting must yield
+            # None, not a failed Spark task
             return None
 
     return extract
@@ -581,7 +592,7 @@ def make_video_meta_parser():
             if w is None and dur_ms is None and n is None:
                 return nulls
             return (w, h, fps, n, dur_ms, "mp4")
-        except (IndexError, struct.error):
+        except (IndexError, struct.error, RecursionError):
             return nulls
 
     def parse(content) -> tuple:

@@ -355,6 +355,8 @@ def _phash_transform(df, col, htype):
                                                      make_gif_decoder,
                                                      make_jpeg_decoder,
                                                      make_png_decoder)
+    if htype not in ("ahash", "dhash"):
+        raise ValueError("hashType must be ahash or dhash")
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("phash", T.LongType())])
     dec_png, dec_bmp = make_png_decoder(), make_bmp_decoder()
@@ -430,8 +432,6 @@ class ImagePHash(ETAlgorithm):
         from streamingpro_spark.operators.base import ensure_parallelism
         col = params.get("contentCol", "content")
         htype = params.get("hashType", "ahash")
-        if htype not in ("ahash", "dhash"):
-            raise ValueError("hashType must be ahash or dhash")
         return _phash_transform(ensure_parallelism(df), col, htype)
 
     def explain_params(self):
@@ -480,13 +480,23 @@ class ImageDedup(ETAlgorithm):
                 .withColumnRenamed("phash", "__ph")
 
         if k <= 0:
+            if not hash_col:
+                # the decode is the dominant cost and exact mode fans
+                # `hashed` out to three consumers — hash the corpus
+                # once (the banded path caches its exploded table
+                # below instead)
+                hashed = script_cache(hashed, context, "imagededup_hash")
             survivors = (hashed.filter(F.col("__ph").isNotNull())
                          .groupBy("__ph").agg(F.min(id_col).alias(id_col)))
             kept = hashed.join(survivors.select(id_col), [id_col],
                                "left_semi")
             undecodable = hashed.filter(F.col("__ph").isNull())
-            return kept.unionByName(undecodable) \
-                       .withColumnRenamed("__ph", "phash")
+            out = kept.unionByName(undecodable)
+            if hash_col:
+                # the caller already has the hash column — don't emit a
+                # duplicate `phash` (ambiguous-reference downstream)
+                return out.drop("__ph")
+            return out.withColumnRenamed("__ph", "phash")
 
         bands = k + 1
         width = 64 // bands

@@ -512,6 +512,67 @@ def test_image_phash_brightness_invariance(engine, tmp_path):
         assert ph["x.bin"] is None, htype
 
 
+def test_image_dedup_phash_reuse_flow(engine, tmp_path):
+    """The documented reuse flow — ImagePHash once, then ImageDedup
+    with hashCol=\"phash\" — must not emit a duplicate phash column,
+    and an invalid hashType raises in BOTH operators."""
+    from streamingpro_spark.functions.codecs import make_rgb_png_encoder
+    enc = make_rgb_png_encoder()
+    for i, shift, flip in [(1, 0, False), (2, 16, False), (3, 0, True)]:
+        # checkerboards: i2 is a brightness-shifted dup of i1; i3 is
+        # the inverted board (complement aHash, guaranteed distinct)
+        px = [[((180 if ((x // 2 + y // 2) % 2 == 0) != flip else 70)
+                + shift,) * 3 for x in range(16)] for y in range(16)]
+        (tmp_path / f"i{i}.png").write_bytes(enc(px))
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as ImagePHash.`` as hashed;
+    select path, phash from hashed as slim;
+    run slim as ImageDedup.`` where idCol="path" and hashCol="phash" as out;
+    select path, phash from out as final;
+    """)
+    rows = df.collect()
+    assert len(rows[0].asDict()) == 2          # no duplicate phash col
+    kept = sorted(r["path"].rsplit("/", 1)[-1] for r in rows)
+    assert kept == ["i1.png", "i3.png"]        # i2 = brightness dup of i1
+    import pytest as _pytest
+    for op in ("ImagePHash", "ImageDedup"):
+        with _pytest.raises(Exception, match="ahash or dhash"):
+            engine.execute(f"""
+            select cast("x" as binary) as content, 1 as doc_id as t;
+            run t as {op}.`` where hashType="pHash" as bad;
+            """)
+
+
+def test_mp4_extractor_rejects_crafted_streams():
+    """Adversarial ISO-BMFF bytes: a huge fixed-size stsz count must
+    not allocate, and pathological moov nesting must yield None, not
+    RecursionError — one malformed row cannot kill an executor."""
+    import struct
+    from streamingpro_spark.functions.codecs import (
+        make_mp4_sample_extractor, make_video_meta_parser)
+    ext = make_mp4_sample_extractor()
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom")
+    # stsz: sample_size=1, sample_count=0xFFFFFFFF → ~4 GB of samples
+    # claimed by a 100-byte file
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 1, 0xFFFFFFFF))
+    stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, 1, 1))
+    stco = box(b"stco", struct.pack(">B3xII", 0, 1, 0))
+    evil = ftyp + box(b"moov", box(b"trak", box(b"mdia", box(
+        b"minf", box(b"stbl", stsz + stsc + stco)))))
+    assert ext(evil) is None
+    # ~1500 nested moov boxes: deeper than the default recursion limit
+    deep = b""
+    for _ in range(1500):
+        deep = box(b"moov", deep)
+    assert ext(ftyp + deep) is None
+    assert make_video_meta_parser()(ftyp + deep)[0] is None
+
+
 def test_image_dedup_hamming_pairs_hashcol(engine):
     """Banded-Hamming pair detection on a precomputed hash column:
     pairs within maxHamming come back with the exact distance, pairs
