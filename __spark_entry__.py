@@ -916,6 +916,20 @@ def _register_media_gens(spark):
             return enc_rgb(rows)
         return pd.Series([one(d) for d in doc_id])
 
+    @F.pandas_udf("binary")
+    def gen_tone(doc_id: pd.Series) -> pd.Series:
+        # 8 kHz / 2048-sample sine whose frequency class (doc_id % 6)
+        # lands firmly inside a distinct log band of the default
+        # AudioFingerprint grid, re-levelled WITHIN the class by gain —
+        # byte-distinct files, identical spectral-peak fingerprint
+        freqs = [126.0, 300.0, 500.0, 1250.0, 2000.0, 3000.0]
+        def one(d):
+            d = int(d)
+            return enc_wav(8000, 2048, freq=freqs[d % 6],
+                           gain=0.3 + (d // 6 % 3) * 0.2)
+        return pd.Series([one(d) for d in doc_id])
+
+    spark.udf.register("gen_tone", gen_tone)
     spark.udf.register("gen_phash_png", gen_phash_png)
     spark.udf.register("gen_png", gen_png)
     spark.udf.register("gen_wav", gen_wav)
@@ -1163,6 +1177,44 @@ SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, CAST(0 AS INT) AS hamming
 FROM documents d1
 JOIN documents d2
   ON d1.doc_id % 50 = d2.doc_id % 50 AND d1.doc_id < d2.doc_id
+"""
+
+
+def _q_audio_fingerprint_dedup(spark, sf_dir):
+    # Spectral-peak audio dedup, fully oracle-predicted: each document
+    # is a real 16-bit PCM sine whose frequency class (doc_id % 6) sits
+    # in a distinct log band, re-levelled within the class by gain
+    # (byte-distinct files) — AudioFingerprint must land the peak in
+    # the same band for every gain, so the oracle pins both the exact
+    # 64-bit fingerprint (one-hot peak band per segment) and the
+    # HashDedup survivor set, proving the PCM decode → rfft → band
+    # fold → argmax chain end to end plus the gain invariance.
+    eng = _engine(spark)
+    _register_media_gens(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, gen_tone(doc_id) as content from documents as af_in;
+    run af_in as AudioFingerprint.`` as af_fp;
+    select doc_id, afp from af_fp as af_slim;
+    run af_slim as HashDedup.`` where idCol="doc_id" and hashCol="afp"
+    as af_out;
+    select doc_id, afp from af_out as output;
+    """)
+
+
+# freq class -> peak band b in {0,2,3,5,6,7}; afp = 0x0101010101010101
+# * 2^b (one-hot per 8-bit segment lane), two's-complement for b=7
+_AUDIO_FP_DEDUP_ORACLE = """
+SELECT doc_id,
+       CAST(CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 72340172838076673
+         WHEN 1 THEN 289360691352306692
+         WHEN 2 THEN 578721382704613384
+         WHEN 3 THEN 2314885530818453536
+         WHEN 4 THEN 4629771061636907072
+         ELSE -9187201950435737472 END AS BIGINT) AS afp
+FROM documents
+WHERE doc_id < 6
 """
 
 
@@ -2611,6 +2663,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": _q_video_metadata,
         "frame_sample": _q_frame_sample,
         "url_filter": _q_url_filter,
+        "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "image_phash_dedup": _q_image_phash_dedup,
         "image_dedup_pairs": _q_image_dedup_pairs,
         "image_resize": _q_image_resize,
@@ -2716,6 +2769,7 @@ def oracle_sql() -> dict[str, str]:
         "video_metadata": _VIDEO_METADATA_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "url_filter": _URL_FILTER_ORACLE,
+        "audio_fingerprint_dedup": _AUDIO_FP_DEDUP_ORACLE,
         "image_phash_dedup": _IMAGE_PHASH_DEDUP_ORACLE,
         "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,

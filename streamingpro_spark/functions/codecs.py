@@ -267,9 +267,11 @@ def make_jpeg_header():
 
 def make_wav_encoder():
     """-> wav_bytes(sample_rate, n_samples, channels=1, bits=16,
-    freq=440.0) — a real PCM RIFF/WAVE file (sine payload)."""
+    freq=440.0, gain=0.5) — a real PCM RIFF/WAVE file (sine payload;
+    `gain` scales the sine relative to full scale)."""
     def wav_bytes(sample_rate: int, n_samples: int, channels: int = 1,
-                  bits: int = 16, freq: float = 440.0) -> bytes:
+                  bits: int = 16, freq: float = 440.0,
+                  gain: float = 0.5) -> bytes:
         import math
         import struct
         sr, n, ch = int(sample_rate), int(n_samples), int(channels)
@@ -277,7 +279,7 @@ def make_wav_encoder():
         amp = (1 << (bits - 1)) - 1
         frames = bytearray()
         for i in range(n):
-            v = int(amp * 0.5 * math.sin(2 * math.pi * freq * i / sr))
+            v = int(amp * gain * math.sin(2 * math.pi * freq * i / sr))
             frames += struct.pack("<h", v) * ch
         data = bytes(frames)
         fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bytes_per,

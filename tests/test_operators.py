@@ -573,6 +573,40 @@ def test_mp4_extractor_rejects_crafted_streams():
     assert make_video_meta_parser()(ftyp + deep)[0] is None
 
 
+def test_audio_fingerprint_gain_invariance(engine, tmp_path):
+    """Re-levelled copies of a tone fingerprint identically (the peak
+    band is gain-invariant); a different frequency lands in a
+    different band; non-WAV bytes yield null; HashDedup on afp keeps
+    one survivor per tone."""
+    from streamingpro_spark.functions.codecs import make_wav_encoder
+    wav = make_wav_encoder()
+    (tmp_path / "a1.wav").write_bytes(wav(8000, 2048, freq=500, gain=0.3))
+    (tmp_path / "a2.wav").write_bytes(wav(8000, 2048, freq=500, gain=0.7))
+    (tmp_path / "b.wav").write_bytes(wav(8000, 2048, freq=2000, gain=0.5))
+    (tmp_path / "x.bin").write_bytes(b"RIFFxxxxAVI not audio")
+    df = engine.execute(f"""
+    load binaryFile.`{tmp_path}/*` as files;
+    run files as AudioFingerprint.`` as fp;
+    select path, afp from fp as slim;
+    run slim as HashDedup.`` where idCol="path" and hashCol="afp" as out;
+    select path, afp from out as final;
+    """)
+    rows = {r["path"].rsplit("/", 1)[-1]: r["afp"] for r in df.collect()}
+    # a2 collapsed into a1 (same fingerprint), b distinct, junk kept
+    # as its own null-hash row
+    assert set(rows) == {"a1.wav", "b.wav", "x.bin"}
+    assert rows["a1.wav"] is not None and rows["b.wav"] is not None
+    assert rows["a1.wav"] != rows["b.wav"]
+    assert rows["x.bin"] is None
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="<= 64"):
+        engine.execute("""
+        select cast("x" as binary) as content as t;
+        run t as AudioFingerprint.`` where numSegments="9"
+        and numBands="9" as bad;
+        """)
+
+
 def test_image_dedup_hamming_pairs_hashcol(engine):
     """Banded-Hamming pair detection on a precomputed hash column:
     pairs within maxHamming come back with the exact distance, pairs
