@@ -274,13 +274,19 @@ def make_wav_encoder():
                   gain: float = 0.5) -> bytes:
         import math
         import struct
+        if bits not in (8, 16):
+            raise ValueError("bits must be 8 or 16")
         sr, n, ch = int(sample_rate), int(n_samples), int(channels)
         bytes_per = bits // 8
         amp = (1 << (bits - 1)) - 1
         frames = bytearray()
         for i in range(n):
             v = int(amp * gain * math.sin(2 * math.pi * freq * i / sr))
-            frames += struct.pack("<h", v) * ch
+            v = max(-amp - 1, min(amp, v))     # clip like real DACs do
+            if bits == 8:                       # WAV 8-bit is unsigned
+                frames += struct.pack("<B", v + 128) * ch
+            else:
+                frames += struct.pack("<h", v) * ch
         data = bytes(frames)
         fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bytes_per,
                           ch * bytes_per, bits)

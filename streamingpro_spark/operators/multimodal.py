@@ -480,12 +480,13 @@ class ImageDedup(ETAlgorithm):
                 .withColumnRenamed("phash", "__ph")
 
         if k <= 0:
-            if not hash_col:
-                # the decode is the dominant cost and exact mode fans
-                # `hashed` out to three consumers — hash the corpus
-                # once (the banded path caches its exploded table
-                # below instead)
-                hashed = script_cache(hashed, context, "imagededup_hash")
+            # exact mode fans `hashed` out to three consumers (survivor
+            # groupBy, semi-join probe, null filter) — cache it even in
+            # the hashCol case: the hash column usually sits on a LAZY
+            # view whose upstream (e.g. the ImagePHash decode) would
+            # otherwise re-execute three times.  (The banded path
+            # caches its exploded table below instead.)
+            hashed = script_cache(hashed, context, "imagededup_hash")
             survivors = (hashed.filter(F.col("__ph").isNotNull())
                          .groupBy("__ph").agg(F.min(id_col).alias(id_col)))
             kept = hashed.join(survivors.select(id_col), [id_col],
@@ -579,8 +580,11 @@ class AudioFingerprint(ETAlgorithm):
         n_seg = get_int(params, "numSegments", 8)
         n_bands = get_int(params, "numBands", 8)
         min_freq = get_float(params, "minFreq", 100.0)
-        if n_seg * n_bands > 64:
-            raise ValueError("numSegments * numBands must be <= 64")
+        if n_seg < 1 or n_bands < 1 or n_seg * n_bands > 64:
+            raise ValueError("numSegments and numBands must be >= 1 "
+                             "and numSegments * numBands must be <= 64")
+        if min_freq <= 0:
+            raise ValueError("minFreq must be > 0")
         out_schema = T.StructType(df.schema.fields
                                   + [T.StructField("afp", T.LongType())])
         pcm = make_wav_pcm_decoder()
@@ -596,14 +600,20 @@ class AudioFingerprint(ETAlgorithm):
                 return None
             edges = _np.geomspace(min_freq, sr / 2.0, n_bands + 1)
             seg_len = len(c0) // n_seg
+            # bin→band bookkeeping is loop-invariant per row: index
+            # each rfft bin into its band once (edges[b] <= f <
+            # edges[b+1]), then each segment is one rfft + one bincount
+            freqs = _np.fft.rfftfreq(seg_len, d=1.0 / sr)
+            band_idx = _np.searchsorted(edges, freqs, side="right") - 1
+            valid = (band_idx >= 0) & (band_idx < n_bands) \
+                & (freqs < edges[-1])
             val = 0
             for s in range(n_seg):
                 seg = c0[s * seg_len:(s + 1) * seg_len]
                 mag = _np.abs(_np.fft.rfft(seg))
-                freqs = _np.fft.rfftfreq(len(seg), d=1.0 / sr)
-                energies = _np.array([
-                    mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
-                    for b in range(n_bands)])
+                energies = _np.bincount(band_idx[valid],
+                                        weights=mag[valid],
+                                        minlength=n_bands)
                 val |= 1 << (s * n_bands + int(energies.argmax()))
             if val >= 1 << 63:             # two's-complement signed long
                 val -= 1 << 64

@@ -117,12 +117,15 @@ def test_mp4_sample_extraction_roundtrip(wh, fps, frames):
 
 @settings(max_examples=10, deadline=None)
 @given(st.integers(1000, 48000), st.integers(0, 500),
-       st.integers(1, 2))
-def test_wav_pcm_decode_shape(sr, n, ch):
+       st.integers(1, 2), st.sampled_from([8, 16]),
+       st.floats(0.1, 1.5))
+def test_wav_pcm_decode_shape(sr, n, ch, bits, gain):
     """PCM decode recovers the exact (n_samples, channels) layout the
-    encoder wrote."""
+    encoder wrote — 8- and 16-bit, with out-of-range gain clipped
+    instead of crashing the packer."""
     from streamingpro_spark.functions.codecs import make_wav_encoder
-    dec = make_wav_pcm_decoder()(make_wav_encoder()(sr, n, channels=ch))
+    dec = make_wav_pcm_decoder()(
+        make_wav_encoder()(sr, n, channels=ch, bits=bits, gain=gain))
     assert dec is not None
     got_sr, got_ch, arr = dec
     assert (got_sr, got_ch) == (sr, ch)

@@ -605,6 +605,12 @@ def test_audio_fingerprint_gain_invariance(engine, tmp_path):
         run t as AudioFingerprint.`` where numSegments="9"
         and numBands="9" as bad;
         """)
+    for params in ('numSegments="0"', 'numBands="-2"', 'minFreq="0"'):
+        with _pytest.raises(Exception, match="must be"):
+            engine.execute(f"""
+            select cast("x" as binary) as content as t2;
+            run t2 as AudioFingerprint.`` where {params} as bad2;
+            """)
 
 
 def test_image_dedup_hamming_pairs_hashcol(engine):
