@@ -643,6 +643,17 @@ def test_image_dedup_hamming_pairs_hashcol(engine):
     select id from s as final2;
     """)
     assert sorted(r["id"] for r in df2.collect()) == [1, 3, 4, 5]
+    # skew guard: ids 1,2,3 share bands 1-2 (buckets of size 3) which
+    # maxBucketSize=2 drops, losing (1,3)/(2,3); the size-2 band-0
+    # bucket {1,2} survives and still yields its pair
+    df3 = engine.execute(f"""
+    set hjson = '''{data}''';
+    load jsonStr.`hjson` as hashes3;
+    run hashes3 as ImageDedup.`` where idCol="id" and hashCol="h"
+    and maxHamming="2" and maxBucketSize="2" as g;
+    select id_a, id_b from g as final3;
+    """)
+    assert [(r["id_a"], r["id_b"]) for r in df3.collect()] == [(1, 2)]
 
 
 def test_pagerank(engine):
