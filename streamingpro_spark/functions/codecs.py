@@ -398,14 +398,17 @@ def make_mp4_sample_extractor():
         b = bytes(content)
         if len(b) < 12 or b[4:8] != b"ftyp":
             return None
-        found = {}
+        traks = []   # per-trak: {"hdlr": 4cc|None, "tables": {tag: body}}
 
         # twin of make_video_meta_parser's parse_mp4 walk — kept
         # duplicated on purpose: every make_* codec closes over ONLY
         # nested defs so it pickles by value to executors (a shared
         # module-level walker would pickle as a streamingpro_spark.*
         # reference workers can't import).  Fix both when fixing one.
-        def walk(lo: int, hi: int) -> None:
+        # Tables are resolved PER-TRAK (one stbl each): on a multi-trak
+        # file a global first-found mix would pair one trak's stsz with
+        # another's stco/co64 and slice garbage.
+        def walk(lo: int, hi: int, state) -> None:
             i = lo
             while i + 8 <= hi:
                 size, tag = struct.unpack(">I4s", b[i:i + 8])
@@ -417,18 +420,34 @@ def make_mp4_sample_extractor():
                     size = hi - i
                 if size < 8 or i + size > hi:
                     return
-                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                    walk(body, i + size)
-                elif tag in (b"stsz", b"stsc", b"stco", b"co64") \
-                        and tag not in found:
-                    found[tag] = body
+                if tag == b"trak":
+                    st = {"hdlr": None, "tables": {}}
+                    walk(body, i + size, st)
+                    traks.append(st)
+                elif tag in (b"moov", b"mdia", b"minf", b"stbl"):
+                    walk(body, i + size, state)
+                elif state is not None and tag == b"hdlr" \
+                        and state["hdlr"] is None and body + 12 <= hi:
+                    # full box: ver/flags(4) + pre_defined(4) + type(4)
+                    state["hdlr"] = b[body + 8:body + 12]
+                elif state is not None \
+                        and tag in (b"stsz", b"stsc", b"stco", b"co64") \
+                        and tag not in state["tables"]:
+                    state["tables"][tag] = body
                 i += size
 
         try:
-            walk(0, len(b))
-            if b"stsz" not in found or b"stsc" not in found \
-                    or (b"stco" not in found and b"co64" not in found):
+            walk(0, len(b), None)
+            complete = [t for t in traks
+                        if b"stsz" in t["tables"] and b"stsc" in t["tables"]
+                        and (b"stco" in t["tables"]
+                             or b"co64" in t["tables"])]
+            if not complete:
                 return None
+            # prefer the video trak (hdlr 'vide'); else first complete
+            pick = next((t for t in complete if t["hdlr"] == b"vide"),
+                        complete[0])
+            found = pick["tables"]
             lo = found[b"stsz"]
             fixed, count = struct.unpack(">II", b[lo + 4:lo + 12])
             if fixed:
@@ -565,9 +584,13 @@ def make_video_meta_parser():
     def parse_mp4(b) -> tuple:
         import struct
         nulls = (None, None, None, None, None, None)
-        found = {}
+        found = {}           # movie-level: mvhd
+        traks = []           # per-trak: tkhd dims, mdhd, stsz, hdlr
+        # twin of make_mp4_sample_extractor's walk (see the comment
+        # there) — per-trak scoping so a multi-trak file can't pair an
+        # audio trak's mdhd/stsz with the video trak's tkhd.
 
-        def walk(lo: int, hi: int) -> None:
+        def walk(lo: int, hi: int, state) -> None:
             i = lo
             while i + 8 <= hi:
                 size, tag = struct.unpack(">I4s", b[i:i + 8])
@@ -579,9 +602,13 @@ def make_video_meta_parser():
                     size = hi - i
                 if size < 8 or i + size > hi:
                     return
-                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                    walk(body, i + size)
-                elif tag in (b"mvhd", b"mdhd") and tag not in found:
+                if tag == b"trak":
+                    st = {"hdlr": None}
+                    walk(body, i + size, st)
+                    traks.append(st)
+                elif tag in (b"moov", b"mdia", b"minf", b"stbl"):
+                    walk(body, i + size, state)
+                elif tag == b"mvhd" and tag not in found:
                     ver = b[body]
                     if ver == 1:
                         ts, dur = struct.unpack(
@@ -590,22 +617,42 @@ def make_video_meta_parser():
                         ts, dur = struct.unpack(
                             ">II", b[body + 12:body + 20])
                     found[tag] = (ts, dur)
-                elif tag == b"tkhd" and tag not in found:
+                elif state is not None and tag == b"hdlr" \
+                        and state["hdlr"] is None and body + 12 <= hi:
+                    state["hdlr"] = b[body + 8:body + 12]
+                elif state is not None and tag == b"mdhd" \
+                        and tag not in state:
+                    ver = b[body]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", b[body + 20:body + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", b[body + 12:body + 20])
+                    state[tag] = (ts, dur)
+                elif state is not None and tag == b"tkhd" \
+                        and tag not in state:
                     off = body + (88 if b[body] == 1 else 76)
                     wq, hq = struct.unpack(">II", b[off:off + 8])
                     if wq and hq:
-                        found[tag] = (wq >> 16, hq >> 16)
-                elif tag == b"stsz" and tag not in found:
-                    found[tag] = struct.unpack(
+                        state[tag] = (wq >> 16, hq >> 16)
+                elif state is not None and tag == b"stsz" \
+                        and tag not in state:
+                    state[tag] = struct.unpack(
                         ">I", b[body + 8:body + 12])[0]
                 i += size
 
         try:
-            walk(0, len(b))
-            w, h = found.get(b"tkhd", (None, None))
+            walk(0, len(b), None)
+            # prefer the video trak (hdlr 'vide'), else the first trak
+            # that carries dimensions, else the first trak at all
+            pick = (next((t for t in traks if t["hdlr"] == b"vide"), None)
+                    or next((t for t in traks if b"tkhd" in t), None)
+                    or (traks[0] if traks else {}))
+            w, h = pick.get(b"tkhd", (None, None))
             mv_ts, mv_dur = found.get(b"mvhd", (None, None))
-            md_ts, md_dur = found.get(b"mdhd", (None, None))
-            n = found.get(b"stsz")
+            md_ts, md_dur = pick.get(b"mdhd", (None, None))
+            n = pick.get(b"stsz")
             dur_ms = (mv_dur * 1000 // mv_ts) if mv_ts else None
             fps = (n * md_ts / md_dur) if (n and md_ts and md_dur) \
                 else None

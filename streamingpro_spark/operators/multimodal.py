@@ -499,6 +499,15 @@ class ImageDedup(ETAlgorithm):
                 return out.drop("__ph")
             return out.withColumnRenamed("__ph", "phash")
 
+        if k > 63:
+            # k+1 bands must each carry >=1 bit of the 64-bit hash;
+            # k >= 64 would make width 0 — every non-last band becomes
+            # the constant 0, all rows share one bucket, and the
+            # maxBucketSize guard silently drops it (empty pair set
+            # where the threshold implies all-pairs)
+            raise ValueError(
+                "ImageDedup: maxHamming must be in [0, 63] for a "
+                "64-bit hash (got %d)" % k)
         bands = k + 1
         width = 64 // bands
         ids = hashed.select(F.col(id_col).alias("__id"), "__ph") \

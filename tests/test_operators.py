@@ -475,6 +475,80 @@ def test_frame_sample_real_mp4_demux(engine, tmp_path):
     assert all(r["frame_bytes"] is None for r in rows2)
 
 
+def test_mp4_multitrak_per_stbl_tables():
+    """A two-trak MP4 (audio trak with stco, video trak with co64)
+    must demux the VIDEO trak's samples using the video trak's OWN
+    sample tables — a global first-found collection would pair the
+    audio trak's stsz with the video trak's co64 and slice garbage.
+    The meta parser must likewise take fps/dims from the hdlr='vide'
+    trak, not the first trak in file order."""
+    import struct
+    from streamingpro_spark.functions.codecs import (
+        make_mp4_sample_extractor, make_video_meta_parser)
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    audio_samples = [b"AAA", b"BBBB"]          # sizes differ from video
+    video_frames = [b"VID1!", b"VID22!"]
+
+    def trak(kind, sizes, md_ts, md_dur, off, use_co64, dims=None):
+        hdlr = box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12)
+        stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, len(sizes))
+                   + b"".join(struct.pack(">I", s) for s in sizes))
+        stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1,
+                                        1, len(sizes), 1))
+        chunk = (box(b"co64", struct.pack(">B3xIQ", 0, 1, off))
+                 if use_co64
+                 else box(b"stco", struct.pack(">B3xII", 0, 1, off)))
+        stbl = box(b"stbl", stsz + stsc + chunk)
+        mdhd = box(b"mdhd", struct.pack(">B3xIIII2x2x", 0, 0, 0,
+                                        md_ts, md_dur))
+        body = mdhd + hdlr + box(b"minf", stbl)
+        if dims:
+            tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0,
+                                            md_dur) + b"\x00" * 52
+                       + struct.pack(">II", dims[0] << 16, dims[1] << 16))
+            return box(b"trak", tkhd + box(b"mdia", body))
+        return box(b"trak", box(b"mdia", body))
+
+    def build(a_off, v_off):
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 1000, 200)
+                   + b"\x00" * 80)
+        # audio FIRST in file order: its tables/mdhd must not win
+        moov = box(b"moov", mvhd
+                   + trak(b"soun", [len(s) for s in audio_samples],
+                          48000, 96000, a_off, use_co64=False)
+                   + trak(b"vide", [len(f) for f in video_frames],
+                          1000, 200, v_off, use_co64=True,
+                          dims=(320, 240)))
+        return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+    head_len = len(build(0, 0))
+    a_off = head_len + 8                       # mdat body start
+    v_off = a_off + sum(len(s) for s in audio_samples)
+    data = build(a_off, v_off) + box(
+        b"mdat", b"".join(audio_samples) + b"".join(video_frames))
+
+    assert make_mp4_sample_extractor()(data) == video_frames
+    w, h, fps, n, dur_ms, fmt = make_video_meta_parser()(data)
+    assert (w, h, n, fmt) == (320, 240, 2, "mp4")
+    assert abs(fps - 10.0) < 1e-9              # video mdhd, not audio's
+    assert dur_ms == 200
+
+
+def test_image_dedup_max_hamming_range(engine):
+    """maxHamming >= 64 would give zero-width bands (every row in one
+    bucket that the skew guard silently drops) — must raise instead."""
+    import pytest as _pytest
+    with _pytest.raises(Exception, match=r"\[0, 63\]"):
+        engine.execute("""
+        select 1 as id, 5 as h as t;
+        run t as ImageDedup.`` where idCol="id" and hashCol="h"
+        and maxHamming="64" as bad;
+        """)
+
+
 def test_image_phash_brightness_invariance(engine, tmp_path):
     """Uniformly brightness-shifted copies of an image are
     byte-distinct files but hash identically (aHash and dHash);
