@@ -11,11 +11,15 @@ similarity); these are designed for 100 TB corpora:
 - NgramJaccardDedup inverted-index n-gram join (exact Jaccard) — the
                     verify stage after LSH candidates.
 
-All hashing uses a *portable* 60-bit hash derived from md5
+All hashing defaults to a *portable* 60-bit hash derived from md5
 (`conv(substr(md5(seed||':'||s),1,15),16,10)`) so the DuckDB oracle can
-reproduce the exact same signatures — xxhash64 would be faster but is
-not reproducible outside Spark; swap `portable_hash64` for
-`F.xxhash64` in production.
+reproduce the exact same signatures.  Every hashing operator takes
+`hashImpl="md5" | "xxhash64"`: flip to xxhash64 in production — one
+JVM xxhash64 pass per value instead of md5 + hex + base-conv (the md5
+tax on every shingle is real money at 100 TB), same 60-bit positive
+range, not reproducible outside Spark (so not the oracle default).
+The dedup OUTCOME (pair/survivor sets) is impl-independent — pinned by
+tests/test_dedup_hashimpl.py.
 
 Scale design notes (local[32] tests, 1000-executor target):
 - Shingling/minhash is per-row, pure JVM codegen (`transform`/
@@ -47,11 +51,27 @@ if TYPE_CHECKING:
 # shared building blocks (also used by __spark_entry__ queries)
 # ---------------------------------------------------------------------------
 
-def portable_hash64(col: Column, seed: int | str = 0) -> Column:
-    """60-bit positive hash reproducible in DuckDB:
-    CAST(CONCAT('0x', substr(md5(seed||':'||s),1,15)) AS BIGINT)."""
+def portable_hash64(col: Column, seed: int | str = 0,
+                    impl: str = "md5") -> Column:
+    """60-bit positive hash.  impl="md5" (default) is reproducible in
+    DuckDB: CAST(CONCAT('0x', substr(md5(seed||':'||s),1,15)) AS BIGINT).
+    impl="xxhash64" is the production path — one JVM hash pass, no hex
+    decode — pmod'ed into the same [0, 2^60) range so downstream bit
+    and band arithmetic behaves identically."""
+    if impl == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(f"{seed}:"), col), F.lit(1 << 60))
     payload = F.concat(F.lit(f"{seed}:"), col)
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def hash_impl(params) -> str:
+    """Validate the operator-level `hashImpl` param (md5 | xxhash64)."""
+    impl = params.get("hashImpl", "md5")
+    if impl not in ("md5", "xxhash64"):
+        raise ValueError(
+            "hashImpl must be 'md5' (oracle-portable default) or "
+            "'xxhash64' (production), got %r" % impl)
+    return impl
 
 
 def tokens_col(text: Column) -> Column:
@@ -80,7 +100,8 @@ def mh_constants(k: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature_df(df: "DataFrame", id_col: str, text_col: str,
-                         num_hashes: int, n: int = 3) -> "DataFrame":
+                         num_hashes: int, n: int = 3,
+                         impl: str = "md5") -> "DataFrame":
     """(__id, __mh array<long>) MinHash signatures, 100% JVM-side.
 
     Shape: explode shingles → ONE md5 base hash → k universal-hash
@@ -96,9 +117,13 @@ def minhash_signature_df(df: "DataFrame", id_col: str, text_col: str,
     (mh_constants)."""
     ex = df.select(F.col(id_col).alias("__id"),
                    F.explode(shingles_col(F.col(text_col), n)).alias("__s"))
-    base = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("mh:"), F.col("__s"))), 1, 8), 16, 10)
-        .cast("long") % F.lit(1 << 30))
+    if impl == "xxhash64":
+        base = F.pmod(F.xxhash64(F.lit("mh:"), F.col("__s")),
+                      F.lit(1 << 30))
+    else:
+        base = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("mh:"), F.col("__s"))), 1, 8), 16, 10)
+            .cast("long") % F.lit(1 << 30))
     ex = ex.withColumn("__m", base)
     a, b = mh_constants(num_hashes)
     aggs = [F.min((F.col("__m") * F.lit(a[j]) + F.lit(b[j]))
@@ -122,7 +147,11 @@ class ExactDedup(ETAlgorithm):
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
         id_col = params.get("idCol")
-        digest = F.md5(F.col(col))
+        # xxhash64: skip md5's hex materialization entirely — the digest
+        # only keys a groupBy, so a raw long is strictly cheaper
+        digest = (F.xxhash64(F.col(col))
+                  if hash_impl(params) == "xxhash64"
+                  else F.md5(F.col(col)))
         if id_col:
             # deterministic survivor: min id per digest, then semi-join
             survivors = (df.withColumn("__digest", digest)
@@ -134,7 +163,8 @@ class ExactDedup(ETAlgorithm):
 
     def explain_params(self):
         return [("contentCol", "column to fingerprint", "text"),
-                ("idCol", "id column; survivor = min id per digest", "")]
+                ("idCol", "id column; survivor = min id per digest", ""),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 @register_et("MinHashDedup")
@@ -155,20 +185,21 @@ class MinHashDedup(ETAlgorithm):
         bands = get_int(params, "numBands", 4)
         threshold = get_float(params, "threshold", 0.8)
         max_bucket = get_int(params, "maxBucketSize", 1000)
+        impl = hash_impl(params)
         r = k // bands
         df = ensure_parallelism(df)
 
-        # ONE pass computes the signature (the md5 work) and explodes the
+        # ONE pass computes the signature (the hash work) and explodes the
         # band structs — a unionAll of per-band selects would rescan and
         # recompute the signature once per band (observed 7× in bench)
-        sig = minhash_signature_df(df, id_col, col, k, n)
+        sig = minhash_signature_df(df, id_col, col, k, n, impl)
         band_struct = F.array(*[
             F.struct(
                 F.lit(b).alias("__band"),
                 portable_hash64(
                     F.concat_ws("_", *[F.col("__mh")[b * r + j].cast("string")
                                        for j in range(r)]),
-                    f"band{b}").alias("__bh"))
+                    f"band{b}", impl).alias("__bh"))
             for b in range(bands)])
         from pyspark.sql import Window
         # skew guard as a window count over (band, bh): one shuffle that
@@ -225,7 +256,8 @@ class MinHashDedup(ETAlgorithm):
                 ("numBands", "LSH bands", "4"),
                 ("threshold", "exact-Jaccard verify threshold", "0.8"),
                 ("maxBucketSize", "skew guard: drop larger buckets", "1000"),
-                ("eagerCache", "materialize output, free bucket cache", "true")]
+                ("eagerCache", "materialize output, free bucket cache", "true"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 @register_et("SimHashDedup")
@@ -244,20 +276,24 @@ class SimHashDedup(ETAlgorithm):
     def train(self, df, path, params, context=None):
         id_col = params.get("idCol", "doc_id")
         col = params.get("contentCol", "text")
+        impl = hash_impl(params)
         df = ensure_parallelism(df)
-        # hybrid plan: token hashing stays JVM-side (one md5 per distinct
-        # token — oracle-reproducible), the 60-bit majority fold runs as an
-        # Arrow-batched numpy kernel (60 interpreted higher-order folds per
-        # row were the bench hotspot; numpy does the same fold vectorized)
+        # hybrid plan: token hashing stays JVM-side (one hash per distinct
+        # token — md5 oracle-reproducible, xxhash64 in production), the
+        # 60-bit majority fold runs as an Arrow-batched numpy kernel (60
+        # interpreted higher-order folds per row were the bench hotspot;
+        # numpy does the same fold vectorized)
         toks = F.array_distinct(tokens_col(F.col(col)))
-        hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))
+        hashes = F.transform(toks,
+                             lambda t: portable_hash64(t, "simhash", impl))
         return df.select(F.col(id_col), hashes.alias("__hashes")) \
                  .withColumn("simhash", _init_simhash_udf()(F.col("__hashes"))) \
                  .drop("__hashes")
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
-                ("contentCol", "text column", "text")]
+                ("contentCol", "text column", "text"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 _simhash_fold_udf = None
@@ -735,7 +771,8 @@ class SemDeDup(ETAlgorithm):
                     .withColumn("__n", F.count(F.lit(1)).over(w))
                     .withColumn("__sub",
                                 F.pmod(portable_hash64(
-                                    F.col("__id").cast("string"), "semcell"),
+                                    F.col("__id").cast("string"), "semcell",
+                                    hash_impl(params)),
                                     F.ceil(F.col("__n") / max_cell)
                                      .cast("long")))
                     .drop("__n"))
@@ -781,7 +818,8 @@ class SemDeDup(ETAlgorithm):
                 ("maxCellSize", "cells above this split by hash", "8192"),
                 ("trainSample", "driver sample rows for k-means", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
-                ("seed", "sampling/init seed", "42")]
+                ("seed", "sampling/init seed", "42"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 @register_et("ExactSubstrDedup")
@@ -806,21 +844,22 @@ class ExactSubstrDedup(ETAlgorithm):
 
     Scale: the explode produces ~tokens/stride rows per doc; the ONLY
     shuffles are the occurrence count keyed by window hash (uniform
-    md5-derived keys) and the per-doc re-agg.  At 100 TB use
+    hash-derived keys) and the per-doc re-agg.  At 100 TB use
     stride=windowSize/2 (guarantees any ≥2W-token duplicate still
-    collides) to cut explode volume, and xxhash64 instead of the
-    oracle-portable md5 hash.
+    collides) and hashImpl="xxhash64" instead of the oracle-portable
+    md5 hash.
 
     countStrategy picks how occurrences are counted:
-    - "window" (default): ONE pass — count over Window.partitionBy(hash)
-      flags duplicates on the same shuffle the per-doc re-agg feeds from
+    - "join" (default): groupBy count + join back, with the explode
+      cached so it computes once — AQE skew-join splits boilerplate hot
+      keys.  On web text boilerplate (a window repeated millions of
+      times) is the NORM, so the skew-safe plan is the default.
+    - "window": ONE pass — count over Window.partitionBy(hash) flags
+      duplicates on the same shuffle the per-doc re-agg feeds from
       (measured 1.8× faster at 50k docs: the groupBy+join alternative
-      re-runs the explode+md5 for both join sides).  Caveat: a window
-      repeated billions of times (pathological boilerplate) serializes
-      its key into one task.
-    - "join": groupBy count + join back, with the explode cached so it
-      computes once — AQE skew-join splits boilerplate hot keys; use
-      for corpora with known mega-repeated spans.
+      re-runs the explode+hash for both join sides).  Fast OPT-IN for
+      corpora known to be free of mega-repeated spans: a pathological
+      hot window serializes its key into one task.
     """
 
     def train(self, df, path, params, context=None):
@@ -829,6 +868,7 @@ class ExactSubstrDedup(ETAlgorithm):
         w = get_int(params, "windowSize", 50)
         stride = get_int(params, "stride", 1)
         mode = params.get("mode", "annotate")
+        impl = hash_impl(params)
         df = ensure_parallelism(df)
 
         toks = tokens_col(F.col(col))
@@ -841,13 +881,13 @@ class ExactSubstrDedup(ETAlgorithm):
             lambda i: F.struct(
                 i.alias("__start"),
                 portable_hash64(F.concat_ws(" ", F.slice(toks, i, w)),
-                                "esd").alias("__wh")))
+                                "esd", impl).alias("__wh")))
 
         ex = (df.select(F.col(id_col).alias("__id"),
                         F.explode_outer(wins).alias("__w"))
                 .select("__id", F.col("__w.__start").alias("__start"),
                         F.col("__w.__wh").alias("__wh")))
-        strategy = params.get("countStrategy", "window")
+        strategy = params.get("countStrategy", "join")
         if strategy == "join":
             # skew-safe path: cache the explode (both the count and the
             # flag join consume it), groupBy count, AQE skew-join back
@@ -905,8 +945,9 @@ class ExactSubstrDedup(ETAlgorithm):
                 ("windowSize", "tokens per window", "50"),
                 ("stride", "window start step (W/2 at scale)", "1"),
                 ("mode", "annotate | remove (excise covered tokens)", "annotate"),
-                ("countStrategy", "window (1-pass) | join (AQE skew-safe)",
-                 "window")]
+                ("countStrategy", "join (AQE skew-safe) | window (1-pass "
+                 "opt-in for boilerplate-free corpora)", "join"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 @register_et("ParagraphDedup")
@@ -951,7 +992,8 @@ class ParagraphDedup(ETAlgorithm):
                            F.regexp_replace(F.lower(F.col("__para")),
                                             "[^a-z0-9 ]", ""))
                .filter(F.trim(F.col("__norm")) != "")
-               .withColumn("__ph", portable_hash64(F.col("__norm"), "pd"))),
+               .withColumn("__ph", portable_hash64(F.col("__norm"), "pd",
+                                                   hash_impl(params)))),
             context, "paradedup_paras")
         paras.count()  # materialize once before the three consumers
         first = (paras.groupBy("__ph")
@@ -982,4 +1024,5 @@ class ParagraphDedup(ETAlgorithm):
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
                 ("contentCol", "text column", "text"),
-                ("sep", "literal paragraph separator", "\\n")]
+                ("sep", "literal paragraph separator", "\\n"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]

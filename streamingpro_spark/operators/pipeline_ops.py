@@ -24,7 +24,8 @@ from pyspark.sql import Window, functions as F
 
 from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
                                                get_float, get_int, script_cache)
-from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
+from streamingpro_spark.operators.dedup import (hash_impl,
+                                                portable_hash64, tokens_col)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -76,7 +77,8 @@ class NgramLMScore(ETAlgorithm):
             # deterministic hash sample: portable, re-runnable, no RNG
             gate = int(train_fraction * 1_000_000)
             train_df = df.filter(
-                F.pmod(portable_hash64(F.col(id_col).cast("string"), "lmtrain"),
+                F.pmod(portable_hash64(F.col(id_col).cast("string"), "lmtrain",
+                                       hash_impl(params)),
                        F.lit(1_000_000)) < gate)
 
         def token_stream(src):
@@ -148,7 +150,8 @@ class NgramLMScore(ETAlgorithm):
                 ("addK", "add-k smoothing constant", "0.1"),
                 ("trainFraction",
                  "hash-sample fraction for count building (score all)",
-                 "1.0")]
+                 "1.0"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +187,8 @@ class StratifiedSampleExt(ETAlgorithm):
         for value, frac in sorted(ratios.items()):
             gate = F.when(F.col(strata_col) == value,
                           F.lit(int(frac * 1_000_000))).otherwise(gate)
-        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat"),
+        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat",
+                                        hash_impl(params)),
                         F.lit(1_000_000))
         return df.filter(bucket < gate)
 
@@ -192,7 +196,8 @@ class StratifiedSampleExt(ETAlgorithm):
         return [("strataCol", "stratum column", "source"),
                 ("idCol", "id column the hash gate keys on", "doc_id"),
                 ("defaultFraction", "fraction for unlisted strata", "1.0"),
-                ("ratio.<value>", "fraction for stratum <value>", "-")]
+                ("ratio.<value>", "fraction for stratum <value>", "-"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +236,8 @@ class SequencePack(ETAlgorithm):
         mode = params.get("mode", "chunk")
         base = df.select(
             F.col(id_col).alias("doc_id_"),
-            F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack"),
+            F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack",
+                                   hash_impl(params)),
                    F.lit(num_buckets)).alias("bucket"),
             F.when(F.trim(F.coalesce(F.col(col), F.lit(""))) == "",
                    F.lit(0))
@@ -277,7 +283,8 @@ class SequencePack(ETAlgorithm):
                 ("budget", "tokens per training sequence", "512"),
                 ("numBuckets", "independent packing streams", "8"),
                 ("mode", "chunk (split docs at cuts) | greedy (no splits)",
-                 "chunk")]
+                 "chunk"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +526,7 @@ class DataMixing(ETAlgorithm):
         # gates, not intersect on the same hash (which would keep 100%
         # of an already-sampled stratum — review finding, round 4)
         bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"),
-                                        "datamix"),
+                                        "datamix", hash_impl(params)),
                         F.lit(1_000_000))
         return df.filter(bucket < gate)
 
@@ -531,4 +538,5 @@ class DataMixing(ETAlgorithm):
                 ("weight.<value>", "target mixture weight for <value> "
                  "(normalized over listed strata)", "-"),
                 ("apply", "true = return sampled rows, not the plan",
-                 "false")]
+                 "false"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]

@@ -19,7 +19,8 @@ from pyspark.sql import Column, functions as F
 
 from streamingpro_spark.operators.base import ETAlgorithm, get_float, get_int
 from streamingpro_spark.operators.registry import register_et
-from streamingpro_spark.operators.dedup import portable_hash64, tokens_col
+from streamingpro_spark.operators.dedup import (hash_impl,
+                                                portable_hash64, tokens_col)
 
 # tiny per-language stopword marker sets (heuristic language ID)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -184,13 +185,17 @@ class DocFingerprint(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        impl = hash_impl(params)
         norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
         return (df.withColumn("md5", F.md5(F.col(col)))
-                  .withColumn("content_hash", portable_hash64(F.col(col), "fp"))
-                  .withColumn("normalized_hash", portable_hash64(F.trim(norm), "fpn")))
+                  .withColumn("content_hash",
+                              portable_hash64(F.col(col), "fp", impl))
+                  .withColumn("normalized_hash",
+                              portable_hash64(F.trim(norm), "fpn", impl)))
 
     def explain_params(self):
-        return [("contentCol", "text column", "text")]
+        return [("contentCol", "text column", "text"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
 @register_et("ChunkDocuments")
