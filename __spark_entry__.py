@@ -940,15 +940,29 @@ def _register_media_gens(spark):
     spark.udf.register("gen_avi_frames", gen_avi_frames)
 
 
+
+def _loads_documents_par(spark, sf_dir: str) -> str:
+    """Load `documents` and spread it across the cluster BEFORE the
+    per-row media-generation UDFs run: the sf parquet is one small file
+    (one input partition), and without this the EXPENSIVE python encode
+    (gen_jpeg ~4ms/row) serializes onto a single core while the
+    downstream operator's own ensure_parallelism only parallelizes the
+    decode.  At 100 TB the scan yields many partitions and this exchange
+    carries only doc ids — negligible either way."""
+    n = spark.sparkContext.defaultParallelism
+    return (f"load parquet.`{sf_dir}/documents.parquet` as documents;\n"
+            f"run documents as TableRepartition.`` where "
+            f'partitionNum="{n}" as documents_par;')
+
 def _q_image_metadata(spark, sf_dir):
     # REAL decode: generate a genuine PNG per document (width/height
     # derived from doc_id), then parse its IHDR back out
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id, gen_png(doc_id % 64 + 1, doc_id % 48 + 1) as content
-    from documents as bin_docs;
+    from documents_par as bin_docs;
     run bin_docs as ImageMetadata.`` as m_out;
     select doc_id, image_meta.width as width, image_meta.height as height,
            image_meta.channels as channels, image_meta.format as format
@@ -972,9 +986,9 @@ def _q_audio_features(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id, gen_wav((doc_id % 3 + 1) * 8000, doc_id % 200 + 20)
-           as content from documents as bin_docs;
+           as content from documents_par as bin_docs;
     run bin_docs as AudioFeatures.`` as a_out;
     select doc_id, audio_meta.sample_rate as sample_rate,
            audio_meta.channels as channels,
@@ -1011,7 +1025,7 @@ def _q_image_resize(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id,
            case when doc_id % 3 = 0
                 then gen_png(doc_id % 64 + 8, doc_id % 48 + 8)
@@ -1020,7 +1034,7 @@ def _q_image_resize(spark, sf_dir):
                 else gen_jpeg(doc_id % 64 + 8, doc_id % 48 + 8,
                               doc_id % 9 div 3)
            end as content
-    from documents as rz_in;
+    from documents_par as rz_in;
     run rz_in as ImageResize.`` where width="12" and height="9" as rz_out;
     select doc_id, resized as content from rz_out as rz_bin;
     run rz_bin as ImageMetadata.`` as rz_meta;
@@ -1049,7 +1063,7 @@ def _q_video_metadata(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id,
            case when doc_id % 2 = 0
                 then gen_avi(doc_id % 320 + 16, doc_id % 240 + 16,
@@ -1059,7 +1073,7 @@ def _q_video_metadata(spark, sf_dir):
                              10.0 * power(2, doc_id % 3),
                              doc_id % 100 + 10)
            end as content
-    from documents as vid_docs;
+    from documents_par as vid_docs;
     run vid_docs as VideoMetadata.`` as v_out;
     select doc_id, video_meta.width as width, video_meta.height as height,
            video_meta.fps as fps, video_meta.n_frames as n_frames,
@@ -1096,9 +1110,9 @@ def _q_frame_sample(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id, gen_avi_frames(doc_id) as content
-    from documents as fs_in;
+    from documents_par as fs_in;
     run fs_in as FrameSample.`` where numFrames="3" as fs_out;
     select doc_id, frame_index, source_frame, frame_time_ms,
            frame_bytes as content from fs_out as fs_bin;
@@ -1139,9 +1153,9 @@ def _q_image_phash_dedup(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id, gen_phash_png(doc_id) as content
-    from documents as ph_in;
+    from documents_par as ph_in;
     run ph_in as ImageDedup.`` where idCol="doc_id" as ph_out;
     select doc_id, phash from ph_out as output;
     """)
@@ -1163,9 +1177,9 @@ def _q_image_dedup_pairs(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
+    {_loads_documents_par(spark, sf_dir)}
     select doc_id, gen_phash_png(doc_id) as content
-    from documents as phb_in;
+    from documents_par as phb_in;
     run phb_in as ImageDedup.`` where idCol="doc_id" and maxHamming="2"
     as phb_out;
     select id_a, id_b, hamming from phb_out as output;
@@ -1192,8 +1206,8 @@ def _q_audio_fingerprint_dedup(spark, sf_dir):
     eng = _engine(spark)
     _register_media_gens(spark)
     return eng.execute(f"""
-    {_loads(sf_dir, 'documents')}
-    select doc_id, gen_tone(doc_id) as content from documents as af_in;
+    {_loads_documents_par(spark, sf_dir)}
+    select doc_id, gen_tone(doc_id) as content from documents_par as af_in;
     run af_in as AudioFingerprint.`` as af_fp;
     select doc_id, afp from af_fp as af_slim;
     run af_slim as HashDedup.`` where idCol="doc_id" and hashCol="afp"

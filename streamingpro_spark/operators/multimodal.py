@@ -64,7 +64,8 @@ class ImageMetadata(ETAlgorithm):
                     for (w, h, ch, fmt) in metas]
                 yield pdf
 
-        return df.mapInPandas(decode, out_schema)
+        from streamingpro_spark.operators.base import ensure_parallelism
+        return ensure_parallelism(df).mapInPandas(decode, out_schema)
 
     def explain_params(self):
         return [("contentCol", "binary column with encoded image bytes", "content")]
@@ -110,7 +111,8 @@ class VideoMetadata(ETAlgorithm):
                     for (w, h, fps, n, dur, fmt) in metas]
                 yield pdf
 
-        return df.mapInPandas(decode, out_schema)
+        from streamingpro_spark.operators.base import ensure_parallelism
+        return ensure_parallelism(df).mapInPandas(decode, out_schema)
 
     def explain_params(self):
         return [("contentCol", "binary column with encoded video bytes",
@@ -189,7 +191,8 @@ class FrameSample(ETAlgorithm):
                 yield pd.DataFrame(rows,
                                    columns=[f.name for f in out_schema.fields])
 
-        return df.mapInPandas(sample, out_schema)
+        from streamingpro_spark.operators.base import ensure_parallelism
+        return ensure_parallelism(df).mapInPandas(sample, out_schema)
 
     def explain_params(self):
         return [("contentCol", "binary column", "content"),
@@ -238,7 +241,7 @@ class ImageResize(ETAlgorithm):
             if px is None:
                 px = dec_gif(content)
             if px is None:
-                px = dec_jpeg(content)
+                px = dec_jpeg(content, raw=True)   # ndarray fast path
             if px is None:
                 return None
             arr = _np.asarray(px, dtype=_np.uint8)      # (h, w, 3)
@@ -256,7 +259,8 @@ class ImageResize(ETAlgorithm):
                                          for o in out]
                 yield pdf
 
-        return df.mapInPandas(run, out_schema)
+        from streamingpro_spark.operators.base import ensure_parallelism
+        return ensure_parallelism(df).mapInPandas(run, out_schema)
 
     def explain_params(self):
         return [("contentCol", "binary column with encoded image bytes",
@@ -339,7 +343,8 @@ class AudioFeatures(ETAlgorithm):
                     pdf["audio_stats"] = [one_stats(c) for c in pdf[col]]
                 yield pdf
 
-        return df.mapInPandas(decode, out_schema)
+        from streamingpro_spark.operators.base import ensure_parallelism
+        return ensure_parallelism(df).mapInPandas(decode, out_schema)
 
     def explain_params(self):
         return [("contentCol", "binary column with encoded audio bytes",
@@ -371,7 +376,7 @@ def _phash_transform(df, col, htype):
         if px is None:
             px = dec_gif(content)
         if px is None:
-            px = dec_jpeg(content)
+            px = dec_jpeg(content, raw=True)       # ndarray fast path
         if px is None:
             return None
         arr = _np.asarray(px, dtype=_np.float64)        # (h, w, 3)

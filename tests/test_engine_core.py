@@ -804,3 +804,104 @@ def test_versioned_parquet_truncated_manifest_self_heals(engine, tmp_path):
     hist = engine.execute(
         f'load versionedParquet.`{lake}` where history="true" as h;').collect()
     assert [r["version"] for r in hist] == [0, 1]
+
+
+def test_versioned_parquet_commit_lock(engine, tmp_path, spark):
+    """Commit-race guard: the manifest append is serialized by an
+    O_EXCL lockfile — a held lock fails fast with a rendered error, a
+    stale lock (crashed writer) is broken, and concurrent same-session
+    committers never double-list a version."""
+    import os
+    import time as _time
+    from streamingpro_spark.sources import versioned
+
+    lake = tmp_path / "lake"
+    engine.execute(f"""
+    set data = '''
+    {{"x":1}}
+    ''';
+    load jsonStr.`data` as t;
+    save overwrite t as versionedParquet.`{lake}`;
+    """)
+    lock = str(lake / "_commits.json.lock")
+    # 1) a lock held by a LIVE pid blocks the commit (bounded wait,
+    # rendered error) and leaves no side effects — never broken, even
+    # if old (a long data write must not lose its claim)
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    old = _time.time() - versioned._LOCK_STALE_SEC - 5
+    os.utime(lock, (old, old))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="commit lock"):
+        engine.execute(f"""
+        set d2 = '''
+        {{"x":2}}
+        ''';
+        load jsonStr.`d2` as t2;
+        save append t2 as versionedParquet.`{lake}`
+        options commitLockTimeout="0.3";
+        """)
+    assert [c["version"] for c in versioned.read_commits(str(lake))] == [0]
+    # 2) a DEAD writer's lock is broken immediately (pid liveness)
+    with open(lock, "w") as fh:
+        fh.write("999999999")                  # beyond pid_max: dead
+    engine.execute(f"""
+    set d3 = '''
+    {{"x":3}}
+    ''';
+    load jsonStr.`d3` as t3;
+    save append t3 as versionedParquet.`{lake}`;
+    """)
+    assert [c["version"] for c in versioned.read_commits(str(lake))] == [0, 1]
+    assert not os.path.exists(lock)
+    # 3) an unreadable lock (crashed mid-create) breaks by age
+    with open(lock, "w") as fh:
+        fh.write("not-a-pid")
+    os.utime(lock, (old, old))
+    engine.execute(f"""
+    set d4 = '''
+    {{"x":4}}
+    ''';
+    load jsonStr.`d4` as t4;
+    save append t4 as versionedParquet.`{lake}`;
+    """)
+    assert [c["version"]
+            for c in versioned.read_commits(str(lake))] == [0, 1, 2]
+    # 4) two engines committing concurrently: saves serialize on the
+    # lock (every version unique, typically all succeed); a timed-out
+    # waiter errors loudly instead of corrupting, and the final
+    # snapshot holds exactly the committed rows
+    from streamingpro_spark import Engine
+    import threading
+    eng2 = Engine(spark)
+    errors, ok = [], []
+
+    def committer(eng, tag, n_commits):
+        for k in range(n_commits):
+            try:
+                eng.execute(f"""
+                set dd_{tag}_{k} = '''
+                {{"x": 100, "src": "{tag}{k}"}}
+                ''';
+                load jsonStr.`dd_{tag}_{k}` as tt_{tag}_{k};
+                save append tt_{tag}_{k} as versionedParquet.`{lake}`;
+                """)
+                ok.append(f"{tag}{k}")
+            except Exception as e:      # version race loser: loud, clean
+                errors.append(str(e))
+
+    th1 = threading.Thread(target=committer, args=(engine, "a", 4))
+    th2 = threading.Thread(target=committer, args=(eng2, "b", 4))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    commits = versioned.read_commits(str(lake))
+    versions = [c["version"] for c in commits]
+    assert len(versions) == len(set(versions)), versions
+    # every successful commit is present: 3 pre-existing + len(ok)
+    assert len(versions) == 3 + len(ok)
+    rows = engine.execute(
+        f'load versionedParquet.`{lake}` where mergeSchema="true" as vfin; '
+        f"select src from vfin where x = 100 as out_fin;").collect()
+    assert sorted(r["src"] for r in rows) == sorted(ok)
+    for e in errors:
+        assert ("concurrent writer" in e or "commit lock" in e
+                or "already exists" in e), e
