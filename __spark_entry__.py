@@ -1325,6 +1325,125 @@ def _q_versioned_parquet(spark, sf_dir):
     """)
 
 
+def _q_stateful_count_stream(spark, sf_dir):
+    """StatefulCount (applyInPandasWithState, streaming/stateful.py:25)
+    replayed over the events fixture as a REAL Structured Streaming
+    job: engine streamParquet source → stateful ET → memory sink →
+    drain.  Update-mode emits the running state per batch, so the
+    final state per key is max(events) — integer-exact against the
+    batch GROUP BY oracle (a full hash check on custom stateful
+    streaming, not just rows-only)."""
+    import tempfile
+    import uuid
+    tag = uuid.uuid4().hex[:8]
+    eng = _engine(spark)
+    eng.execute(f"""
+    set streamName = "scq_{tag}";
+    load streamParquet.`{sf_dir}/events.parquet` as sev_{tag};
+    run sev_{tag} as StatefulCount.`` where keyCol="user_id"
+    as counted_{tag};
+    """)
+    df = spark.table(f"counted_{tag}")
+    q = (df.writeStream.format("memory").queryName(f"sc_sink_{tag}")
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp()).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"""
+    select key as user_id, max(events) as events
+    from sc_sink_{tag} group by key
+    """)
+
+
+_STATEFUL_COUNT_ORACLE = """
+SELECT user_id, count(*) AS events FROM events GROUP BY user_id
+"""
+
+
+def _q_stateful_sessionizer_stream(spark, sf_dir):
+    """StreamingSessionizer (event-time state timeout,
+    streaming/stateful.py:64) over a 3-batch replay of the events
+    fixture: batch 1 is the real data, batches 2-3 are far-future
+    sentinel events (key -1) whose only job is to advance the
+    watermark so every real session closes and emits — first via the
+    watermark pass, stragglers via the EventTimeTimeout sweep.  The
+    emitted (key, start, end, n) rows hash-match the batch
+    gaps-and-islands oracle at the same 1800s gap."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid
+    from pyspark.sql import functions as F
+    tag = uuid.uuid4().hex[:8]
+    gap = 1800
+    eng = _engine(spark)
+    tmp = tempfile.mkdtemp(prefix="spk_sess_")
+    data_dir = os.path.join(tmp, "stream_in")
+    eng.execute(f"""
+    {_loads(sf_dir, 'events')}
+    select user_id, timestamp_seconds(unix_timestamp(ts)) as ts
+    from events as sess_src_{tag};
+    """)
+    base = spark.table(f"sess_src_{tag}")
+    key_t = base.schema["user_id"].dataType.simpleString()
+    base.coalesce(1).write.mode("overwrite").parquet(data_dir)
+    gmax = base.agg(
+        F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    for off in (gap + 10, 2 * gap + 20):
+        _time.sleep(0.1)         # distinct mtimes → stable batch order
+        spark.sql(f"""
+        select cast(-1 as {key_t}) as user_id,
+               timestamp_seconds({gmax + off}) as ts
+        """).write.mode("append").parquet(data_dir)
+    eng.execute(f"""
+    set streamName = "ssq_{tag}";
+    load streamParquet.`{data_dir}` where eventTimeCol="ts"
+    and delayThreshold="0 seconds" and maxFilesPerTrigger="1"
+    as sstream_{tag};
+    run sstream_{tag} as StreamingSessionizer.`` where keyCol="user_id"
+    and tsCol="ts" and gap="{gap}" as sessions_{tag};
+    """)
+    df = spark.table(f"sessions_{tag}")
+    q = (df.writeStream.format("memory").queryName(f"ss_sink_{tag}")
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp()).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"""
+    select key as user_id, session_start as sess_start,
+           session_end as sess_end, n_events
+    from ss_sink_{tag} where key >= 0
+    """)
+
+
+_STATEFUL_SESSIONIZER_ORACLE = """
+with base as (
+  select user_id, CAST(floor(epoch(ts)) AS BIGINT) as tss from events
+),
+marked as (
+  -- > split matches the sessionizer's `diff <= gap merges` island rule
+  select user_id, tss,
+         case when lag(tss) over w is null or tss - lag(tss) over w > 1800
+              then 1 else 0 end as ns
+  from base window w as (partition by user_id order by tss)
+),
+sess as (
+  select user_id, tss,
+         sum(ns) over (partition by user_id order by tss
+                       rows unbounded preceding) as sid
+  from marked
+)
+select user_id, CAST(min(tss) AS BIGINT) as sess_start,
+       CAST(max(tss) AS BIGINT) as sess_end,
+       count(*) as n_events
+from sess group by user_id, sid
+"""
+
+
 def _q_tree(spark, sf_dir):
     """TreeBuildExt over a supplier→nation hierarchy built from the star
     schema (synthetic parent edges: nation parent region-root)."""
@@ -2682,6 +2801,9 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_pairs": _q_image_dedup_pairs,
         "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
+        # custom stateful streaming, replayed and hash-checked vs batch
+        "stateful_count_stream": _q_stateful_count_stream,
+        "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
     }
 
 
@@ -2787,6 +2909,8 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": _IMAGE_PHASH_DEDUP_ORACLE,
         "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,
+        "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
+        "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
     # order, nulls last — so order-sensitive value hashes match

@@ -325,6 +325,25 @@ class Engine:
                     f"include script.`{stmt.path}`: no such variable "
                     f"(set {stmt.path} = '''...''' first)")
             return self.context.env[stmt.path]
+        # reference IncludeAdaptor.scala:74-84 non-local sources —
+        # documented drops with the reason and the local alternative
+        if fmt == "http":
+            raise ValueError(
+                "include http.`...` is a documented drop: this "
+                "deployment has no network egress (COVERAGE.md).  "
+                "Fetch the script out of band and use include "
+                f"local.`path` or include script.`var` instead "
+                f"(requested: {stmt.path})")
+        if fmt in ("store", "plugin", "lib"):
+            raise ValueError(
+                f"include {fmt}.`...` is a documented drop: "
+                f"'{fmt}' resolves scripts from the MLSQL console's "
+                "store / plugin registry (reference IncludeAdaptor."
+                "scala:76-78), which has no counterpart in this "
+                "standalone engine.  Vendor the script into the "
+                "project and use include local.`path`, or put it in a "
+                "variable and use include script.`var` "
+                f"(requested: {stmt.path})")
         raise ValueError(f"unsupported include source: {fmt}")
 
     # ------------------------------------------------------------------
@@ -343,6 +362,9 @@ class Engine:
             if not ctx.branch_active():
                 return
             if cmd.command not in MACROS:
+                from streamingpro_spark.macros import DOCUMENTED_DROP_MACROS
+                if cmd.command in DOCUMENTED_DROP_MACROS:
+                    raise ValueError(DOCUMENTED_DROP_MACROS[cmd.command])
                 raise ValueError(f"unknown command !{cmd.command}")
             raw = expand_macro(cmd)
             kind = P.statement_kind(raw)

@@ -63,6 +63,31 @@ MACROS: dict[str, str] = {
     "scheduler": "run command as SchedulerCommand.`` where parameters='''{:all-json}'''",
 }
 
+# macros whose reference behavior cannot apply here — rendered as a
+# documented drop (the ScalaScriptUDF pattern: a clear "not supported
+# because X, use Y" error instead of `unknown command`).
+# Reference: CommandCollection.scala:40-44 — the PythonEnvExt conda
+# family manages per-engine conda environments for the reference's
+# JVM-hosted Python workers (SQLPythonEnvExt.scala).
+DOCUMENTED_DROP_MACROS: dict[str, str] = {
+    name: (
+        f"!{name} is a documented drop: the reference's PythonEnvExt "
+        "conda-environment management provisions Python for its "
+        "JVM-hosted workers, but this engine IS Python — executors "
+        "run the driver's interpreter.  Pin the worker environment "
+        "with spark.pyspark.python / PYSPARK_PYTHON at session start, "
+        "and use !python / PythonCommand for in-script python."
+    )
+    for name in ("createPythonEnv", "removePythonEnv",
+                 "createPythonEnvFromFile", "removePythonEnvFromFile")
+}
+DOCUMENTED_DROP_MACROS["ray"] = (
+    "!ray is a documented drop: the reference bridges to a Ray cluster "
+    "for external python compute (CommandCollection.scala); Ray is out "
+    "of scope here (SURVEY.md §7).  Use !python / PythonCommand for "
+    "driver python, or register Alg/PythonAlg for distributed "
+    "mapInPandas compute.")
+
 
 def expand_macro(cmd: "CommandStmt") -> str:
     """Expand ``!name a b c`` into its `run command as ...` template."""

@@ -110,8 +110,21 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     try:
         import pyarrow.dataset as ds
         import pyarrow.types as pat
-        schema = ds.dataset(path, format="parquet").schema
-        cols = [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+        dataset = ds.dataset(path, format="parquet")
+        cols = [f.name for f in dataset.schema
+                if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+        if cols:
+            # pyarrow ALSO surfaces INT96 timestamps (Spark's default
+            # parquet writer output) as ns — but Spark reads INT96
+            # natively, and the long-div conversion would break on it.
+            # Only true INT64 TIMESTAMP(NANOS) columns need the shim.
+            import pyarrow.parquet as pq
+            first = next(iter(dataset.files), None)
+            if first is not None:
+                meta = pq.ParquetFile(first).metadata.schema
+                phys = {meta.column(i).name: meta.column(i).physical_type
+                        for i in range(meta.num_columns)}
+                cols = [c for c in cols if phys.get(c) == "INT64"]
     except Exception:
         cols = []
     _NANOS_CACHE[path] = cols
@@ -176,7 +189,10 @@ def _load_stream_parquet(ctx, path, options):
     if ns_cols:
         ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = ctx.spark.read.parquet(real).schema
-    reader = ctx.spark.readStream.schema(schema)
+    # forward reader options (e.g. maxFilesPerTrigger for multi-batch
+    # replay, latestFirst) — engine-level keys are filtered out
+    reader = ctx.spark.readStream.schema(schema) \
+        .options(**_spark_opts(options))
     if os.path.isfile(real):
         # FileStreamSource requires a directory; select the single file
         # via pathGlobFilter on its parent

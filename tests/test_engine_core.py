@@ -293,13 +293,45 @@ def test_macro_registry_covers_reference_list():
     # engine-level statements, not macro expansions (engine.py branch ctx)
     branching = {"if", "elif", "then", "else", "fi"}
     # documented out of scope (SURVEY §7 / MIGRATION.md): conda env mgmt
-    # (PythonCommand covers native python), Ray external compute
+    # (PythonCommand covers native python), Ray external compute — each
+    # must carry a RENDERED drop message, not fail as unknown
+    from streamingpro_spark.macros import DOCUMENTED_DROP_MACROS
     dropped = {"createPythonEnv", "removePythonEnv",
                "createPythonEnvFromFile", "removePythonEnvFromFile",
                "ray"}
+    assert dropped == set(DOCUMENTED_DROP_MACROS)
     aliased = {"unCache": "uncache"}  # case-variant of an implemented macro
     missing = reference - branching - dropped - set(aliased) - set(MACROS)
     assert missing == set()
+
+
+def test_documented_drop_macros_render(engine):
+    """The PythonEnvExt conda family and !ray fail with a rendered
+    explanation (reason + alternative), not `unknown command` — the
+    ScalaScriptUDF pattern (round-4 verdict task 7)."""
+    import pytest as _pytest
+    for name in ("createPythonEnv", "removePythonEnv",
+                 "createPythonEnvFromFile", "removePythonEnvFromFile"):
+        with _pytest.raises(Exception,
+                            match="documented drop.*spark.pyspark.python"):
+            engine.execute(f"!{name} env1 py3;")
+    with _pytest.raises(Exception, match="documented drop.*PythonAlg"):
+        engine.execute("!ray start;")
+    # a genuinely unknown macro still says so
+    with _pytest.raises(Exception, match="unknown command"):
+        engine.execute("!noSuchMacroEver a b;")
+
+
+def test_include_nonlocal_sources_render(engine):
+    """Reference IncludeAdaptor sources with no counterpart here
+    (http/store/plugin/lib) fail with a rendered reason + the local
+    alternative, not `unsupported include source`."""
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no network egress"):
+        engine.execute("include http.`example.invalid/script.mlsql`;")
+    for fmt in ("store", "plugin", "lib"):
+        with _pytest.raises(Exception, match="MLSQL console"):
+            engine.execute(f"include {fmt}.`some/script`;")
 
 
 def test_macro_split(engine, sf_dir):

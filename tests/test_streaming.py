@@ -571,3 +571,44 @@ def test_streaming_dedup_same_key_different_ts(engine, tmp_path):
         load parquet.`{src}/a.parquet` as wb;
         run wb as StreamingDedup.`` as bad;
         """)
+
+
+def test_int96_parquet_loads_clean(engine, spark, tmp_path):
+    """Spark's DEFAULT parquet writer emits INT96 timestamps, which
+    pyarrow surfaces as timestamp[ns] — the nanos-shim detection must
+    NOT fire on them (it would div a TimestampType by 1000 and kill the
+    load).  Pins the round-5 physical-type check in
+    sources/registry.py:_nanos_timestamp_cols."""
+    src = str(tmp_path / "int96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.sql("""
+        select id as k, timestamp_seconds(1700000000 + id * 60) as ts
+        from range(5)
+        """).coalesce(1).write.parquet(src)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    # batch load through the engine
+    df = engine.execute(f"""
+    load parquet.`{src}` as t96;
+    select k, unix_timestamp(ts) as tss from t96 as out96;
+    """)
+    got = {r["k"]: r["tss"] for r in df.collect()}
+    assert got == {i: 1700000000 + i * 60 for i in range(5)}
+    # streaming load through streamParquet (same detection path)
+    engine.execute(f"""
+    set streamName = "s96";
+    load streamParquet.`{src}` as st96;
+    select k, unix_timestamp(ts) as tss from st96 as sout96;
+    """)
+    sdf = engine.spark.table("sout96")
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("s96_sink")
+         .option("checkpointLocation", str(tmp_path / "ck96")).start())
+    try:
+        q.processAllAvailable()
+        rows = {r["k"]: r["tss"]
+                for r in engine.spark.sql("select * from s96_sink").collect()}
+        assert rows == got
+    finally:
+        q.stop()

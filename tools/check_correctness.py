@@ -32,9 +32,22 @@ def normalize(df_pandas):
 
 
 def main() -> int:
+    import subprocess
     import duckdb
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
+
+    # stamp provenance so a committed CORRECTNESS_FULL artifact is
+    # verifiably tied to the code state it was produced from
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=repo).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"],
+                           capture_output=True, text=True,
+                           cwd=repo).stdout.strip()
+    print(f"git {sha}{' (dirty)' if dirty else ''}  sf_dir={SF_DIR}  "
+          f"{time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}")
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("correctness")
