@@ -1413,10 +1413,12 @@ def _q_stateful_sessionizer_stream(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+    # typed sentinel comparison: `key >= 0` would numeric-coerce a
+    # STRING key column and silently null-filter non-numeric ids
     return spark.sql(f"""
     select key as user_id, session_start as sess_start,
            session_end as sess_end, n_events
-    from ss_sink_{tag} where key >= 0
+    from ss_sink_{tag} where key <> cast(-1 as {key_t})
     """)
 
 

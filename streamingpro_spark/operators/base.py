@@ -69,6 +69,11 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     would serialize the whole operator on one core; at 100 TB the scan
     already yields partitions ≫ cores, so this is a no-op (the partition
     count check does not trigger a job)."""
+    if df.isStreaming:
+        # .rdd is illegal on a streaming DF, and micro-batch partitioning
+        # is the source's job (maxFilesPerTrigger / kafka partitions) —
+        # pass through so mapInPandas ETs keep working on streams
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

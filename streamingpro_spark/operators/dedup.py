@@ -147,9 +147,15 @@ class ExactDedup(ETAlgorithm):
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
         id_col = params.get("idCol")
-        # xxhash64: skip md5's hex materialization entirely — the digest
-        # only keys a groupBy, so a raw long is strictly cheaper
-        digest = (F.xxhash64(F.col(col))
+        # xxhash64: skip md5's hex materialization — the digest only
+        # keys a groupBy, so raw longs are strictly cheaper.  TWO
+        # independently-seeded hashes, because ExactDedup's contract is
+        # EXACTNESS: a single 64-bit key reaches ~50% collision odds by
+        # ~4B docs (birthday bound) — silent data loss at exactly the
+        # corpus size the production impl targets.  128 combined bits
+        # restores md5-class negligibility.
+        digest = (F.struct(F.xxhash64(F.col(col)),
+                           F.xxhash64(F.lit("ed2:"), F.col(col)))
                   if hash_impl(params) == "xxhash64"
                   else F.md5(F.col(col)))
         if id_col:

@@ -477,6 +477,13 @@ class ImageDedup(ETAlgorithm):
         htype = params.get("hashType", "ahash")
         hash_col = params.get("hashCol")
         k = get_int(params, "maxHamming", 0)
+        if not 0 <= k <= 63:
+            # negative would silently fall into exact-survivor mode (a
+            # different output contract); >63 would make zero-width
+            # bands whose lone bucket the skew guard silently drops
+            raise ValueError(
+                "ImageDedup: maxHamming must be in [0, 63] for a "
+                "64-bit hash (got %d)" % k)
         max_bucket = get_int(params, "maxBucketSize", 10000)
         if hash_col:
             hashed = df.withColumn("__ph", F.col(hash_col).cast("long"))
@@ -504,15 +511,6 @@ class ImageDedup(ETAlgorithm):
                 return out.drop("__ph")
             return out.withColumnRenamed("__ph", "phash")
 
-        if k > 63:
-            # k+1 bands must each carry >=1 bit of the 64-bit hash;
-            # k >= 64 would make width 0 — every non-last band becomes
-            # the constant 0, all rows share one bucket, and the
-            # maxBucketSize guard silently drops it (empty pair set
-            # where the threshold implies all-pairs)
-            raise ValueError(
-                "ImageDedup: maxHamming must be in [0, 63] for a "
-                "64-bit hash (got %d)" % k)
         bands = k + 1
         width = 64 // bands
         ids = hashed.select(F.col(id_col).alias("__id"), "__ph") \

@@ -118,13 +118,17 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             # parquet writer output) as ns — but Spark reads INT96
             # natively, and the long-div conversion would break on it.
             # Only true INT64 TIMESTAMP(NANOS) columns need the shim.
+            # Sample several files (not just the first): with schema
+            # evolution the first-listed file may predate the column,
+            # and a first-file-only decision would mis-handle the rest.
             import pyarrow.parquet as pq
-            first = next(iter(dataset.files), None)
-            if first is not None:
-                meta = pq.ParquetFile(first).metadata.schema
-                phys = {meta.column(i).name: meta.column(i).physical_type
-                        for i in range(meta.num_columns)}
-                cols = [c for c in cols if phys.get(c) == "INT64"]
+            int64_cols: set[str] = set()
+            for f in list(dataset.files)[:8]:
+                meta = pq.ParquetFile(f).metadata.schema
+                for i in range(meta.num_columns):
+                    if meta.column(i).physical_type == "INT64":
+                        int64_cols.add(meta.column(i).name)
+            cols = [c for c in cols if c in int64_cols]
     except Exception:
         cols = []
     _NANOS_CACHE[path] = cols

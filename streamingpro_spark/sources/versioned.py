@@ -22,11 +22,12 @@ Semantics:
 Single-writer by design: the commit is a driver-side manifest append —
 multi-writer needs Delta's optimistic log protocol (documented drop).
 If two drivers DO collide, the commit point fails fast instead of
-corrupting the log: the manifest append happens under an O_EXCL
-lockfile (`_commits.json.lock`, stale locks older than 60s are broken)
-with the version re-checked inside the critical section, and the v=N
-data write itself is errorIfExists — one writer wins, the other gets a
-rendered retry error; a duplicate version can never reach the manifest.
+corrupting the log: the whole save runs under a kernel flock on
+`_commits.json.lock` (auto-released on writer crash — no staleness
+heuristics), the version is picked inside the critical section, and
+the v=N data write itself is errorIfExists — one writer wins, the
+other gets a rendered retry error; a duplicate version can never
+reach the manifest.
 The data plane stays partition-parallel parquet; only the tiny manifest
 is driver-side, so the format scales like parquet itself.  Filesystem
 access is local-fs (tests/CLI); a DFS deploy swaps these helpers for
@@ -52,30 +53,20 @@ def _manifest(path: str) -> str:
     return os.path.join(path, "_commits.json")
 
 
-#: an unreadable/ownerless lock older than this is a crashed writer's
-#: leftover — break it (a lock whose recorded pid is provably dead is
-#: broken immediately, any age)
-_LOCK_STALE_SEC = 60.0
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-        return True
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True                           # alive, different user
-
-
 class _CommitLock:
-    """O_EXCL lockfile serializing the whole save (version pick, data
+    """flock-based lock serializing the whole save (version pick, data
     write, manifest append).  Bounded wait, then a rendered fail-fast
-    error.  Stale detection is pid-liveness first (local-fs scope —
-    module docstring): a lock whose writer pid is dead is broken
-    immediately; an unreadable lock is broken after _LOCK_STALE_SEC.
-    A lock held by a LIVE pid is never broken — a legitimately long
-    data write must not lose its claim mid-flight."""
+    error.  The kernel owns the lock lifetime: a crashed writer's lock
+    releases automatically with its process, so there is no staleness
+    heuristic and no unlink race — an O_EXCL + pid-liveness design was
+    reviewed and rejected for a steal-race (two waiters both observing
+    a dead pid could both unlink-and-recreate, re-opening the shared
+    v=N write corruption the lock exists to prevent).  The lock FILE
+    persists between saves (never unlinked — unlinking would let a new
+    opener lock a fresh inode while an old holder still holds the
+    orphaned one).  local-fs scope, like the rest of this module: flock
+    over NFS needs the same care as every other local-fs assumption
+    here."""
 
     def __init__(self, manifest: str, timeout: float = 10.0):
         self._path = manifest + ".lock"
@@ -83,52 +74,33 @@ class _CommitLock:
         self._fd = None
 
     def __enter__(self):
+        import fcntl
         deadline = time.monotonic() + self._timeout
+        fd = os.open(self._path, os.O_CREAT | os.O_WRONLY, 0o644)
         while True:
             try:
-                self._fd = os.open(self._path,
-                                   os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self._fd, str(os.getpid()).encode())
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._fd = fd
+                # diagnostic only (who holds it) — never used for
+                # liveness decisions
+                os.ftruncate(fd, 0)
+                os.write(fd, str(os.getpid()).encode())
                 return self
-            except FileExistsError:
-                try:
-                    with open(self._path) as fh:
-                        pid = int(fh.read().strip())
-                except (OSError, ValueError):
-                    pid = None                # mid-create or corrupt
-                if pid is not None and not _pid_alive(pid):
-                    try:
-                        os.unlink(self._path)
-                    except OSError:
-                        pass
-                    continue
-                if pid is None:
-                    try:
-                        age = time.time() - os.path.getmtime(self._path)
-                    except OSError:
-                        continue              # holder just released it
-                    if age > _LOCK_STALE_SEC:
-                        try:
-                            os.unlink(self._path)
-                        except OSError:
-                            pass
-                        continue
+            except BlockingIOError:
                 if time.monotonic() >= deadline:
+                    os.close(fd)
                     raise ValueError(
                         "versionedParquet: another writer holds the "
                         f"commit lock {self._path} (single-writer "
-                        "contract) — retry; if no writer is alive, "
-                        "remove the lock file") from None
+                        "contract) — retry") from None
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
         if self._fd is not None:
+            import fcntl
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
-        try:
-            os.unlink(self._path)
-        except OSError:
-            pass
 
 
 def read_commits(path: str) -> list[dict]:
@@ -159,7 +131,7 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
     real = ctx.resource_real_path(path)
     os.makedirs(real, exist_ok=True)
     manifest = _manifest(real)
-    # the WHOLE save runs under one O_EXCL lockfile — version pick,
+    # the WHOLE save runs under one kernel flock — version pick,
     # orphan clear, data write, manifest append.  Anything narrower
     # reopens a corruption window: with only the append locked, writer
     # B's orphan-clear could rmtree writer A's in-progress v=N dir and

@@ -856,27 +856,37 @@ def test_versioned_parquet_commit_lock(engine, tmp_path, spark):
     save overwrite t as versionedParquet.`{lake}`;
     """)
     lock = str(lake / "_commits.json.lock")
-    # 1) a lock held by a LIVE pid blocks the commit (bounded wait,
-    # rendered error) and leaves no side effects — never broken, even
-    # if old (a long data write must not lose its claim)
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
-    old = _time.time() - versioned._LOCK_STALE_SEC - 5
-    os.utime(lock, (old, old))
-    import pytest as _pytest
-    with _pytest.raises(Exception, match="commit lock"):
-        engine.execute(f"""
-        set d2 = '''
-        {{"x":2}}
-        ''';
-        load jsonStr.`d2` as t2;
-        save append t2 as versionedParquet.`{lake}`
-        options commitLockTimeout="0.3";
-        """)
-    assert [c["version"] for c in versioned.read_commits(str(lake))] == [0]
-    # 2) a DEAD writer's lock is broken immediately (pid liveness)
-    with open(lock, "w") as fh:
-        fh.write("999999999")                  # beyond pid_max: dead
+    # 1) a lock held by a LIVE process blocks the commit (bounded wait,
+    # rendered error) and leaves no side effects
+    import subprocess
+    import sys as _sys
+    holder = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import fcntl, os, sys, time\n"
+         f"fd = os.open({lock!r}, os.O_CREAT | os.O_WRONLY)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(30)\n"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert holder.stdout.readline().strip() == "locked"
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="commit lock"):
+            engine.execute(f"""
+            set d2 = '''
+            {{"x":2}}
+            ''';
+            load jsonStr.`d2` as t2;
+            save append t2 as versionedParquet.`{lake}`
+            options commitLockTimeout="0.3";
+            """)
+        assert [c["version"]
+                for c in versioned.read_commits(str(lake))] == [0]
+    finally:
+        holder.kill()
+        holder.wait()
+    # 2) a DEAD writer's lock releases with its process (kernel-owned —
+    # no staleness heuristics): the same path now commits immediately
     engine.execute(f"""
     set d3 = '''
     {{"x":3}}
@@ -885,11 +895,10 @@ def test_versioned_parquet_commit_lock(engine, tmp_path, spark):
     save append t3 as versionedParquet.`{lake}`;
     """)
     assert [c["version"] for c in versioned.read_commits(str(lake))] == [0, 1]
-    assert not os.path.exists(lock)
-    # 3) an unreadable lock (crashed mid-create) breaks by age
+    # 3) a leftover lock FILE with garbage content is irrelevant — only
+    # the flock state matters
     with open(lock, "w") as fh:
         fh.write("not-a-pid")
-    os.utime(lock, (old, old))
     engine.execute(f"""
     set d4 = '''
     {{"x":4}}

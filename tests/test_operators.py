@@ -1731,3 +1731,15 @@ def test_json_expand_all_null_column(engine):
     run t as JsonExpandExt.`` where inputCol="value" as out;
     """)
     assert df.count() == 2   # passthrough, not "Unable to infer schema"
+
+
+def test_image_dedup_negative_hamming_rejected(engine):
+    """maxHamming < 0 must raise, not silently fall into exact mode
+    (a different output contract)."""
+    import pytest as _pytest
+    with _pytest.raises(Exception, match=r"\[0, 63\]"):
+        engine.execute("""
+        select 1 as id, 5 as h as t;
+        run t as ImageDedup.`` where idCol="id" and hashCol="h"
+        and maxHamming="-2" as bad;
+        """)

@@ -612,3 +612,33 @@ def test_int96_parquet_loads_clean(engine, spark, tmp_path):
         assert rows == got
     finally:
         q.stop()
+
+
+def test_multimodal_op_on_stream(engine, spark, tmp_path):
+    """The mapInPandas multimodal ops must keep working on STREAMING
+    inputs — ensure_parallelism passes streams through (.rdd is illegal
+    on them).  Pins the round-5 review fix in operators/base.py."""
+    from streamingpro_spark.functions.codecs import make_png_encoder
+    src = str(tmp_path / "imgs")
+    png = make_png_encoder()
+    rows = [(i, png(8 + i, 6 + i)) for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, content binary") \
+        .coalesce(1).write.parquet(src)
+    engine.execute(f"""
+    set streamName = "smm";
+    load streamParquet.`{src}` as simgs;
+    run simgs as ImageMetadata.`` as smeta;
+    select doc_id, image_meta.width as w, image_meta.height as h,
+           image_meta.format as fmt from smeta as sout_mm;
+    """)
+    sdf = engine.spark.table("sout_mm")
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("smm_sink")
+         .option("checkpointLocation", str(tmp_path / "ckmm")).start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["w"], r["h"], r["fmt"]) for r in
+               engine.spark.sql("select * from smm_sink").collect()}
+        assert got == {i: (8 + i, 6 + i, "png") for i in range(4)}
+    finally:
+        q.stop()
