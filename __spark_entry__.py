@@ -1325,6 +1325,31 @@ def _q_versioned_parquet(spark, sf_dir):
     """)
 
 
+def _q_bloom_dedup(spark, sf_dir):
+    """BloomFilterDedup filter mode (operators/dedup.py): incremental
+    dedup of an 'increment' slice of documents against a 'history'
+    slice — JVM bloom build (groupBy-word bit_or), broadcast-bitmap
+    Arrow probe, exact verify join on bloom-positive rows only.
+    filter-mode output is EXACT, so it hash-matches NOT EXISTS."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, text from documents where doc_id % 3 <> 0 as bref;
+    select doc_id, text from documents where doc_id % 2 = 0 as bnew;
+    run bnew as BloomFilterDedup.`` where refTable="bref" as bout;
+    select doc_id from bout as output;
+    """)
+
+
+_BLOOM_DEDUP_ORACLE = """
+SELECT n.doc_id
+FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) n
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT text FROM documents WHERE doc_id % 3 <> 0) r
+  WHERE r.text = n.text)
+"""
+
+
 def _q_stateful_count_stream(spark, sf_dir):
     """StatefulCount (applyInPandasWithState, streaming/stateful.py:25)
     replayed over the events fixture as a REAL Structured Streaming
@@ -2803,6 +2828,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_pairs": _q_image_dedup_pairs,
         "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
+        "bloom_dedup": _q_bloom_dedup,
         # custom stateful streaming, replayed and hash-checked vs batch
         "stateful_count_stream": _q_stateful_count_stream,
         "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
@@ -2911,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": _IMAGE_PHASH_DEDUP_ORACLE,
         "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,
+        "bloom_dedup": _BLOOM_DEDUP_ORACLE,
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
     }

@@ -173,6 +173,125 @@ class ExactDedup(ETAlgorithm):
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
+@register_et("BloomFilterDedup")
+class BloomFilterDedup(ETAlgorithm):
+    """Incremental dedup: drop rows of the INPUT batch whose content
+    already exists in a REFERENCE corpus (`refTable`), without a
+    big-big join.  The daily-ingest shape at 100 TB: the reference is
+    the multi-TB history, the input is today's increment — an exact
+    anti-join would shuffle the history every day; a bloom sketch
+    prunes the probe to candidate duplicates first.
+
+    Plan (no reference counterpart; standard incremental-ingest
+    pattern):
+      1. BUILD (one pass over ref, 100% JVM): k = `numHashes` bit
+         positions per row (`pmod(xxhash64(seed_j, content), m)`),
+         explode → `groupBy(pos >> 6)` + `bit_or` of the bit masks —
+         ≤ m/64 word rows collected to the driver (m/8 bytes of
+         bitmap, e.g. ~1.2 GB for 10^9 items at fpp=0.01 — broadcast
+         territory, never a shuffle of the corpus itself).
+      2. PROBE (map-only): the same k positions on the input side
+         (JVM), membership tested against the broadcast bitmap in one
+         vectorized Arrow kernel (`might_dup`).
+      3. VERIFY (`mode="filter"`): bloom-positive rows only — the true
+         dup rate + fpp fraction of the input — semi-join the ref on
+         raw content to confirm, then anti-join the confirmed keys
+         out.  Output is EXACT (false positives are verified away),
+         which is why the contract query hash-matches a plain
+         `NOT EXISTS` oracle.
+
+    `mode="annotate"` adds the raw `might_dup` bloom answer instead
+    (probabilistic — no oracle).  Null content is never a duplicate
+    (kept), matching NOT EXISTS semantics.  Sizing: m from
+    `expectedItems`/`fpp` (standard -n·ln p/ln²2), k = m/n·ln 2;
+    `expectedItems` defaults to a ref count() pass."""
+
+    def train(self, df, path, params, context=None):
+        import math
+        spark = df.sparkSession
+        ref_name = params.get("refTable", "")
+        if not ref_name:
+            raise ValueError(
+                'BloomFilterDedup needs refTable="<view>" — the corpus '
+                "to dedup against")
+        ref = spark.table(ref_name)
+        col = params.get("contentCol", "text")
+        rcol = params.get("refContentCol", col)
+        mode = params.get("mode", "filter")
+        if mode not in ("filter", "annotate"):
+            raise ValueError("mode must be filter | annotate")
+        fpp = get_float(params, "fpp", 0.01)
+        if not 0.0 < fpp < 1.0:
+            raise ValueError("fpp must be in (0, 1)")
+        n_exp = get_int(params, "expectedItems", 0)
+        ref_nn = ref.filter(F.col(rcol).isNotNull())
+        if n_exp <= 0:
+            n_exp = max(ref_nn.count(), 1)
+        m = max(64, int(math.ceil(-n_exp * math.log(fpp)
+                                  / (math.log(2) ** 2))))
+        m -= m % 64                       # whole words
+        k = get_int(params, "numHashes", 0) \
+            or max(1, round(m / n_exp * math.log(2)))
+
+        def positions(c):
+            return [F.pmod(F.xxhash64(F.lit(f"bf{j}:"), F.col(c)),
+                           F.lit(m)) for j in range(k)]
+
+        # build: one JVM pass; ≤ m/64 (word, bits) rows reach the driver
+        words = (ref_nn
+                 .select(F.explode(F.array(*positions(rcol))).alias("__p"))
+                 .select(F.shiftright(F.col("__p"), 6).alias("__w"),
+                         F.expr("shiftleft(1L, cast(__p % 64 as int))")
+                          .alias("__b"))
+                 .groupBy("__w").agg(F.bit_or("__b").alias("__bits")))
+        import numpy as np
+        bitmap = np.zeros(m // 64, dtype=np.int64)
+        for r in words.collect():
+            bitmap[r["__w"]] = r["__bits"]
+        bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+        def _might_kernel(pos_series):
+            import numpy as _np
+            import pandas as _pd
+            bm = _np.frombuffer(bc.value, dtype=_np.int64) \
+                    .view(_np.uint64)
+            out = []
+            for arr in pos_series:
+                if arr is None:
+                    out.append(False)     # null content: never a dup
+                    continue
+                p = _np.asarray(arr, dtype=_np.int64)
+                bits = (bm[p >> 6] >> (p & 63).astype(_np.uint64)) \
+                    & _np.uint64(1)
+                out.append(bool(bits.all()))
+            return _pd.Series(out)
+
+        might = F.pandas_udf(_might_kernel, "boolean")
+        qpos = F.when(F.col(col).isNotNull(),
+                      F.array(*positions(col)))
+        ann = df.withColumn("might_dup", might(qpos))
+        if mode == "annotate":
+            return ann
+        # verify: only bloom-positive rows touch the ref; confirmed
+        # keys anti-join out (dup_keys is true-dup-sized → broadcast)
+        cand = ann.filter(F.col("might_dup")).select(col).distinct()
+        dup_keys = cand.join(
+            ref_nn.select(F.col(rcol).alias(col)).distinct(),
+            [col], "left_semi")
+        return df.join(F.broadcast(dup_keys), [col], "left_anti")
+
+    def explain_params(self):
+        return [("refTable", "corpus view to dedup against (required)", ""),
+                ("contentCol", "input content column", "text"),
+                ("refContentCol", "ref content column", "= contentCol"),
+                ("mode", "filter (exact, bloom-pruned verify) | "
+                 "annotate (raw might_dup)", "filter"),
+                ("expectedItems", "ref cardinality for sizing "
+                 "(0 = count the ref)", "0"),
+                ("fpp", "target false-positive rate", "0.01"),
+                ("numHashes", "override k (default from m/n)", "-")]
+
+
 @register_et("MinHashDedup")
 class MinHashDedup(ETAlgorithm):
     """MinHash + LSH near-dup candidate pairs with exact-Jaccard verify.

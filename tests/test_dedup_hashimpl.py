@@ -110,3 +110,60 @@ def test_bad_hash_impl_rejected(engine):
     with pytest.raises(Exception, match="hashImpl must be"):
         _run(engine,
              'run docs as ExactDedup.`` where hashImpl="sha9" as out;')
+
+
+def test_bloom_filter_dedup_filter_mode(engine):
+    """filter mode is EXACT (bloom prunes, verify join confirms):
+    output == NOT EXISTS anti-join, false positives verified away."""
+    import json
+    ref = [(i, f"ref document number {i} unique content") for i in range(50)]
+    new = ([(100 + i, f"ref document number {i} unique content")
+            for i in range(0, 50, 5)]            # 10 true dups
+           + [(200 + i, f"fresh document {i} never seen") for i in range(20)]
+           + [(300, None)])                       # null: kept
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    df = engine.execute(f"""
+    set refj = '''{rj}''';
+    set newj = '''{nj}''';
+    load jsonStr.`refj` as ref_corpus;
+    load jsonStr.`newj` as new_batch;
+    run new_batch as BloomFilterDedup.`` where refTable="ref_corpus"
+    and fpp="0.2" as out;
+    select doc_id from out as final;
+    """)
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == sorted([200 + i for i in range(20)] + [300]), got
+
+
+def test_bloom_filter_dedup_annotate_and_validation(engine):
+    import json
+    import pytest as _pytest
+    ref = [(1, "alpha beta"), (2, "gamma delta")]
+    new = [(10, "alpha beta"), (11, "epsilon zeta")]
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    df = engine.execute(f"""
+    set refj2 = '''{rj}''';
+    set newj2 = '''{nj}''';
+    load jsonStr.`refj2` as refc2;
+    load jsonStr.`newj2` as newb2;
+    run newb2 as BloomFilterDedup.`` where refTable="refc2"
+    and mode="annotate" and fpp="0.001" as ann;
+    select doc_id, might_dup from ann as final2;
+    """)
+    got = {r["doc_id"]: r["might_dup"] for r in df.collect()}
+    assert got[10] is True            # true member: bloom never misses
+    # doc 11 is overwhelmingly False at fpp=0.001 but probabilistic —
+    # only the guaranteed no-false-negative side is asserted
+    with _pytest.raises(Exception, match="refTable"):
+        engine.execute("""
+        select 1 as doc_id, "x" as text as t;
+        run t as BloomFilterDedup.`` as bad;
+        """)
+    with _pytest.raises(Exception, match="fpp"):
+        engine.execute("""
+        select 1 as doc_id, "x" as text as t2;
+        run t2 as BloomFilterDedup.`` where refTable="t2" and fpp="1.5"
+        as bad2;
+        """)
