@@ -36,7 +36,9 @@ def _has_delta(spark) -> bool:
 class DeltaCommandWrapper(ETAlgorithm):
     """!delta history/info/compact/show tables
     (reference: tech/mlsql/ets/DeltaCommandWrapper.scala:26-128).
-    Requires the delta-spark package on the classpath."""
+    Requires the delta-spark package on the classpath — except for
+    versionedParquet lakes, which serve history/compact/vacuum
+    natively."""
 
     def train(self, df, path, params, context=None):
         spark = df.sparkSession
@@ -63,6 +65,18 @@ class DeltaCommandWrapper(ETAlgorithm):
                     return spark.createDataFrame(
                         [(target, len(commits), n)],
                         "path: string, compactedCommits: int, files: int")
+                if args[0] == "vacuum":
+                    # Delta VACUUM semantics: reclaim orphan dirs +
+                    # versions superseded by a later overwrite and
+                    # older than the retention window; history keeps
+                    # their records, time travel to them stops
+                    retain = float(args[2]) if len(args) > 2 else 168.0
+                    orphans, versions = vp.vacuum(context, args[1],
+                                                  retain)
+                    return spark.createDataFrame(
+                        [(target, orphans, versions)],
+                        "path: string, orphansRemoved: int, "
+                        "versionsRemoved: int")
         if not _has_delta(spark):
             raise NotImplementedError(
                 "!delta requires Delta Lake (pip install delta-spark and "

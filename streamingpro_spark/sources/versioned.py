@@ -210,6 +210,48 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
             fh.write(json.dumps(record) + "\n")
 
 
+def vacuum(ctx: "ExecutionContext", path: str,
+           retain_hours: float = 168.0) -> tuple[int, int]:
+    """Remove (a) uncommitted orphan v=N dirs and (b) committed version
+    dirs SUPERSEDED by a later overwrite commit and older than
+    `retain_hours` — Delta's VACUUM semantics: reclaimed versions stop
+    being time-travelable, the manifest (history) keeps their records.
+    Runs under the commit lock so a concurrent save can never lose its
+    in-progress dir.  Returns (orphans_removed, versions_removed)."""
+    import shutil
+    real = ctx.resource_real_path(path)
+    with _CommitLock(_manifest(real)):
+        commits = read_commits(real)
+        if not commits:
+            raise ValueError(
+                f"versionedParquet.`{path}`: no commits found "
+                f"(missing {_manifest(real)})")
+        committed = {c["version"] for c in commits}
+        last_ow = max((c["version"] for c in commits
+                       if c["mode"] == "overwrite"), default=0)
+        cutoff = (time.time() - retain_hours * 3600.0) * 1000.0
+        orphans = versions = 0
+        for name in sorted(os.listdir(real)):
+            if not name.startswith("v="):
+                continue
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            target = os.path.join(real, name)
+            if v not in committed:
+                # provably uncommitted, and no writer can be mid-write
+                # on it while we hold the lock
+                shutil.rmtree(target)
+                orphans += 1
+            elif v < last_ow and next(
+                    c["timestamp"] for c in commits
+                    if c["version"] == v) < cutoff:
+                shutil.rmtree(target)
+                versions += 1
+        return orphans, versions
+
+
 def load(ctx: "ExecutionContext", path: str,
          options: dict[str, str]) -> "DataFrame":
     real = ctx.resource_real_path(path)
@@ -255,4 +297,11 @@ def load(ctx: "ExecutionContext", path: str,
             start = c["version"]
     dirs = [os.path.join(real, f"v={c['version']}") for c in commits
             if start <= c["version"] <= v]
+    missing = [d for d in dirs if not os.path.isdir(d)]
+    if missing:
+        raise ValueError(
+            f"versionedParquet.`{path}`: snapshot at version {v} needs "
+            f"reclaimed commit dirs {sorted(os.path.basename(d) for d in missing)} "
+            f"— they were removed by vacuum; only versions since the "
+            f"last surviving overwrite are time-travelable")
     return spark.read.options(**reader_opts).parquet(*dirs)

@@ -196,6 +196,23 @@ def test_delta_macro_on_versioned_parquet_lake(engine, tmp_path):
     assert df.collect()[0]["n"] == 40
     hist2 = engine.execute(f"!delta history {lake};").collect()
     assert hist2[-1]["mode"] == "overwrite" and hist2[-1]["version"] == 2
+    # vacuum with retain=0: versions superseded by the compact
+    # overwrite (v0, v1) reclaim; an orphan dir reclaims; history
+    # keeps all records, the latest snapshot stays readable
+    import os
+    os.makedirs(lake / "v=9")                   # uncommitted orphan
+    out = engine.execute(f"!delta vacuum {lake} 0;").collect()[0]
+    assert (out["orphansRemoved"], out["versionsRemoved"]) == (1, 2)
+    assert sorted(d for d in os.listdir(lake) if d.startswith("v=")) \
+        == ["v=2"]
+    df2 = engine.execute(f"load versionedParquet.`{lake}` as z2; "
+                         "select count(*) as n from z2 as out2;")
+    assert df2.collect()[0]["n"] == 40
+    hist3 = engine.execute(f"!delta history {lake};").collect()
+    assert [r["version"] for r in hist3] == [0, 1, 2]
+    # a second vacuum is a no-op
+    out2 = engine.execute(f"!delta vacuum {lake} 0;").collect()[0]
+    assert (out2["orphansRemoved"], out2["versionsRemoved"]) == (0, 0)
 
 
 def test_python_macro_reference_forms(engine):
@@ -219,3 +236,21 @@ def test_python_macro_bare_multi_token_code(engine):
     (review finding: the json arg split must re-join it)."""
     df = engine.execute("!python import os;")
     assert df.collect()[0]["status"] == "ok"
+
+
+def test_vacuumed_version_renders_clear_error(engine, tmp_path):
+    lake = tmp_path / "vlake2"
+    engine.execute(f"""
+    select 1 as id as va;
+    save overwrite va as versionedParquet.`{lake}`;
+    select 2 as id as vb;
+    save overwrite vb as versionedParquet.`{lake}`;
+    """)
+    engine.execute(f"!delta vacuum {lake} 0;")
+    with pytest.raises(Exception, match="removed by vacuum"):
+        engine.execute(
+            f'load versionedParquet.`{lake}` where versionAsOf="0" as z;')
+    # the surviving snapshot still reads
+    df = engine.execute(f"load versionedParquet.`{lake}` as z2; "
+                        "select id from z2 as out;")
+    assert df.collect()[0]["id"] == 2
