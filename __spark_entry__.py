@@ -1447,6 +1447,37 @@ def _q_stateful_sessionizer_stream(spark, sf_dir):
     """)
 
 
+def _q_streaming_dedup_stream(spark, sf_dir):
+    """StreamingDedup (streaming/stateful.py:156) replayed over the
+    events fixture: streaming dropDuplicates keeps the FIRST arrival
+    per key, so projecting only the dedup keys makes the output the
+    exact DISTINCT key set — hash-matched against the batch oracle."""
+    import tempfile
+    import uuid
+    tag = uuid.uuid4().hex[:8]
+    eng = _engine(spark)
+    eng.execute(f"""
+    set streamName = "sdq_{tag}";
+    load streamParquet.`{sf_dir}/events.parquet` as dev_{tag};
+    run dev_{tag} as StreamingDedup.`` where
+    dedupCols="user_id,event_type" as dd_{tag};
+    """)
+    df = spark.table(f"dd_{tag}").select("user_id", "event_type")
+    q = (df.writeStream.format("memory").queryName(f"sd_sink_{tag}")
+         .option("checkpointLocation", tempfile.mkdtemp()).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"select user_id, event_type from sd_sink_{tag}")
+
+
+_STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 _STATEFUL_SESSIONIZER_ORACLE = """
 with base as (
   select user_id, CAST(floor(epoch(ts)) AS BIGINT) as tss from events
@@ -2832,6 +2863,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful streaming, replayed and hash-checked vs batch
         "stateful_count_stream": _q_stateful_count_stream,
         "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
+        "streaming_dedup_stream": _q_streaming_dedup_stream,
     }
 
 
@@ -2940,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _BLOOM_DEDUP_ORACLE,
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
+        "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
     # order, nulls last — so order-sensitive value hashes match

@@ -151,3 +151,13 @@ def test_url_filter_map_only(spark, sf_dir):
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_bloom_dedup_broadcast_anti_join(spark, sf_dir):
+    """BloomFilterDedup's final anti-join must broadcast the confirmed
+    dup keys (true-dup-sized), never shuffle the input corpus against
+    the ref; the bloom build reduces to a bit_or aggregate."""
+    plan = _plan(spark, "bloom_dedup", sf_dir)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    # the probe side stays a map stage: no SortMergeJoin against ref
+    assert "SortMergeJoin" not in plan, plan
