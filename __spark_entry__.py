@@ -447,6 +447,27 @@ def _q_ivf_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_index_topk(spark, sf_dir):
+    """IVFIndexBuild + partition-pruned search (operators/similarity.py):
+    the corpus is written partitioned by IVF cell, then queried through
+    the persisted index — at nprobe=nlist every cell is read, so the
+    result is exact and shares the brute-force oracle; nprobe < nlist
+    prunes the parquet scan itself (PartitionFilters, plan-gated in
+    tests/test_operators.py)."""
+    import tempfile
+    eng = _engine(spark)
+    idx = tempfile.mkdtemp(prefix="spk_ivfidx_") + "/idx"
+    eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    run embeddings as IVFIndexBuild.`{idx}` where nlist="8" as built;
+    """)
+    return eng.execute(f"""
+    select * from embeddings where vec_id < 20 as ivf_queries;
+    run ivf_queries as IVFSimilaritySearch.`{idx}` where k="5"
+        and nprobe="8" as output;
+    """)
+
+
 _EMBEDDING_TOPK_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2828,6 +2849,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline: similarity search
         "embedding_topk": _q_embedding_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
         # LLM-pipeline: text analysis
         "language_id": _q_language_id,
         "quality_score": _q_quality,
@@ -2943,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_exact": _EMBEDDING_DEDUP_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_topk": _EMBEDDING_TOPK_ORACLE,
+        "ivf_index_topk": _EMBEDDING_TOPK_ORACLE,
         "language_id": _language_id_oracle(),
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,

@@ -459,6 +459,21 @@ class IVFSimilaritySearch(ETAlgorithm):
         bc = df.sparkSession.sparkContext.broadcast((cent, qids, Q, member))
         kk = k
 
+        # persisted IVFIndexBuild corpus at <path>/corpus: read it
+        # partition-PRUNED to the probed cells — the scan itself skips
+        # (nlist - nprobe)/nlist of the data before any compute (the
+        # documented 100 TB posture, now executable).  The input df
+        # then serves only as the query set.
+        corpus_dir = _os.path.join(path, "corpus") if path else None
+        scan = base
+        if corpus_dir and _os.path.isdir(corpus_dir) \
+                and get_bool(params, "useIndex", True):
+            probed = sorted({int(c) for c in probe.ravel()})
+            scan = (df.sparkSession.read.parquet(corpus_dir)
+                    .filter(F.col("cell").isin(probed))
+                    .select(F.col(id_col).alias("__id"),
+                            F.col(col).alias("__v")))
+
         # ONE mapInPandas pass fuses cell-assign + probe-mask + dot +
         # batch-local top-k (same exact-compositionality argument as
         # SimilaritySearch: batch selection uses the final merge order).
@@ -491,7 +506,7 @@ class IVFSimilaritySearch(ETAlgorithm):
                 yield _pd.DataFrame(
                     {"query_id": oq, "neighbor_id": on, "cosine": oc})
 
-        partials = base.mapInPandas(part_topk, out_schema)
+        partials = scan.mapInPandas(part_topk, out_schema)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("neighbor_id"))
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -507,6 +522,96 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("trainSample", "driver-side k-means sample rows", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
                 ("retrain", "rebuild persisted centroids at path", "false"),
+                ("useIndex", "read the IVFIndexBuild corpus at "
+                 "<path>/corpus, partition-pruned to probed cells",
+                 "true"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
                 ("maxQueryRows", "hard cap on the driver-side query collect", "100000"),
+                ("seed", "centroid init seed", "42")]
+
+
+@register_et("IVFIndexBuild")
+class IVFIndexBuild(ETAlgorithm):
+    """Build a PERSISTED IVF index: spherical-k-means centroids
+    (`centroids.json`, the same file IVFSimilaritySearch loads) plus
+    the corpus written to `<path>/corpus` PARTITIONED BY its assigned
+    cell — so a later IVFSimilaritySearch over the same path reads
+    only the probed cells via parquet partition pruning
+    (PartitionFilters in the scan, enforced by a plan test).  This is
+    the executable form of the 100 TB posture the search documents:
+    index once, every query batch scans ≈ nprobe/nlist of the corpus.
+
+    `run corpus as IVFIndexBuild.`/idx` where nlist="64"` then
+    `run queries as IVFSimilaritySearch.`/idx` where nprobe="4"`.
+    Column names (idCol/embeddingCol) must match between build and
+    search.  nprobe=nlist stays provably exact (every cell read)."""
+
+    def train(self, df, path, params, context=None):
+        import json as _json
+        import os as _os
+        import numpy as np
+        from pyspark.sql import types as T
+        if not path:
+            raise ValueError("IVFIndexBuild needs a path to write the "
+                             "index to: IVFIndexBuild.`/some/dir`")
+        col = params.get("embeddingCol", "embedding")
+        nlist = get_int(params, "nlist", 16)
+        seed = get_int(params, "seed", 42)
+        iters = get_int(params, "kmeansIter", 5)
+        sample_n = get_int(params, "trainSample", 10000)
+        base = ensure_parallelism(df)
+
+        sample_rows = base.select(col).limit(sample_n).collect()
+        if not sample_rows:
+            raise ValueError("IVFIndexBuild: empty corpus")
+        sample = np.array([list(r[0]) for r in sample_rows], dtype=float)
+        nn = np.linalg.norm(sample, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        sample = sample / nn
+        nlist = min(nlist, len(sample))
+        rng = np.random.RandomState(seed)
+        cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
+        for _ in range(iters):
+            assign = (sample @ cent.T).argmax(axis=1)
+            for c in range(nlist):
+                members = sample[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cent[c] = m / n
+
+        bc = df.sparkSession.sparkContext.broadcast(cent)
+        out_schema = T.StructType(df.schema.fields
+                                  + [T.StructField("cell",
+                                                   T.IntegerType())])
+
+        def assign_cells(batches):
+            import numpy as _np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np.array([list(v) for v in pdf[col]], dtype=float)
+                n2 = _np.linalg.norm(M, axis=1, keepdims=True)
+                n2[n2 == 0] = 1.0
+                pdf = pdf.copy()
+                pdf["cell"] = ((M / n2) @ bc.value.T).argmax(axis=1)
+                yield pdf
+
+        corpus_dir = _os.path.join(path, "corpus")
+        base.mapInPandas(assign_cells, out_schema) \
+            .write.mode("overwrite").partitionBy("cell") \
+            .parquet(corpus_dir)
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "centroids.json"), "w") as fh:
+            _json.dump(cent.tolist(), fh)
+        return df.sparkSession.createDataFrame(
+            [(path, int(nlist), int(cent.shape[1]))],
+            "path: string, nlist: int, dim: int")
+
+    def explain_params(self):
+        return [("embeddingCol", "array<float> column", "embedding"),
+                ("nlist", "number of IVF cells (centroids)", "16"),
+                ("trainSample", "driver-side k-means sample rows", "10000"),
+                ("kmeansIter", "Lloyd iterations", "5"),
                 ("seed", "centroid init seed", "42")]

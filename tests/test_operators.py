@@ -1064,6 +1064,43 @@ def test_ivf_index_persist_and_reuse(engine, sf_dir, tmp_path):
     assert os.path.getmtime(cent_file) != mtime   # forced rebuild
 
 
+def test_ivf_index_build_partition_pruned_search(engine, sf_dir, tmp_path):
+    """IVFIndexBuild writes the corpus partitioned by cell; a search
+    over the same path scans ONLY the probed cells (PartitionFilters
+    in the plan) and stays exact at nprobe=nlist."""
+    import os
+    path = tmp_path / "ivf_built"
+    built = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as IVFIndexBuild.`{path}` where nlist="8" as built;
+    """).collect()[0]
+    assert built["nlist"] == 8 and (path / "centroids.json").exists()
+    cells = sorted(d for d in os.listdir(path / "corpus")
+                   if d.startswith("cell="))
+    assert len(cells) >= 2                        # genuinely partitioned
+    # exact at nprobe=nlist, queries from the INPUT table
+    exact = engine.execute("""
+    run emb as SimilaritySearch.`` where k="3"
+    and queryFilter="vec_id < 20" as e_out2;
+    """).collect()
+    via_index = engine.execute(f"""
+    select * from emb where vec_id < 20 as q2;
+    run q2 as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
+    as i_out2;
+    """).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"]
+                        for r in rows}
+    assert key(via_index) == key(exact)
+    # nprobe < nlist: the scan is partition-pruned — provable in plan
+    df = engine.execute(f"""
+    select * from emb where vec_id < 5 as q3;
+    run q3 as IVFSimilaritySearch.`{path}` where k="3" and nprobe="2"
+    as i_out3;
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
 def test_et_registry_covers_reference_list():
     """Registry diff vs the reference's ET name registry
     (TrainAdaptor.scala:124-168 MLMapping + ETRegister.scala:25-48):
