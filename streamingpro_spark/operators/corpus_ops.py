@@ -72,6 +72,54 @@ class TokenAnalysis(ETAlgorithm):
             return df.withColumn(out, seg(F.col(col)))
         if params.get("segmenter", "") == "bigram":
             return df.withColumn(out, _tokenize_col_cjk_bigram(col))
+        if params.get("segmenter", "") == "fmm":
+            # dictionary-based forward-maximum-match: REAL word
+            # segmentation for users who bring a word list (jieba's
+            # core algorithm minus its bundled frequency dictionary,
+            # which we do not vendor).  Dict broadcast once; the
+            # longest-match scan runs as one Arrow kernel.
+            dict_path = params.get("dict", "")
+            if not dict_path:
+                raise ValueError(
+                    'segmenter="fmm" needs dict="<path>" — a text '
+                    "file with one dictionary word per line")
+            real = (context.resource_real_path(dict_path)
+                    if context else dict_path)
+            with open(real, encoding="utf-8") as fh:
+                vocab = {w.strip() for w in fh if w.strip()}
+            if not vocab:
+                raise ValueError(f"fmm dict {dict_path} is empty")
+            maxlen = max(len(w) for w in vocab)
+            bc = df.sparkSession.sparkContext.broadcast((vocab, maxlen))
+
+            def _fmm_kernel(s):
+                import re as _re
+                words, ml = bc.value
+                tok_re = _re.compile(r"[A-Za-z0-9_]+|[一-鿿]+")
+
+                def seg_one(t):
+                    toks = []
+                    for m in tok_re.finditer(t or ""):
+                        run = m.group(0)
+                        if run[0].isascii():
+                            toks.append(run.lower())
+                            continue
+                        i = 0
+                        while i < len(run):
+                            for ln in range(min(ml, len(run) - i),
+                                            1, -1):
+                                if run[i:i + ln] in words:
+                                    toks.append(run[i:i + ln])
+                                    i += ln
+                                    break
+                            else:
+                                toks.append(run[i])
+                                i += 1
+                    return toks
+                return s.map(seg_one)
+
+            seg_udf = F.pandas_udf(_fmm_kernel, "array<string>")
+            return df.withColumn(out, seg_udf(F.col(col)))
         return df.withColumn(out, _tokenize_col(col))
 
     def explain_params(self):
@@ -80,7 +128,9 @@ class TokenAnalysis(ETAlgorithm):
                 ("useJieba", "jieba segmentation when installed; falls "
                  "back to CJK bigrams", "false"),
                 ("segmenter", "'' (regex unigram CJK) | bigram "
-                 "(CJK bigram runs)", "")]
+                 "(CJK bigram runs) | fmm (dictionary forward "
+                 "maximum match, needs dict=)", ""),
+                ("dict", "word list file for segmenter=fmm", "")]
 
 
 @register_et("TokenExtract")

@@ -426,3 +426,26 @@ def test_home_prefix_skipped_for_name_paths(spark, tmp_path):
     !desc desc_me;
     """)
     assert "x" in [r["col_name"] for r in out.collect()]
+
+
+def test_token_analysis_fmm_dictionary(engine, tmp_path):
+    """segmenter=fmm: dictionary forward-maximum-match — longest
+    dictionary word wins, out-of-vocab CJK falls back to single chars,
+    latin runs lowercase; missing/empty dict renders a clear error."""
+    d = tmp_path / "words.txt"
+    d.write_text("中文\n中文分词\n分词\n引擎\n", encoding="utf-8")
+    df = engine.execute(f"""
+    select 'Spark中文分词引擎X测试' as content as t;
+    run t as TokenAnalysis.`` where segmenter="fmm"
+    and dict="{d}" as out;
+    select keywords from out as final;
+    """)
+    got = df.collect()[0]["keywords"]
+    # 中文分词 (len 4) beats 中文+分词; 引擎 in dict; 测/试 OOV singles
+    assert got == ["spark", "中文分词", "引擎", "x", "测", "试"], got
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="dict="):
+        engine.execute("""
+        select 'x' as content as t2;
+        run t2 as TokenAnalysis.`` where segmenter="fmm" as bad;
+        """)
