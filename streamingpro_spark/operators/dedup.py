@@ -843,10 +843,8 @@ class SemDeDup(ETAlgorithm):
         df = ensure_parallelism(df)
         base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
 
-        def _l2(M):
-            n = np.linalg.norm(M, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            return M / n
+        from streamingpro_spark.operators.similarity import (l2_rows,
+                                                             lloyd_spherical)
 
         # spherical k-means on a bounded driver sample (IVF recipe)
         sample_rows = base.select("__v").limit(sample_n).collect()
@@ -856,20 +854,10 @@ class SemDeDup(ETAlgorithm):
             # pairs, not a numpy axis error on a 1-D empty array
             return df.sparkSession.createDataFrame(
                 [], f"id_a {id_t}, id_b {id_t}, cosine double, cell int")
-        sample = _l2(np.array([list(r[0]) for r in sample_rows],
-                              dtype=float))
+        sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
+                                  dtype=float))
         nlist = max(1, min(nlist, len(sample)))
-        rng = np.random.RandomState(seed)
-        cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
-        for _ in range(iters):
-            assign = (sample @ cent.T).argmax(axis=1)
-            for c in range(nlist):
-                members = sample[assign == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    nn = np.linalg.norm(m)
-                    if nn > 0:
-                        cent[c] = m / nn
+        cent = lloyd_spherical(sample, nlist, iters, seed)
         bc = df.sparkSession.sparkContext.broadcast(cent)
 
         def assign_cells(batches):

@@ -131,6 +131,34 @@ def pair_dot_udf():
     return _pair_dot_udf
 
 
+def l2_rows(M):
+    """Row-L2-normalize a (n, d) numpy matrix; zero rows pass through."""
+    import numpy as np
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def lloyd_spherical(sample, nlist: int, iters: int, seed: int):
+    """Spherical k-means on an L2-normalized driver-side sample:
+    deterministic seeded init, cosine (dot) assignment, re-normalized
+    mean update.  Shared by IVFSimilaritySearch (inline training) and
+    IVFIndexBuild (persisted index)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
 def norm_col(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -387,10 +415,7 @@ class IVFSimilaritySearch(ETAlgorithm):
         base = df.select(F.col(id_col).alias("__id"),
                          F.col(col).alias("__v"))
 
-        def _l2(M):
-            n = np.linalg.norm(M, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            return M / n
+        _l2 = l2_rows
 
         # --- index: load persisted centroids when the path has them ---
         # (100 TB posture: train the index ONCE, reuse across query
@@ -419,17 +444,7 @@ class IVFSimilaritySearch(ETAlgorithm):
                                   dtype=float))
             nlist = min(nlist, len(sample))
             nprobe = min(nprobe, nlist)
-            rng = np.random.RandomState(seed)
-            cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
-            for _ in range(iters):
-                assign = (sample @ cent.T).argmax(axis=1)
-                for c in range(nlist):
-                    members = sample[assign == c]
-                    if len(members):
-                        m = members.sum(axis=0)
-                        n = np.linalg.norm(m)
-                        if n > 0:
-                            cent[c] = m / n
+            cent = lloyd_spherical(sample, nlist, iters, seed)
             if cent_file:
                 _os.makedirs(path, exist_ok=True)
                 with open(cent_file, "w") as fh:
@@ -564,22 +579,10 @@ class IVFIndexBuild(ETAlgorithm):
         sample_rows = base.select(col).limit(sample_n).collect()
         if not sample_rows:
             raise ValueError("IVFIndexBuild: empty corpus")
-        sample = np.array([list(r[0]) for r in sample_rows], dtype=float)
-        nn = np.linalg.norm(sample, axis=1, keepdims=True)
-        nn[nn == 0] = 1.0
-        sample = sample / nn
+        sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
+                                  dtype=float))
         nlist = min(nlist, len(sample))
-        rng = np.random.RandomState(seed)
-        cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
-        for _ in range(iters):
-            assign = (sample @ cent.T).argmax(axis=1)
-            for c in range(nlist):
-                members = sample[assign == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    n = np.linalg.norm(m)
-                    if n > 0:
-                        cent[c] = m / n
+        cent = lloyd_spherical(sample, nlist, iters, seed)
 
         bc = df.sparkSession.sparkContext.broadcast(cent)
         out_schema = T.StructType(df.schema.fields

@@ -839,12 +839,11 @@ def test_versioned_parquet_truncated_manifest_self_heals(engine, tmp_path):
 
 
 def test_versioned_parquet_commit_lock(engine, tmp_path, spark):
-    """Commit-race guard: the manifest append is serialized by an
-    O_EXCL lockfile — a held lock fails fast with a rendered error, a
-    stale lock (crashed writer) is broken, and concurrent same-session
-    committers never double-list a version."""
+    """Commit-race guard: the whole save is serialized by a kernel
+    flock — a held lock fails fast with a rendered error, a crashed
+    writer's lock releases with its process, and concurrent committers
+    never double-list a version."""
     import os
-    import time as _time
     from streamingpro_spark.sources import versioned
 
     lake = tmp_path / "lake"
