@@ -1346,6 +1346,42 @@ def _q_versioned_parquet(spark, sf_dir):
     """)
 
 
+def _q_warc_parse(spark, sf_dir):
+    """WARC source (sources/registry.py `warc` loader): documents
+    serialized into a REAL gzipped member-per-record WARC file (the
+    Common Crawl layout, functions/warc.py), loaded back through
+    `load warc.` — the oracle predicts every header field from the
+    documents table, so a hash match proves the container round trip,
+    not stub arithmetic."""
+    import os
+    import tempfile
+    from streamingpro_spark.functions.warc import make_warc_encoder
+    eng = _engine(spark)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter("text is not null").collect())
+    recs = [("conversion", f"http://corpus.local/{r['doc_id']}",
+             "2026-01-01T00:00:00Z", r["text"].encode("utf-8"))
+            for r in docs]
+    tmp = tempfile.mkdtemp(prefix="spk_warc_")
+    with open(os.path.join(tmp, "corpus.warc.gz"), "wb") as fh:
+        fh.write(make_warc_encoder()(recs, gzip_compress=True))
+    return eng.execute(f"""
+    load warc.`{tmp}/corpus.warc.gz` as pages;
+    select target_uri, record_type, content_length, text from pages
+    as output;
+    """)
+
+
+_WARC_PARSE_ORACLE = """
+SELECT 'http://corpus.local/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       'conversion' AS record_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _q_bloom_dedup(spark, sf_dir):
     """BloomFilterDedup filter mode (operators/dedup.py): incremental
     dedup of an 'increment' slice of documents against a 'history'
@@ -2882,6 +2918,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "versioned_parquet_tt": _q_versioned_parquet,
         "bloom_dedup": _q_bloom_dedup,
+        "warc_parse": _q_warc_parse,
         # custom stateful streaming, replayed and hash-checked vs batch
         "stateful_count_stream": _q_stateful_count_stream,
         "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
@@ -2993,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_pairs": _IMAGE_DEDUP_PAIRS_ORACLE,
         "image_resize": _IMAGE_RESIZE_ORACLE,
         "bloom_dedup": _BLOOM_DEDUP_ORACLE,
+        "warc_parse": _WARC_PARSE_ORACLE,
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
         "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,

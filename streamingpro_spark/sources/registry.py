@@ -208,6 +208,49 @@ def _load_stream_parquet(ctx, path, options):
     return df
 
 
+@register_loader("warc")
+def _load_warc(ctx, path, options):
+    """WARC/WET source (ISO 28500 — the Common Crawl container):
+    `load warc.`crawl/*.warc[.gz]` as pages` → one row per record
+    (path, record_type, target_uri, warc_date, content_length,
+    content bytes, text).  Plain and member-per-record gzip streams
+    both parse; `recordType` filters (e.g. "conversion" for WET).
+    Scale: binaryFile scan (one task per file — WARC files are the
+    ~1 GB parallelism unit of a crawl) + a map-only Arrow split; no
+    shuffle."""
+    from pyspark.sql import types as T
+    from streamingpro_spark.functions.warc import make_warc_record_parser
+    parse = make_warc_record_parser()     # nested fn → by-value pickling
+    want_type = options.get("recordType")
+    real = ctx.resource_real_path(path)
+    files = ctx.spark.read.format("binaryFile").load(real)
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def split(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                for r in parse(c):
+                    if want_type and r["record_type"] != want_type:
+                        continue
+                    rows.append((p, r["record_type"], r["target_uri"],
+                                 r["warc_date"], r["content_length"],
+                                 r["content"],
+                                 r["content"].decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return files.select("path", "content").mapInPandas(split, out_schema)
+
+
 @register_loader("hive")
 def _load_hive(ctx, path, options):
     return ctx.spark.table(path)

@@ -1,0 +1,63 @@
+"""WARC source (ISO 28500): encode → engine load round trip, gzip
+multi-member streams, record-type filtering, malformed tolerance."""
+
+import pytest
+
+
+def _records(n):
+    return [("response" if i % 2 == 0 else "conversion",
+             f"http://example.org/page{i}",
+             f"2026-01-0{i % 9 + 1}T00:00:00Z",
+             f"payload text {i} with unicode ✓".encode())
+            for i in range(n)]
+
+
+def test_warc_round_trip_plain_and_gzip(engine, tmp_path):
+    from streamingpro_spark.functions.warc import (make_warc_encoder,
+                                                   make_warc_record_parser)
+    enc, parse = make_warc_encoder(), make_warc_record_parser()
+    recs = _records(6)
+    (tmp_path / "a.warc").write_bytes(enc(recs))
+    (tmp_path / "b.warc.gz").write_bytes(enc(recs, gzip_compress=True))
+    # unit: parser returns every record with exact payloads, both forms
+    for name in ("a.warc", "b.warc.gz"):
+        got = parse((tmp_path / name).read_bytes())
+        assert [r["target_uri"] for r in got] == \
+            [u for _, u, _, _ in recs]
+        assert [bytes(r["content"]) for r in got] == \
+            [p for _, _, _, p in recs]
+    # engine: one row per record across BOTH files
+    df = engine.execute(f"""
+    load warc.`{tmp_path}/*` as pages;
+    select record_type, target_uri, content_length, text from pages
+    as out;
+    """)
+    rows = sorted((r["target_uri"], r["record_type"], r["text"])
+                  for r in df.collect())
+    assert len(rows) == 12                      # 6 records x 2 files
+    assert rows[0][0] == "http://example.org/page0"
+    assert "payload text 0" in rows[0][2]
+    # recordType filter: WET-style conversion records only
+    df2 = engine.execute(f"""
+    load warc.`{tmp_path}/a.warc` where recordType="conversion" as wet;
+    select target_uri from wet as out2;
+    """)
+    assert sorted(r["target_uri"] for r in df2.collect()) == \
+        [f"http://example.org/page{i}" for i in (1, 3, 5)]
+
+
+def test_warc_malformed_tolerance(engine, tmp_path):
+    from streamingpro_spark.functions.warc import (make_warc_encoder,
+                                                   make_warc_record_parser)
+    enc, parse = make_warc_encoder(), make_warc_record_parser()
+    good = enc(_records(2))
+    # garbage between records, a bogus Content-Length header, and a
+    # truncated trailer must not raise or mis-slice the good records
+    noisy = b"junk-bytes" + good + \
+        b"WARC/1.0\r\nContent-Length: zap\r\n\r\n" + \
+        enc(_records(1)) + \
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    got = parse(noisy)
+    assert len(got) == 3
+    assert parse(None) == []
+    assert parse(b"\x1f\x8bnot really gzip") == []
