@@ -300,6 +300,12 @@ class MinHashDedup(ETAlgorithm):
     shingle-Jaccard ≥ threshold.  Plan: per-row signature (codegen) →
     explode b bands → groupBy (band, hash) buckets → within-bucket pairs
     → exact verify.  No cross join at any point.
+
+    `refTable` switches to INCREMENTAL mode (the daily-ingest shape,
+    BloomFilterDedup's near-dup sibling): candidates are new×ref bucket
+    collisions only — the input batch never self-joins, and the history
+    never joins itself; doc_a is always the input's id, doc_b the
+    ref's.  Signatures/bands/skew guard are identical on both sides.
     """
 
     def train(self, df, path, params, context=None):
@@ -312,52 +318,73 @@ class MinHashDedup(ETAlgorithm):
         max_bucket = get_int(params, "maxBucketSize", 1000)
         impl = hash_impl(params)
         r = k // bands
+        ref_name = params.get("refTable", "")
+        ref_df = (ensure_parallelism(df.sparkSession.table(ref_name))
+                  if ref_name else None)
         df = ensure_parallelism(df)
 
-        # ONE pass computes the signature (the hash work) and explodes the
-        # band structs — a unionAll of per-band selects would rescan and
-        # recompute the signature once per band (observed 7× in bench)
-        sig = minhash_signature_df(df, id_col, col, k, n, impl)
-        band_struct = F.array(*[
-            F.struct(
-                F.lit(b).alias("__band"),
-                portable_hash64(
-                    F.concat_ws("_", *[F.col("__mh")[b * r + j].cast("string")
-                                       for j in range(r)]),
-                    f"band{b}", impl).alias("__bh"))
-            for b in range(bands)])
         from pyspark.sql import Window
-        # skew guard as a window count over (band, bh): one shuffle that
-        # ALSO establishes the partitioning the self-join needs — vs the
-        # previous groupBy-count + rejoin (two extra stages, measured
-        # ~2× end-to-end wall on the bench query)
-        guard_w = Window.partitionBy("__band", "__bh")
-        bounded = script_cache(
-            sig.select("__id", F.explode(band_struct).alias("__e"))
-               .select("__id", F.col("__e.__band").alias("__band"),
-                       F.col("__e.__bh").alias("__bh"))
-               .withColumn("__n", F.count(F.lit(1)).over(guard_w))
-               .filter(F.col("__n") <= max_bucket).drop("__n"),
-            context, "minhash_buckets")
-        bounded.count()  # materialize once before the self-join fans out
 
-        a = bounded.alias("a")
-        b_ = bounded.alias("b")
-        pairs = (a.join(b_, (F.col("a.__band") == F.col("b.__band"))
-                        & (F.col("a.__bh") == F.col("b.__bh"))
-                        & (F.col("a.__id") < F.col("b.__id")))
-                 .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        def bounded_bands(src, cache_key):
+            # ONE pass computes the signature (the hash work) and
+            # explodes the band structs — a unionAll of per-band selects
+            # would rescan and recompute the signature once per band
+            # (observed 7× in bench).  The skew guard is a window count
+            # over (band, bh): one shuffle that ALSO establishes the
+            # partitioning the bucket join needs — vs a groupBy-count +
+            # rejoin (two extra stages, measured ~2× end-to-end wall).
+            sig = minhash_signature_df(src, id_col, col, k, n, impl)
+            band_struct = F.array(*[
+                F.struct(
+                    F.lit(b).alias("__band"),
+                    portable_hash64(
+                        F.concat_ws("_", *[F.col("__mh")[b * r + j]
+                                           .cast("string")
+                                           for j in range(r)]),
+                        f"band{b}", impl).alias("__bh"))
+                for b in range(bands)])
+            guard_w = Window.partitionBy("__band", "__bh")
+            out = script_cache(
+                sig.select("__id", F.explode(band_struct).alias("__e"))
+                   .select("__id", F.col("__e.__band").alias("__band"),
+                           F.col("__e.__bh").alias("__bh"))
+                   .withColumn("__n", F.count(F.lit(1)).over(guard_w))
+                   .filter(F.col("__n") <= max_bucket).drop("__n"),
+                context, cache_key)
+            out.count()   # materialize once before the join fans out
+            return out
+
+        bounded = bounded_bands(df, "minhash_buckets")
+        caches = [bounded]
+        if ref_df is None:
+            a, b_ = bounded.alias("a"), bounded.alias("b")
+            cond = ((F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__bh") == F.col("b.__bh"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+        else:
+            ref_bounded = bounded_bands(ref_df, "minhash_ref_buckets")
+            caches.append(ref_bounded)
+            a, b_ = bounded.alias("a"), ref_bounded.alias("b")
+            cond = ((F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__bh") == F.col("b.__bh")))
+        pairs = (a.join(b_, cond)
+                 .select(F.col("a.__id").alias("doc_a"),
+                         F.col("b.__id").alias("doc_b"))
                  .distinct())
 
         # shingle arrays for the verify stage: recomputed from text (cheap —
         # split/slice, no md5) instead of caching big arrays
-        sh = df.select(F.col(id_col).alias("__id"),
-                       shingles_col(F.col(col), n).alias("__sh"))
+        def shingle_side(src):
+            return src.select(F.col(id_col).alias("__id"),
+                              shingles_col(F.col(col), n).alias("__sh"))
+
+        sh_a = shingle_side(df)
+        sh_b = shingle_side(ref_df if ref_df is not None else df)
         verified = (pairs
-                    .join(sh.select(F.col("__id").alias("doc_a"),
-                                    F.col("__sh").alias("__sha")), "doc_a")
-                    .join(sh.select(F.col("__id").alias("doc_b"),
-                                    F.col("__sh").alias("__shb")), "doc_b")
+                    .join(sh_a.select(F.col("__id").alias("doc_a"),
+                                      F.col("__sh").alias("__sha")), "doc_a")
+                    .join(sh_b.select(F.col("__id").alias("doc_b"),
+                                      F.col("__sh").alias("__shb")), "doc_b")
                     .withColumn("__inter",
                                 F.size(F.array_intersect("__sha", "__shb")))
                     .withColumn("jaccard",
@@ -370,7 +397,8 @@ class MinHashDedup(ETAlgorithm):
         # the bucket cache now instead of at script end
         mat = eager_materialize(verified, params, context)
         if mat is not verified:
-            bounded.unpersist()
+            for c in caches:
+                c.unpersist()
         return mat
 
     def explain_params(self):
@@ -381,6 +409,8 @@ class MinHashDedup(ETAlgorithm):
                 ("numBands", "LSH bands", "4"),
                 ("threshold", "exact-Jaccard verify threshold", "0.8"),
                 ("maxBucketSize", "skew guard: drop larger buckets", "1000"),
+                ("refTable", "incremental mode: pairs are input x ref "
+                 "only (no self-join)", ""),
                 ("eagerCache", "materialize output, free bucket cache", "true"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
