@@ -57,9 +57,15 @@ def portable_hash64(col: Column, seed: int | str = 0,
     DuckDB: CAST(CONCAT('0x', substr(md5(seed||':'||s),1,15)) AS BIGINT).
     impl="xxhash64" is the production path — one JVM hash pass, no hex
     decode — pmod'ed into the same [0, 2^60) range so downstream bit
-    and band arithmetic behaves identically."""
+    and band arithmetic behaves identically.  Null input hashes to NULL
+    under BOTH impls: md5(concat) null-propagates naturally, but Spark's
+    xxhash64 SKIPS null arguments (hashing just the seed literal to a
+    non-null constant), so the xxhash64 branch needs an explicit guard —
+    otherwise null-key rows silently change behavior between impls
+    (e.g. a NULL < gate filter drops them under md5 but not xxhash64)."""
     if impl == "xxhash64":
-        return F.pmod(F.xxhash64(F.lit(f"{seed}:"), col), F.lit(1 << 60))
+        return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+            F.pmod(F.xxhash64(F.lit(f"{seed}:"), col), F.lit(1 << 60)))
     payload = F.concat(F.lit(f"{seed}:"), col)
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
@@ -230,6 +236,22 @@ class BloomFilterDedup(ETAlgorithm):
         m = max(64, int(math.ceil(-n_exp * math.log(fpp)
                                   / (math.log(2) ** 2))))
         m -= m % 64                       # whole words
+        # fail fast on an unbroadcastable bitmap: Spark's hard broadcast
+        # ceiling is 8 GB, and a several-GB task-side buffer is a memory
+        # hazard well before that.  Default cap 2^35 bits = 4 GB
+        # (~2.9e9 items at fpp=0.01).  Failing here beats an OOM deep in
+        # the probe stage.
+        max_bits = get_int(params, "maxBits", 1 << 35)
+        if m > max_bits:
+            raise ValueError(
+                f"BloomFilterDedup: derived bitmap of {m} bits "
+                f"({m // (8 << 20)} MiB) exceeds maxBits={max_bits} "
+                f"({max_bits // (8 << 20)} MiB) — too large to broadcast "
+                f"safely (Spark's hard limit is 8 GB).  Remedies: raise "
+                f"fpp (m scales with -ln fpp), shard the reference and "
+                f"run per shard, use an exact left_anti join instead, or "
+                f"raise maxBits explicitly if you know the cluster can "
+                f"take it.")
         k = get_int(params, "numHashes", 0) \
             or max(1, round(m / n_exp * math.log(2)))
 
@@ -273,12 +295,17 @@ class BloomFilterDedup(ETAlgorithm):
         if mode == "annotate":
             return ann
         # verify: only bloom-positive rows touch the ref; confirmed
-        # keys anti-join out (dup_keys is true-dup-sized → broadcast)
+        # keys anti-join out.  No forced broadcast: dup_keys is
+        # true-dup-sized, and on a RE-ingested increment (the shape this
+        # operator targets) that is nearly the whole batch — an explicit
+        # F.broadcast would then ship an input-sized table to every
+        # executor.  AQE sizes the join at runtime (broadcast when small,
+        # shuffle when not).
         cand = ann.filter(F.col("might_dup")).select(col).distinct()
         dup_keys = cand.join(
             ref_nn.select(F.col(rcol).alias(col)).distinct(),
             [col], "left_semi")
-        return df.join(F.broadcast(dup_keys), [col], "left_anti")
+        return df.join(dup_keys, [col], "left_anti")
 
     def explain_params(self):
         return [("refTable", "corpus view to dedup against (required)", ""),
@@ -289,7 +316,9 @@ class BloomFilterDedup(ETAlgorithm):
                 ("expectedItems", "ref cardinality for sizing "
                  "(0 = count the ref)", "0"),
                 ("fpp", "target false-positive rate", "0.01"),
-                ("numHashes", "override k (default from m/n)", "-")]
+                ("numHashes", "override k (default from m/n)", "-"),
+                ("maxBits", "fail-fast cap on the bitmap size",
+                 str(1 << 35))]
 
 
 @register_et("MinHashDedup")

@@ -425,6 +425,23 @@ class IVFSimilaritySearch(ETAlgorithm):
         import os as _os
         cent = None
         cent_file = _os.path.join(path, "centroids.json") if path else None
+        # retrain against a persisted IVFIndexBuild corpus is a rendered
+        # error, not a silent recall bug: retrain would overwrite
+        # centroids.json while <path>/corpus stays partitioned by cells
+        # assigned under the OLD centroids — every later partition-pruned
+        # search (this one and all subsequent useIndex=true calls) would
+        # then prune by a layout that disagrees with the stored one,
+        # silently dropping true neighbors.
+        if get_bool(params, "retrain", False) and path \
+                and _os.path.isdir(_os.path.join(path, "corpus")):
+            raise ValueError(
+                f"IVFSimilaritySearch: retrain=\"true\" on {path!r} which "
+                f"holds a persisted IVFIndexBuild corpus — retraining "
+                f"would overwrite centroids.json while the corpus stays "
+                f"partitioned under the old centroids, corrupting every "
+                f"partition-pruned search.  Rebuild the whole index with "
+                f"IVFIndexBuild (re-clusters AND rewrites the corpus), "
+                f"or point retrain at a path without a corpus dir.")
         if cent_file and _os.path.exists(cent_file) \
                 and not get_bool(params, "retrain", False):
             with open(cent_file) as fh:
@@ -536,7 +553,9 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("nprobe", "cells probed per query (recall knob)", "2"),
                 ("trainSample", "driver-side k-means sample rows", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
-                ("retrain", "rebuild persisted centroids at path", "false"),
+                ("retrain", "rebuild persisted centroids at path (rendered "
+                 "error if <path>/corpus exists — use IVFIndexBuild)",
+                 "false"),
                 ("useIndex", "read the IVFIndexBuild corpus at "
                  "<path>/corpus, partition-pruned to probed cells",
                  "true"),

@@ -97,41 +97,75 @@ def _post_load(ctx: "ExecutionContext", df: "DataFrame",
     return df
 
 
-_NANOS_CACHE: dict[str, list[str]] = {}
+_NANOS_CACHE: dict[tuple[str, bool], list[str]] = {}
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+def _ns_int64_cols_of(pf_schema) -> set[str]:
+    """Columns of one parquet footer stored as INT64 TIMESTAMP(NANOS).
+    Physical INT64 excludes INT96 (Spark's default writer output, read
+    natively — the long-div shim would corrupt it); the logical-type
+    check excludes micro/millis INT64 timestamps."""
+    out: set[str] = set()
+    for i in range(len(pf_schema)):
+        c = pf_schema.column(i)
+        lt = c.logical_type
+        if (c.physical_type == "INT64" and lt is not None
+                and lt.type == "TIMESTAMP"
+                and "timeUnit=nanoseconds" in str(lt)):
+            out.add(c.name)
+    return out
+
+
+def _nanos_timestamp_cols(path: str, merge_schema: bool = False) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them
     (PARQUET_TYPE_ILLEGAL) while other engines read them fine; we read
     them as long and convert (footer inspection via pyarrow, driver-side,
-    cached per path)."""
-    if path in _NANOS_CACHE:
-        return _NANOS_CACHE[path]
+    cached per (path, mergeSchema)).
+
+    Scope mirrors what Spark itself will read: without mergeSchema,
+    Spark takes the schema of a single file, so candidates come from
+    the dataset's first-fragment schema and are resolved against
+    footers until each is seen (early exit — one footer in the common
+    single-schema case).  With mergeSchema="true" Spark unions every
+    footer, so a nanos column may first appear in ANY file — every
+    footer is inspected (metadata-only reads, thread-pooled; the user
+    already accepted all-footer cost by asking for mergeSchema)."""
+    key = (path, merge_schema)
+    if key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
     try:
         import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
         import pyarrow.types as pat
         dataset = ds.dataset(path, format="parquet")
-        cols = [f.name for f in dataset.schema
-                if pat.is_timestamp(f.type) and f.type.unit == "ns"]
-        if cols:
-            # pyarrow ALSO surfaces INT96 timestamps (Spark's default
-            # parquet writer output) as ns — but Spark reads INT96
-            # natively, and the long-div conversion would break on it.
-            # Only true INT64 TIMESTAMP(NANOS) columns need the shim.
-            # Sample several files (not just the first): with schema
-            # evolution the first-listed file may predate the column,
-            # and a first-file-only decision would mis-handle the rest.
-            import pyarrow.parquet as pq
-            int64_cols: set[str] = set()
-            for f in list(dataset.files)[:8]:
-                meta = pq.ParquetFile(f).metadata.schema
-                for i in range(meta.num_columns):
-                    if meta.column(i).physical_type == "INT64":
-                        int64_cols.add(meta.column(i).name)
-            cols = [c for c in cols if c in int64_cols]
+        files = list(dataset.files)
+        if merge_schema:
+            from concurrent.futures import ThreadPoolExecutor
+            if files:
+                with ThreadPoolExecutor(min(32, len(files))) as ex:
+                    sets = list(ex.map(
+                        lambda f: _ns_int64_cols_of(
+                            pq.ParquetFile(f).metadata.schema), files))
+                cols = sorted(set().union(*sets))
+            else:
+                cols = []
+        else:
+            pending = {f.name for f in dataset.schema
+                       if pat.is_timestamp(f.type) and f.type.unit == "ns"}
+            resolved: set[str] = set()
+            for f in files:
+                if not pending:
+                    break
+                pfs = pq.ParquetFile(f).metadata.schema
+                ns64 = _ns_int64_cols_of(pfs)
+                for name in set(pfs.names) & pending:
+                    pending.discard(name)
+                    if name in ns64:
+                        resolved.add(name)
+            cols = sorted(resolved)
     except Exception:
         cols = []
-    _NANOS_CACHE[path] = cols
+    _NANOS_CACHE[key] = cols
     return cols
 
 
@@ -139,7 +173,8 @@ def _load_file(ctx: "ExecutionContext", fmt: str, path: str,
                options: dict[str, str]) -> "DataFrame":
     real = ctx.resource_real_path(path)
     if fmt == "parquet" and not ctx.is_stream():
-        ns_cols = _nanos_timestamp_cols(real)
+        ns_cols = _nanos_timestamp_cols(
+            real, options.get("mergeSchema", "").lower() == "true")
         if ns_cols:
             ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = ctx.spark.read.options(**_spark_opts(options)).parquet(real)
@@ -189,7 +224,8 @@ def _parse_schema_opt(spec: str):
 @register_loader("streamParquet")
 def _load_stream_parquet(ctx, path, options):
     real = ctx.resource_real_path(path)
-    ns_cols = _nanos_timestamp_cols(real)
+    ns_cols = _nanos_timestamp_cols(
+        real, options.get("mergeSchema", "").lower() == "true")
     if ns_cols:
         ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = ctx.spark.read.parquet(real).schema

@@ -1101,6 +1101,25 @@ def test_ivf_index_build_partition_pruned_search(engine, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan, plan
 
 
+def test_ivf_retrain_with_persisted_corpus_is_error(engine, sf_dir,
+                                                    tmp_path):
+    """retrain="true" against a path holding an IVFIndexBuild corpus is
+    a rendered error: retraining would overwrite centroids.json while
+    the corpus stays partitioned under the OLD centroids, silently
+    corrupting every later partition-pruned search (ADVICE r5 medium)."""
+    import pytest as _pytest
+    path = tmp_path / "ivf_poison"
+    engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as IVFIndexBuild.`{path}` where nlist="4" as built;
+    """)
+    with _pytest.raises(Exception, match="IVFIndexBuild"):
+        engine.execute(f"""
+        run emb as IVFSimilaritySearch.`{path}` where k="3"
+        and retrain="true" and queryFilter="vec_id < 5" as bad;
+        """)
+
+
 def test_et_registry_covers_reference_list():
     """Registry diff vs the reference's ET name registry
     (TrainAdaptor.scala:124-168 MLMapping + ETRegister.scala:25-48):

@@ -614,6 +614,55 @@ def test_int96_parquet_loads_clean(engine, spark, tmp_path):
         q.stop()
 
 
+def test_nanos_col_appearing_in_late_file(engine, tmp_path):
+    """Schema evolution: a TIMESTAMP(NANOS) column that first appears in
+    the 10th file of a dataset must still be detected — the detection
+    scans footers until every ns candidate is resolved, not a fixed
+    first-8 sample (ADVICE r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "ns_evo"
+    src.mkdir()
+    for i in range(9):
+        pq.write_table(pa.table({"k": pa.array([i], type=pa.int64())}),
+                       str(src / f"f{i}.parquet"))
+    ns = pa.table({
+        "k": pa.array([9], type=pa.int64()),
+        "ts": pa.array([1700000000_000000000 + 9], type=pa.timestamp("ns")),
+    })
+    pq.write_table(ns, str(src / "f9.parquet"),
+                   coerce_timestamps=None, allow_truncated_timestamps=False)
+    df = engine.execute(f"""
+    load parquet.`{src}` where mergeSchema="true" as nsevo;
+    select k, unix_timestamp(ts) as tss from nsevo where ts is not null
+    as out_nsevo;
+    """)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 9
+    assert rows[0]["tss"] == 1700000000
+
+
+def test_int64_nanos_parquet_loads_clean(engine, tmp_path):
+    """The plain (no-mergeSchema) INT64 TIMESTAMP(NANOS) path: detection
+    must fire from the first-fragment schema + footer physical-type
+    check, and the long-div shim must produce correct timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "ns_plain"
+    src.mkdir()
+    vals = [1700000000_000000000 + i * 1_000_000_000 for i in range(5)]
+    pq.write_table(pa.table({
+        "k": pa.array(list(range(5)), type=pa.int64()),
+        "ts": pa.array(vals, type=pa.timestamp("ns")),
+    }), str(src / "f0.parquet"))
+    df = engine.execute(f"""
+    load parquet.`{src}` as nsp;
+    select k, unix_timestamp(ts) as tss from nsp as out_nsp;
+    """)
+    got = {r["k"]: r["tss"] for r in df.collect()}
+    assert got == {i: 1700000000 + i for i in range(5)}
+
+
 def test_multimodal_op_on_stream(engine, spark, tmp_path):
     """The mapInPandas multimodal ops must keep working on STREAMING
     inputs — ensure_parallelism passes streams through (.rdd is illegal
