@@ -468,6 +468,30 @@ def _q_ivf_index_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_index_append(spark, sf_dir):
+    """Incremental IVF ingest (operators/similarity.py IVFIndexBuild
+    append="true"): build the index on half the corpus, append the
+    other half against the FROZEN centroids (no re-cluster, only the
+    increment is written), then search at nprobe=nlist — every cell
+    read, both generations visible, so the result is exact over the
+    full corpus and shares the brute-force oracle."""
+    import tempfile
+    eng = _engine(spark)
+    idx = tempfile.mkdtemp(prefix="spk_ivfapp_") + "/idx"
+    eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    select * from embeddings where vec_id % 2 = 0 as ivf_gen1;
+    select * from embeddings where vec_id % 2 = 1 as ivf_gen2;
+    run ivf_gen1 as IVFIndexBuild.`{idx}` where nlist="8" as built_a;
+    run ivf_gen2 as IVFIndexBuild.`{idx}` where append="true" as built_b;
+    """)
+    return eng.execute(f"""
+    select * from embeddings where vec_id < 20 as ivf_aq;
+    run ivf_aq as IVFSimilaritySearch.`{idx}` where k="5"
+        and nprobe="8" as output;
+    """)
+
+
 _EMBEDDING_TOPK_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2886,6 +2910,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_index_append": _q_ivf_index_append,
         # LLM-pipeline: text analysis
         "language_id": _q_language_id,
         "quality_score": _q_quality,
@@ -3003,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_index_topk": _EMBEDDING_TOPK_ORACLE,
+        "ivf_index_append": _EMBEDDING_TOPK_ORACLE,
         "language_id": _language_id_oracle(),
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,

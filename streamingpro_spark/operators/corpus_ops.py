@@ -50,11 +50,42 @@ class TokenAnalysis(ETAlgorithm):
     """Tokenize a text column into an array<string> column
     (reference: SQLTokenAnalysis.scala:54-162).  `useJieba=true` switches
     to jieba segmentation (pandas UDF, Arrow-batched) when the library is
-    installed."""
+    installed.
+
+    POS natures (reference parity): `ignoreNature="false"` emits
+    `word/nature` strings — exactly the reference's format — and
+    `filterNatures="n,v"` keeps only those natures;
+    `deduplicateResult="true"` drops repeats (first occurrence kept).
+    Natures need a tagged model: jieba's posseg when installed, or
+    `segmenter="fmm"` with a TAG-ANNOTATED dict (jieba dict format:
+    `word [freq] tag` per line; dict words without a tag are `n`,
+    latin runs `en`, out-of-dict CJK chars `x`).  The tagless
+    segmenters (regex/bigram) render a documented drop for nature
+    params — there is no vendorable CJK POS model (the reference
+    bundles Ansj's)."""
 
     def train(self, df, path, params, context=None):
         col = params.get("inputCol", "content")
         out = params.get("outputCol", "keywords")
+        ignore_nature = get_bool(params, "ignoreNature", True)
+        filter_natures = frozenset(
+            s for s in params.get("filterNatures", "").split(",") if s)
+        needs_pos = (not ignore_nature) or filter_natures
+
+        def finish(res):
+            if get_bool(params, "deduplicateResult", False):
+                # array_distinct keeps first-occurrence order — the
+                # reference's HashSet pass does the same modulo order
+                res = res.withColumn(out, F.array_distinct(F.col(out)))
+            return res
+
+        no_pos_model = ValueError(
+            "TokenAnalysis: ignoreNature=\"false\"/filterNatures need a "
+            "POS-tagged model, and the regex/bigram segmenters have "
+            "none (the reference bundles Ansj's CJK model, which is "
+            "not vendorable here).  Use segmenter=\"fmm\" with a "
+            "tag-annotated dict (`word [freq] tag` per line, jieba "
+            "dict format), or install jieba (posseg).")
         if get_bool(params, "useJieba", False):
             try:
                 import jieba  # noqa: F401
@@ -62,16 +93,33 @@ class TokenAnalysis(ETAlgorithm):
                 # vendored fallback: dictionary-free CJK bigram
                 # segmentation, JVM-side (no silent install gate —
                 # round-3 verdict item #6)
-                return df.withColumn(out, _tokenize_col_cjk_bigram(col))
+                if needs_pos:
+                    raise no_pos_model from None
+                return finish(df.withColumn(
+                    out, _tokenize_col_cjk_bigram(col)))
             import pandas as pd
+            ign, nat = ignore_nature, filter_natures
 
             @F.pandas_udf("array<string>")
             def seg(s: pd.Series) -> pd.Series:
+                if nat or not ign:
+                    import jieba.posseg as pseg
+
+                    def one(t):
+                        pairs = [(w.word, w.flag) for w in pseg.cut(t or "")
+                                 if w.word.strip()]
+                        if nat:
+                            pairs = [p for p in pairs if p[1] in nat]
+                        return [w if ign else f"{w}/{g}" for w, g in pairs]
+                    return s.map(one)
                 import jieba
-                return s.map(lambda t: [w for w in jieba.cut(t or "") if w.strip()])
-            return df.withColumn(out, seg(F.col(col)))
+                return s.map(lambda t: [w for w in jieba.cut(t or "")
+                                        if w.strip()])
+            return finish(df.withColumn(out, seg(F.col(col))))
         if params.get("segmenter", "") == "bigram":
-            return df.withColumn(out, _tokenize_col_cjk_bigram(col))
+            if needs_pos:
+                raise no_pos_model
+            return finish(df.withColumn(out, _tokenize_col_cjk_bigram(col)))
         if params.get("segmenter", "") == "fmm":
             # dictionary-based forward-maximum-match: REAL word
             # segmentation for users who bring a word list (jieba's
@@ -82,45 +130,61 @@ class TokenAnalysis(ETAlgorithm):
             if not dict_path:
                 raise ValueError(
                     'segmenter="fmm" needs dict="<path>" — a text '
-                    "file with one dictionary word per line")
+                    "file with one dictionary word per line "
+                    "(optionally `word [freq] tag`)")
             real = (context.resource_real_path(dict_path)
                     if context else dict_path)
+            tags: dict[str, str] = {}
+            vocab: set[str] = set()
             with open(real, encoding="utf-8") as fh:
-                vocab = {w.strip() for w in fh if w.strip()}
+                for line in fh:
+                    fields = line.split()
+                    if not fields:
+                        continue
+                    vocab.add(fields[0])
+                    if len(fields) > 1 and not fields[-1].isdigit():
+                        tags[fields[0]] = fields[-1]
             if not vocab:
                 raise ValueError(f"fmm dict {dict_path} is empty")
             maxlen = max(len(w) for w in vocab)
-            bc = df.sparkSession.sparkContext.broadcast((vocab, maxlen))
+            bc = df.sparkSession.sparkContext.broadcast(
+                (vocab, maxlen, tags))
+            ign, nat = ignore_nature, filter_natures
 
             def _fmm_kernel(s):
                 import re as _re
-                words, ml = bc.value
+                words, ml, tagmap = bc.value
                 tok_re = _re.compile(r"[A-Za-z0-9_]+|[一-鿿]+")
 
                 def seg_one(t):
-                    toks = []
+                    pairs = []
                     for m in tok_re.finditer(t or ""):
                         run = m.group(0)
                         if run[0].isascii():
-                            toks.append(run.lower())
+                            pairs.append((run.lower(), "en"))
                             continue
                         i = 0
                         while i < len(run):
                             for ln in range(min(ml, len(run) - i),
                                             1, -1):
-                                if run[i:i + ln] in words:
-                                    toks.append(run[i:i + ln])
+                                w = run[i:i + ln]
+                                if w in words:
+                                    pairs.append((w, tagmap.get(w, "n")))
                                     i += ln
                                     break
                             else:
-                                toks.append(run[i])
+                                pairs.append((run[i], "x"))
                                 i += 1
-                    return toks
+                    if nat:
+                        pairs = [p for p in pairs if p[1] in nat]
+                    return [w if ign else f"{w}/{g}" for w, g in pairs]
                 return s.map(seg_one)
 
             seg_udf = F.pandas_udf(_fmm_kernel, "array<string>")
-            return df.withColumn(out, seg_udf(F.col(col)))
-        return df.withColumn(out, _tokenize_col(col))
+            return finish(df.withColumn(out, seg_udf(F.col(col))))
+        if needs_pos:
+            raise no_pos_model
+        return finish(df.withColumn(out, _tokenize_col(col)))
 
     def explain_params(self):
         return [("inputCol", "text column", "content"),
@@ -130,7 +194,13 @@ class TokenAnalysis(ETAlgorithm):
                 ("segmenter", "'' (regex unigram CJK) | bigram "
                  "(CJK bigram runs) | fmm (dictionary forward "
                  "maximum match, needs dict=)", ""),
-                ("dict", "word list file for segmenter=fmm", "")]
+                ("dict", "word list file for segmenter=fmm; lines "
+                 "`word [freq] [tag]` (jieba dict format)", ""),
+                ("ignoreNature", "false emits word/nature strings "
+                 "(needs fmm tagged dict or jieba)", "true"),
+                ("filterNatures", "comma natures to keep (needs a "
+                 "tagged model)", ""),
+                ("deduplicateResult", "drop repeated tokens", "false")]
 
 
 @register_et("TokenExtract")

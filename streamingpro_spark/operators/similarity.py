@@ -578,7 +578,15 @@ class IVFIndexBuild(ETAlgorithm):
     `run corpus as IVFIndexBuild.`/idx` where nlist="64"` then
     `run queries as IVFSimilaritySearch.`/idx` where nprobe="4"`.
     Column names (idCol/embeddingCol) must match between build and
-    search.  nprobe=nlist stays provably exact (every cell read)."""
+    search.  nprobe=nlist stays provably exact (every cell read).
+
+    `append="true"` is the daily-ingest path: assign the NEW rows to
+    the EXISTING centroids and append into the cell partitions — no
+    re-cluster, no rewrite of the historical corpus (at 100 TB a full
+    rebuild re-reads everything; an append touches only the increment).
+    Centroids stay fixed, so the partition layout remains consistent
+    and searches keep pruning correctly across generations; re-cluster
+    periodically with a full rebuild when drift degrades recall."""
 
     def train(self, df, path, params, context=None):
         import json as _json
@@ -593,15 +601,27 @@ class IVFIndexBuild(ETAlgorithm):
         seed = get_int(params, "seed", 42)
         iters = get_int(params, "kmeansIter", 5)
         sample_n = get_int(params, "trainSample", 10000)
+        append = get_bool(params, "append", False)
         base = ensure_parallelism(df)
 
-        sample_rows = base.select(col).limit(sample_n).collect()
-        if not sample_rows:
-            raise ValueError("IVFIndexBuild: empty corpus")
-        sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
-                                  dtype=float))
-        nlist = min(nlist, len(sample))
-        cent = lloyd_spherical(sample, nlist, iters, seed)
+        cent_file = _os.path.join(path, "centroids.json")
+        if append:
+            if not _os.path.exists(cent_file):
+                raise ValueError(
+                    f"IVFIndexBuild: append=\"true\" but no index at "
+                    f"{path!r} ({cent_file} missing) — build it first "
+                    f"with a plain IVFIndexBuild run")
+            with open(cent_file) as fh:
+                cent = np.array(_json.load(fh), dtype=float)
+            nlist = len(cent)
+        else:
+            sample_rows = base.select(col).limit(sample_n).collect()
+            if not sample_rows:
+                raise ValueError("IVFIndexBuild: empty corpus")
+            sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
+                                      dtype=float))
+            nlist = min(nlist, len(sample))
+            cent = lloyd_spherical(sample, nlist, iters, seed)
 
         bc = df.sparkSession.sparkContext.broadcast(cent)
         out_schema = T.StructType(df.schema.fields
@@ -622,11 +642,12 @@ class IVFIndexBuild(ETAlgorithm):
 
         corpus_dir = _os.path.join(path, "corpus")
         base.mapInPandas(assign_cells, out_schema) \
-            .write.mode("overwrite").partitionBy("cell") \
-            .parquet(corpus_dir)
-        _os.makedirs(path, exist_ok=True)
-        with open(_os.path.join(path, "centroids.json"), "w") as fh:
-            _json.dump(cent.tolist(), fh)
+            .write.mode("append" if append else "overwrite") \
+            .partitionBy("cell").parquet(corpus_dir)
+        if not append:
+            _os.makedirs(path, exist_ok=True)
+            with open(cent_file, "w") as fh:
+                _json.dump(cent.tolist(), fh)
         return df.sparkSession.createDataFrame(
             [(path, int(nlist), int(cent.shape[1]))],
             "path: string, nlist: int, dim: int")
@@ -636,4 +657,7 @@ class IVFIndexBuild(ETAlgorithm):
                 ("nlist", "number of IVF cells (centroids)", "16"),
                 ("trainSample", "driver-side k-means sample rows", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),
+                ("append", "assign rows to the EXISTING centroids and "
+                 "append into the cell partitions (incremental ingest; "
+                 "no re-cluster)", "false"),
                 ("seed", "centroid init seed", "42")]

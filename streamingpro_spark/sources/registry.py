@@ -253,11 +253,20 @@ def _load_warc(ctx, path, options):
     both parse; `recordType` filters (e.g. "conversion" for WET).
     Scale: binaryFile scan (one task per file — WARC files are the
     ~1 GB parallelism unit of a crawl) + a map-only Arrow split; no
-    shuffle."""
+    shuffle.  Records stream out of the task in BOUNDED pandas
+    batches (`maxRecordsPerBatch` rows / `maxBytesPerBatch` payload
+    bytes, whichever trips first) — a whole decoded archive (3-5x the
+    .gz size) never materializes as one batch, which also stays clear
+    of Arrow's 2 GB per-batch limits.  `textDecode="false"` skips the
+    decoded-str copy (text column null) for binary-consumer flows,
+    halving the per-record footprint when only `content` is needed."""
     from pyspark.sql import types as T
-    from streamingpro_spark.functions.warc import make_warc_record_parser
-    parse = make_warc_record_parser()     # nested fn → by-value pickling
+    from streamingpro_spark.functions.warc import make_warc_record_iter
+    rec_iter = make_warc_record_iter()    # nested fn → by-value pickling
     want_type = options.get("recordType")
+    text_decode = options.get("textDecode", "true").lower() != "false"
+    max_recs = int(options.get("maxRecordsPerBatch", "2000"))
+    max_bytes = int(options.get("maxBytesPerBatch", str(64 << 20)))
     real = ctx.resource_real_path(path)
     files = ctx.spark.read.format("binaryFile").load(real)
     out_schema = T.StructType([
@@ -269,20 +278,27 @@ def _load_warc(ctx, path, options):
         T.StructField("content", T.BinaryType()),
         T.StructField("text", T.StringType()),
     ])
+    cols = [f.name for f in out_schema]
 
     def split(batches):
         import pandas as pd
         for pdf in batches:
-            rows = []
             for p, c in zip(pdf["path"], pdf["content"]):
-                for r in parse(c):
+                rows, nbytes = [], 0
+                for r in rec_iter(c):
                     if want_type and r["record_type"] != want_type:
                         continue
+                    body = r["content"]
                     rows.append((p, r["record_type"], r["target_uri"],
-                                 r["warc_date"], r["content_length"],
-                                 r["content"],
-                                 r["content"].decode("utf-8", "replace")))
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+                                 r["warc_date"], r["content_length"], body,
+                                 body.decode("utf-8", "replace")
+                                 if text_decode else None))
+                    nbytes += len(body)
+                    if len(rows) >= max_recs or nbytes >= max_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(split, out_schema)
 

@@ -53,6 +53,59 @@ def _manifest(path: str) -> str:
     return os.path.join(path, "_commits.json")
 
 
+#: filesystem types where flock(2) is advisory per-NODE at best —
+#: a second driver on another machine would take its own "exclusive"
+#: lock and the single-writer commit protocol silently stops protecting
+#: anything (object-store FUSE mounts don't implement locking at all)
+_NETWORK_FS_TYPES = frozenset({
+    "nfs", "nfs4", "cifs", "smb", "smbfs", "smb2", "9p", "afs",
+    "glusterfs", "lustre", "ceph", "fuse.sshfs", "fuse.s3fs",
+    "fuse.gcsfuse", "fuse.goofys", "fuse.juicefs", "fuse.blobfuse2",
+})
+
+
+def _fs_type(path: str) -> str:
+    """Filesystem type of the mount holding `path` (longest-prefix
+    match over /proc/mounts; empty string when undeterminable, e.g.
+    non-Linux — the guard then stays permissive)."""
+    try:
+        best, best_type = "", ""
+        real = os.path.realpath(path)
+        with open("/proc/mounts") as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                mnt, typ = parts[1], parts[2]
+                # /proc/mounts octal-escapes spaces in mount points
+                mnt = mnt.replace("\\040", " ")
+                if (real == mnt or real.startswith(mnt.rstrip("/") + "/")) \
+                        and len(mnt) > len(best):
+                    best, best_type = mnt, typ
+        return best_type
+    except OSError:
+        return ""
+
+
+def _check_lockable_fs(real: str, options: dict[str, str] | None) -> None:
+    """Rendered fail-fast when the commit lock would be a no-op: flock
+    on a network/object-store mount does not serialize writers on
+    OTHER nodes, so the single-writer contract silently evaporates.
+    `assumeSingleWriter="true"` acknowledges external coordination
+    (one scheduler, one writer) and proceeds."""
+    if options and options.get("assumeSingleWriter", "").lower() == "true":
+        return
+    fstype = _fs_type(real)
+    if fstype in _NETWORK_FS_TYPES:
+        raise ValueError(
+            f"versionedParquet.`{real}` sits on a {fstype} mount, where "
+            f"the commit flock only serializes writers on THIS node — "
+            f"a writer on another machine could corrupt the commit log. "
+            f"Either coordinate writers externally and set "
+            f'assumeSingleWriter="true", or use a real multi-writer '
+            f"table format (Delta/Iceberg) on that storage.")
+
+
 class _CommitLock:
     """flock-based lock serializing the whole save (version pick, data
     write, manifest append).  Bounded wait, then a rendered fail-fast
@@ -130,6 +183,7 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
          batch_id: int | None = None, txn_id: str | None = None) -> None:
     real = ctx.resource_real_path(path)
     os.makedirs(real, exist_ok=True)
+    _check_lockable_fs(real, options)
     manifest = _manifest(real)
     # the WHOLE save runs under one kernel flock — version pick,
     # orphan clear, data write, manifest append.  Anything narrower
@@ -220,6 +274,7 @@ def vacuum(ctx: "ExecutionContext", path: str,
     in-progress dir.  Returns (orphans_removed, versions_removed)."""
     import shutil
     real = ctx.resource_real_path(path)
+    _check_lockable_fs(real, None)
     with _CommitLock(_manifest(real)):
         commits = read_commits(real)
         if not commits:

@@ -354,6 +354,43 @@ def test_macro_run_script(engine):
     assert engine.spark.table("rs_inner").collect()[0]["a"] == 1
 
 
+def test_macro_optional_named_tail_defaults_to_uuid(engine, sf_dir):
+    """Templates2 default placeholders ({-1:next(named,uuid())},
+    Templates2.scala:26-140): `!split`/`!runScript` WITHOUT the
+    optional `named <out>` tail auto-generate a uuid-named output
+    table (VERDICT r5 ask #4)."""
+    before = {v.name for v in engine.spark.catalog.listTables()}
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/orders.parquet` as ord_nt;
+    select o_orderkey, o_orderstatus from ord_nt limit 50 as small_nt;
+    !split small_nt by o_orderstatus rate 0.8,0.2;
+    """)
+    rows = df.collect()
+    assert len(rows) == 50 and {r["__split__"] for r in rows} == {0, 1}
+    new = {v.name for v in engine.spark.catalog.listTables()} - before \
+        - {"ord_nt", "small_nt"}
+    import re as _re
+    assert any(_re.fullmatch(r"u[0-9a-f]{31}", n) for n in new), new
+    # runScript without `named` also lands in a fresh uuid table
+    df2 = engine.execute("!runScript '''select 7 as b as rs_inner2;''';")
+    assert df2.collect()[0]["b"] == 7
+
+
+def test_templates2_default_placeholder_unit():
+    """The placeholder engine itself: literal defaults, uuid(),
+    next(key,fallback) with and without the key present."""
+    from streamingpro_spark.macros import _eval_default
+    args = ["a", "named", "out", "b"]
+    assert _eval_default("next(named,uuid())", args) == "out"
+    assert _eval_default("lit", args) == "lit"
+    got = _eval_default("next(missing,uuid())", args)
+    assert len(got) == 32 and got[0] == "u"
+    assert got != _eval_default("next(missing,uuid())", args)
+    assert _eval_default("next(missing,fallback)", args) == "fallback"
+    # key present but LAST (no following arg): fall back
+    assert _eval_default("next(b,fb)", args) == "fb"
+
+
 def test_macro_save_upload_file_to_home(engine, tmp_path):
     """!saveUploadFileToHome → DownloadExt (CommandCollection.scala:55)."""
     src = tmp_path / "up.txt"
@@ -648,6 +685,46 @@ def test_source_format_registry_covers_reference_list():
                "binlog"}
     missing = reference - fallback_or_sink - dropped - ours
     assert missing == set()
+
+
+def test_versioned_parquet_network_fs_guard(engine, tmp_path,
+                                            monkeypatch):
+    """On a network/object-store mount the commit flock only serializes
+    THIS node's writers — the save must fail fast with a rendered error
+    instead of silently taking a no-op lock; assumeSingleWriter="true"
+    acknowledges external coordination (VERDICT r5 ask #6)."""
+    import pytest as _pytest
+
+    from streamingpro_spark.sources import versioned
+    lake = tmp_path / "nfslake"
+    monkeypatch.setattr(versioned, "_fs_type", lambda p: "nfs4")
+    with _pytest.raises(Exception, match="nfs4"):
+        engine.execute(f"""
+        select 1 as a as tg1;
+        save overwrite tg1 as versionedParquet.`{lake}`;
+        """)
+    engine.execute(f"""
+    select 1 as a as tg2;
+    save overwrite tg2 as versionedParquet.`{lake}`
+    options assumeSingleWriter="true";
+    """)
+    monkeypatch.setattr(versioned, "_fs_type", lambda p: "ext4")
+    engine.execute(f"""
+    select 2 as a as tg3;
+    save append tg3 as versionedParquet.`{lake}`;
+    """)
+    got = engine.execute(f"load versionedParquet.`{lake}` as g; "
+                         "select sum(a) as s from g as gout;").collect()
+    assert got[0]["s"] == 3
+
+
+def test_fs_type_resolves_local_mount():
+    """_fs_type returns a real fstype for / and never a network type
+    for this container's local paths."""
+    from streamingpro_spark.sources.versioned import (_NETWORK_FS_TYPES,
+                                                      _fs_type)
+    t = _fs_type("/root/repo")
+    assert t not in _NETWORK_FS_TYPES
 
 
 def test_versioned_parquet_time_travel(engine, tmp_path):

