@@ -1406,6 +1406,69 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+#: deterministic inflation for the warc bench fixture: every document
+#: text repeated x32 (~10 KB/record, ~50 MB decoded at sf0.1) so the
+#: DuckDB oracle can predict every byte with repeat()
+_WARC_BENCH_REPEAT = 32
+_WARC_BENCH_SHARDS = 8
+
+
+def _q_warc_bench(spark, sf_dir):
+    """Bench-scale WARC parse (VERDICT r5 ask #8): a ~50 MB synthetic
+    crawl — documents' texts inflated x{repeat} and sharded across
+    {shards} member-per-record .warc.gz archives (1 file = 1 task, the
+    crawl parallelism unit) — aggregated to prove the streaming split
+    end-to-end.  The fixture is cached per sf_dir (built on first
+    call; best-of-N bench samples then time the PARSE, not the
+    build).  The oracle predicts n_records and every content_length
+    byte from the documents table."""
+    import os
+    import tempfile
+    from streamingpro_spark.functions.warc import make_warc_encoder
+    eng = _engine(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"spk_warcbench_{tag}")
+    marker = os.path.join(d, "_built")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text").filter("text is not null")
+                .collect())
+        enc = make_warc_encoder()
+        shards = [[] for _ in range(_WARC_BENCH_SHARDS)]
+        for r in docs:
+            payload = ((r["text"] + "\n")
+                       * _WARC_BENCH_REPEAT).encode("utf-8")
+            shards[r["doc_id"] % _WARC_BENCH_SHARDS].append(
+                ("conversion", f"http://corpus.local/{r['doc_id']}",
+                 "2026-01-01T00:00:00Z", payload))
+        for i, recs in enumerate(shards):
+            with open(os.path.join(d, f"part{i}.warc.gz"), "wb") as fh:
+                fh.write(enc(recs, gzip_compress=True))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return eng.execute(f"""
+    load warc.`{d}/*.warc.gz` as warc_bench_pages;
+    select count(*) as n_records,
+           sum(content_length) as total_bytes,
+           min(content_length) as min_len,
+           max(content_length) as max_len
+    from warc_bench_pages as output;
+    """)
+
+
+_WARC_BENCH_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(octet_length(encode(repeat(text || chr(10), 32))))
+            AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(repeat(text || chr(10), 32))))
+            AS BIGINT) AS min_len,
+       CAST(MAX(octet_length(encode(repeat(text || chr(10), 32))))
+            AS BIGINT) AS max_len
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _q_bloom_dedup(spark, sf_dir):
     """BloomFilterDedup filter mode (operators/dedup.py): incremental
     dedup of an 'increment' slice of documents against a 'history'
@@ -2944,6 +3007,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_parquet_tt": _q_versioned_parquet,
         "bloom_dedup": _q_bloom_dedup,
         "warc_parse": _q_warc_parse,
+        "warc_bench": _q_warc_bench,
         # custom stateful streaming, replayed and hash-checked vs batch
         "stateful_count_stream": _q_stateful_count_stream,
         "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
@@ -3057,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": _IMAGE_RESIZE_ORACLE,
         "bloom_dedup": _BLOOM_DEDUP_ORACLE,
         "warc_parse": _WARC_PARSE_ORACLE,
+        "warc_bench": _WARC_BENCH_ORACLE,
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
         "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,

@@ -55,6 +55,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "pii_redact",
+    "warc_bench",
 ]
 
 
