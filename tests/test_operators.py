@@ -140,6 +140,36 @@ def test_minhash_dedup_finds_near_dups(engine, sf_dir):
         assert r["doc_a"] < r["doc_b"]
 
 
+def test_minhash_dedup_incremental_ref_mode(engine):
+    """refTable mode: candidates are input x ref bucket collisions
+    ONLY — doc_a is always the input's id, doc_b the ref's; input
+    self-pairs and ref self-pairs never appear.  Pins the round-6
+    side-tagged single-shuffle bucketing."""
+    import json
+    ref = [(i, f"shared sentence number {i} about spark and parquet "
+               f"files with more words to shingle on") for i in range(5)]
+    new = ([(100 + i, t) for i, (_, t) in enumerate(ref[:3])]  # 3 dups
+           + [(200, "entirely different content about streaming "
+                    "watermarks and session windows here"),
+              (201, "entirely different content about streaming "
+                    "watermarks and session windows here")])  # dup PAIR
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    rows = engine.execute(f"""
+    set mrefj = '''{rj}''';
+    set mnewj = '''{nj}''';
+    load jsonStr.`mrefj` as mh_ref;
+    load jsonStr.`mnewj` as mh_new;
+    run mh_new as MinHashDedup.`` where refTable="mh_ref"
+    and threshold="0.9" as out;
+    """).collect()
+    got = sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    # exact copies of ref docs 0..2 under ids 100..102; the 200/201
+    # input-side dup pair must NOT appear (no input self-join)
+    assert got == [(100, 0), (101, 1), (102, 2)], got
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+
 def test_ngram_jaccard_matches_minhash_at_high_threshold(engine, sf_dir):
     mh = engine.execute(f"""
     load parquet.`{sf_dir}/documents.parquet` as docs;
