@@ -468,6 +468,29 @@ def _q_ivf_index_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ADC search (operators/similarity.py, Jégou et al. 2011):
+    the index stores 1-byte-per-subspace codes; the probe scans ONLY
+    (id, cell, pq_code) — parquet column pruning skips the vectors —
+    and `rerank` exact-rescores the top ADC candidates.  Approximate
+    by construction → rows-only contract (like lsh_topk); the recall
+    floor and the column-pruning plan gate live in
+    tests/test_operators.py::test_ivf_pq_adc_search_and_rerank."""
+    import tempfile
+    eng = _engine(spark)
+    idx = tempfile.mkdtemp(prefix="spk_ivfpq_") + "/idx"
+    eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    run embeddings as IVFIndexBuild.`{idx}` where nlist="8"
+        and pqSubspaces="16" as built;
+    """)
+    return eng.execute(f"""
+    select * from embeddings where vec_id < 20 as pq_queries;
+    run pq_queries as IVFSimilaritySearch.`{idx}` where k="5"
+        and nprobe="8" and rerank="50" as output;
+    """)
+
+
 def _q_ivf_index_append(spark, sf_dir):
     """Incremental IVF ingest (operators/similarity.py IVFIndexBuild
     append="true"): build the index on half the corpus, append the
@@ -2974,6 +2997,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_index_append": _q_ivf_index_append,
+        "ivf_pq_topk": _q_ivf_pq_topk,
         # LLM-pipeline: text analysis
         "language_id": _q_language_id,
         "quality_score": _q_quality,

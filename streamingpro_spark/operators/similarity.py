@@ -159,6 +159,66 @@ def lloyd_spherical(sample, nlist: int, iters: int, seed: int):
     return cent
 
 
+def train_pq_codebooks(sample, m: int, iters: int, seed: int):
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split
+    the d dims into m subspaces, euclidean k-means with 256 centroids
+    per subspace on the (normalized) driver sample.  Returns
+    (m, 256, d/m) numpy array.  256 codes/subspace = one byte per
+    subspace per vector — a 64-dim float corpus compresses 32×, which
+    is the difference between an index that fits and one that doesn't
+    at 100 TB."""
+    import numpy as np
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(
+            f"pqSubspaces={m} must divide the embedding dim ({d})")
+    sub = d // m
+    k = min(256, n)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for s in range(m):
+        X = sample[:, s * sub:(s + 1) * sub]
+        C = X[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # ||x-c||² argmin == argmax 2xc - ||c||² (x constant)
+            assign = (2 * X @ C.T - (C * C).sum(1)).argmax(axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[s, :k] = C
+    return books
+
+
+def pq_encode(M, books):
+    """(n, d) normalized vectors -> (n, m) uint8 codes."""
+    import numpy as np
+    m, k, sub = books.shape
+    codes = np.zeros((len(M), m), dtype=np.uint8)
+    for s in range(m):
+        X = M[:, s * sub:(s + 1) * sub]
+        C = books[s]
+        codes[:, s] = (2 * X @ C.T - (C * C).sum(1)).argmax(axis=1)
+    return codes
+
+
+def _make_pair_cosine():
+    """Pandas kernel: exact cosine of two array columns row-by-row
+    (used by the PQ re-rank on the bounded |Q|·R candidate set —
+    never a corpus-sized path)."""
+    def pair_cos(a, b):
+        import numpy as _np
+        import pandas as _pd
+        out = []
+        for x, y in zip(a, b):
+            u = _np.asarray(x, dtype=float)
+            v = _np.asarray(y, dtype=float)
+            nu, nv = _np.linalg.norm(u), _np.linalg.norm(v)
+            out.append(float(u @ v / (nu * nv)) if nu and nv else 0.0)
+        return _pd.Series(out)
+    return pair_cos
+
+
 def norm_col(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -498,13 +558,121 @@ class IVFSimilaritySearch(ETAlgorithm):
         # then serves only as the query set.
         corpus_dir = _os.path.join(path, "corpus") if path else None
         scan = base
-        if corpus_dir and _os.path.isdir(corpus_dir) \
-                and get_bool(params, "useIndex", True):
-            probed = sorted({int(c) for c in probe.ravel()})
+        use_corpus = bool(corpus_dir and _os.path.isdir(corpus_dir)
+                          and get_bool(params, "useIndex", True))
+        probed = sorted({int(c) for c in probe.ravel()})
+        if use_corpus:
             scan = (df.sparkSession.read.parquet(corpus_dir)
                     .filter(F.col("cell").isin(probed))
                     .select(F.col(id_col).alias("__id"),
                             F.col(col).alias("__v")))
+
+        # --- PQ (ADC) path: scan CODES, not vectors ------------------
+        # When the index was built with pqSubspaces, the probe reads
+        # only (id, cell, pq_code) — parquet column pruning skips the
+        # embedding column entirely, so the scan I/O per row drops from
+        # d floats to m bytes (32× at d=64, m=8).  Scores are
+        # asymmetric-distance (Jégou et al. 2011): per-query lookup
+        # tables over the codebooks, summed per subspace.  Approximate
+        # by construction; `rerank="R"` exact-rescorse the top-R
+        # ADC candidates against the stored vectors for near-exact
+        # results at a bounded |Q|·R re-read.
+        use_pq = params.get("usePQ", "auto")
+        if use_pq not in ("auto", "true", "false"):
+            raise ValueError("usePQ must be auto | true | false")
+        pq_file = _os.path.join(path, "pq_codebooks.json") if path else None
+        pq_available = bool(use_corpus and pq_file
+                            and _os.path.exists(pq_file))
+        if use_pq == "true" and not pq_available:
+            raise ValueError(
+                "usePQ=\"true\" needs a persisted index built with "
+                "IVFIndexBuild pqSubspaces=... at this path")
+        if pq_available and use_pq != "false":
+            with open(pq_file) as fh:
+                books = np.array(_json.load(fh), dtype=float)
+            n_sub, _, sub_d = books.shape
+            lut = np.stack([Q[:, s * sub_d:(s + 1) * sub_d]
+                            @ books[s].T
+                            for s in range(n_sub)]).astype(np.float32)
+            if lut.nbytes > (512 << 20):
+                raise ValueError(
+                    f"IVFSimilaritySearch PQ: the ADC lookup table for "
+                    f"{len(qids)} queries would be "
+                    f"{lut.nbytes >> 20} MiB — split the query batch "
+                    f"(queryFilter/maxQueryRows)")
+            rerank = get_int(params, "rerank", 0)
+            topn = max(kk, rerank)
+            bc_pq = df.sparkSession.sparkContext.broadcast(
+                (lut, qids, member))
+
+            def pq_topk(batches):
+                import numpy as _np
+                import pandas as _pd
+                LUT, _qids, _member = bc_pq.value
+                m_ = LUT.shape[0]
+                for pdf in batches:
+                    if not len(pdf) or not len(_qids):
+                        continue
+                    codes = _np.frombuffer(
+                        b"".join(pdf["__code"]),
+                        dtype=_np.uint8).reshape(len(pdf), m_)
+                    cells = pdf["cell"].to_numpy()
+                    cids = pdf["__id"].to_numpy()
+                    S = _np.zeros((len(_qids), len(pdf)),
+                                  dtype=_np.float32)
+                    for s in range(m_):
+                        S += LUT[s][:, codes[:, s]]
+                    oq, on, oc = [], [], []
+                    for j in range(len(_qids)):
+                        ok = _member[j, cells] & (cids != _qids[j])
+                        idx = _np.nonzero(ok)[0]
+                        if not idx.size:
+                            continue
+                        take = idx[_np.lexsort(
+                            (cids[idx], -S[j, idx].astype(float)))][:topn]
+                        oq.extend([_qids[j]] * len(take))
+                        on.extend(cids[take])
+                        oc.extend(S[j, take].astype(float))
+                    yield _pd.DataFrame(
+                        {"query_id": oq, "neighbor_id": on, "cosine": oc})
+
+            scan_pq = (df.sparkSession.read.parquet(corpus_dir)
+                       .filter(F.col("cell").isin(probed))
+                       .select(F.col(id_col).alias("__id"), "cell",
+                               F.col("pq_code").alias("__code")))
+            partials = scan_pq.mapInPandas(pq_topk, out_schema)
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id"))
+            ranked = (partials.withColumn("rank",
+                                          F.row_number().over(w))
+                      .filter(F.col("rank") <= topn))
+            if rerank <= kk:
+                return (ranked.filter(F.col("rank") <= kk)
+                        .select("query_id", "neighbor_id",
+                                F.round("cosine", 4).alias("cosine"),
+                                "rank"))
+            # exact re-rank: top-R ADC candidates re-scored against the
+            # STORED vectors (|Q|·R rows — bounded, never corpus-sized)
+            qdf = df.sparkSession.createDataFrame(
+                [(q, [float(x) for x in vec])
+                 for q, vec in zip(qids.tolist(), Q)],
+                f"query_id {id_t}, __qv array<double>")
+            corpus_vecs = (df.sparkSession.read.parquet(corpus_dir)
+                           .filter(F.col("cell").isin(probed))
+                           .select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(col).alias("__nv")))
+            exact_cos = F.pandas_udf(_make_pair_cosine(), "double")
+            rescored = (ranked.select("query_id", "neighbor_id")
+                        .join(corpus_vecs, "neighbor_id")
+                        .join(F.broadcast(qdf), "query_id")
+                        .withColumn("cosine",
+                                    F.round(exact_cos(F.col("__qv"),
+                                                      F.col("__nv")), 4)))
+            w2 = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id"))
+            return (rescored.withColumn("rank", F.row_number().over(w2))
+                    .filter(F.col("rank") <= kk)
+                    .select("query_id", "neighbor_id", "cosine", "rank"))
 
         # ONE mapInPandas pass fuses cell-assign + probe-mask + dot +
         # batch-local top-k (same exact-compositionality argument as
@@ -559,6 +727,10 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("useIndex", "read the IVFIndexBuild corpus at "
                  "<path>/corpus, partition-pruned to probed cells",
                  "true"),
+                ("usePQ", "scan PQ codes (ADC) instead of vectors when "
+                 "the index has them: auto | true | false", "auto"),
+                ("rerank", "exact-rescore the top-R ADC candidates "
+                 "against stored vectors (0 = pure ADC)", "0"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
                 ("maxQueryRows", "hard cap on the driver-side query collect", "100000"),
                 ("seed", "centroid init seed", "42")]
@@ -602,9 +774,12 @@ class IVFIndexBuild(ETAlgorithm):
         iters = get_int(params, "kmeansIter", 5)
         sample_n = get_int(params, "trainSample", 10000)
         append = get_bool(params, "append", False)
+        pq_m = get_int(params, "pqSubspaces", 0)
         base = ensure_parallelism(df)
 
         cent_file = _os.path.join(path, "centroids.json")
+        pq_file = _os.path.join(path, "pq_codebooks.json")
+        books = None
         if append:
             if not _os.path.exists(cent_file):
                 raise ValueError(
@@ -614,6 +789,11 @@ class IVFIndexBuild(ETAlgorithm):
             with open(cent_file) as fh:
                 cent = np.array(_json.load(fh), dtype=float)
             nlist = len(cent)
+            if _os.path.exists(pq_file):
+                # appended rows must carry codes under the FROZEN
+                # codebooks, or the PQ scan would see nulls
+                with open(pq_file) as fh:
+                    books = np.array(_json.load(fh), dtype=float)
         else:
             sample_rows = base.select(col).limit(sample_n).collect()
             if not sample_rows:
@@ -622,22 +802,30 @@ class IVFIndexBuild(ETAlgorithm):
                                       dtype=float))
             nlist = min(nlist, len(sample))
             cent = lloyd_spherical(sample, nlist, iters, seed)
+            if pq_m:
+                books = train_pq_codebooks(sample, pq_m, iters, seed)
 
-        bc = df.sparkSession.sparkContext.broadcast(cent)
-        out_schema = T.StructType(df.schema.fields
-                                  + [T.StructField("cell",
-                                                   T.IntegerType())])
+        bc = df.sparkSession.sparkContext.broadcast((cent, books))
+        extra = [T.StructField("cell", T.IntegerType())]
+        if books is not None:
+            extra.insert(0, T.StructField("pq_code", T.BinaryType()))
+        out_schema = T.StructType(df.schema.fields + extra)
 
         def assign_cells(batches):
             import numpy as _np
+            C, B = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
                 M = _np.array([list(v) for v in pdf[col]], dtype=float)
                 n2 = _np.linalg.norm(M, axis=1, keepdims=True)
                 n2[n2 == 0] = 1.0
+                M = M / n2
                 pdf = pdf.copy()
-                pdf["cell"] = ((M / n2) @ bc.value.T).argmax(axis=1)
+                if B is not None:
+                    pdf["pq_code"] = [c.tobytes()
+                                      for c in pq_encode(M, B)]
+                pdf["cell"] = (M @ C.T).argmax(axis=1)
                 yield pdf
 
         corpus_dir = _os.path.join(path, "corpus")
@@ -648,9 +836,13 @@ class IVFIndexBuild(ETAlgorithm):
             _os.makedirs(path, exist_ok=True)
             with open(cent_file, "w") as fh:
                 _json.dump(cent.tolist(), fh)
+            if books is not None:
+                with open(pq_file, "w") as fh:
+                    _json.dump(books.tolist(), fh)
         return df.sparkSession.createDataFrame(
-            [(path, int(nlist), int(cent.shape[1]))],
-            "path: string, nlist: int, dim: int")
+            [(path, int(nlist), int(cent.shape[1]),
+              int(books.shape[0]) if books is not None else 0)],
+            "path: string, nlist: int, dim: int, pq_subspaces: int")
 
     def explain_params(self):
         return [("embeddingCol", "array<float> column", "embedding"),
@@ -659,5 +851,10 @@ class IVFIndexBuild(ETAlgorithm):
                 ("kmeansIter", "Lloyd iterations", "5"),
                 ("append", "assign rows to the EXISTING centroids and "
                  "append into the cell partitions (incremental ingest; "
-                 "no re-cluster)", "false"),
+                 "no re-cluster; re-encodes PQ codes under the frozen "
+                 "codebooks when the index has them)", "false"),
+                ("pqSubspaces", "product-quantization subspaces m (0 = "
+                 "no PQ; must divide the dim; 1 byte/subspace/vector — "
+                 "searches can then scan codes instead of vectors)",
+                 "0"),
                 ("seed", "centroid init seed", "42")]

@@ -303,6 +303,102 @@ def _load_warc(ctx, path, options):
     return files.select("path", "content").mapInPandas(split, out_schema)
 
 
+def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
+    """WARC/WET sink — the loader's inverse: `save overwrite curated as
+    warc.`/crawl/out``.  One `.warc[.gz]` archive PER PARTITION (the
+    crawl parallelism unit, mirroring the loader's 1 file = 1 task),
+    written executor-side and ENCODED RECORD-BY-RECORD (member-per-
+    record gzip, the Common Crawl layout) — peak memory per task is one
+    record, never the whole partition (the same boundedness contract
+    the round-6 loader rework established).
+
+    Payload column: `contentCol` option, else `content` (binary), else
+    `text` (utf-8 encoded).  `target_uri`/`record_type`/`warc_date`
+    columns are used when present (options `recordType`/`warcDate`
+    override the defaults for absent columns; uri falls back to
+    record:<row#>).  Modes: overwrite | append | errorIfExists |
+    ignore.  Local-fs scope like versionedParquet (executors must see
+    the path; a DFS deploy swaps the open() for a Hadoop FS stream)."""
+    import os
+    import shutil
+    import time as _time
+    cols = set(df.columns)
+    payload_col = options.get("contentCol") or \
+        ("content" if "content" in cols else "text")
+    if payload_col not in cols:
+        raise ValueError(
+            f"warc sink: no payload column — expected `content` or "
+            f"`text` (or contentCol=...) among {sorted(cols)}")
+    exists = os.path.isdir(real) and any(
+        f.endswith((".warc", ".warc.gz")) for f in os.listdir(real))
+    if exists:
+        if mode == "ignore":
+            return
+        if mode in ("error", "errorifexists"):
+            raise ValueError(
+                f"warc sink: {real!r} already holds archives "
+                f"(mode errorIfExists)")
+        if mode == "overwrite":
+            shutil.rmtree(real)
+    os.makedirs(real, exist_ok=True)
+    compress = options.get("compress", "true").lower() != "false"
+    rtype_default = options.get("recordType", "conversion")
+    date_default = options.get(
+        "warcDate",
+        _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()))
+    uri_col = "target_uri" if "target_uri" in cols else None
+    rtype_col = "record_type" if "record_type" in cols else None
+    date_col = "warc_date" if "warc_date" in cols else None
+    sel = [payload_col] + [c for c in (uri_col, rtype_col, date_col) if c]
+    from streamingpro_spark.functions.warc import make_warc_encoder
+    enc = make_warc_encoder()
+    # unique per save so append never collides with an earlier save's
+    # part files; partition id keeps names stable within the job
+    run_tag = f"{os.getpid():x}{int(_time.time() * 1000) & 0xffffff:x}"
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        fn = os.path.join(real, f"part-{run_tag}-{pid:05d}{suffix}")
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if fh is None and len(pdf):
+                    fh = open(fn, "wb")
+                for i in range(len(pdf)):
+                    payload = pdf[payload_col].iloc[i]
+                    if payload is None:
+                        continue
+                    if isinstance(payload, str):
+                        payload = payload.encode("utf-8")
+                    uri = (pdf[uri_col].iloc[i] if uri_col
+                           else f"record:{pid}-{n}")
+                    rtype = (pdf[rtype_col].iloc[i]
+                             if rtype_col else rtype_default)
+                    date = (pdf[date_col].iloc[i]
+                            if date_col else date_default)
+                    # one record at a time: bounded memory, and under
+                    # compress each record is its own gzip member
+                    fh.write(enc([(rtype, uri, date, bytes(payload))],
+                                 gzip_compress=compress))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"file": [fn if n else ""], "records": [n]})
+
+    parts = df.select(*sel).mapInPandas(
+        write_part, "file string, records long").collect()
+    total = sum(r["records"] for r in parts)
+    if total == 0:
+        # no rows anywhere: leave an empty dir, matching parquet's
+        # empty-write behavior
+        return
+
+
 @register_loader("hive")
 def _load_hive(ctx, path, options):
     return ctx.spark.table(path)
@@ -563,7 +659,9 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
                       "es", "solr", "redis", "mongo")
     path = stmt.path if _non_fs else ctx.resource_real_path(stmt.path)
     options = stmt.options
-    _NANOS_CACHE.pop(path, None)   # a rewrite changes the footer schema
+    # a rewrite changes the footer schema (cache keyed (path, merge))
+    _NANOS_CACHE.pop((path, False), None)
+    _NANOS_CACHE.pop((path, True), None)
     if "fileNum" in options:  # SaveAdaptor.scala:109-111
         df = df.repartition(int(options["fileNum"]))
     if fmt == "console":
@@ -592,6 +690,9 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
     if fmt == "versionedParquet":
         from streamingpro_spark.sources.versioned import save as vp_save
         vp_save(ctx, df, stmt.path, stmt.mode, options, stmt.partition_by)
+        return
+    if fmt == "warc":
+        _save_warc(ctx, df, path, _norm_mode(stmt.mode), options)
         return
     if fmt == "jdbc":
         opts = dict(options)

@@ -1175,6 +1175,98 @@ def test_ivf_index_incremental_append(engine, sf_dir, tmp_path):
         """)
 
 
+def test_ivf_pq_adc_search_and_rerank(engine, sf_dir, tmp_path):
+    """IVF-PQ (Jégou et al. 2011): the index stores 1-byte-per-subspace
+    codes; searches scan CODES (ADC lookup tables), never the vector
+    column — proven in the plan via ReadSchema — and `rerank` exact-
+    rescores the top-R candidates.  Recall vs brute force must be high
+    on real embeddings; with rerank the top-1 neighbor matches."""
+    import os
+    path = tmp_path / "ivf_pq"
+    built = engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as IVFIndexBuild.`{path}` where nlist="8"
+    and pqSubspaces="16" as built;
+    """).collect()[0]
+    assert built["pq_subspaces"] == 16
+    assert os.path.exists(path / "pq_codebooks.json")
+    exact = engine.execute("""
+    run emb as SimilaritySearch.`` where k="3"
+    and queryFilter="vec_id < 20" as pq_exact;
+    """).collect()
+    df = engine.execute(f"""
+    select * from emb where vec_id < 20 as pq_q;
+    run pq_q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
+    as pq_adc;
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pq_code" in plan
+    # column pruning: the ADC scan never reads the embedding column
+    import re as _re
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("embedding" not in ln for ln in scans), scans
+    adc = df.collect()
+    exact_map = {}
+    for r in exact:
+        exact_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc_map = {}
+    for r in adc:
+        adc_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_map[q] & adc_map.get(q, set()))
+               for q in exact_map)
+    total = sum(len(v) for v in exact_map.values())
+    assert hits / total >= 0.6, f"ADC recall@3 {hits}/{total}"
+    # rerank: exact rescoring of a generous ADC candidate set recovers
+    # the true top-1 for every query
+    rer = engine.execute(f"""
+    run pq_q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
+    and rerank="50" as pq_rer;
+    """).collect()
+    top1_exact = {r["query_id"]: r["neighbor_id"] for r in exact
+                  if r["rank"] == 1}
+    top1_rer = {r["query_id"]: r["neighbor_id"] for r in rer
+                if r["rank"] == 1}
+    agree = sum(top1_rer.get(q) == n for q, n in top1_exact.items())
+    assert agree >= 0.9 * len(top1_exact), (agree, len(top1_exact))
+    # usePQ="true" without a PQ index is a rendered error
+    import pytest as _pytest
+    path2 = tmp_path / "ivf_nopq"
+    engine.execute(f"run emb as IVFIndexBuild.`{path2}` where nlist=\"4\" "
+                   f"as built2;")
+    with _pytest.raises(Exception, match="pqSubspaces"):
+        engine.execute(f"""
+        run pq_q as IVFSimilaritySearch.`{path2}` where usePQ="true"
+        as badpq;
+        """)
+    # pqSubspaces must divide the dim
+    with _pytest.raises(Exception, match="divide"):
+        engine.execute(f"""
+        run emb as IVFIndexBuild.`{tmp_path / "bad"}` where nlist="4"
+        and pqSubspaces="7" as bad2;
+        """)
+
+
+def test_ivf_pq_append_reencodes(engine, sf_dir, tmp_path):
+    """append="true" on a PQ index re-encodes the increment under the
+    FROZEN codebooks — searches see codes for both generations."""
+    path = tmp_path / "ivf_pq_inc"
+    engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    select * from emb where vec_id < 250 as pg1;
+    select * from emb where vec_id >= 250 as pg2;
+    run pg1 as IVFIndexBuild.`{path}` where nlist="4"
+    and pqSubspaces="8" as b1;
+    run pg2 as IVFIndexBuild.`{path}` where append="true" as b2;
+    """)
+    rows = engine.execute(f"""
+    select * from emb where vec_id = 0 as pq_q2;
+    run pq_q2 as IVFSimilaritySearch.`{path}` where k="400" and
+    nprobe="4" as s2;
+    """).collect()
+    seen = {r["neighbor_id"] for r in rows}
+    assert any(n < 250 for n in seen) and any(n >= 250 for n in seen)
+
+
 def test_ivf_retrain_with_persisted_corpus_is_error(engine, sf_dir,
                                                     tmp_path):
     """retrain="true" against a path holding an IVFIndexBuild corpus is

@@ -79,6 +79,68 @@ def test_warc_iter_streams_with_small_chunks(tmp_path):
             [p for _, _, _, p in recs]
 
 
+def test_warc_sink_round_trip(engine, tmp_path):
+    """`save ... as warc.`dir``: one archive per partition, loader
+    round-trips every record; header columns used when present,
+    defaults otherwise; modes enforced."""
+    import json
+    out = tmp_path / "crawl_out"
+    docs = [(i, f"document body {i} with some text ✓") for i in range(8)]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t,
+                               "target_uri": f"http://d.org/{i}"})
+                   for i, t in docs)
+    engine.execute(f"""
+    set wdocs = '''{dj}''';
+    load jsonStr.`wdocs` as wd;
+    save overwrite wd as warc.`{out}` options warcDate="2026-01-01T00:00:00Z";
+    """)
+    import os
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert files, os.listdir(out)
+    rows = engine.execute(f"""
+    load warc.`{out}/*.warc.gz` as back;
+    select target_uri, record_type, warc_date, text from back as bout;
+    """).collect()
+    got = sorted((r["target_uri"], r["text"]) for r in rows)
+    assert got == sorted((f"http://d.org/{i}", t) for i, t in docs)
+    assert all(r["record_type"] == "conversion" for r in rows)
+    assert all(r["warc_date"] == "2026-01-01T00:00:00Z" for r in rows)
+    # errorIfExists on a non-empty target; append adds records
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="errorIfExists"):
+        engine.execute(f"save wd as warc.`{out}`;")
+    engine.execute(f"save append wd as warc.`{out}`;")
+    n = engine.execute(f"load warc.`{out}/*.warc.gz` as back2; "
+                       "select count(*) as n from back2 as b2;"
+                       ).collect()[0]["n"]
+    assert n == 16
+    # binary content column round-trips byte-exact, uncompressed form
+    out2 = tmp_path / "crawl_bin"
+    engine.execute(f"""
+    select doc_id, cast(text as binary) as content,
+           concat('urn:doc:', doc_id) as target_uri from wd as wbin;
+    save overwrite wbin as warc.`{out2}` options compress="false"
+    and recordType="response";
+    """)
+    rows2 = engine.execute(f"""
+    load warc.`{out2}/*.warc` as back3;
+    select record_type, target_uri, content from back3 as b3;
+    """).collect()
+    assert len(rows2) == 8
+    assert all(r["record_type"] == "response" for r in rows2)
+    assert sorted(bytes(r["content"]).decode() for r in rows2) == \
+        sorted(t for _, t in docs)
+
+
+def test_warc_sink_validation(engine, tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="payload column"):
+        engine.execute(f"""
+        select 1 as a as nopayload;
+        save overwrite nopayload as warc.`{tmp_path}/bad`;
+        """)
+
+
 def test_warc_chunked_batches_and_text_decode(engine, tmp_path):
     """Loader options: maxRecordsPerBatch bounds each yielded pandas
     batch (all rows still arrive), textDecode="false" skips the str
