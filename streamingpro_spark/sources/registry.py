@@ -790,6 +790,20 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         _finalize_stream(ctx, df.writeStream.foreachBatch(overwrite_batch),
                          out_mode, ckpt, duration)
         return
+    if fmt == "warc":
+        # streaming crawl export: one set of member-per-record archives
+        # appended per micro-batch (at-least-once: a replayed batch
+        # appends again — dedup downstream on target_uri if the
+        # pipeline can replay; the versionedParquet sink is the
+        # exactly-once alternative)
+        target = ctx.resource_real_path(stmt.path)
+
+        def warc_batch(batch_df, batch_id):
+            _save_warc(ctx, batch_df, target, "append", options)
+
+        _finalize_stream(ctx, df.writeStream.foreachBatch(warc_batch),
+                         out_mode, ckpt, duration)
+        return
     # webConsole is the reference's console-to-web-client sink
     # (MLSQLConsole.scala + web push); locally both land on the console
     writer = df.writeStream.format(

@@ -132,6 +132,37 @@ def test_warc_sink_round_trip(engine, tmp_path):
         sorted(t for _, t in docs)
 
 
+def test_warc_streaming_sink(engine, spark, tmp_path):
+    """Streaming save to warc: one set of archives appended per
+    micro-batch; records round-trip through the loader."""
+    src = tmp_path / "wsrc"
+    spark.createDataFrame(
+        [(i, f"streamed doc {i}") for i in range(6)],
+        "doc_id long, text string").coalesce(1).write.parquet(str(src))
+    out = tmp_path / "wstream_out"
+    engine.execute(f"""
+    set streamName = "wsink";
+    load streamParquet.`{src}` as wsrc;
+    select doc_id, text, concat('urn:doc:', doc_id) as target_uri
+    from wsrc as wrows;
+    save append wrows as warc.`{out}`
+    options checkpointLocation="{tmp_path}/ckw" and duration="0"
+    and warcDate="2026-01-01T00:00:00Z";
+    """)
+    q = engine.context.jobs.get("wsink")
+    assert q is not None
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = engine.execute(f"""
+    load warc.`{out}/*.warc.gz` as wback;
+    select target_uri, text from wback as wbout;
+    """).collect()
+    assert sorted(r["text"] for r in rows) == \
+        [f"streamed doc {i}" for i in range(6)]
+
+
 def test_warc_sink_validation(engine, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="payload column"):
