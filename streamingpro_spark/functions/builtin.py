@@ -299,3 +299,95 @@ def _register_misc(spark: SparkSession) -> None:
         except Exception:
             return None
     udf("crawler_request", crawler_request, "string")
+
+    def crawler_request_image(url):
+        # reference crawler/udf/Functions.scala:62-67 — raw image bytes
+        try:
+            import urllib.request
+            with urllib.request.urlopen(url, timeout=5) as r:  # noqa: S310
+                return r.read()
+        except Exception:
+            return None
+    udf("crawler_request_image", crawler_request_image, "binary")
+
+    def crawler_http(url, method, items):
+        # reference crawler/udf/Functions.scala:70-74 — request with a
+        # method + form/query map; offline fetches degrade to None like
+        # crawler_request (file:// GETs work for tests)
+        try:
+            import urllib.parse
+            import urllib.request
+            items = dict(items or {})
+            method = (method or "GET").upper()
+            if method == "GET":
+                if items:
+                    sep = "&" if "?" in url else "?"
+                    url = url + sep + urllib.parse.urlencode(items)
+                req = urllib.request.Request(url)
+            else:
+                req = urllib.request.Request(
+                    url, data=urllib.parse.urlencode(items).encode(),
+                    method=method)
+            with urllib.request.urlopen(req, timeout=5) as r:  # noqa: S310
+                return r.read().decode("utf-8", "replace")
+        except Exception:
+            return None
+    udf("crawler_http", crawler_http, "string")
+
+    def crawler_extract_xpath(html, xpath):
+        # reference crawler/udf/Functions.scala:77-85 (Jsoup + Xsoup).
+        # Stdlib form: tolerant HTML -> ElementTree, then ElementTree's
+        # XPath SUBSET (tags, *, //, [@attr], [@attr='v'], [n]); a
+        # trailing /text() or a bare element both yield the first
+        # match's text content.
+        if html is None or not xpath:
+            return None
+        try:
+            import xml.etree.ElementTree as ET
+            from html.parser import HTMLParser
+            void = {"area", "base", "br", "col", "embed", "hr", "img",
+                    "input", "link", "meta", "param", "source", "track",
+                    "wbr"}
+
+            class P(HTMLParser):
+                def __init__(self):
+                    super().__init__(convert_charrefs=True)
+                    self.root = ET.Element("__root__")
+                    self.stack = [self.root]
+
+                def handle_starttag(self, tag, attrs):
+                    el = ET.SubElement(self.stack[-1], tag,
+                                       {k: (v or "") for k, v in attrs})
+                    if tag not in void:
+                        self.stack.append(el)
+
+                def handle_data(self, data):
+                    cur = self.stack[-1]
+                    if len(cur):
+                        cur[-1].tail = (cur[-1].tail or "") + data
+                    else:
+                        cur.text = (cur.text or "") + data
+
+                def handle_endtag(self, tag):
+                    for i in range(len(self.stack) - 1, 0, -1):
+                        if self.stack[i].tag == tag:
+                            del self.stack[i:]   # tolerate misnesting
+                            break
+
+            p = P()
+            p.feed(html)
+            p.close()
+            xp = xpath
+            if xp.endswith("/text()"):
+                xp = xp[:-7]
+            if xp.startswith("//"):
+                xp = "." + xp
+            elif xp.startswith("/"):
+                xp = "." + xp
+            el = p.root.find(xp)
+            if el is None:
+                return None
+            return "".join(el.itertext()).strip()
+        except Exception:
+            return None
+    udf("crawler_extract_xpath", crawler_extract_xpath, "string")

@@ -104,6 +104,43 @@ def test_crawler_extract_title(engine):
     assert df.collect()[0]["v"] == "Hi"
 
 
+def test_crawler_extract_xpath(engine):
+    html = ("<html><body><div class='a'><p>first</p><p>second</p></div>"
+            "<div id='x'><span>target</span></div></body></html>")
+    cases = [
+        ("//span/text()", "target"),
+        ("//div[@id='x']", "target"),
+        ("//div[@class='a']/p", "first"),
+        ("//nosuch", None),
+    ]
+    for xp, want in cases:
+        df = engine.execute(
+            f'select crawler_extract_xpath("{html}", "{xp}") as v as out;')
+        assert df.collect()[0]["v"] == want, xp
+    df = engine.execute(
+        'select crawler_extract_xpath(cast(null as string), "//a") as v '
+        'as out;')
+    assert df.collect()[0]["v"] is None
+
+
+def test_crawler_http_and_image(engine, tmp_path):
+    page = tmp_path / "page.html"
+    page.write_text("<html><body>hello http</body></html>")
+    df = engine.execute(
+        f'select crawler_http("file://{page}", "GET", map()) as v as out;')
+    assert "hello http" in df.collect()[0]["v"]
+    img = tmp_path / "img.bin"
+    img.write_bytes(b"\x89PNGfake")
+    df = engine.execute(
+        f'select crawler_request_image("file://{img}") as v as out;')
+    assert bytes(df.collect()[0]["v"]) == b"\x89PNGfake"
+    # unreachable host degrades to NULL, not an error
+    df = engine.execute(
+        'select crawler_http("http://no.such.invalid/", "POST", '
+        'map("a", "1")) as v as out;')
+    assert df.collect()[0]["v"] is None
+
+
 def test_keep_chinese(engine):
     df = engine.execute('''select keepChinese("abc中文def", false, "") as v as out;''')
     assert df.collect()[0]["v"] == "中文"
