@@ -130,3 +130,45 @@ def test_wav_pcm_decode_shape(sr, n, ch, bits, gain):
     got_sr, got_ch, arr = dec
     assert (got_sr, got_ch) == (sr, ch)
     assert arr.shape == (n, ch)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["response", "conversion"]),
+                          st.binary(min_size=0, max_size=200)),
+                max_size=8),
+       st.booleans(),
+       st.integers(1, 64))
+def test_warc_stream_parse_roundtrip(recs, gz, chunk):
+    """The streaming WARC parser recovers every record byte-for-byte
+    for ANY payload bytes (including CRLF lookalikes and embedded
+    'WARC/' tokens inside payloads), plain and gzipped, under
+    arbitrary tiny chunk sizes that force every token to straddle a
+    fill boundary."""
+    from streamingpro_spark.functions.warc import (make_warc_encoder,
+                                                   make_warc_record_iter)
+    full = [(t, f"http://x/{i}", "2026-01-01T00:00:00Z", p)
+            for i, (t, p) in enumerate(recs)]
+    raw = make_warc_encoder()(full, gzip_compress=gz)
+    got = list(make_warc_record_iter()(raw, chunk_size=chunk))
+    assert [(g["record_type"], bytes(g["content"])) for g in got] == \
+        [(t, p) for t, _, _, p in full]
+    assert all(g["content_length"] == len(bytes(g["content"]))
+               for g in got)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.binary(min_size=0, max_size=100),
+       st.integers(1, 32))
+def test_warc_stream_parse_survives_junk(junk_a, junk_b, chunk):
+    """Arbitrary junk before/after/between records never crashes the
+    parser and never corrupts the good records' payloads."""
+    from streamingpro_spark.functions.warc import (make_warc_encoder,
+                                                   make_warc_record_iter)
+    good = make_warc_encoder()(
+        [("response", "http://x/0", "2026-01-01T00:00:00Z", b"payload-0"),
+         ("conversion", "http://x/1", "2026-01-01T00:00:00Z", b"pay-1")])
+    blob = junk_a + good + junk_b
+    got = list(make_warc_record_iter()(blob, chunk_size=chunk))
+    bodies = [bytes(g["content"]) for g in got]
+    assert b"payload-0" in bodies and b"pay-1" in bodies
