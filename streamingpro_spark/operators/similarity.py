@@ -775,7 +775,10 @@ class IVFIndexBuild(ETAlgorithm):
         sample_n = get_int(params, "trainSample", 10000)
         append = get_bool(params, "append", False)
         pq_m = get_int(params, "pqSubspaces", 0)
-        base = ensure_parallelism(df)
+        # null embeddings cannot be assigned a cell (and would crash the
+        # numpy stack) — drop them, matching the search kernels'
+        # null-free contract
+        base = ensure_parallelism(df.filter(F.col(col).isNotNull()))
 
         cent_file = _os.path.join(path, "centroids.json")
         pq_file = _os.path.join(path, "pq_codebooks.json")

@@ -374,12 +374,14 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                         continue
                     if isinstance(payload, str):
                         payload = payload.encode("utf-8")
-                    uri = (pdf[uri_col].iloc[i] if uri_col
-                           else f"record:{pid}-{n}")
-                    rtype = (pdf[rtype_col].iloc[i]
-                             if rtype_col else rtype_default)
-                    date = (pdf[date_col].iloc[i]
-                            if date_col else date_default)
+                    # null header cells fall back to the defaults —
+                    # never the string "None" in a wire header
+                    uri = ((uri_col and pdf[uri_col].iloc[i])
+                           or f"record:{pid}-{n}")
+                    rtype = ((rtype_col and pdf[rtype_col].iloc[i])
+                             or rtype_default)
+                    date = ((date_col and pdf[date_col].iloc[i])
+                            or date_default)
                     # one record at a time: bounded memory, and under
                     # compress each record is its own gzip member
                     fh.write(enc([(rtype, uri, date, bytes(payload))],
