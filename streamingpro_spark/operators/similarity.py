@@ -577,9 +577,13 @@ class IVFSimilaritySearch(ETAlgorithm):
         # by construction; `rerank="R"` exact-rescorse the top-R
         # ADC candidates against the stored vectors for near-exact
         # results at a bounded |Q|·R re-read.
-        use_pq = params.get("usePQ", "auto")
+        # OPT-IN: the nprobe=nlist exactness contract must not flip to
+        # approximate just because the index happens to carry PQ codes —
+        # "auto" (explicit) uses codes when present, "true" requires
+        # them, the default "false" keeps exact vector scoring
+        use_pq = params.get("usePQ", "false")
         if use_pq not in ("auto", "true", "false"):
-            raise ValueError("usePQ must be auto | true | false")
+            raise ValueError("usePQ must be false | auto | true")
         pq_file = _os.path.join(path, "pq_codebooks.json") if path else None
         pq_available = bool(use_corpus and pq_file
                             and _os.path.exists(pq_file))
@@ -646,7 +650,7 @@ class IVFSimilaritySearch(ETAlgorithm):
             ranked = (partials.withColumn("rank",
                                           F.row_number().over(w))
                       .filter(F.col("rank") <= topn))
-            if rerank <= kk:
+            if rerank == 0:
                 return (ranked.filter(F.col("rank") <= kk)
                         .select("query_id", "neighbor_id",
                                 F.round("cosine", 4).alias("cosine"),
@@ -727,10 +731,13 @@ class IVFSimilaritySearch(ETAlgorithm):
                 ("useIndex", "read the IVFIndexBuild corpus at "
                  "<path>/corpus, partition-pruned to probed cells",
                  "true"),
-                ("usePQ", "scan PQ codes (ADC) instead of vectors when "
-                 "the index has them: auto | true | false", "auto"),
-                ("rerank", "exact-rescore the top-R ADC candidates "
-                 "against stored vectors (0 = pure ADC)", "0"),
+                ("usePQ", "scan PQ codes (ADC) instead of vectors: "
+                 "false (exact vector scoring, the default — "
+                 "nprobe=nlist stays exact) | auto (codes when the "
+                 "index has them) | true (require codes)", "false"),
+                ("rerank", "with usePQ: exact-rescore the top-"
+                 "max(R, k) ADC candidates against stored vectors "
+                 "(0 = pure ADC)", "0"),
                 ("queryFilter", "SQL predicate selecting query rows", "true"),
                 ("maxQueryRows", "hard cap on the driver-side query collect", "100000"),
                 ("seed", "centroid init seed", "42")]
@@ -784,11 +791,19 @@ class IVFIndexBuild(ETAlgorithm):
         pq_file = _os.path.join(path, "pq_codebooks.json")
         books = None
         if append:
-            if not _os.path.exists(cent_file):
+            # BOTH index artifacts must exist: centroids.json alone can
+            # come from a self-training IVFSimilaritySearch (which
+            # persists centroids but no corpus) — appending there would
+            # create a corpus holding ONLY the increment, and later
+            # useIndex searches would silently treat it as the full
+            # corpus (recall loss over everything not in the increment)
+            if not _os.path.exists(cent_file) \
+                    or not _os.path.isdir(_os.path.join(path, "corpus")):
                 raise ValueError(
-                    f"IVFIndexBuild: append=\"true\" but no index at "
-                    f"{path!r} ({cent_file} missing) — build it first "
-                    f"with a plain IVFIndexBuild run")
+                    f"IVFIndexBuild: append=\"true\" but no complete "
+                    f"index at {path!r} (needs centroids.json AND "
+                    f"corpus/ from a prior IVFIndexBuild) — build it "
+                    f"first with a plain IVFIndexBuild run")
             with open(cent_file) as fh:
                 cent = np.array(_json.load(fh), dtype=float)
             nlist = len(cent)

@@ -353,8 +353,11 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
     from streamingpro_spark.functions.warc import make_warc_encoder
     enc = make_warc_encoder()
     # unique per save so append never collides with an earlier save's
-    # part files; partition id keeps names stable within the job
-    run_tag = f"{os.getpid():x}{int(_time.time() * 1000) & 0xffffff:x}"
+    # part files (uuid, not a timestamp — two same-millisecond appends
+    # from one process must not overwrite each other); partition id
+    # keeps names stable within the job
+    import uuid as _uuid
+    run_tag = _uuid.uuid4().hex[:12]
     suffix = ".warc.gz" if compress else ".warc"
 
     def write_part(batches):
@@ -366,12 +369,14 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
         fh = None
         try:
             for pdf in batches:
-                if fh is None and len(pdf):
-                    fh = open(fn, "wb")
                 for i in range(len(pdf)):
                     payload = pdf[payload_col].iloc[i]
                     if payload is None:
                         continue
+                    if fh is None:
+                        # open on first WRITE, not first row — an
+                        # all-null partition leaves no empty archive
+                        fh = open(fn, "wb")
                     if isinstance(payload, str):
                         payload = payload.encode("utf-8")
                     # null header cells fall back to the defaults —
@@ -392,13 +397,11 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                 fh.close()
         yield pd.DataFrame({"file": [fn if n else ""], "records": [n]})
 
-    parts = df.select(*sel).mapInPandas(
+    # the collect() IS the action that runs the distributed write; the
+    # tiny per-partition summary is discarded (all-null partitions
+    # write no file at all — see the lazy open above)
+    df.select(*sel).mapInPandas(
         write_part, "file string, records long").collect()
-    total = sum(r["records"] for r in parts)
-    if total == 0:
-        # no rows anywhere: leave an empty dir, matching parquet's
-        # empty-write behavior
-        return
 
 
 @register_loader("hive")

@@ -87,13 +87,29 @@ def _fs_type(path: str) -> str:
         return ""
 
 
+#: marker persisted on the first assumeSingleWriter="true" save: the
+#: acknowledgment belongs to the LAKE, so later saves AND maintenance
+#: (!delta vacuum/compact, which have no options channel) inherit it
+#: instead of being permanently blocked by the guard
+_SINGLE_WRITER_ACK = "_single_writer_ack"
+
+
 def _check_lockable_fs(real: str, options: dict[str, str] | None) -> None:
     """Rendered fail-fast when the commit lock would be a no-op: flock
     on a network/object-store mount does not serialize writers on
     OTHER nodes, so the single-writer contract silently evaporates.
     `assumeSingleWriter="true"` acknowledges external coordination
-    (one scheduler, one writer) and proceeds."""
+    (one scheduler, one writer) and proceeds — persisting the
+    acknowledgment on the lake so vacuum/compact keep working."""
+    ack = os.path.join(real, _SINGLE_WRITER_ACK)
     if options and options.get("assumeSingleWriter", "").lower() == "true":
+        try:
+            with open(ack, "w") as fh:
+                fh.write("acknowledged\n")
+        except OSError:
+            pass
+        return
+    if os.path.exists(ack):
         return
     fstype = _fs_type(real)
     if fstype in _NETWORK_FS_TYPES:

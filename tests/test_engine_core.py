@@ -708,6 +708,15 @@ def test_versioned_parquet_network_fs_guard(engine, tmp_path,
     save overwrite tg2 as versionedParquet.`{lake}`
     options assumeSingleWriter="true";
     """)
+    # the acknowledgment persists on the LAKE: a later save without the
+    # option, and maintenance commands that have no options channel
+    # (!delta vacuum/compact), keep working under the same mount
+    engine.execute(f"""
+    select 2 as a as tgn;
+    save append tgn as versionedParquet.`{lake}`;
+    """)
+    df = engine.execute(f"!delta vacuum {lake};")
+    assert df.collect()[0]["orphansRemoved"] == 0
     monkeypatch.setattr(versioned, "_fs_type", lambda p: "ext4")
     engine.execute(f"""
     select 2 as a as tg3;
@@ -715,7 +724,7 @@ def test_versioned_parquet_network_fs_guard(engine, tmp_path,
     """)
     got = engine.execute(f"load versionedParquet.`{lake}` as g; "
                          "select sum(a) as s from g as gout;").collect()
-    assert got[0]["s"] == 3
+    assert got[0]["s"] == 5
 
 
 def test_fs_type_resolves_local_mount():

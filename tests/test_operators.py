@@ -140,6 +140,25 @@ def test_minhash_dedup_finds_near_dups(engine, sf_dir):
         assert r["doc_a"] < r["doc_b"]
 
 
+def test_minhash_dedup_duplicate_ids_no_self_pairs(engine):
+    """A doc_id appearing on multiple input rows must never produce a
+    (id, id) self-pair — the positional bucket expansion filters
+    equal-id pairs, matching the old strict a.id < b.id join."""
+    import json
+    docs = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "something else entirely about parquet column pruning")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    rows = engine.execute(f"""
+    set dupj = '''{dj}''';
+    load jsonStr.`dupj` as dup_docs;
+    run dup_docs as MinHashDedup.`` where threshold="0.8" as out;
+    """).collect()
+    got = sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    assert got == [(1, 2)], got
+
+
 def test_minhash_dedup_incremental_ref_mode(engine):
     """refTable mode: candidates are input x ref bucket collisions
     ONLY — doc_a is always the input's id, doc_b the ref's; input
@@ -1194,10 +1213,20 @@ def test_ivf_pq_adc_search_and_rerank(engine, sf_dir, tmp_path):
     run emb as SimilaritySearch.`` where k="3"
     and queryFilter="vec_id < 20" as pq_exact;
     """).collect()
+    # the DEFAULT search on a PQ index stays EXACT (usePQ is opt-in —
+    # nprobe=nlist keeps its exactness contract)
+    dflt = engine.execute(f"""
+    select * from emb where vec_id < 20 as pq_q;
+    run pq_q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
+    as pq_dflt;
+    """).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"]
+                        for r in rows}
+    assert key(dflt) == key(exact)
     df = engine.execute(f"""
     select * from emb where vec_id < 20 as pq_q;
     run pq_q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
-    as pq_adc;
+    and usePQ="auto" as pq_adc;
     """)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "pq_code" in plan
@@ -1220,7 +1249,7 @@ def test_ivf_pq_adc_search_and_rerank(engine, sf_dir, tmp_path):
     # the true top-1 for every query
     rer = engine.execute(f"""
     run pq_q as IVFSimilaritySearch.`{path}` where k="3" and nprobe="8"
-    and rerank="50" as pq_rer;
+    and usePQ="auto" and rerank="50" as pq_rer;
     """).collect()
     top1_exact = {r["query_id"]: r["neighbor_id"] for r in exact
                   if r["rank"] == 1}
@@ -1261,7 +1290,7 @@ def test_ivf_pq_append_reencodes(engine, sf_dir, tmp_path):
     rows = engine.execute(f"""
     select * from emb where vec_id = 0 as pq_q2;
     run pq_q2 as IVFSimilaritySearch.`{path}` where k="400" and
-    nprobe="4" as s2;
+    nprobe="4" and usePQ="true" as s2;
     """).collect()
     seen = {r["neighbor_id"] for r in rows}
     assert any(n < 250 for n in seen) and any(n >= 250 for n in seen)
