@@ -2897,7 +2897,7 @@ FROM flags
 _ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
               "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
               "tfidf_alg", "hash_tfidf_alg", "versioned_parquet_tt",
-              "bpe_tokenize"}
+              "bpe_tokenize", "ivf_pq_topk"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
