@@ -966,18 +966,39 @@ class SemDeDup(ETAlgorithm):
         from streamingpro_spark.operators.similarity import (l2_rows,
                                                              lloyd_spherical)
 
-        # spherical k-means on a bounded driver sample (IVF recipe)
-        sample_rows = base.select("__v").limit(sample_n).collect()
         id_t = df.schema[id_col].dataType.simpleString()
-        if not sample_rows:
-            # empty input (a normal upstream-filter outcome) -> zero
-            # pairs, not a numpy axis error on a 1-D empty array
-            return df.sparkSession.createDataFrame(
-                [], f"id_a {id_t}, id_b {id_t}, cosine double, cell int")
-        sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
-                                  dtype=float))
-        nlist = max(1, min(nlist, len(sample)))
-        cent = lloyd_spherical(sample, nlist, iters, seed)
+        cent = None
+        idx_path = params.get("indexPath", "")
+        if idx_path:
+            # reuse an IVFIndexBuild's persisted centroids instead of
+            # re-sampling + Lloyd per run — at 100 TB the clustering is
+            # an artifact you build once and share across SemDeDup,
+            # IVFSimilaritySearch and repeat dedup passes
+            import json as _json
+            import os as _os
+            real_idx = (context.resource_real_path(idx_path)
+                        if context else idx_path)
+            cf = _os.path.join(real_idx, "centroids.json")
+            if not _os.path.exists(cf):
+                raise ValueError(
+                    f"SemDeDup: indexPath={idx_path!r} has no "
+                    f"centroids.json — build one with IVFIndexBuild")
+            with open(cf) as fh:
+                cent = np.array(_json.load(fh), dtype=float)
+            nlist = len(cent)
+        if cent is None:
+            # spherical k-means on a bounded driver sample (IVF recipe)
+            sample_rows = base.select("__v").limit(sample_n).collect()
+            if not sample_rows:
+                # empty input (a normal upstream-filter outcome) -> zero
+                # pairs, not a numpy axis error on a 1-D empty array
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a {id_t}, id_b {id_t}, cosine double, "
+                        f"cell int")
+            sample = l2_rows(np.array([list(r[0]) for r in sample_rows],
+                                      dtype=float))
+            nlist = max(1, min(nlist, len(sample)))
+            cent = lloyd_spherical(sample, nlist, iters, seed)
         bc = df.sparkSession.sparkContext.broadcast(cent)
 
         def assign_cells(batches):
@@ -1048,6 +1069,8 @@ class SemDeDup(ETAlgorithm):
                 ("embeddingCol", "embedding array column", "embedding"),
                 ("threshold", "cosine similarity cutoff", "0.9"),
                 ("nlist", "k-means cells (1 = exact brute force)", "16"),
+                ("indexPath", "reuse an IVFIndexBuild's persisted "
+                 "centroids.json instead of re-training", ""),
                 ("maxCellSize", "cells above this split by hash", "8192"),
                 ("trainSample", "driver sample rows for k-means", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),

@@ -1296,6 +1296,33 @@ def test_ivf_pq_append_reencodes(engine, sf_dir, tmp_path):
     assert any(n < 250 for n in seen) and any(n >= 250 for n in seen)
 
 
+def test_semdedup_reuses_ivf_index_centroids(engine, sf_dir, tmp_path):
+    """SemDeDup indexPath: cell assignment from an IVFIndexBuild's
+    persisted centroids — no per-run re-training; pairs match a
+    standalone run at nlist=1 (exact) when the index has one cell."""
+    import pytest as _pytest
+    path = tmp_path / "sem_idx"
+    engine.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as emb;
+    run emb as IVFIndexBuild.`{path}` where nlist="1" as built;
+    """)
+    with_idx = engine.execute(f"""
+    run emb as SemDeDup.`{path}` where threshold="0.3"
+    and indexPath="{path}" and maxCellSize="100000" as sd1;
+    """).collect()
+    exact = engine.execute("""
+    run emb as SemDeDup.`` where threshold="0.3" and nlist="1"
+    and maxCellSize="100000" as sd2;
+    """).collect()
+    key = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
+    assert key(with_idx) == key(exact) and with_idx
+    with _pytest.raises(Exception, match="centroids.json"):
+        engine.execute(f"""
+        run emb as SemDeDup.`` where indexPath="{tmp_path / 'nope'}"
+        as bad;
+        """)
+
+
 def test_ivf_retrain_with_persisted_corpus_is_error(engine, sf_dir,
                                                     tmp_path):
     """retrain="true" against a path holding an IVFIndexBuild corpus is
