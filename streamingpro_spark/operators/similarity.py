@@ -455,6 +455,12 @@ class IVFSimilaritySearch(ETAlgorithm):
     `nprobe >= nlist` degenerates to exact brute-force search — that
     configuration is what the DuckDB oracle checks; recall at
     nprobe < nlist is the tunable approximation.
+
+    With a persisted index built with `pqSubspaces`, `usePQ="auto"`
+    switches the probe to ADC over the stored byte codes (column-pruned
+    scan — id/cell/pq_code only) with optional exact `rerank`; the
+    default usePQ="false" keeps exact vector scoring so the
+    nprobe=nlist contract above never silently weakens.
     """
 
     def train(self, df, path, params, context=None):
