@@ -1429,6 +1429,41 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _q_warc_sink_roundtrip(spark, sf_dir):
+    """warc SINK → SOURCE round trip (sources/registry.py _save_warc):
+    documents exported as member-per-record .warc.gz archives (one per
+    partition, record-by-record encode) and loaded back; the oracle
+    predicts every header field and payload from the documents table,
+    so a hash match proves the sink writes standards-shaped archives
+    the loader (and any WARC consumer) can read."""
+    import tempfile
+    eng = _engine(spark)
+    out = tempfile.mkdtemp(prefix="spk_warcsink_")
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, text,
+           concat('http://corpus.local/', doc_id) as target_uri
+    from documents where text is not null as wet_rows;
+    save overwrite wet_rows as warc.`{out}`
+    options warcDate="2026-01-01T00:00:00Z";
+    """)
+    return eng.execute(f"""
+    load warc.`{out}/*.warc.gz` as sink_pages;
+    select target_uri, record_type, warc_date, content_length, text
+    from sink_pages as output;
+    """)
+
+
+_WARC_SINK_ORACLE = """
+SELECT 'http://corpus.local/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       'conversion' AS record_type,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 #: deterministic inflation for the warc bench fixture: every document
 #: text repeated x32 (~10 KB/record, ~50 MB decoded at sf0.1) so the
 #: DuckDB oracle can predict every byte with repeat()
@@ -3039,6 +3074,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "warc_parse": _q_warc_parse,
         "warc_bench": _q_warc_bench,
+        "warc_sink_roundtrip": _q_warc_sink_roundtrip,
         # custom stateful streaming, replayed and hash-checked vs batch
         "stateful_count_stream": _q_stateful_count_stream,
         "stateful_sessionizer_stream": _q_stateful_sessionizer_stream,
@@ -3153,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _BLOOM_DEDUP_ORACLE,
         "warc_parse": _WARC_PARSE_ORACLE,
         "warc_bench": _WARC_BENCH_ORACLE,
+        "warc_sink_roundtrip": _WARC_SINK_ORACLE,
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
         "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,
