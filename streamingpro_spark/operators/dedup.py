@@ -963,29 +963,30 @@ class SemDeDup(ETAlgorithm):
         df = ensure_parallelism(df)
         base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
 
-        from streamingpro_spark.operators.similarity import (l2_rows,
-                                                             lloyd_spherical)
+        from streamingpro_spark.operators.similarity import (
+            l2_rows, lloyd_spherical, load_centroids)
 
         id_t = df.schema[id_col].dataType.simpleString()
         cent = None
+        # reuse an IVFIndexBuild's persisted centroids instead of
+        # re-sampling + Lloyd per run — at 100 TB the clustering is an
+        # artifact you build once and share across SemDeDup,
+        # IVFSimilaritySearch and repeat dedup passes.  Source: the
+        # explicit indexPath param (must exist), or — mirroring
+        # IVFSimilaritySearch's API — the operator's own backtick path
+        # when it already holds a centroids.json (`run t as
+        # SemDeDup.`/idx``), opportunistically.
+        import os as _os
         idx_path = params.get("indexPath", "")
         if idx_path:
-            # reuse an IVFIndexBuild's persisted centroids instead of
-            # re-sampling + Lloyd per run — at 100 TB the clustering is
-            # an artifact you build once and share across SemDeDup,
-            # IVFSimilaritySearch and repeat dedup passes
-            import json as _json
-            import os as _os
             real_idx = (context.resource_real_path(idx_path)
                         if context else idx_path)
-            cf = _os.path.join(real_idx, "centroids.json")
-            if not _os.path.exists(cf):
-                raise ValueError(
-                    f"SemDeDup: indexPath={idx_path!r} has no "
-                    f"centroids.json — build one with IVFIndexBuild")
-            with open(cf) as fh:
-                cent = np.array(_json.load(fh), dtype=float)
-            nlist = len(cent)
+            cent = load_centroids(real_idx)
+        elif path:
+            real_idx = (context.resource_real_path(path)
+                        if context else path)
+            if _os.path.exists(_os.path.join(real_idx, "centroids.json")):
+                cent = load_centroids(real_idx)
         if cent is None:
             # spherical k-means on a bounded driver sample (IVF recipe)
             sample_rows = base.select("__v").limit(sample_n).collect()
@@ -1070,7 +1071,8 @@ class SemDeDup(ETAlgorithm):
                 ("threshold", "cosine similarity cutoff", "0.9"),
                 ("nlist", "k-means cells (1 = exact brute force)", "16"),
                 ("indexPath", "reuse an IVFIndexBuild's persisted "
-                 "centroids.json instead of re-training", ""),
+                 "centroids.json instead of re-training (the backtick "
+                 "path is also checked, like IVFSimilaritySearch)", ""),
                 ("maxCellSize", "cells above this split by hash", "8192"),
                 ("trainSample", "driver sample rows for k-means", "10000"),
                 ("kmeansIter", "Lloyd iterations", "5"),

@@ -219,6 +219,34 @@ def _make_pair_cosine():
     return pair_cos
 
 
+def load_centroids(index_path: str):
+    """Load + validate an IVFIndexBuild `centroids.json` → (nlist, dim)
+    numpy array.  Single owner of the artifact format (shared by
+    IVFSimilaritySearch, IVFIndexBuild append and SemDeDup indexPath);
+    malformed/missing files render a driver-side error instead of an
+    opaque numpy shape crash inside an executor task."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    cf = _os.path.join(index_path, "centroids.json")
+    if not _os.path.exists(cf):
+        raise ValueError(
+            f"no centroids.json under {index_path!r} — build the index "
+            f"with IVFIndexBuild first")
+    with open(cf) as fh:
+        try:
+            cent = np.array(_json.load(fh), dtype=float)
+        except ValueError as e:
+            raise ValueError(f"{cf} is not a valid centroid file: {e}") \
+                from None
+    if cent.ndim != 2 or not len(cent):
+        raise ValueError(
+            f"{cf} is malformed: expected a non-empty 2-D centroid "
+            f"list, got shape {cent.shape}")
+    return cent
+
+
 def norm_col(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -510,8 +538,7 @@ class IVFSimilaritySearch(ETAlgorithm):
                 f"or point retrain at a path without a corpus dir.")
         if cent_file and _os.path.exists(cent_file) \
                 and not get_bool(params, "retrain", False):
-            with open(cent_file) as fh:
-                cent = np.array(_json.load(fh), dtype=float)
+            cent = load_centroids(path)
             nlist = len(cent)
             nprobe = min(nprobe, nlist)
         id_t = df.schema[id_col].dataType.simpleString()
@@ -810,8 +837,7 @@ class IVFIndexBuild(ETAlgorithm):
                     f"index at {path!r} (needs centroids.json AND "
                     f"corpus/ from a prior IVFIndexBuild) — build it "
                     f"first with a plain IVFIndexBuild run")
-            with open(cent_file) as fh:
-                cent = np.array(_json.load(fh), dtype=float)
+            cent = load_centroids(path)
             nlist = len(cent)
             if _os.path.exists(pq_file):
                 # appended rows must carry codes under the FROZEN

@@ -1307,8 +1307,13 @@ def test_semdedup_reuses_ivf_index_centroids(engine, sf_dir, tmp_path):
     run emb as IVFIndexBuild.`{path}` where nlist="1" as built;
     """)
     with_idx = engine.execute(f"""
-    run emb as SemDeDup.`{path}` where threshold="0.3"
+    run emb as SemDeDup.`` where threshold="0.3"
     and indexPath="{path}" and maxCellSize="100000" as sd1;
+    """).collect()
+    # the backtick path alone also finds the index (search-API parity)
+    via_path = engine.execute(f"""
+    run emb as SemDeDup.`{path}` where threshold="0.3"
+    and maxCellSize="100000" as sd1b;
     """).collect()
     exact = engine.execute("""
     run emb as SemDeDup.`` where threshold="0.3" and nlist="1"
@@ -1316,6 +1321,7 @@ def test_semdedup_reuses_ivf_index_centroids(engine, sf_dir, tmp_path):
     """).collect()
     key = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
     assert key(with_idx) == key(exact) and with_idx
+    assert key(via_path) == key(exact)
     with _pytest.raises(Exception, match="centroids.json"):
         engine.execute(f"""
         run emb as SemDeDup.`` where indexPath="{tmp_path / 'nope'}"
