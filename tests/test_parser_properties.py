@@ -79,8 +79,11 @@ def test_schema_dsl_total(spec):
 @settings(max_examples=200, deadline=None)
 @given(st.sampled_from(sorted({
     "cache", "desc", "println", "kill", "fs", "plugin", "show",
-    "tableRepartition", "withWatermark", "jdbc"})),
-    st.lists(st.text(alphabet="abc01;`'\"$ {}", max_size=12), max_size=4))
+    "tableRepartition", "withWatermark", "jdbc",
+    # round 6: templates with {N:default} placeholder forms
+    "split", "runScript", "python", "model", "resource"})),
+    st.lists(st.text(alphabet="abc01;`'\"$ {}named", max_size=12),
+             max_size=8))
 def test_macro_expansion_total(name, args):
     """!cmd argument lists from users: expand or ValueError."""
     from streamingpro_spark import parser as P
