@@ -259,17 +259,26 @@ def _load_warc(ctx, path, options):
     .gz size) never materializes as one batch, which also stays clear
     of Arrow's 2 GB per-batch limits.  `textDecode="false"` skips the
     decoded-str copy (text column null) for binary-consumer flows,
-    halving the per-record footprint when only `content` is needed."""
+    halving the per-record footprint when only `content` is needed.
+
+    `httpDecode="true"` splits the HTTP envelope that WARC *response*
+    records carry (status line + headers + blank line + body — the
+    raw-crawl layout, vs WET's bare text): adds http_status /
+    http_content_type columns, and `text` becomes the decoded BODY
+    (content keeps the full raw payload).  Records without an HTTP
+    envelope (WET conversions, metadata) pass through with null
+    status and whole-payload text."""
     from pyspark.sql import types as T
     from streamingpro_spark.functions.warc import make_warc_record_iter
     rec_iter = make_warc_record_iter()    # nested fn → by-value pickling
     want_type = options.get("recordType")
     text_decode = options.get("textDecode", "true").lower() != "false"
+    http_decode = options.get("httpDecode", "").lower() == "true"
     max_recs = int(options.get("maxRecordsPerBatch", "2000"))
     max_bytes = int(options.get("maxBytesPerBatch", str(64 << 20)))
     real = ctx.resource_real_path(path)
     files = ctx.spark.read.format("binaryFile").load(real)
-    out_schema = T.StructType([
+    fields = [
         T.StructField("path", T.StringType()),
         T.StructField("record_type", T.StringType()),
         T.StructField("target_uri", T.StringType()),
@@ -277,11 +286,41 @@ def _load_warc(ctx, path, options):
         T.StructField("content_length", T.LongType()),
         T.StructField("content", T.BinaryType()),
         T.StructField("text", T.StringType()),
-    ])
+    ]
+    if http_decode:
+        fields += [T.StructField("http_status", T.IntegerType()),
+                   T.StructField("http_content_type", T.StringType())]
+    out_schema = T.StructType(fields)
     cols = [f.name for f in out_schema]
 
     def split(batches):
         import pandas as pd
+
+        def http_split(payload):
+            # (status, content_type, body) — None status when the
+            # payload carries no HTTP envelope
+            if not payload.startswith(b"HTTP/"):
+                return None, None, payload
+            he = payload.find(b"\r\n\r\n")
+            he_len = 4
+            alt = payload.find(b"\n\n")
+            if he == -1 or (alt != -1 and alt < he):
+                he, he_len = alt, 2
+            if he == -1:
+                return None, None, payload
+            head = payload[:he].decode("utf-8", "replace")
+            lines = head.splitlines()
+            try:
+                status = int(lines[0].split()[1])
+            except (IndexError, ValueError):
+                return None, None, payload
+            ctype = None
+            for ln in lines[1:]:
+                if ln.lower().startswith("content-type:"):
+                    ctype = ln.split(":", 1)[1].strip()
+                    break
+            return status, ctype, payload[he + he_len:]
+
         for pdf in batches:
             for p, c in zip(pdf["path"], pdf["content"]):
                 rows, nbytes = [], 0
@@ -289,10 +328,20 @@ def _load_warc(ctx, path, options):
                     if want_type and r["record_type"] != want_type:
                         continue
                     body = r["content"]
-                    rows.append((p, r["record_type"], r["target_uri"],
-                                 r["warc_date"], r["content_length"], body,
-                                 body.decode("utf-8", "replace")
-                                 if text_decode else None))
+                    if http_decode:
+                        status, ctype, hbody = http_split(body)
+                        rows.append((p, r["record_type"],
+                                     r["target_uri"], r["warc_date"],
+                                     r["content_length"], body,
+                                     hbody.decode("utf-8", "replace")
+                                     if text_decode else None,
+                                     status, ctype))
+                    else:
+                        rows.append((p, r["record_type"],
+                                     r["target_uri"], r["warc_date"],
+                                     r["content_length"], body,
+                                     body.decode("utf-8", "replace")
+                                     if text_decode else None))
                     nbytes += len(body)
                     if len(rows) >= max_recs or nbytes >= max_bytes:
                         yield pd.DataFrame(rows, columns=cols)

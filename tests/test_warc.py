@@ -132,6 +132,37 @@ def test_warc_sink_round_trip(engine, tmp_path):
         sorted(t for _, t in docs)
 
 
+def test_warc_http_decode(engine, tmp_path):
+    """httpDecode="true": WARC response records' HTTP envelopes split
+    into http_status/http_content_type with `text` = the decoded BODY;
+    WET-style records without an envelope pass through with null
+    status and whole-payload text."""
+    from streamingpro_spark.functions.warc import make_warc_encoder
+    enc = make_warc_encoder()
+    http_payload = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"Server: test\r\n\r\n"
+                    b"<html><body>the actual page</body></html>")
+    recs = [("response", "http://x.org/a", "2026-01-01T00:00:00Z",
+             http_payload),
+            ("conversion", "http://x.org/b", "2026-01-01T00:00:00Z",
+             b"bare wet text")]
+    (tmp_path / "h.warc.gz").write_bytes(enc(recs, gzip_compress=True))
+    rows = engine.execute(f"""
+    load warc.`{tmp_path}/h.warc.gz` where httpDecode="true" as hp;
+    select target_uri, http_status, http_content_type, text, content
+    from hp as hout;
+    """).collect()
+    by_uri = {r["target_uri"]: r for r in rows}
+    a = by_uri["http://x.org/a"]
+    assert a["http_status"] == 200
+    assert a["http_content_type"] == "text/html; charset=utf-8"
+    assert a["text"] == "<html><body>the actual page</body></html>"
+    assert bytes(a["content"]) == http_payload      # raw kept intact
+    b = by_uri["http://x.org/b"]
+    assert b["http_status"] is None and b["text"] == "bare wet text"
+
+
 def test_warc_streaming_sink(engine, spark, tmp_path):
     """Streaming save to warc: one set of archives appended per
     micro-batch; records round-trip through the loader."""
