@@ -312,8 +312,12 @@ def _mh_oracle_consts() -> str:
     return (f"SELECT {a} AS A, {b} AS B")
 
 
-_MINHASH_ORACLE = f"""
-WITH consts AS ({_mh_oracle_consts()}),
+def _mh_pair_ctes() -> str:
+    """The shared DuckDB CTE chain reproducing MinHashDedup's verified
+    pairs (signatures → bands → bucket pairs → exact-Jaccard verify) —
+    used by both the pair-level oracle and the NearDedup composition
+    oracle."""
+    return f"""consts AS ({_mh_oracle_consts()}),
 t AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
 ),
@@ -352,9 +356,38 @@ j AS (
          len(list_intersect(sa.shingles, sb.shingles)) AS inter,
          len(sa.shingles) AS na, len(sb.shingles) AS nb
   FROM pairs JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-)
+)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_mh_pair_ctes()}
 SELECT doc_a, doc_b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
 FROM j WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+"""
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_mh_pair_ctes()},
+vp AS (
+  SELECT doc_a, doc_b FROM j
+  WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+conn(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cl
+  FROM documents d LEFT JOIN conn c ON c.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id FROM lbl WHERE doc_id = cl
 """
 
 
@@ -799,6 +832,18 @@ SELECT doc_id,
        md5(array_to_string(toks[s:s+19], ' ')) AS chunk_md5
 FROM starts
 """
+
+
+def _q_near_dedup(spark, sf_dir):
+    """NearDedup (operators/dedup.py): the one-shot MinHash → connected
+    components → min-id-survivor composition; the oracle replays the
+    whole chain in DuckDB (shared pair CTEs + recursive components)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as NearDedup.`` where threshold="0.8" as kept;
+    select doc_id from kept as output;
+    """)
 
 
 def _q_dup_clusters(spark, sf_dir):
@@ -3048,6 +3093,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "data_constraints": _q_data_constraints,
         "dup_clusters": _q_dup_clusters,
+        "near_dedup": _q_near_dedup,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -3167,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_ORACLE,
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
+        "near_dedup": _NEAR_DEDUP_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,

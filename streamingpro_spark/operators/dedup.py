@@ -784,6 +784,58 @@ class EmbeddingDedup(ETAlgorithm):
                  "true")]
 
 
+@register_et("NearDedup")
+class NearDedup(ETAlgorithm):
+    """One-shot near-duplicate REMOVAL — the composition users chain by
+    hand (examples/04): MinHash+LSH candidate pairs with exact-Jaccard
+    verify (MinHashDedup) → connected components over the verified
+    pairs (DupClusters) → keep the min-id document per cluster.
+    Output: the INPUT rows minus non-survivor near-duplicates (full
+    schema preserved).
+
+    With `refTable` (incremental ingest): drop every input doc that has
+    a verified near-dup in the reference corpus — BloomFilterDedup's
+    near-dup sibling, no clustering needed (presence of any input×ref
+    pair is the removal signal).
+
+    All MinHashDedup knobs pass through (threshold / numHashes /
+    numBands / shingleSize / maxBucketSize / hashImpl), as do
+    DupClusters' (maxIter / checkpointEvery).  Scale = the sum of its
+    parts: the single-shuffle bucket pairing and the shallow label
+    propagation, both audited in SCALE.md."""
+
+    def train(self, df, path, params, context=None):
+        import uuid as _uuid
+        id_col = params.get("idCol", "doc_id")
+        spark = df.sparkSession
+        pairs = MinHashDedup().train(df, "", params, context)
+        if params.get("refTable"):
+            # incremental: any input doc with a ref near-dup goes
+            dup_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+            return df.join(dup_ids, [id_col], "left_anti")
+        view = f"__near_dedup_pairs_{_uuid.uuid4().hex[:8]}"
+        pairs.createOrReplaceTempView(view)
+        clustered = DupClusters().train(
+            df, "", {**params, "pairsTable": view}, context)
+        survivors = clustered.filter(F.col("keep")).select(id_col)
+        # semi-join keeps the full input schema for survivors
+        joined = df.join(survivors, [id_col], "left_semi")
+        out = eager_materialize(joined, params, context)
+        if out is not joined:
+            # materialized → the lazy plan over the temp view is gone;
+            # safe to drop it (otherwise the uuid view lives out the
+            # session, same lifecycle as other script temp views)
+            spark.catalog.dropTempView(view)
+        return out
+
+    def explain_params(self):
+        return ([("idCol", "document id column", "doc_id"),
+                 ("refTable", "incremental mode: drop input docs with a "
+                  "near-dup in this corpus (no clustering)", "")]
+                + MinHashDedup().explain_params()[1:]
+                + [("maxIter", "label-propagation bound", "20")])
+
+
 @register_et("DupClusters")
 class DupClusters(ETAlgorithm):
     """Connected components over near-dup pairs — the step that turns

@@ -159,6 +159,35 @@ def test_minhash_dedup_duplicate_ids_no_self_pairs(engine):
     assert got == [(1, 2)], got
 
 
+def test_near_dedup_one_shot(engine):
+    """NearDedup = MinHashDedup -> DupClusters -> min-id survivors in
+    one call; full input schema preserved; refTable mode drops input
+    docs with a ref near-dup."""
+    import json
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base), (3, base),
+            (5, "completely different text about spark dataframes and "
+                "shuffles"),
+            (6, "a third topic entirely parquet files and column "
+                "pruning")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t, "src": "s"})
+                   for i, t in docs)
+    rows = engine.execute(f"""
+    set ndj = '''{dj}''';
+    load jsonStr.`ndj` as nd_docs;
+    run nd_docs as NearDedup.`` where threshold="0.8" as out;
+    """).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 5, 6]
+    assert set(rows[0].asDict()) == {"doc_id", "text", "src"}
+    # refTable: input docs near-dupping the ref corpus are dropped
+    rows2 = engine.execute(f"""
+    select doc_id + 100 as doc_id, text, src from nd_docs as nd_new;
+    run nd_new as NearDedup.`` where threshold="0.8"
+    and refTable="nd_docs" as out2;
+    """).collect()
+    assert rows2 == []          # every shifted doc matches its original
+
+
 def test_minhash_dedup_incremental_ref_mode(engine):
     """refTable mode: candidates are input x ref bucket collisions
     ONLY — doc_a is always the input's id, doc_b the ref's; input
