@@ -140,6 +140,29 @@ def minhash_signature_df(df: "DataFrame", id_col: str, text_col: str,
                                       for k in range(num_hashes)]).alias("__mh")))
 
 
+def minhash_band_rows(src, id_col: str, col: str, k: int, bands: int,
+                      n: int, impl: str):
+    """(__id, __band, __bh) LSH band rows — the unit MinHashDedup
+    buckets on.  ONE pass computes the signature (the hash work) and
+    explodes the band structs — a unionAll of per-band selects would
+    rescan and recompute the signature once per band (observed 7× in
+    bench).  Shared by MinHashDedup (inline) and MinHashSignatures
+    (persisted for incremental reuse)."""
+    r = k // bands
+    sig = minhash_signature_df(src, id_col, col, k, n, impl)
+    band_struct = F.array(*[
+        F.struct(
+            F.lit(b).alias("__band"),
+            portable_hash64(
+                F.concat_ws("_", *[F.col("__mh")[b * r + j]
+                                   .cast("string") for j in range(r)]),
+                f"band{b}", impl).alias("__bh"))
+        for b in range(bands)])
+    return (sig.select("__id", F.explode(band_struct).alias("__e"))
+               .select("__id", F.col("__e.__band").alias("__band"),
+                       F.col("__e.__bh").alias("__bh")))
+
+
 # ---------------------------------------------------------------------------
 # ETs
 # ---------------------------------------------------------------------------
@@ -364,26 +387,42 @@ class MinHashDedup(ETAlgorithm):
         ref_name = params.get("refTable", "")
         ref_df = (ensure_parallelism(df.sparkSession.table(ref_name))
                   if ref_name else None)
+        ref_bands_name = params.get("refBandsTable", "")
+        if ref_bands_name and not ref_name:
+            raise ValueError(
+                "MinHashDedup: refBandsTable needs refTable too — the "
+                "exact-Jaccard verify stage reads the candidates' text "
+                "from the reference corpus")
         df = ensure_parallelism(df)
 
         def band_rows(src):
-            # ONE pass computes the signature (the hash work) and
-            # explodes the band structs — a unionAll of per-band selects
-            # would rescan and recompute the signature once per band
-            # (observed 7× in bench).
-            sig = minhash_signature_df(src, id_col, col, k, n, impl)
-            band_struct = F.array(*[
-                F.struct(
-                    F.lit(b).alias("__band"),
-                    portable_hash64(
-                        F.concat_ws("_", *[F.col("__mh")[b * r + j]
-                                           .cast("string")
-                                           for j in range(r)]),
-                        f"band{b}", impl).alias("__bh"))
-                for b in range(bands)])
-            return (sig.select("__id", F.explode(band_struct).alias("__e"))
-                       .select("__id", F.col("__e.__band").alias("__band"),
-                               F.col("__e.__bh").alias("__bh")))
+            return minhash_band_rows(src, id_col, col, k, bands, n, impl)
+
+        def ref_band_rows():
+            # precomputed by MinHashSignatures: the multi-TB history is
+            # hashed ONCE, each increment reuses the stored band rows
+            # instead of re-running md5+minhash over every history
+            # shingle per batch.  The embedded params are VALIDATED —
+            # mismatched banding would silently produce an empty/wrong
+            # candidate set
+            bt = df.sparkSession.table(ref_bands_name)
+            need = {id_col, "band", "band_hash", "mh_params"}
+            missing = need - set(bt.columns)
+            if missing:
+                raise ValueError(
+                    f"MinHashDedup: refBandsTable={ref_bands_name!r} "
+                    f"is missing columns {sorted(missing)} — produce "
+                    f"it with MinHashSignatures")
+            want = f"k={k},bands={bands},shingle={n},impl={impl}"
+            got_row = bt.select("mh_params").limit(1).collect()
+            if got_row and got_row[0][0] != want:
+                raise ValueError(
+                    f"MinHashDedup: refBandsTable was built with "
+                    f"{got_row[0][0]!r} but this run uses {want!r} — "
+                    f"rebuild the signatures or match the params")
+            return bt.select(F.col(id_col).alias("__id"),
+                             F.col("band").alias("__band"),
+                             F.col("band_hash").alias("__bh"))
 
         from pyspark.sql import Window
 
@@ -427,8 +466,10 @@ class MinHashDedup(ETAlgorithm):
             # the spillable per-(band,bh,side) window guard mirrors the
             # self-mode shape — mega-buckets are dropped before any
             # collect_list buffer builds
+            ref_rows = (ref_band_rows() if ref_bands_name
+                        else band_rows(ref_df))
             tagged = (band_rows(df).withColumn("__side", F.lit(0))
-                      .unionByName(band_rows(ref_df)
+                      .unionByName(ref_rows
                                    .withColumn("__side", F.lit(1))))
             guard_w = Window.partitionBy("__band", "__bh")
             # one window over the SAME keys the groupBy uses (exchange
@@ -501,8 +542,51 @@ class MinHashDedup(ETAlgorithm):
                 ("maxBucketSize", "skew guard: drop larger buckets", "1000"),
                 ("refTable", "incremental mode: pairs are input x ref "
                  "only (no self-join)", ""),
+                ("refBandsTable", "precomputed MinHashSignatures rows "
+                 "for the ref side (skips re-hashing the history; "
+                 "params validated)", ""),
                 ("eagerCache", "materialize output, free bucket cache", "true"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
+
+
+@register_et("MinHashSignatures")
+class MinHashSignatures(ETAlgorithm):
+    """Precompute a corpus's LSH band rows for reuse as MinHashDedup's
+    `refBandsTable` — the incremental-ingest companion (BloomFilter-
+    Dedup's near-dup sibling on the index side): the multi-TB history
+    is hashed ONCE (md5+minhash over every shingle is the dominant
+    cost), and each daily increment then buckets against the stored
+    rows instead of re-hashing the history per batch.
+
+    Output: (<idCol>, band, band_hash, mh_params) — persist it with
+    `save` (parquet/versionedParquet).  `mh_params` embeds the banding
+    parameters as a constant column (parquet RLE ≈ free) so the
+    consuming MinHashDedup can fail fast on a mismatch instead of
+    silently producing a wrong candidate set."""
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        n = get_int(params, "shingleSize", 3)
+        k = get_int(params, "numHashes", 12)
+        bands = get_int(params, "numBands", 4)
+        impl = hash_impl(params)
+        rows = minhash_band_rows(ensure_parallelism(df), id_col, col,
+                                 k, bands, n, impl)
+        tag = f"k={k},bands={bands},shingle={n},impl={impl}"
+        return rows.select(F.col("__id").alias(id_col),
+                           F.col("__band").alias("band"),
+                           F.col("__bh").alias("band_hash"),
+                           F.lit(tag).alias("mh_params"))
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("contentCol", "text column", "text"),
+                ("shingleSize", "words per shingle", "3"),
+                ("numHashes", "minhash functions", "12"),
+                ("numBands", "LSH bands", "4"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]
 
 
 @register_et("SimHashDedup")

@@ -159,6 +159,52 @@ def test_minhash_dedup_duplicate_ids_no_self_pairs(engine):
     assert got == [(1, 2)], got
 
 
+def test_minhash_signatures_precomputed_ref(engine, tmp_path):
+    """MinHashSignatures persists the ref corpus's band rows; a later
+    MinHashDedup refBandsTable run produces IDENTICAL pairs to plain
+    refTable mode without re-hashing the history; mismatched banding
+    params fail fast."""
+    import json
+    ref = [(i, f"shared sentence number {i} about spark and parquet "
+               f"files with more words to shingle on") for i in range(5)]
+    new = [(100 + i, t) for i, (_, t) in enumerate(ref[:3])]
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    sig_path = tmp_path / "mh_sigs"
+    engine.execute(f"""
+    set msr = '''{rj}''';
+    set msn = '''{nj}''';
+    load jsonStr.`msr` as ms_ref;
+    load jsonStr.`msn` as ms_new;
+    run ms_ref as MinHashSignatures.`` as ms_sigs;
+    save overwrite ms_sigs as parquet.`{sig_path}`;
+    load parquet.`{sig_path}` as ms_sigs_stored;
+    """)
+    plain = engine.execute("""
+    run ms_new as MinHashDedup.`` where refTable="ms_ref"
+    and threshold="0.9" as p1;
+    """).collect()
+    pre = engine.execute("""
+    run ms_new as MinHashDedup.`` where refTable="ms_ref"
+    and refBandsTable="ms_sigs_stored" and threshold="0.9" as p2;
+    """).collect()
+    key = lambda rows: sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                              for r in rows)
+    assert key(plain) == key(pre) and plain
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="rebuild the signatures"):
+        engine.execute("""
+        run ms_new as MinHashDedup.`` where refTable="ms_ref"
+        and refBandsTable="ms_sigs_stored" and numBands="6"
+        and numHashes="12" as bad;
+        """)
+    with _pytest.raises(Exception, match="refTable too"):
+        engine.execute("""
+        run ms_new as MinHashDedup.`` where
+        refBandsTable="ms_sigs_stored" as bad2;
+        """)
+
+
 def test_near_dedup_one_shot(engine):
     """NearDedup = MinHashDedup -> DupClusters -> min-id survivors in
     one call; full input schema preserved; refTable mode drops input
