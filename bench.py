@@ -47,6 +47,7 @@ HEADLINE = [
     "wordcount_top20",
     "exact_dedup",
     "minhash_dedup",
+    "near_dedup",
     "simhash_fingerprint",
     "embedding_dedup",
     "embedding_topk",
