@@ -846,6 +846,142 @@ def _q_near_dedup(spark, sf_dir):
     """)
 
 
+def _q_near_dedup_incr(spark, sf_dir):
+    """NearDedup refTable mode (operators/dedup.py): the daily-ingest
+    contract — the increment is scrubbed of BOTH lake near-dups and
+    near-dups WITHIN the increment (round-7).  The batch plants exact
+    copies of ref docs (cross dups) and doubled batch docs (intra
+    dups); the oracle replays the side-tagged MinHash chain + the
+    removal-set union in DuckDB."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, text from documents where doc_id % 5 != 0 as ref_corpus;
+    select doc_id, text from documents where doc_id % 5 = 0
+    union all
+    select doc_id + 10000000 as doc_id, text from documents
+    where doc_id % 5 = 1 and doc_id % 3 = 0
+    union all
+    select doc_id + 20000000 as doc_id, text from documents
+    where doc_id % 5 = 0 and doc_id % 3 = 0
+    as batch;
+    run batch as NearDedup.`` where refTable="ref_corpus"
+        and threshold="0.8" as kept;
+    select doc_id from kept as output;
+    """)
+
+
+def _mh_incr_ctes() -> str:
+    """Side-tagged variant of `_mh_pair_ctes`: signatures/bands over
+    batch (side 0) ∪ ref (side 1), yielding verified CROSS pairs
+    (batch×ref) and SELF pairs (batch×batch) — the DuckDB replay of
+    MinHashDedup's intraBatch mode over the constructed increment."""
+    return f"""consts AS ({_mh_oracle_consts()}),
+refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+bat AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents
+  WHERE doc_id % 5 = 1 AND doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+),
+alld AS (
+  SELECT 0 AS side, doc_id, text FROM bat
+  UNION ALL
+  SELECT 1 AS side, doc_id, text FROM refd
+),
+t AS (
+  SELECT side, doc_id,
+         string_split_regex(lower(text), '\\s+') AS toks FROM alld
+),
+sh AS (
+  SELECT side, doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                        for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
+  FROM t
+),
+bases AS (
+  SELECT side, doc_id, shingles,
+         [CAST(CONCAT('0x', substr(md5(CONCAT('mh:', sng)), 1, 8)) AS BIGINT)
+          % 1073741824 for sng in shingles] AS ms
+  FROM sh
+),
+sig AS (
+  SELECT side, doc_id,
+         [list_min([(m * A[s+1] + B[s+1]) % 2305843009213693951 for m in ms])
+          for s in generate_series(0, 11)] AS mh
+  FROM bases, consts
+),
+bands AS (
+  SELECT side, doc_id, b.band,
+         CAST(CONCAT('0x', substr(md5(CONCAT('band', CAST(b.band AS VARCHAR), ':',
+              array_to_string(list_transform(list_slice(mh, b.band*3+1, b.band*3+3),
+                                             x -> CAST(x AS VARCHAR)), '_'))), 1, 15)) AS BIGINT) AS bh
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cross_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh
+  WHERE a.side = 0 AND b2.side = 1
+),
+self_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh
+                            AND a.doc_id < b2.doc_id
+  WHERE a.side = 0 AND b2.side = 0
+),
+vcross AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS i,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM cross_pairs
+    JOIN sh sa ON sa.side = 0 AND doc_a = sa.doc_id
+    JOIN sh sb ON sb.side = 1 AND doc_b = sb.doc_id)
+  WHERE i * 1.0 / (na + nb - i) >= 0.8
+),
+vself AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS i,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM self_pairs
+    JOIN sh sa ON sa.side = 0 AND doc_a = sa.doc_id
+    JOIN sh sb ON sb.side = 0 AND doc_b = sb.doc_id)
+  WHERE i * 1.0 / (na + nb - i) >= 0.8
+)"""
+
+
+_NEAR_DEDUP_INCR_ORACLE = f"""
+WITH RECURSIVE {_mh_incr_ctes()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM vself
+  UNION ALL
+  SELECT doc_b, doc_a FROM vself
+),
+conn(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cl
+  FROM bat d LEFT JOIN conn c ON c.a = d.doc_id
+  GROUP BY d.doc_id
+),
+removed AS (
+  SELECT DISTINCT doc_a AS doc_id FROM vcross
+  UNION
+  SELECT doc_id FROM lbl WHERE doc_id != cl
+)
+SELECT doc_id FROM bat
+WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
 def _q_dup_clusters(spark, sf_dir):
     # deterministic chain edges (doc, doc+1) within each 10-block's first
     # 5 docs — components of diameter 4 exercise transitive propagation
@@ -3094,6 +3230,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_constraints": _q_data_constraints,
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
+        "near_dedup_incr": _q_near_dedup_incr,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -3214,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "near_dedup": _NEAR_DEDUP_ORACLE,
+        "near_dedup_incr": _NEAR_DEDUP_INCR_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,

@@ -39,8 +39,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, functions as F
 
 from streamingpro_spark.operators.base import (ETAlgorithm, eager_materialize,
-                                                ensure_parallelism, get_float,
-                                                get_int, script_cache)
+                                                ensure_parallelism, get_bool,
+                                                get_float, get_int,
+                                                script_cache)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -393,6 +394,11 @@ class MinHashDedup(ETAlgorithm):
                 "MinHashDedup: refBandsTable needs refTable too — the "
                 "exact-Jaccard verify stage reads the candidates' text "
                 "from the reference corpus")
+        intra = get_bool(params, "intraBatch", False)
+        if intra and ref_df is None:
+            raise ValueError(
+                "MinHashDedup: intraBatch only applies with refTable — "
+                "self mode already pairs the input against itself")
         df = ensure_parallelism(df)
 
         def band_rows(src):
@@ -414,11 +420,22 @@ class MinHashDedup(ETAlgorithm):
                     f"is missing columns {sorted(missing)} — produce "
                     f"it with MinHashSignatures")
             want = f"k={k},bands={bands},shingle={n},impl={impl}"
-            got_row = bt.select("mh_params").limit(1).collect()
-            if got_row and got_row[0][0] != want:
+            # distinct(), not limit(1): a signatures table accidentally
+            # unioned from two builds with different banding params
+            # would pass a single-row probe and silently yield a wrong
+            # candidate set for the mismatched portion.  The column is
+            # an RLE constant in parquet, so this agg is ~free.
+            got = sorted(r[0] for r in
+                         bt.select("mh_params").distinct().collect())
+            if len(got) > 1:
+                raise ValueError(
+                    f"MinHashDedup: refBandsTable={ref_bands_name!r} "
+                    f"mixes rows from builds with different params "
+                    f"{got} — rebuild it with one MinHashSignatures run")
+            if got and got[0] != want:
                 raise ValueError(
                     f"MinHashDedup: refBandsTable was built with "
-                    f"{got_row[0][0]!r} but this run uses {want!r} — "
+                    f"{got[0]!r} but this run uses {want!r} — "
                     f"rebuild the signatures or match the params")
             return bt.select(F.col(id_col).alias("__id"),
                              F.col("band").alias("__band"),
@@ -485,21 +502,41 @@ class MinHashDedup(ETAlgorithm):
                               & (F.col("__nb") <= max_bucket))
                       .drop("__na", "__nb"))
             grouped = (tagged.groupBy("__band", "__bh")
-                       .agg(F.collect_list(
-                                F.when(F.col("__side") == 0, F.col("__id")))
+                       .agg(F.sort_array(F.collect_list(
+                                F.when(F.col("__side") == 0, F.col("__id"))))
                             .alias("__a"),
                             F.collect_list(
                                 F.when(F.col("__side") == 1, F.col("__id")))
-                            .alias("__b"))
-                       .filter((F.size("__a") >= 1)
-                               & (F.size("__b") >= 1)))
-            pairs = (grouped.select(F.explode(F.flatten(F.transform(
+                            .alias("__b")))
+            cross = (grouped
+                     .filter((F.size("__a") >= 1) & (F.size("__b") >= 1))
+                     .select(F.explode(F.flatten(F.transform(
                         F.col("__a"), lambda x: F.transform(
                             F.col("__b"),
                             lambda y: F.struct(x.alias("doc_a"),
                                                y.alias("doc_b"))))))
                         .alias("__p"))
-                     .select("__p.doc_a", "__p.doc_b").distinct())
+                     .select("__p.doc_a", "__p.doc_b",
+                             F.lit("ref").alias("pair_src")))
+            if intra:
+                # input×input candidates from the SAME grouped buckets —
+                # no extra shuffle, no re-hash: both candidate sets
+                # share the one (band, hash) exchange.  Same sorted
+                # i<j expansion as self mode (doc_a < doc_b).
+                selfp = (grouped.filter(F.size("__a") >= 2)
+                         .select(F.explode(F.flatten(F.transform(
+                            F.col("__a"), lambda x, i: F.transform(
+                                F.slice(F.col("__a"), i + F.lit(2),
+                                        F.size("__a") - i - 1),
+                                lambda y: F.struct(x.alias("doc_a"),
+                                                   y.alias("doc_b"))))))
+                            .alias("__p"))
+                         .filter(F.col("__p.doc_a") != F.col("__p.doc_b"))
+                         .select("__p.doc_a", "__p.doc_b",
+                                 F.lit("self").alias("pair_src")))
+                pairs = cross.unionByName(selfp).distinct()
+            else:
+                pairs = cross.drop("pair_src").distinct()
 
         # shingle arrays for the verify stage: recomputed from text (cheap —
         # split/slice, no md5) instead of caching big arrays
@@ -508,20 +545,36 @@ class MinHashDedup(ETAlgorithm):
                               shingles_col(F.col(col), n).alias("__sh"))
 
         sh_a = shingle_side(df)
-        sh_b = shingle_side(ref_df if ref_df is not None else df)
+        if intra:
+            # doc_b's text lives in the INPUT for self pairs and in the
+            # REF for cross pairs — key the shingle lookup by
+            # (pair_src, doc_b) so an id present in both corpora can
+            # never verify against the wrong text
+            sh_b = (shingle_side(df)
+                    .withColumn("pair_src", F.lit("self"))
+                    .unionByName(shingle_side(ref_df)
+                                 .withColumn("pair_src", F.lit("ref"))))
+            b_keys = ["doc_b", "pair_src"]
+            out_cols = ["doc_a", "doc_b",
+                        F.round("jaccard", 4).alias("jaccard"),
+                        "pair_src"]
+        else:
+            sh_b = shingle_side(ref_df if ref_df is not None else df)
+            b_keys = ["doc_b"]
+            out_cols = ["doc_a", "doc_b",
+                        F.round("jaccard", 4).alias("jaccard")]
         verified = (pairs
                     .join(sh_a.select(F.col("__id").alias("doc_a"),
                                       F.col("__sh").alias("__sha")), "doc_a")
-                    .join(sh_b.select(F.col("__id").alias("doc_b"),
-                                      F.col("__sh").alias("__shb")), "doc_b")
+                    .join(sh_b.withColumnRenamed("__id", "doc_b")
+                              .withColumnRenamed("__sh", "__shb"), b_keys)
                     .withColumn("__inter",
                                 F.size(F.array_intersect("__sha", "__shb")))
                     .withColumn("jaccard",
                                 F.col("__inter") / (F.size("__sha") + F.size("__shb")
                                                     - F.col("__inter")))
                     .filter(F.col("jaccard") >= threshold)
-                    .select("doc_a", "doc_b",
-                            F.round("jaccard", 4).alias("jaccard"))
+                    .select(*out_cols)
                     # duplicate-id input rows fan the verify join out —
                     # identical verify rows collapse (tiny output;
                     # duplicate ids with DIFFERENT texts keep both
@@ -545,6 +598,9 @@ class MinHashDedup(ETAlgorithm):
                 ("refBandsTable", "precomputed MinHashSignatures rows "
                  "for the ref side (skips re-hashing the history; "
                  "params validated)", ""),
+                ("intraBatch", "with refTable: ALSO emit input x input "
+                 "pairs from the same bucket shuffle, tagged by a "
+                 "pair_src column (self|ref)", "false"),
                 ("eagerCache", "materialize output, free bucket cache", "true"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
@@ -878,9 +934,15 @@ class NearDedup(ETAlgorithm):
     schema preserved).
 
     With `refTable` (incremental ingest): drop every input doc that has
-    a verified near-dup in the reference corpus — BloomFilterDedup's
-    near-dup sibling, no clustering needed (presence of any input×ref
-    pair is the removal signal).
+    a verified near-dup in the reference corpus, AND near-dups WITHIN
+    the increment itself (two copies of the same new document must not
+    both enter the lake).  Both candidate sets come out of ONE bucket
+    shuffle (MinHashDedup intraBatch mode — the band rows are computed
+    once); the intra-batch pairs then run the same cluster→min-id
+    survivor pipeline as self mode.  Removal set = (input docs with a
+    ref near-dup) ∪ (intra-batch non-survivors) — a whole intra-batch
+    cluster can drop when its survivor is itself a ref-dup, which is
+    correct: that content already lives in the lake.
 
     All MinHashDedup knobs pass through (threshold / numHashes /
     numBands / shingleSize / maxBucketSize / hashImpl), as do
@@ -892,11 +954,36 @@ class NearDedup(ETAlgorithm):
         import uuid as _uuid
         id_col = params.get("idCol", "doc_id")
         spark = df.sparkSession
-        pairs = MinHashDedup().train(df, "", params, context)
         if params.get("refTable"):
-            # incremental: any input doc with a ref near-dup goes
-            dup_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
-            return df.join(dup_ids, [id_col], "left_anti")
+            # incremental: ONE signature pass + ONE bucket shuffle
+            # yields both candidate sets (pair_src self|ref).  The pair
+            # output is small; persist it so the ref-dup filter and the
+            # intra-batch clustering don't re-run the LSH pipeline.
+            pairs = MinHashDedup().train(
+                df, "", {**params, "intraBatch": "true"}, context)
+            pairs = script_cache(pairs, context, "near_dedup_incr_pairs")
+            pairs.count()
+            # (1) any input doc with a verified ref near-dup goes
+            ref_dups = (pairs.filter(F.col("pair_src") == "ref")
+                        .select(F.col("doc_a").alias(id_col)).distinct())
+            # (2) intra-batch near-dups: same cluster→min-id survivor
+            # pipeline as self mode, over the self-tagged pairs
+            view = f"__near_dedup_self_pairs_{_uuid.uuid4().hex[:8]}"
+            pairs.filter(F.col("pair_src") == "self") \
+                 .select("doc_a", "doc_b", "jaccard") \
+                 .createOrReplaceTempView(view)
+            clustered = DupClusters().train(
+                df, "", {**params, "pairsTable": view}, context)
+            non_survivors = (clustered.filter(~F.col("keep"))
+                             .select(id_col))
+            drop_ids = ref_dups.unionByName(non_survivors).distinct()
+            joined = df.join(drop_ids, [id_col], "left_anti")
+            out = eager_materialize(joined, params, context)
+            if out is not joined:
+                spark.catalog.dropTempView(view)
+                pairs.unpersist()
+            return out
+        pairs = MinHashDedup().train(df, "", params, context)
         view = f"__near_dedup_pairs_{_uuid.uuid4().hex[:8]}"
         pairs.createOrReplaceTempView(view)
         clustered = DupClusters().train(
@@ -913,11 +1000,18 @@ class NearDedup(ETAlgorithm):
         return out
 
     def explain_params(self):
-        return ([("idCol", "document id column", "doc_id"),
-                 ("refTable", "incremental mode: drop input docs with a "
-                  "near-dup in this corpus (no clustering)", "")]
-                + MinHashDedup().explain_params()[1:]
-                + [("maxIter", "label-propagation bound", "20")])
+        own = [("idCol", "document id column", "doc_id"),
+               ("refTable", "incremental mode: drop input docs with a "
+                "near-dup in this corpus, plus intra-batch "
+                "non-survivors", "")]
+        taken = {name for name, *_ in own}
+        # NearDedup overrides refTable's semantics — the inherited
+        # MinHashDedup row would render a confusing duplicate in
+        # `!show et/NearDedup` help output
+        inherited = [p for p in MinHashDedup().explain_params()
+                     if p[0] not in taken]
+        return own + inherited + [("maxIter", "label-propagation bound",
+                                   "20")]
 
 
 @register_et("DupClusters")

@@ -655,21 +655,32 @@ class IVFSimilaritySearch(ETAlgorithm):
                         dtype=_np.uint8).reshape(len(pdf), m_)
                     cells = pdf["cell"].to_numpy()
                     cids = pdf["__id"].to_numpy()
-                    S = _np.zeros((len(_qids), len(pdf)),
-                                  dtype=_np.float32)
-                    for s in range(m_):
-                        S += LUT[s][:, codes[:, s]]
                     oq, on, oc = [], [], []
-                    for j in range(len(_qids)):
-                        ok = _member[j, cells] & (cids != _qids[j])
-                        idx = _np.nonzero(ok)[0]
-                        if not idx.size:
-                            continue
-                        take = idx[_np.lexsort(
-                            (cids[idx], -S[j, idx].astype(float)))][:topn]
-                        oq.extend([_qids[j]] * len(take))
-                        on.extend(cids[take])
-                        oc.extend(S[j, take].astype(float))
+                    # the score matrix is |Q|×batch float32 — at the
+                    # default maxQueryRows=100k and a ~10k-row Arrow
+                    # batch that is ~4 GB per task, which the 512 MiB
+                    # driver-side LUT guard never sees.  Slice the
+                    # query axis so the slab stays ≤64 MiB; top-k is
+                    # per-query, so slicing changes nothing downstream
+                    q_chunk = max(1, (64 << 20) // (4 * len(pdf)))
+                    for q0 in range(0, len(_qids), q_chunk):
+                        q1 = min(q0 + q_chunk, len(_qids))
+                        S = _np.zeros((q1 - q0, len(pdf)),
+                                      dtype=_np.float32)
+                        for s in range(m_):
+                            S += LUT[s][q0:q1][:, codes[:, s]]
+                        for jj in range(q1 - q0):
+                            j = q0 + jj
+                            ok = _member[j, cells] & (cids != _qids[j])
+                            idx = _np.nonzero(ok)[0]
+                            if not idx.size:
+                                continue
+                            take = idx[_np.lexsort(
+                                (cids[idx],
+                                 -S[jj, idx].astype(float)))][:topn]
+                            oq.extend([_qids[j]] * len(take))
+                            on.extend(cids[take])
+                            oc.extend(S[jj, take].astype(float))
                     yield _pd.DataFrame(
                         {"query_id": oq, "neighbor_id": on, "cosine": oc})
 
@@ -889,6 +900,13 @@ class IVFIndexBuild(ETAlgorithm):
             if books is not None:
                 with open(pq_file, "w") as fh:
                     _json.dump(books.tolist(), fh)
+            elif _os.path.exists(pq_file):
+                # a fresh build WITHOUT pqSubspaces rewrites corpus/ and
+                # centroids — a pq_codebooks.json left over from a prior
+                # PQ build would make a later usePQ search select the
+                # now-missing pq_code column (opaque AnalysisException);
+                # the artifact belongs to the overwritten index, drop it
+                _os.remove(pq_file)
         return df.sparkSession.createDataFrame(
             [(path, int(nlist), int(cent.shape[1]),
               int(books.shape[0]) if books is not None else 0)],

@@ -369,7 +369,6 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
     ignore.  Local-fs scope like versionedParquet (executors must see
     the path; a DFS deploy swaps the open() for a Hadoop FS stream)."""
     import os
-    import shutil
     import time as _time
     cols = set(df.columns)
     payload_col = options.get("contentCol") or \
@@ -388,7 +387,12 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                 f"warc sink: {real!r} already holds archives "
                 f"(mode errorIfExists)")
         if mode == "overwrite":
-            shutil.rmtree(real)
+            # remove only the artifacts the sink owns (*.warc/*.warc.gz)
+            # — an rmtree of the whole directory would delete unrelated
+            # files that happen to live alongside the archives
+            for f in os.listdir(real):
+                if f.endswith((".warc", ".warc.gz")):
+                    os.remove(os.path.join(real, f))
     os.makedirs(real, exist_ok=True)
     compress = options.get("compress", "true").lower() != "false"
     rtype_default = options.get("recordType", "conversion")

@@ -234,6 +234,72 @@ def test_near_dedup_one_shot(engine):
     assert rows2 == []          # every shifted doc matches its original
 
 
+def test_near_dedup_incremental_intra_batch(engine):
+    """refTable mode removes BOTH ref-dups and intra-batch near-dups
+    (round-7: two copies of the same new doc must not both enter the
+    lake).  A whole intra-batch cluster may drop when its survivor is
+    itself a ref-dup — the content already lives in the lake."""
+    import json
+    ref = [(i, f"reference document number {i} on spark shuffles and "
+               f"broadcast joins with extra shingle words") for i in range(3)]
+    new = [
+        # 100 dups ref doc 0 (ref-dup); 101 dups 100 (intra pair whose
+        # min-id survivor is itself a ref-dup -> whole cluster drops)
+        (100, ref[0][1]), (101, ref[0][1]),
+        # 102/103: intra-batch dup pair with NO ref counterpart ->
+        # min id 102 survives, 103 drops
+        (102, "fresh content about adaptive query execution and skew "
+              "join handling in modern engines"),
+        (103, "fresh content about adaptive query execution and skew "
+              "join handling in modern engines"),
+        # 104: unique -> survives
+        (104, "entirely unrelated prose describing parquet encodings "
+              "and dictionary compression tricks"),
+    ]
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    rows = engine.execute(f"""
+    set ndirj = '''{rj}''';
+    set ndinj = '''{nj}''';
+    load jsonStr.`ndirj` as ndi_ref;
+    load jsonStr.`ndinj` as ndi_new;
+    run ndi_new as NearDedup.`` where refTable="ndi_ref"
+    and threshold="0.9" as out;
+    """).collect()
+    assert sorted(r["doc_id"] for r in rows) == [102, 104]
+
+
+def test_minhash_dedup_intra_batch_pairs(engine):
+    """MinHashDedup intraBatch="true" (with refTable) emits BOTH
+    candidate sets from one bucket shuffle, tagged pair_src self|ref;
+    without refTable it is a rendered error."""
+    import json
+    import pytest as _pytest
+    ref = [(0, "the shared reference sentence about spark catalyst "
+               "optimizer rules and codegen stages")]
+    new = [(100, ref[0][1]),
+           (200, "different prose on watermark semantics in streaming "
+                 "aggregation state stores"),
+           (201, "different prose on watermark semantics in streaming "
+                 "aggregation state stores")]
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    rows = engine.execute(f"""
+    set mibrj = '''{rj}''';
+    set mibnj = '''{nj}''';
+    load jsonStr.`mibrj` as mib_ref;
+    load jsonStr.`mibnj` as mib_new;
+    run mib_new as MinHashDedup.`` where refTable="mib_ref"
+    and intraBatch="true" and threshold="0.9" as out;
+    """).collect()
+    got = sorted((r["doc_a"], r["doc_b"], r["pair_src"]) for r in rows)
+    assert got == [(100, 0, "ref"), (200, 201, "self")], got
+    with _pytest.raises(Exception, match="intraBatch only applies"):
+        engine.execute("""
+        run mib_new as MinHashDedup.`` where intraBatch="true" as bad;
+        """)
+
+
 def test_minhash_dedup_incremental_ref_mode(engine):
     """refTable mode: candidates are input x ref bucket collisions
     ONLY — doc_a is always the input's id, doc_b the ref's; input
