@@ -366,10 +366,15 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
     columns are used when present (options `recordType`/`warcDate`
     override the defaults for absent columns; uri falls back to
     record:<row#>).  Modes: overwrite | append | errorIfExists |
-    ignore.  Local-fs scope like versionedParquet (executors must see
-    the path; a DFS deploy swaps the open() for a Hadoop FS stream)."""
-    import os
+    ignore.  All filesystem traffic goes through `sources/fsio.py`
+    (pyarrow.fs): plain paths and file: URIs today, HDFS/S3 at deploy
+    with the same code — executor-side Python has no py4j gateway, so
+    pyarrow.fs IS the Hadoop-FS seam there.  Every archive lands via
+    write-to-temp + rename (fsio.open_output_atomic): a killed task
+    never leaves a half-written .warc under its final name, and a
+    speculative retry's rename is last-writer-wins."""
     import time as _time
+    from streamingpro_spark.sources import fsio
     cols = set(df.columns)
     payload_col = options.get("contentCol") or \
         ("content" if "content" in cols else "text")
@@ -377,9 +382,10 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
         raise ValueError(
             f"warc sink: no payload column — expected `content` or "
             f"`text` (or contentCol=...) among {sorted(cols)}")
-    exists = os.path.isdir(real) and any(
-        f.endswith((".warc", ".warc.gz")) for f in os.listdir(real))
-    if exists:
+    real = real.rstrip("/")
+    archives = [f for f in fsio.listdir(real)
+                if f.endswith((".warc", ".warc.gz"))]
+    if archives:
         if mode == "ignore":
             return
         if mode in ("error", "errorifexists"):
@@ -388,12 +394,11 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                 f"(mode errorIfExists)")
         if mode == "overwrite":
             # remove only the artifacts the sink owns (*.warc/*.warc.gz)
-            # — an rmtree of the whole directory would delete unrelated
-            # files that happen to live alongside the archives
-            for f in os.listdir(real):
-                if f.endswith((".warc", ".warc.gz")):
-                    os.remove(os.path.join(real, f))
-    os.makedirs(real, exist_ok=True)
+            # — deleting the whole directory would take unrelated files
+            # that happen to live alongside the archives
+            for f in archives:
+                fsio.delete_file(f"{real}/{f}")
+    fsio.makedirs(real)
     compress = options.get("compress", "true").lower() != "false"
     rtype_default = options.get("recordType", "conversion")
     date_default = options.get(
@@ -414,10 +419,21 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
     suffix = ".warc.gz" if compress else ".warc"
 
     def write_part(batches):
+        # executor-side: pyarrow.fs only (no streamingpro_spark import
+        # — the closure must pickle by value).  Same protocol as
+        # fsio.open_output_atomic: temp stream, rename on clean close,
+        # delete on failure.
+        import uuid as _u
         import pandas as pd
+        import pyarrow.fs as _pafs
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        fn = os.path.join(real, f"part-{run_tag}-{pid:05d}{suffix}")
+        fn = f"{real}/part-{run_tag}-{pid:05d}{suffix}"
+        if "://" in fn:
+            _fs, _p = _pafs.FileSystem.from_uri(fn)
+        else:
+            _fs, _p = _pafs.LocalFileSystem(), fn
+        tmp = f"{_p}.inprogress-{_u.uuid4().hex[:12]}"
         n = 0
         fh = None
         try:
@@ -429,7 +445,7 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                     if fh is None:
                         # open on first WRITE, not first row — an
                         # all-null partition leaves no empty archive
-                        fh = open(fn, "wb")
+                        fh = _fs.open_output_stream(tmp)
                     if isinstance(payload, str):
                         payload = payload.encode("utf-8")
                     # null header cells fall back to the defaults —
@@ -445,9 +461,20 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
                     fh.write(enc([(rtype, uri, date, bytes(payload))],
                                  gzip_compress=compress))
                     n += 1
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
+                try:
+                    _fs.delete_file(tmp)
+                except Exception:
+                    pass
+            raise
+        else:
+            if fh is not None:
+                fh.close()
+                # the rename IS the commit: a killed/retried task never
+                # leaves a partial archive under the final name
+                _fs.move(tmp, _p)
         yield pd.DataFrame({"file": [fn if n else ""], "records": [n]})
 
     # the collect() IS the action that runs the distributed write; the

@@ -29,19 +29,29 @@ the v=N data write itself is errorIfExists — one writer wins, the
 other gets a rendered retry error; a duplicate version can never
 reach the manifest.
 The data plane stays partition-parallel parquet; only the tiny manifest
-is driver-side, so the format scales like parquet itself.  Filesystem
-access is local-fs (tests/CLI); a DFS deploy swaps these helpers for
-Hadoop FS calls (same caveat as the ML wrappers' version scan).
+is driver-side, so the format scales like parquet itself.  Manifest and
+directory traffic goes through `sources/fsio.py` (pyarrow.fs): plain
+paths and file: URIs run locally (with the flock commit lock);
+hdfs/s3/gs lakes work through the same calls but have NO cross-node
+flock, so they require the `assumeSingleWriter="true"` acknowledgment
+(external coordination) — the same honesty gate as network mounts.
+The commit itself is an ATOMIC whole-manifest rewrite (tmp + rename,
+the manifest is one tiny JSON line per commit): a crash mid-commit
+leaves the old manifest intact and the v=N dir as a provably
+uncommitted orphan, which the next save/vacuum clears.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
+
+from streamingpro_spark.sources import fsio
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
@@ -50,7 +60,14 @@ if TYPE_CHECKING:
 
 
 def _manifest(path: str) -> str:
-    return os.path.join(path, "_commits.json")
+    return path.rstrip("/") + "/_commits.json"
+
+
+def _normalize(real: str) -> str:
+    """file: URIs collapse to plain local paths (one code path gets the
+    flock lock and /proc/mounts guard); other schemes pass through to
+    fsio/Spark untouched."""
+    return fsio.local_path(real) if fsio.is_local(real) else real
 
 
 #: filesystem types where flock(2) is advisory per-NODE at best —
@@ -100,17 +117,33 @@ def _check_lockable_fs(real: str, options: dict[str, str] | None) -> None:
     OTHER nodes, so the single-writer contract silently evaporates.
     `assumeSingleWriter="true"` acknowledges external coordination
     (one scheduler, one writer) and proceeds — persisting the
-    acknowledgment on the lake so vacuum/compact keep working."""
-    ack = os.path.join(real, _SINGLE_WRITER_ACK)
+    acknowledgment on the lake so vacuum/compact keep working.
+    Non-local schemes (hdfs/s3/gs) have no flock AT ALL, so they
+    always need the acknowledgment."""
+    ack = real.rstrip("/") + "/" + _SINGLE_WRITER_ACK
     if options and options.get("assumeSingleWriter", "").lower() == "true":
         try:
-            with open(ack, "w") as fh:
-                fh.write("acknowledged\n")
+            fsio.write_text_atomic(ack, "acknowledged\n")
         except OSError:
             pass
         return
-    if os.path.exists(ack):
-        return
+    try:
+        if fsio.exists(ack):
+            return
+    except (ValueError, OSError):
+        # can't even reach the filesystem to look for the ack — fall
+        # through to the rendered guidance below rather than leaking a
+        # raw resolver error
+        pass
+    if not fsio.is_local(real):
+        scheme, _ = fsio.split_scheme(real)
+        raise ValueError(
+            f"versionedParquet.`{real}`: {scheme}:// storage has no "
+            f"cross-writer file lock, so the single-writer commit "
+            f"protocol cannot be enforced by this engine. Coordinate "
+            f"writers externally (one scheduler) and set "
+            f'assumeSingleWriter="true", or use a real multi-writer '
+            f"table format (Delta/Iceberg) on that storage.")
     fstype = _fs_type(real)
     if fstype in _NETWORK_FS_TYPES:
         raise ValueError(
@@ -174,9 +207,9 @@ class _CommitLock:
 
 def read_commits(path: str) -> list[dict]:
     try:
-        with open(_manifest(path)) as fh:
-            lines = [ln for ln in fh if ln.strip()]
-    except OSError:
+        lines = [ln for ln in fsio.read_text(_manifest(path)).splitlines()
+                 if ln.strip()]
+    except (OSError, FileNotFoundError):
         return []
     out: list[dict] = []
     for i, ln in enumerate(lines):
@@ -197,20 +230,25 @@ def read_commits(path: str) -> list[dict]:
 def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
          options: dict[str, str], partition_by: list[str],
          batch_id: int | None = None, txn_id: str | None = None) -> None:
-    real = ctx.resource_real_path(path)
-    os.makedirs(real, exist_ok=True)
+    real = _normalize(ctx.resource_real_path(path))
+    fsio.makedirs(real)
     _check_lockable_fs(real, options)
     manifest = _manifest(real)
     # the WHOLE save runs under one kernel flock — version pick,
-    # orphan clear, data write, manifest append.  Anything narrower
-    # reopens a corruption window: with only the append locked, writer
-    # B's orphan-clear could rmtree writer A's in-progress v=N dir and
-    # both Spark jobs would then deposit part files into the same
-    # directory (reproduced in tests before this design).  Two racing
-    # drivers: one wins, the other gets the rendered fail-fast below —
-    # the round-4 verdict's commit-race guard.
+    # orphan clear, data write, manifest rewrite.  Anything narrower
+    # reopens a corruption window: with only the commit point locked,
+    # writer B's orphan-clear could rmtree writer A's in-progress v=N
+    # dir and both Spark jobs would then deposit part files into the
+    # same directory (reproduced in tests before this design).  Two
+    # racing drivers: one wins, the other gets the rendered fail-fast
+    # below — the round-4 verdict's commit-race guard.  Non-local
+    # lakes have no flock; _check_lockable_fs already demanded the
+    # assumeSingleWriter acknowledgment, so the lock degrades to a
+    # no-op there (external coordination is the contract).
     timeout = float(options.get("commitLockTimeout", "10"))
-    with _CommitLock(manifest, timeout):
+    lock = (_CommitLock(manifest, timeout) if fsio.is_local(real)
+            else contextlib.nullcontext())
+    with lock:
         commits = read_commits(real)
         mode = mode.lower()
         if mode == "ignore" and commits:
@@ -235,16 +273,15 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
             # keys appId+batchId).
             return
         n = commits[-1]["version"] + 1 if commits else 0
-        target = os.path.join(real, f"v={n}")
-        # the commit POINT is the manifest append.  A crash after
-        # writing v=N but before the manifest line leaves an orphan
+        target = real.rstrip("/") + f"/v={n}"
+        # the commit POINT is the manifest rewrite.  A crash after
+        # writing v=N but before the manifest lands leaves an orphan
         # dir: provably uncommitted (not in the manifest) AND provably
         # not in-progress (any live writer would hold the lock we are
         # holding) — clear it and rewrite.
-        if os.path.isdir(target) \
+        if fsio.is_dir(target) \
                 and n not in {c["version"] for c in commits}:
-            import shutil
-            shutil.rmtree(target)
+            fsio.delete_dir(target)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -262,22 +299,17 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
                 f"versionedParquet.`{path}`: concurrent writer "
                 f"committed version {n} first (single-writer "
                 f"contract) — retry")
-        # self-heal a truncated trailing line from a crashed append:
-        # rewrite the valid prefix atomically (tmp+rename), THEN append
-        # the commit — appending straight onto a newline-less partial
-        # line would weld two records together and brick the lake
-        raw_lines = []
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                raw_lines = [ln for ln in fh if ln.strip()]
-        if len(raw_lines) != len(commits):
-            tmp = manifest + ".tmp"
-            with open(tmp, "w") as fh:
-                for c in commits:
-                    fh.write(json.dumps(c) + "\n")
-            os.replace(tmp, manifest)
-        with open(manifest, "a") as fh:
-            fh.write(json.dumps(record) + "\n")
+        # ATOMIC whole-manifest rewrite (fsio: temp + rename) — the
+        # manifest is one tiny JSON line per commit, so rewriting it
+        # costs nothing and removes the partial-append failure mode
+        # entirely: a crash mid-commit leaves the OLD manifest intact
+        # (and v=N as a clearable orphan), never a truncated line.
+        # `commits` was read under the lock, so the rewrite cannot
+        # drop a concurrent writer's record.
+        fsio.write_text_atomic(
+            manifest,
+            "".join(json.dumps(c) + "\n" for c in commits)
+            + json.dumps(record) + "\n")
 
 
 def vacuum(ctx: "ExecutionContext", path: str,
@@ -288,10 +320,11 @@ def vacuum(ctx: "ExecutionContext", path: str,
     being time-travelable, the manifest (history) keeps their records.
     Runs under the commit lock so a concurrent save can never lose its
     in-progress dir.  Returns (orphans_removed, versions_removed)."""
-    import shutil
-    real = ctx.resource_real_path(path)
+    real = _normalize(ctx.resource_real_path(path))
     _check_lockable_fs(real, None)
-    with _CommitLock(_manifest(real)):
+    lock = (_CommitLock(_manifest(real)) if fsio.is_local(real)
+            else contextlib.nullcontext())
+    with lock:
         commits = read_commits(real)
         if not commits:
             raise ValueError(
@@ -302,30 +335,32 @@ def vacuum(ctx: "ExecutionContext", path: str,
                        if c["mode"] == "overwrite"), default=0)
         cutoff = (time.time() - retain_hours * 3600.0) * 1000.0
         orphans = versions = 0
-        for name in sorted(os.listdir(real)):
+        for name in sorted(fsio.listdir(real)):
             if not name.startswith("v="):
                 continue
             try:
                 v = int(name[2:])
             except ValueError:
                 continue
-            target = os.path.join(real, name)
+            target = real.rstrip("/") + "/" + name
+            if not fsio.is_dir(target):
+                continue
             if v not in committed:
                 # provably uncommitted, and no writer can be mid-write
                 # on it while we hold the lock
-                shutil.rmtree(target)
+                fsio.delete_dir(target)
                 orphans += 1
             elif v < last_ow and next(
                     c["timestamp"] for c in commits
                     if c["version"] == v) < cutoff:
-                shutil.rmtree(target)
+                fsio.delete_dir(target)
                 versions += 1
         return orphans, versions
 
 
 def load(ctx: "ExecutionContext", path: str,
          options: dict[str, str]) -> "DataFrame":
-    real = ctx.resource_real_path(path)
+    real = _normalize(ctx.resource_real_path(path))
     commits = read_commits(real)
     if not commits:
         raise ValueError(f"versionedParquet.`{path}`: no commits found "
@@ -348,7 +383,7 @@ def load(ctx: "ExecutionContext", path: str,
         lo = int(options.get("startingVersion", "0"))
         hi = int(options.get("endingVersion", str(latest)))
         dfs = [spark.read.options(**reader_opts)
-               .parquet(os.path.join(real, f"v={v}"))
+               .parquet(real.rstrip("/") + f"/v={v}")
                .withColumn("__delta_version__", F.lit(v))
                for v in sorted(by_version) if lo <= v <= hi]
         if not dfs:
@@ -366,13 +401,13 @@ def load(ctx: "ExecutionContext", path: str,
     for c in commits:
         if c["version"] <= v and c["mode"] == "overwrite":
             start = c["version"]
-    dirs = [os.path.join(real, f"v={c['version']}") for c in commits
+    dirs = [real.rstrip("/") + f"/v={c['version']}" for c in commits
             if start <= c["version"] <= v]
-    missing = [d for d in dirs if not os.path.isdir(d)]
+    missing = [d for d in dirs if not fsio.is_dir(d)]
     if missing:
         raise ValueError(
             f"versionedParquet.`{path}`: snapshot at version {v} needs "
-            f"reclaimed commit dirs {sorted(os.path.basename(d) for d in missing)} "
+            f"reclaimed commit dirs {sorted(d.rsplit('/', 1)[-1] for d in missing)} "
             f"— they were removed by vacuum; only versions since the "
             f"last surviving overwrite are time-travelable")
     return spark.read.options(**reader_opts).parquet(*dirs)
