@@ -490,16 +490,24 @@ class MinHashDedup(ETAlgorithm):
                                    .withColumn("__side", F.lit(1))))
             guard_w = Window.partitionBy("__band", "__bh")
             # one window over the SAME keys the groupBy uses (exchange
-            # reused); a bucket with either side over the cap produces
-            # no pairs anyway, so the whole bucket drops — identical
-            # outcome to the old per-side guards before the join
+            # reused).  Per-side caps: an input side over the cap drops
+            # the whole bucket (matching self mode); a REF side over
+            # the cap drops only the ref rows — the input rows stay so
+            # intra-batch SELF pairs still form, exactly what self-mode
+            # dedup over the same batch would have found (without this,
+            # skewed lake-side boilerplate would silently degrade the
+            # increment's intra recall).  In non-intra mode the kept
+            # input rows produce no pairs anyway (size(__b)=0 buckets
+            # are filtered before expansion), so outcomes match the old
+            # per-side guards there too.
             tagged = (tagged
                       .withColumn("__na", F.count(F.when(
                           F.col("__side") == 0, 1)).over(guard_w))
                       .withColumn("__nb", F.count(F.when(
                           F.col("__side") == 1, 1)).over(guard_w))
                       .filter((F.col("__na") <= max_bucket)
-                              & (F.col("__nb") <= max_bucket))
+                              & ((F.col("__side") == 0)
+                                 | (F.col("__nb") <= max_bucket)))
                       .drop("__na", "__nb"))
             grouped = (tagged.groupBy("__band", "__bh")
                        .agg(F.sort_array(F.collect_list(
@@ -600,7 +608,10 @@ class MinHashDedup(ETAlgorithm):
                  "params validated)", ""),
                 ("intraBatch", "with refTable: ALSO emit input x input "
                  "pairs from the same bucket shuffle, tagged by a "
-                 "pair_src column (self|ref)", "false"),
+                 "pair_src column (self|ref); a ref side over "
+                 "maxBucketSize drops only the cross pairs — self "
+                 "pairs survive, as self-mode dedup would find them",
+                 "false"),
                 ("eagerCache", "materialize output, free bucket cache", "true"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 

@@ -383,6 +383,13 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
             f"warc sink: no payload column — expected `content` or "
             f"`text` (or contentCol=...) among {sorted(cols)}")
     real = real.rstrip("/")
+    if fsio.is_local(real):
+        # collapse file:// and Hadoop-style single-slash file:/p URIs
+        # to the plain path HERE, before the executor closure captures
+        # `real` — the closure's scheme check is `"://" in fn`, so an
+        # un-normalized `file:/p` would pass the driver-side fsio
+        # checks yet make executors write to a literal ./file:/p
+        real = fsio.local_path(real)
     archives = [f for f in fsio.listdir(real)
                 if f.endswith((".warc", ".warc.gz"))]
     if archives:
@@ -397,6 +404,13 @@ def _save_warc(ctx, df, real: str, mode: str, options: dict) -> None:
             # — deleting the whole directory would take unrelated files
             # that happen to live alongside the archives
             for f in archives:
+                fsio.delete_file(f"{real}/{f}")
+    if mode == "overwrite":
+        # also reclaim orphaned write temps from hard-killed tasks
+        # (part-*.inprogress-*) — the old rmtree removed these; the
+        # targeted delete above must not let them accumulate forever
+        for f in fsio.listdir(real):
+            if f.startswith("part-") and ".inprogress-" in f:
                 fsio.delete_file(f"{real}/{f}")
     fsio.makedirs(real)
     compress = options.get("compress", "true").lower() != "false"

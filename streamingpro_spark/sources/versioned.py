@@ -124,7 +124,10 @@ def _check_lockable_fs(real: str, options: dict[str, str] | None) -> None:
     if options and options.get("assumeSingleWriter", "").lower() == "true":
         try:
             fsio.write_text_atomic(ack, "acknowledged\n")
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError: fsio.fs_for wraps resolver failures — an
+            # unresolvable scheme should surface through the save's
+            # own rendered diagnostics, not this best-effort marker
             pass
         return
     try:
@@ -217,9 +220,11 @@ def read_commits(path: str) -> list[dict]:
             out.append(json.loads(ln))
         except json.JSONDecodeError:
             if i == len(lines) - 1:
-                # a crash mid-append leaves a truncated LAST line: the
-                # commit never happened — ignore it (save() re-lands the
-                # newline before appending, so the file self-heals)
+                # a truncated LAST line can only come from a manifest
+                # written by the pre-atomic-rewrite append protocol
+                # (the current commit is a whole-file tmp+rename, which
+                # never truncates): the commit never happened — ignore
+                # it; the next save's full rewrite drops the fragment
                 break
             raise ValueError(
                 f"versionedParquet manifest {_manifest(path)} is "
@@ -336,6 +341,12 @@ def vacuum(ctx: "ExecutionContext", path: str,
         cutoff = (time.time() - retain_hours * 3600.0) * 1000.0
         orphans = versions = 0
         for name in sorted(fsio.listdir(real)):
+            if name.startswith("_commits.json.inprogress-"):
+                # a hard-killed writer's atomic-rewrite temp: we hold
+                # the commit lock, so no live writer owns it
+                fsio.delete_file(real.rstrip("/") + "/" + name)
+                orphans += 1
+                continue
             if not name.startswith("v="):
                 continue
             try:

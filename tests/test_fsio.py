@@ -84,6 +84,54 @@ def test_warc_sink_file_uri_and_atomicity(engine, tmp_path):
     assert any(f.endswith(".warc.gz") for f in os.listdir(out))
 
 
+def test_warc_sink_single_slash_file_uri(engine, tmp_path):
+    """Hadoop-style single-slash `file:/p` URIs: the driver-side path
+    checks and the EXECUTOR-side part writes must agree on the target
+    (round-8: un-normalized, executors wrote to a literal ./file:/p
+    while the driver listed /p)."""
+    out = tmp_path / "crawl_ss"
+    docs = [(i, f"single slash doc {i}") for i in range(4)]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    engine.execute(f"""
+    set wsdocs = '''{dj}''';
+    load jsonStr.`wsdocs` as wsd;
+    save overwrite wsd as warc.`file:{out}`;
+    """)
+    names = os.listdir(out)
+    assert any(f.endswith(".warc.gz") for f in names), names
+    # no stray literal 'file:' directory anywhere plausible
+    assert not os.path.exists("file:") \
+        and not os.path.exists(str(tmp_path / "file:"))
+    rows = engine.execute(f"""
+    load warc.`{out}/*.warc.gz` as wsb;
+    select text from wsb as wsb_out;
+    """).collect()
+    assert sorted(r["text"] for r in rows) == sorted(t for _, t in docs)
+
+
+def test_warc_overwrite_reclaims_orphan_temps(engine, tmp_path):
+    """Overwrite deletes hard-killed tasks' part-*.inprogress-* temps
+    alongside the archives (round-8: the targeted *.warc delete must
+    not let them accumulate forever), while bystander files survive."""
+    out = tmp_path / "crawl_orphan"
+    docs = [(i, f"orphan test doc {i}") for i in range(3)]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    engine.execute(f"""
+    set wodocs = '''{dj}''';
+    load jsonStr.`wodocs` as wod;
+    save overwrite wod as warc.`{out}`;
+    """)
+    orphan = out / "part-deadbeef-00001.warc.gz.inprogress-cafe0123"
+    orphan.write_bytes(b"half-written")
+    bystander = out / "NOTES.md"
+    bystander.write_text("keep me")
+    engine.execute(f"save overwrite wod as warc.`{out}`;")
+    names = os.listdir(out)
+    assert not any(".inprogress-" in f for f in names), names
+    assert bystander.read_text() == "keep me"
+    assert any(f.endswith(".warc.gz") for f in names)
+
+
 # ---------------------------------------------------------------------------
 # versionedParquet through a file: URI + atomic manifest
 # ---------------------------------------------------------------------------
@@ -121,3 +169,31 @@ def test_versioned_parquet_nonlocal_scheme_needs_ack():
     from streamingpro_spark.sources.versioned import _check_lockable_fs
     with pytest.raises(ValueError, match="no cross-writer file lock"):
         _check_lockable_fs("s3://bucket/lake", None)
+    # an UNRESOLVABLE scheme with the ack set must not leak a raw fsio
+    # resolver error from the best-effort marker write — the save's own
+    # diagnostics own that failure (round-8: ValueError was escaping)
+    _check_lockable_fs("bogusfs://x/lake",
+                       {"assumeSingleWriter": "true"})
+
+
+def test_versioned_parquet_vacuum_reclaims_manifest_temps(engine,
+                                                          tmp_path):
+    """vacuum removes stale _commits.json.inprogress-* temps left by a
+    hard-killed writer's atomic rewrite (round-8), counting them as
+    orphans; the live manifest and data survive."""
+    lake = tmp_path / "vac_lake"
+    engine.execute(f"""
+    select 1 as id as vt1;
+    save overwrite vt1 as versionedParquet.`{lake}`;
+    """)
+    stale = lake / "_commits.json.inprogress-deadbeef1234"
+    stale.write_text('{"version": 99, "mode": "overwrite"}\n')
+    out = engine.execute(f"!delta vacuum {lake} 0;").collect()
+    assert not stale.exists()
+    assert (lake / "_commits.json").exists()
+    rows = engine.execute(f"""
+    load versionedParquet.`{lake}` as vsnap;
+    select id from vsnap as vsnap_out;
+    """).collect()
+    assert [r["id"] for r in rows] == [1]
+    assert out  # vacuum reports counts

@@ -300,6 +300,34 @@ def test_minhash_dedup_intra_batch_pairs(engine):
         """)
 
 
+def test_minhash_intra_batch_survives_ref_skew(engine):
+    """A REF side over maxBucketSize drops only the cross pairs; the
+    input-side SELF pairs from the same bucket still come out — the
+    same recall self-mode dedup over the batch alone would have
+    (round-8: without this, skewed lake-side boilerplate silently
+    degraded intra-batch recall)."""
+    import json
+    text = ("boilerplate lake sentence repeated across many reference "
+            "documents about spark shuffle partitions and joins")
+    ref = [(i, text) for i in range(5)]           # 5 > maxBucketSize=3
+    new = [(100, text), (101, text)]              # intra dup pair, 2 <= 3
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    rows = engine.execute(f"""
+    set mskrj = '''{rj}''';
+    set msknj = '''{nj}''';
+    load jsonStr.`mskrj` as msk_ref;
+    load jsonStr.`msknj` as msk_new;
+    run msk_new as MinHashDedup.`` where refTable="msk_ref"
+    and intraBatch="true" and threshold="0.9" and maxBucketSize="3"
+    as out;
+    """).collect()
+    got = sorted((r["doc_a"], r["doc_b"], r["pair_src"]) for r in rows)
+    # cross pairs (100/101 x 0..4) dropped by the ref-side cap; the
+    # self pair survives
+    assert got == [(100, 101, "self")], got
+
+
 def test_minhash_dedup_incremental_ref_mode(engine):
     """refTable mode: candidates are input x ref bucket collisions
     ONLY — doc_a is always the input's id, doc_b the ref's; input
