@@ -20,7 +20,9 @@ from __future__ import annotations
 import gc
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -115,7 +117,14 @@ def settle(spark, gap: float = 0.25) -> None:
     time.sleep(gap)
 
 
-def time_query(spark, fn, samples: int = 1) -> float:
+#: (query, t0, t1) wall-clock windows of every TIMED sample — the JVM
+#: stderr scan classifies captured ERROR traces against these: a trace
+#: INSIDE a window taints the measurement (loud fail); one outside
+#: (boot, warmup, session teardown) is logged as a note and tolerated
+TIMED_WINDOWS: list[tuple[str, float, float]] = []
+
+
+def time_query(spark, fn, name: str, samples: int = 1) -> float:
     """Best-of-N end-to-end (noop write) with a settle gap before each
     sample."""
     best = None
@@ -124,9 +133,43 @@ def time_query(spark, fn, samples: int = 1) -> float:
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        elapsed = time.time() - t0
+        t1 = time.time()
+        TIMED_WINDOWS.append((name, t0, t1))
+        elapsed = t1 - t0
         best = elapsed if best is None else min(best, elapsed)
     return best
+
+
+_LOG_LINE = re.compile(r"^(\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) ERROR ")
+
+
+def scan_jvm_stderr(path: str) -> tuple[list, list]:
+    """Classify JVM ERROR log lines captured during the run against the
+    timed windows.  Returns (all_error_headers, inside_window_headers),
+    each entry (epoch, line).  Known-benign shape (diagnosed round 8,
+    SCALE.md 'Bench isolation'): `DAGScheduler: Failed to update
+    accumulator 0 (PythonAccumulatorV2)` bursts at the fresh-session
+    escalation boundary — spark.stop() closes the Python accumulator
+    server while the old DAGScheduler drains queued task-end events;
+    metrics-only traffic for jobs whose results already returned.
+    Those land OUTSIDE every timed window; anything INSIDE a window is
+    a real taint and fails the bench loudly."""
+    errors = []
+    try:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                m = _LOG_LINE.match(line)
+                if m:
+                    ts = time.mktime(time.strptime(
+                        m.group(1), "%y/%m/%d %H:%M:%S"))
+                    errors.append((ts, line.rstrip()))
+    except OSError:
+        return [], []
+    # ±1 s slack: log timestamps have second resolution
+    inside = [e for e in errors
+              if any(t0 - 1.0 <= e[0] <= t1 + 1.0
+                     for _, t0, t1 in TIMED_WINDOWS)]
+    return errors, inside
 
 
 def load_floors() -> dict:
@@ -138,6 +181,38 @@ def load_floors() -> dict:
 
 
 def main() -> None:
+    # capture the process's fd 2 (inherited by the JVM at launch) so
+    # (a) JVM ERROR traces can be classified against the timed windows
+    # after the run — a trace during a timed sample fails loudly; a
+    # teardown-boundary trace is noted and tolerated — and (b) the
+    # driver-recorded output tail stays clean of progress bars
+    err_fd, err_path = tempfile.mkstemp(prefix="spk_bench_err_",
+                                        suffix=".log")
+    saved_stderr = os.dup(2)
+    os.dup2(err_fd, 2)
+    os.close(err_fd)
+    try:
+        _run()
+    finally:
+        os.dup2(saved_stderr, 2)
+        os.close(saved_stderr)
+    errors, inside = scan_jvm_stderr(err_path)
+    if inside:
+        sys.stderr.write(
+            f"bench: {len(inside)} JVM ERROR trace(s) DURING a timed "
+            f"sample — measurements are tainted (full log: {err_path})\n")
+        for ts, line in inside[:10]:
+            sys.stderr.write(f"  {line}\n")
+        sys.exit(2)
+    if errors:
+        sys.stderr.write(
+            f"bench: note — {len(errors)} JVM ERROR line(s) captured "
+            f"OUTSIDE timed windows (session-teardown accumulator "
+            f"race, diagnosed benign; see SCALE.md 'Bench isolation'; "
+            f"full log: {err_path})\n")
+
+
+def _run() -> None:
     import __spark_entry__ as entrymod
 
     spark = make_session()
@@ -157,7 +232,7 @@ def main() -> None:
     for _ in range(4):
         spark.catalog.clearCache()
         for name in HEADLINE:
-            elapsed = time_query(spark, qs[name])
+            elapsed = time_query(spark, qs[name], name)
             prev = timings.get(name)
             timings[name] = elapsed if prev is None else min(prev, elapsed)
 
@@ -170,13 +245,19 @@ def main() -> None:
                 if n in floors and timings[n] > ESCALATE_RATIO * floors[n]]
     retimed = []
     if outliers:
+        # drain before stop: give the old DAGScheduler's event loop a
+        # beat to flush queued task-end accumulator updates while the
+        # Python accumulator server is still alive — shrinks the benign
+        # teardown race (PythonAccumulatorV2 Broken pipe bursts) to
+        # near-zero; see SCALE.md 'Bench isolation'
+        settle(spark, 1.0)
         spark.stop()
         time.sleep(2)
         spark = make_session()
         warmup(spark, entrymod)
         qs = entrymod.base_queries()
         for name in outliers:
-            fresh = time_query(spark, qs[name], samples=2)
+            fresh = time_query(spark, qs[name], name, samples=2)
             if fresh < timings[name]:
                 timings[name] = fresh
             retimed.append(name)
