@@ -982,6 +982,237 @@ WHERE doc_id NOT IN (SELECT doc_id FROM removed)
 """
 
 
+# --- composed incremental lake (round-8: the examples/09 product claim
+# as ONE hash-matched contract query over two simulated ingest days) ---
+
+#: deterministic day-1 / day-2 increment definitions, shared verbatim
+#: between the Spark script (Spark SQL) and the oracle (DuckDB SQL) —
+#: both dialects accept these select bodies unchanged.  Groups per day:
+#: exact re-ingest (Bloom removes), near-dup of lake content (NearDedup
+#: cross pair removes — day 2's near-dup targets DAY-1 arrivals, which
+#: only works if the signature refresh appended day-1 band rows), an
+#: intra-batch dup pair (min-id survives), and genuinely new rows.
+_LAKE_DAY0 = ("SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+_LAKE_BATCH1 = """
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id % 4 = 1           -- exact re-ingest
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || ' zxqv' AS text
+  FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 4 = 2           -- near-dups lake
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0           -- intra pair (min)
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0           -- intra pair (drop)
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 1           -- genuinely new
+"""
+_LAKE_BATCH2 = """
+  SELECT doc_id + 50000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0           -- exact dup of a DAY-1 arrival
+  UNION ALL
+  SELECT doc_id + 60000000 AS doc_id, text || ' wkjh' AS text
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 1           -- near-dups a DAY-1 arrival
+  UNION ALL
+  SELECT doc_id + 70000000 AS doc_id, text || ' pmrt' AS text
+  FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id % 4 = 3           -- near-dups a v0 doc
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 2           -- intra pair (min)
+  UNION ALL
+  SELECT doc_id + 90000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 2           -- intra pair (drop)
+  UNION ALL
+  SELECT doc_id + 95000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 4 = 3           -- genuinely new
+"""
+
+
+def _mh_day_ctes(p: str, batch: str, ref: str) -> str:
+    """One ingest day's DuckDB replay of the NearDedup refTable chain
+    over arbitrary (doc_id, text) CTEs `batch` and `ref`: side-tagged
+    signatures → bands → verified CROSS (batch×ref) and SELF
+    (batch×batch) pairs → connected components over self pairs →
+    removal set (formulas identical to `_mh_incr_ctes`, which the
+    round-7 `near_dedup_incr` query proved against the operators).
+    All CTE names carry prefix `p` so two days coexist in one WITH."""
+    return f"""{p}alld AS (
+  SELECT 0 AS side, doc_id, text FROM {batch}
+  UNION ALL
+  SELECT 1 AS side, doc_id, text FROM {ref}
+),
+{p}t AS (
+  SELECT side, doc_id,
+         string_split_regex(lower(text), '\\s+') AS toks FROM {p}alld
+),
+{p}sh AS (
+  SELECT side, doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                        for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shingles
+  FROM {p}t
+),
+{p}bases AS (
+  SELECT side, doc_id, shingles,
+         [CAST(CONCAT('0x', substr(md5(CONCAT('mh:', sng)), 1, 8)) AS BIGINT)
+          % 1073741824 for sng in shingles] AS ms
+  FROM {p}sh
+),
+{p}sig AS (
+  SELECT side, doc_id,
+         [list_min([(m * A[s+1] + B[s+1]) % 2305843009213693951 for m in ms])
+          for s in generate_series(0, 11)] AS mh
+  FROM {p}bases, consts
+),
+{p}bands AS (
+  SELECT side, doc_id, b.band,
+         CAST(CONCAT('0x', substr(md5(CONCAT('band', CAST(b.band AS VARCHAR), ':',
+              array_to_string(list_transform(list_slice(mh, b.band*3+1, b.band*3+3),
+                                             x -> CAST(x AS VARCHAR)), '_'))), 1, 15)) AS BIGINT) AS bh
+  FROM {p}sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+{p}cross_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM {p}bands a JOIN {p}bands b2 ON a.band = b2.band AND a.bh = b2.bh
+  WHERE a.side = 0 AND b2.side = 1
+),
+{p}self_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM {p}bands a JOIN {p}bands b2 ON a.band = b2.band AND a.bh = b2.bh
+                                  AND a.doc_id < b2.doc_id
+  WHERE a.side = 0 AND b2.side = 0
+),
+{p}vcross AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS i,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM {p}cross_pairs
+    JOIN {p}sh sa ON sa.side = 0 AND doc_a = sa.doc_id
+    JOIN {p}sh sb ON sb.side = 1 AND doc_b = sb.doc_id)
+  WHERE i * 1.0 / (na + nb - i) >= 0.8
+),
+{p}vself AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS i,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM {p}self_pairs
+    JOIN {p}sh sa ON sa.side = 0 AND doc_a = sa.doc_id
+    JOIN {p}sh sb ON sb.side = 0 AND doc_b = sb.doc_id)
+  WHERE i * 1.0 / (na + nb - i) >= 0.8
+),
+{p}sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM {p}vself
+  UNION ALL
+  SELECT doc_b, doc_a FROM {p}vself
+),
+{p}conn(a, b) AS (
+  SELECT a, b FROM {p}sym
+  UNION
+  SELECT c.a, s.b FROM {p}conn c JOIN {p}sym s ON c.b = s.a
+),
+{p}lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cl
+  FROM {batch} d LEFT JOIN {p}conn c ON c.a = d.doc_id
+  GROUP BY d.doc_id
+),
+{p}removed AS (
+  SELECT DISTINCT doc_a AS doc_id FROM {p}vcross
+  UNION
+  SELECT doc_id FROM {p}lbl WHERE doc_id != cl
+)"""
+
+
+def _q_incremental_lake(spark, sf_dir):
+    """The composed incremental-lake flow (examples/09) as ONE
+    oracle-verified chain over two simulated ingest days:
+    BloomFilterDedup (exact, vs the CURRENT lake snapshot) → NearDedup
+    refTable+refBandsTable (near, intra-batch included; the history is
+    never re-hashed) → MinHashSignatures refresh (only the day's
+    accepted rows are hashed and appended) → versionedParquet append.
+    Output = every lake row with the commit version it landed in, so
+    the hash match pins WHICH day admitted each row.  Day 2's
+    increment plants exact and near dups of DAY-1 arrivals: those rows
+    only drop if the bloom probe saw the updated snapshot and the
+    signature store really gained day-1's band rows."""
+    import tempfile
+    root = tempfile.mkdtemp(prefix="spk_inclake_")
+    lake, sigs = f"{root}/lake", f"{root}/sigs"
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_DAY0} as day0;
+    save overwrite day0 as versionedParquet.`{lake}`;
+    run day0 as MinHashSignatures.`` as sigs0;
+    save overwrite sigs0 as parquet.`{sigs}`;
+
+    {_LAKE_BATCH1} as batch1;
+    load versionedParquet.`{lake}` as hist0;
+    run batch1 as BloomFilterDedup.`` where refTable="hist0" as b1_new;
+    load parquet.`{sigs}` as sigs_cur0;
+    run b1_new as NearDedup.`` where refTable="hist0"
+        and refBandsTable="sigs_cur0" and threshold="0.8" as day1_kept;
+    save append day1_kept as versionedParquet.`{lake}`;
+    run day1_kept as MinHashSignatures.`` as sigs1;
+    save append sigs1 as parquet.`{sigs}`;
+
+    {_LAKE_BATCH2} as batch2;
+    load versionedParquet.`{lake}` as hist1;
+    run batch2 as BloomFilterDedup.`` where refTable="hist1" as b2_new;
+    load parquet.`{sigs}` as sigs_cur1;
+    run b2_new as NearDedup.`` where refTable="hist1"
+        and refBandsTable="sigs_cur1" and threshold="0.8" as day2_kept;
+    save append day2_kept as versionedParquet.`{lake}`;
+    """)
+    return eng.execute(f"""
+    load versionedParquet.`{lake}`
+        where startingVersion="0" and endingVersion="2" as lake_rows;
+    select doc_id, cast(__delta_version__ as bigint) as commit_version
+    from lake_rows as output;
+    """)
+
+
+_INCREMENTAL_LAKE_ORACLE = f"""
+WITH RECURSIVE consts AS ({_mh_oracle_consts()}),
+lake0 AS ({_LAKE_DAY0}),
+b1 AS ({_LAKE_BATCH1}),
+b1f AS (
+  SELECT b.* FROM b1 b
+  WHERE NOT EXISTS (SELECT 1 FROM lake0 l WHERE l.text = b.text)
+),
+{_mh_day_ctes('d1_', 'b1f', 'lake0')},
+day1_kept AS (
+  SELECT doc_id, text FROM b1f
+  WHERE doc_id NOT IN (SELECT doc_id FROM d1_removed)
+),
+lake1 AS (
+  SELECT doc_id, text FROM lake0
+  UNION ALL SELECT doc_id, text FROM day1_kept
+),
+b2 AS ({_LAKE_BATCH2}),
+b2f AS (
+  SELECT b.* FROM b2 b
+  WHERE NOT EXISTS (SELECT 1 FROM lake1 l WHERE l.text = b.text)
+),
+{_mh_day_ctes('d2_', 'b2f', 'lake1')},
+day2_kept AS (
+  SELECT doc_id, text FROM b2f
+  WHERE doc_id NOT IN (SELECT doc_id FROM d2_removed)
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS commit_version FROM lake0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) FROM day1_kept
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) FROM day2_kept
+"""
+
+
 def _q_dup_clusters(spark, sf_dir):
     # deterministic chain edges (doc, doc+1) within each 10-block's first
     # 5 docs — components of diameter 4 exercise transitive propagation
@@ -3231,6 +3462,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
         "near_dedup_incr": _q_near_dedup_incr,
+        "incremental_lake_e2e": _q_incremental_lake,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -3352,6 +3584,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "near_dedup": _NEAR_DEDUP_ORACLE,
         "near_dedup_incr": _NEAR_DEDUP_INCR_ORACLE,
+        "incremental_lake_e2e": _INCREMENTAL_LAKE_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,
