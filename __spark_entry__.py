@@ -1778,9 +1778,11 @@ FROM u
 
 
 def _q_versioned_parquet(spark, sf_dir):
-    """versionedParquet time travel (rows-only: writes to a temp lake):
-    overwrite + two appends, then per-version snapshot counts — v0 <
-    v1 < v2 and the latest equals v2."""
+    """versionedParquet time travel (writes to a temp lake): overwrite
+    + two appends, then per-version snapshot counts.  The snapshot
+    cardinalities are pure functions of the doc_id mod-3 splits, so
+    the oracle predicts them exactly (round-8: upgraded from a
+    rows-only check)."""
     import tempfile
     lake = tempfile.mkdtemp(prefix="spk_vplake_") + "/docs"
     eng = _engine(spark)
@@ -1830,6 +1832,17 @@ def _q_warc_parse(spark, sf_dir):
     select target_uri, record_type, content_length, text from pages
     as output;
     """)
+
+
+_VERSIONED_TT_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 1, count(*) FILTER (WHERE doc_id % 3 IN (0, 1)) FROM documents
+UNION ALL
+SELECT 2, count(*) FROM documents
+"""
 
 
 _WARC_PARSE_ORACLE = """
@@ -2840,8 +2853,10 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 def _q_pagerank(spark, sf_dir):
-    """PageRank over the nation→region membership graph (iterative —
-    no closed-form SQL oracle)."""
+    """PageRank over the nation→region membership graph.  maxIter is
+    pinned at 5, so the oracle replays the exact iteration — rank_0=1,
+    rank_{t+1} = 0.15 + 0.85·Σ rank_t/outdeg over in-edges — as five
+    unrolled DuckDB CTEs (round-8: upgraded from a rows-only check)."""
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'nation')}
@@ -2849,6 +2864,38 @@ def _q_pagerank(spark, sf_dir):
            cast(n_regionkey as long) as dst from nation as edges;
     run edges as PageRank.`` where maxIter="5" as output;
     """)
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """Fixed-iteration DuckDB replay of operators/ml_algs.py PageRank:
+    identical init (1.0), damping, dangling handling (vertices with no
+    in-edges hold 1-d; out-edge-less vertices contribute nothing)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT v.id, {1 - d} + {d} * coalesce(c.s, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / o.outdeg) AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) c ON c.id = v.id
+)""")
+    return f"""
+WITH edges AS (
+  SELECT CAST(n_nationkey + 100 AS BIGINT) AS src,
+         CAST(n_regionkey AS BIGINT) AS dst FROM nation
+),
+verts AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT id, 1.0 AS rank FROM verts),
+{', '.join(steps)}
+SELECT id, round(rank, 6) AS pagerank FROM pr{iters}
+"""
 
 
 def _q_lsh_similarity(spark, sf_dir):
@@ -2909,22 +2956,56 @@ def _q_tfidf(spark, sf_dir):
 
 def _q_tfidf_standalone(spark, sf_dir):
     """Standalone TfIdf algorithm (reference SQLTfIdf.scala — integer
-    term ids, identity-hash TF + IDF) through train→predict (rows-only:
-    hashed vectors have no SQL oracle).  Emits per-doc nonzero count."""
+    term ids, identity-hash TF + IDF) through train→predict.  Term ids
+    come from md5 (DuckDB-reproducible), so the ORACLE replays the
+    whole chain — identity-hash TF counts and Spark's IDF formula
+    ln((m+1)/(df+1)) — and hash-matches per-doc nonzero count AND the
+    tf·idf mass (round-8: upgraded from a rows-only check)."""
     import tempfile
     path = tempfile.mkdtemp(prefix="spk_tfidf_alg_")
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'documents')}
-    select doc_id, transform(split(text, ' '), w -> abs(hash(w)) % 1024) as words
+    select doc_id, transform(split(text, ' '),
+           w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 1024)
+           as words
     from documents as tf_in;
     train tf_in as TfIdf.`{path}/m` where inputCol="words" and numFeatures="1024";
     predict tf_in as TfIdf.`{path}/m` as scored;
     select doc_id,
            aggregate(vec_array(tfidf), 0L,
-                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz
+                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz,
+           round(aggregate(vec_array(tfidf), 0d, (acc, x) -> acc + x), 4)
+             as tfidf_sum
     from scored as output;
     """)
+
+
+_TFIDF_ALG_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+ids AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS id
+  FROM tok
+),
+tf AS (SELECT doc_id, id, count(*) AS tf FROM ids GROUP BY doc_id, id),
+m AS (SELECT count(*) AS m FROM documents),
+df AS (SELECT id, count(DISTINCT doc_id) AS df FROM tf GROUP BY id),
+stats AS (
+  SELECT tf.doc_id,
+         count(*) FILTER (WHERE df.df < m.m) AS nnz,
+         round(sum(tf.tf * ln((m.m + 1.0) / (df.df + 1.0))), 4) AS tfidf_sum
+  FROM tf JOIN df USING (id), m
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nnz, 0) AS BIGINT) AS nnz,
+       coalesce(s.tfidf_sum, 0.0) AS tfidf_sum
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""
 
 
 def _q_hash_tfidf(spark, sf_dir):
@@ -3341,10 +3422,9 @@ FROM flags
 
 # rows-only entries (no oracle): skipped by the deterministic-order wrap
 # (some return unsortable types like ml vectors)
-_ROWS_ONLY = {"pagerank", "approx_distinct", "lsh_similarity",
+_ROWS_ONLY = {"approx_distinct", "lsh_similarity",
               "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
-              "tfidf_alg", "hash_tfidf_alg", "versioned_parquet_tt",
-              "bpe_tokenize", "ivf_pq_topk"}
+              "hash_tfidf_alg", "bpe_tokenize", "ivf_pq_topk"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -3611,6 +3691,10 @@ def oracle_sql() -> dict[str, str]:
         "stateful_count_stream": _STATEFUL_COUNT_ORACLE,
         "stateful_sessionizer_stream": _STATEFUL_SESSIONIZER_ORACLE,
         "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,
+        # round-8 rows-only → hash-match upgrades
+        "tfidf_alg": _TFIDF_ALG_ORACLE,
+        "pagerank": _pagerank_oracle(),
+        "versioned_parquet_tt": _VERSIONED_TT_ORACLE,
     }
     # same total row order as the Spark-side _ordered() wrap — projection
     # order, nulls last — so order-sensitive value hashes match
