@@ -1069,6 +1069,7 @@ class DupClusters(ETAlgorithm):
         labels = df.select(F.col(id_col).alias("id"),
                            F.col(id_col).alias("label")).persist()
         ckpt_every = get_int(params, "checkpointEvery", 5)
+        converged, changed = False, -1
         for it in range(max_iter):
             # candidate label via neighbors: min over (own, neighbors')
             neigh = (edges.join(labels.withColumnRenamed("id", "dst")
@@ -1092,7 +1093,24 @@ class DupClusters(ETAlgorithm):
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # round-8: a component with diameter > maxIter would come
+            # out MISLABELED (split into several clusters, extra docs
+            # marked keep) — fail with the remedy instead of silently
+            # shipping wrong survivors into a dedup pipeline
+            labels.unpersist()
+            edges.unpersist()
+            raise ValueError(
+                f"DupClusters: label propagation had not converged "
+                f"after maxIter={max_iter} rounds ({changed} labels "
+                f"still changing) — the pair graph has a component "
+                f"with diameter > {max_iter}, and stopping now would "
+                f"mislabel it (splitting one duplicate cluster into "
+                f"several survivors).  Raise maxIter (one join+groupBy "
+                f"per extra round), or pre-partition the pairs if the "
+                f"graph is genuinely that deep.")
         out = (labels.select(F.col("id").alias(id_col),
                              F.col("label").alias("cluster_id"))
                .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
@@ -1112,7 +1130,9 @@ class DupClusters(ETAlgorithm):
                 ("idCol", "document id column", "doc_id"),
                 ("pairACol", "pair column a", "doc_a"),
                 ("pairBCol", "pair column b", "doc_b"),
-                ("maxIter", "max label-propagation rounds", "20"),
+                ("maxIter", "max label-propagation rounds; rendered "
+                 "error (not silent mislabeling) if a component is "
+                 "deeper", "20"),
                 ("checkpointEvery", "truncate label lineage every N rounds", "5"),
                 ("eagerCache", "materialize output, free caches", "true")]
 
