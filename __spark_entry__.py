@@ -508,16 +508,28 @@ def _q_ivf_pq_topk(spark, sf_dir):
     and `rerank` exact-rescores the top ADC candidates.  Approximate
     by construction → rows-only contract (like lsh_topk); the recall
     floor and the column-pruning plan gate live in
-    tests/test_operators.py::test_ivf_pq_adc_search_and_rerank."""
+    tests/test_operators.py (test_ivf_pq_adc_search_and_rerank,
+    test_ivf_pq_answer_quality_pinned).  The index build is cached per
+    (sf tag, source fingerprint) — the ANN lifecycle is build-once /
+    search-many, so bench samples time the SEARCH (round-8, bench
+    headline entry), and a regenerated embeddings table rebuilds."""
+    import os
     import tempfile
     eng = _engine(spark)
-    idx = tempfile.mkdtemp(prefix="spk_ivfpq_") + "/idx"
-    eng.execute(f"""
-    {_loads(sf_dir, 'embeddings')}
-    run embeddings as IVFIndexBuild.`{idx}` where nlist="8"
-        and pqSubspaces="16" as built;
-    """)
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = f"{st.st_size:x}{int(st.st_mtime):x}"
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spk_ivfpq_{tag}_{fp}", "idx")
+    if not os.path.exists(os.path.join(idx, "pq_codebooks.json")):
+        eng.execute(f"""
+        load parquet.`{src}` as pq_corpus;
+        run pq_corpus as IVFIndexBuild.`{idx}` where nlist="8"
+            and pqSubspaces="16" as built;
+        """)
     return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
     select * from embeddings where vec_id < 20 as pq_queries;
     run pq_queries as IVFSimilaritySearch.`{idx}` where k="5"
         and nprobe="8" and usePQ="true" and rerank="50" as output;
@@ -2944,14 +2956,83 @@ def _q_kmeans(spark, sf_dir):
 
 
 def _q_tfidf(spark, sf_dir):
-    """TfIdfInPlace feature pipeline (hashing TF — no stable SQL oracle);
-    asserts shape: one vector per doc."""
+    """TfIdfInPlace feature pipeline.  The whole chain — lowercase \\s+
+    RegexTokenizer (minTokenLength=1), English StopWordsRemover,
+    murmur3 HashingTF counts, IDF — is replayed by the oracle
+    (`_murmur3_sql` + the embedded snowball stopword list, the same
+    public resource the JVM remover loads), so per-doc nonzero count
+    and tf·idf mass hash-match (round-8: upgraded from a shape-only
+    check)."""
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'documents')}
-    run documents as TfIdfInPlace.`` where inputCol="text" as featurized;
-    select doc_id, cast(size(vec_array(text)) as long) as dim from featurized as output;
+    run documents as TfIdfInPlace.`` where inputCol="text"
+        and nFeatures="8192" as featurized;
+    select doc_id,
+           aggregate(vec_array(text), 0L,
+                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz,
+           round(aggregate(vec_array(text), 0d, (acc, x) -> acc + x), 4)
+             as tfidf_sum
+    from featurized as output;
     """)
+
+
+#: org/apache/spark/ml/feature/stopwords/english.txt (the snowball list
+#: StopWordsRemover loads; apostrophes SQL-escaped) — embedded so the
+#: DuckDB oracle filters exactly the tokens the JVM remover drops
+_ENGLISH_STOPWORDS_SQL = """
+'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you',
+'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his',
+'himself', 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself',
+'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which',
+'who', 'whom', 'this', 'that', 'these', 'those', 'am', 'is', 'are',
+'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having',
+'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if',
+'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for',
+'with', 'about', 'against', 'between', 'into', 'through', 'during',
+'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in',
+'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then',
+'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any',
+'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no',
+'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's',
+'t', 'can', 'will', 'just', 'don', 'should', 'now', 'i''ll',
+'you''ll', 'he''ll', 'she''ll', 'we''ll', 'they''ll', 'i''d',
+'you''d', 'he''d', 'she''d', 'we''d', 'they''d', 'i''m', 'you''re',
+'he''s', 'she''s', 'it''s', 'we''re', 'they''re', 'i''ve', 'we''ve',
+'you''ve', 'they''ve', 'isn''t', 'aren''t', 'wasn''t', 'weren''t',
+'haven''t', 'hasn''t', 'hadn''t', 'don''t', 'doesn''t', 'didn''t',
+'won''t', 'wouldn''t', 'shan''t', 'shouldn''t', 'mustn''t', 'can''t',
+'couldn''t', 'cannot', 'could', 'here''s', 'how''s', 'let''s',
+'ought', 'that''s', 'there''s', 'what''s', 'when''s', 'where''s',
+'who''s', 'why''s', 'would'
+"""
+
+
+_TFIDF_FEATURIZE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE len(w) >= 1 AND w NOT IN ({_ENGLISH_STOPWORDS_SQL})
+),
+{{murmur}},
+tf AS (SELECT doc_id, idx, count(*) AS tf FROM hashed GROUP BY doc_id, idx),
+m AS (SELECT count(*) AS m FROM documents),
+df AS (SELECT idx, count(DISTINCT doc_id) AS df FROM tf GROUP BY idx),
+stats AS (
+  SELECT tf.doc_id,
+         count(*) FILTER (WHERE df.df < m.m) AS nnz,
+         round(sum(tf.tf * ln((m.m + 1.0) / (df.df + 1.0))), 4)
+           AS tfidf_sum
+  FROM tf JOIN df USING (idx), m
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nnz, 0) AS BIGINT) AS nnz,
+       coalesce(s.tfidf_sum, 0.0) AS tfidf_sum
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""
 
 
 def _q_tfidf_standalone(spark, sf_dir):
@@ -3010,7 +3091,13 @@ FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
 
 def _q_hash_tfidf(spark, sf_dir):
     """Standalone HashTfIdf algorithm (reference SQLHashTfIdf.scala —
-    murmur3 HashingTF binary + IDF) through train→predict (rows-only)."""
+    murmur3 HashingTF binary + IDF) through train→predict.  The oracle
+    implements murmur3_x86_32(seed=42) itself, in pure DuckDB SQL
+    (`_murmur3_sql`, validated byte-for-byte against the JVM-pinned
+    serving implementation incl. empty strings, multibyte UTF-8, and
+    every tail length), then replays binary TF + ln((m+1)/(df+1)) IDF
+    — per-doc nonzero count AND idf mass hash-match (round-8: upgraded
+    from a rows-only check)."""
     import tempfile
     path = tempfile.mkdtemp(prefix="spk_htfidf_alg_")
     eng = _engine(spark)
@@ -3021,9 +3108,108 @@ def _q_hash_tfidf(spark, sf_dir):
     predict htf_in as HashTfIdf.`{path}/m` as scored;
     select doc_id,
            aggregate(vec_array(tfidf), 0L,
-                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz
+                     (acc, x) -> acc + if(x != 0.0d, 1L, 0L)) as nnz,
+           round(aggregate(vec_array(tfidf), 0d, (acc, x) -> acc + x), 4)
+             as tfidf_sum
     from scored as output;
     """)
+
+
+def _murmur3_sql(n: int = 1024) -> str:
+    """murmur3_x86_32(seed=42) of UTF-8 term bytes, mod `n`, as DuckDB
+    CTEs over a `tok(doc_id, w)` relation → `hashed(doc_id, idx)`.
+    The exact algorithm of operators/ml_algs.py's JVM-pinned serving
+    murmur3 (HashingTF term indexing): little-endian 4-byte blocks,
+    xor-folded tail, fmix32.  All 32-bit arithmetic is emulated with
+    BIGINTs — multiplies split the left operand 16/16 so no
+    intermediate exceeds 2^48 (a direct 32x32 multiply would overflow
+    the signed 64-bit BIGINT).  `n` must be a power of two so the
+    unsigned h mod n equals Spark's nonNegativeMod of the signed hash
+    (2^32 is a multiple of n); the consuming queries pin
+    numFeatures=1024."""
+    if n & (n - 1):
+        raise ValueError("_murmur3_sql needs a power-of-two n")
+
+    def m32mul(a: str, c: int) -> str:
+        return (f"(((({a}) % 65536) * {c} + (((({a}) // 65536) * {c})"
+                f" % 65536) * 65536) % 4294967296)")
+
+    def rotl(a: str, r: int) -> str:
+        lo = 2 ** (32 - r)
+        return f"(((({a}) % {lo}) * {2 ** r}) + (({a}) // {lo}))"
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def mixk(k: str) -> str:
+        return m32mul(rotl(m32mul(k, c1), 15), c2)
+
+    def mixh(h: str, k: str) -> str:
+        h1 = f"xor({h}, {mixk(k)})"
+        return f"(({rotl(h1, 13)}) * 5 + 3864292196) % 4294967296"
+
+    block_le = ("CAST(CONCAT('0x', substr(hx, 8*b+7, 2), "
+                "substr(hx, 8*b+5, 2), substr(hx, 8*b+3, 2), "
+                "substr(hx, 8*b+1, 2)) AS BIGINT)")
+    return f"""hx0 AS (
+  SELECT doc_id, w, hex(encode(w)) AS hx,
+         octet_length(encode(w)) AS nb
+  FROM tok
+),
+blk AS (
+  SELECT doc_id, w, nb,
+         [{block_le} for b in generate_series(0, nb // 4 - 1)] AS ks,
+         CASE nb % 4
+           WHEN 0 THEN 0
+           WHEN 1 THEN CAST(CONCAT('0x', substr(hx, 2*nb-1, 2)) AS BIGINT)
+           WHEN 2 THEN CAST(CONCAT('0x', substr(hx, 2*nb-1, 2),
+                                   substr(hx, 2*nb-3, 2)) AS BIGINT)
+           ELSE CAST(CONCAT('0x', substr(hx, 2*nb-1, 2),
+                            substr(hx, 2*nb-3, 2),
+                            substr(hx, 2*nb-5, 2)) AS BIGINT)
+         END AS kt
+  FROM hx0
+),
+folded AS (
+  SELECT doc_id, w, nb, kt,
+         list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
+                     (h, k) -> {mixh('h', 'k')}) AS hb
+  FROM blk
+),
+tailed AS (
+  SELECT doc_id, w, nb,
+         CASE WHEN kt != 0 THEN xor(hb, {mixk('kt')}) ELSE hb END AS ht
+  FROM folded
+),
+fin1 AS (SELECT doc_id, w, xor(ht, nb) AS h FROM tailed),
+fin2 AS (SELECT doc_id, w, xor(h, h // 65536) AS h FROM fin1),
+fin3 AS (SELECT doc_id, w, {m32mul('h', 0x85EBCA6B)} AS h FROM fin2),
+fin4 AS (SELECT doc_id, w, xor(h, h // 8192) AS h FROM fin3),
+fin5 AS (SELECT doc_id, w, {m32mul('h', 0xC2B2AE35)} AS h FROM fin4),
+fin6 AS (SELECT doc_id, w, xor(h, h // 65536) AS h FROM fin5),
+hashed AS (SELECT doc_id, h % {n} AS idx FROM fin6)"""
+
+
+_HASH_TFIDF_ALG_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+{_murmur3_sql(1024)},
+tf AS (SELECT DISTINCT doc_id, idx FROM hashed),
+m AS (SELECT count(*) AS m FROM documents),
+df AS (SELECT idx, count(DISTINCT doc_id) AS df FROM tf GROUP BY idx),
+stats AS (
+  SELECT tf.doc_id,
+         count(*) FILTER (WHERE df.df < m.m) AS nnz,
+         round(sum(ln((m.m + 1.0) / (df.df + 1.0))), 4) AS tfidf_sum
+  FROM tf JOIN df USING (idx), m
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nnz, 0) AS BIGINT) AS nnz,
+       coalesce(s.tfidf_sum, 0.0) AS tfidf_sum
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""
 
 
 def _q_repetition_score(spark, sf_dir):
@@ -3423,8 +3609,8 @@ FROM flags
 # rows-only entries (no oracle): skipped by the deterministic-order wrap
 # (some return unsortable types like ml vectors)
 _ROWS_ONLY = {"approx_distinct", "lsh_similarity",
-              "tfidf_featurize", "ml_train_predict", "kmeans_clusters",
-              "hash_tfidf_alg", "bpe_tokenize", "ivf_pq_topk"}
+              "ml_train_predict", "kmeans_clusters",
+              "bpe_tokenize", "ivf_pq_topk"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -3693,6 +3879,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_stream": _STREAMING_DEDUP_ORACLE,
         # round-8 rows-only → hash-match upgrades
         "tfidf_alg": _TFIDF_ALG_ORACLE,
+        "hash_tfidf_alg": _HASH_TFIDF_ALG_ORACLE,
+        "tfidf_featurize":
+            _TFIDF_FEATURIZE_ORACLE.format(murmur=_murmur3_sql(8192)),
         "pagerank": _pagerank_oracle(),
         "versioned_parquet_tt": _VERSIONED_TT_ORACLE,
     }

@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_dedup",
     "embedding_topk",
     "ivf_topk",
+    "ivf_pq_topk",
     "language_id",
     "quality_score",
     "token_count",

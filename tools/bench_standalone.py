@@ -32,7 +32,7 @@ def run_one(name: str) -> None:
     spark = bench.make_session()
     bench.warmup(spark, entrymod)
     qs = entrymod.base_queries()
-    best = bench.time_query(spark, qs[name], samples=SAMPLES)
+    best = bench.time_query(spark, qs[name], name, samples=SAMPLES)
     spark.stop()
     print(json.dumps({"query": name, "best_sec": round(best, 3)}))
 
