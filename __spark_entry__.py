@@ -1225,6 +1225,75 @@ SELECT doc_id, CAST(2 AS BIGINT) FROM day2_kept
 """
 
 
+def _q_streaming_lake_ingest(spark, sf_dir):
+    """The incremental lake driven by STRUCTURED STREAMING (round-8):
+    the same two ingest days as `incremental_lake_e2e`, but arriving as
+    micro-batches — a streamParquet source (maxFilesPerTrigger=1, one
+    day per file, mtime-ordered) feeding a `custom` batchScript sink
+    whose per-batch sub-script runs the full curation chain against
+    the lake AS OF that batch: BloomFilterDedup → NearDedup
+    refTable+refBandsTable → versionedParquet append → signature
+    refresh.  The oracle is the SAME DuckDB replay as the batch query —
+    a hash match proves the streaming path admits exactly the rows,
+    into exactly the commits, that the batch semantics dictate."""
+    import os
+    import tempfile
+    import time as _time
+    import duckdb
+    root = tempfile.mkdtemp(prefix="spk_slake_")
+    lake, sigs, inc = f"{root}/lake", f"{root}/sigs", f"{root}/inc"
+    os.makedirs(inc)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    con.execute(f"COPY ({_LAKE_BATCH1}) TO '{inc}/day1.parquet' "
+                f"(FORMAT PARQUET)")
+    con.execute(f"COPY ({_LAKE_BATCH2}) TO '{inc}/day2.parquet' "
+                f"(FORMAT PARQUET)")
+    con.close()
+    # deterministic micro-batch order: FileStreamSource picks files by
+    # modification time; force day1 strictly older
+    now = _time.time()
+    os.utime(f"{inc}/day1.parquet", (now - 2000, now - 2000))
+    os.utime(f"{inc}/day2.parquet", (now - 1000, now - 1000))
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_DAY0} as slake_day0;
+    save overwrite slake_day0 as versionedParquet.`{lake}`;
+    run slake_day0 as MinHashSignatures.`` as slake_sigs0;
+    save overwrite slake_sigs0 as parquet.`{sigs}`;
+    set streamName = "slake_ingest";
+    load streamParquet.`{inc}` options maxFilesPerTrigger="1"
+        as slake_inc;
+    save append slake_inc as custom.`` options
+        checkpointLocation="{root}/ck" and duration="0"
+        and batchScript='''
+        load versionedParquet.`{lake}` as cur_lake;
+        run __batch_df__ as BloomFilterDedup.`` where
+            refTable="cur_lake" as fresh_batch;
+        load parquet.`{sigs}` as cur_sigs;
+        run fresh_batch as NearDedup.`` where refTable="cur_lake"
+            and refBandsTable="cur_sigs" and threshold="0.8"
+            as kept_batch;
+        save append kept_batch as versionedParquet.`{lake}`;
+        run kept_batch as MinHashSignatures.`` as new_sigs;
+        save append new_sigs as parquet.`{sigs}`;
+        ''';
+    """)
+    q = eng.context.jobs.pop("slake_ingest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return eng.execute(f"""
+    load versionedParquet.`{lake}`
+        where startingVersion="0" and endingVersion="2" as slake_rows;
+    select doc_id, cast(__delta_version__ as bigint) as commit_version
+    from slake_rows as output;
+    """)
+
+
 def _q_dup_clusters(spark, sf_dir):
     # deterministic chain edges (doc, doc+1) within each 10-block's first
     # 5 docs — components of diameter 4 exercise transitive propagation
@@ -3729,6 +3798,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": _q_near_dedup,
         "near_dedup_incr": _q_near_dedup_incr,
         "incremental_lake_e2e": _q_incremental_lake,
+        "streaming_lake_ingest": _q_streaming_lake_ingest,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -3851,6 +3921,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup": _NEAR_DEDUP_ORACLE,
         "near_dedup_incr": _NEAR_DEDUP_INCR_ORACLE,
         "incremental_lake_e2e": _INCREMENTAL_LAKE_ORACLE,
+        # the streaming path must land exactly the batch chain's rows
+        # in exactly the batch chain's commits — same oracle
+        "streaming_lake_ingest": _INCREMENTAL_LAKE_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,
