@@ -788,7 +788,17 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
         return
     if fmt == "versionedParquet":
         from streamingpro_spark.sources.versioned import save as vp_save
-        vp_save(ctx, df, stmt.path, stmt.mode, options, stmt.partition_by)
+        # inside a foreachBatch batchScript (custom sink), stamp the
+        # commit with (txn, batchId) so a REPLAYED micro-batch — crash
+        # between this save and the streaming checkpoint — skips its
+        # duplicate append instead of double-committing (round-8: makes
+        # the batchScript lake flow exactly-once, matching the native
+        # versionedParquet streaming sink's contract)
+        bid = ctx.env.get("__batch_id__")
+        txn = ctx.env.get("__stream_txn__")
+        vp_save(ctx, df, stmt.path, stmt.mode, options, stmt.partition_by,
+                batch_id=int(bid) if bid is not None and txn else None,
+                txn_id=txn)
         return
     if fmt == "warc":
         _save_warc(ctx, df, path, _norm_mode(stmt.mode), options)
@@ -848,11 +858,17 @@ def _save_stream(ctx: "ExecutionContext", df: "DataFrame", stmt: "SaveStmt") -> 
         # reference MLSQLForeachBatchRunner / MLSQLBaseStreamSource.scala:86-93
         script = options.get("batchScript", "")
 
+        # txn key for exactly-once sinks inside the sub-script: the
+        # query's checkpointLocation, same key the native
+        # versionedParquet streaming sink uses
+        batch_txn = ctx.resource_real_path(ckpt)
+
         def run_batch(batch_df, batch_id):
             from streamingpro_spark.engine import Engine
             batch_df.createOrReplaceTempView("__batch_df__")
             eng = Engine.for_child(batch_df.sparkSession, ctx)
             eng.context.env["__batch_id__"] = str(batch_id)
+            eng.context.env["__stream_txn__"] = batch_txn
             eng.execute(script)
 
         _finalize_stream(ctx, df.writeStream.foreachBatch(run_batch),

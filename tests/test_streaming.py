@@ -213,6 +213,51 @@ def test_foreach_batch_script_sink(engine, sf_dir, tmp_path):
     assert set(got.columns) == {"user_id", "sv"}
 
 
+def test_batchscript_vp_save_exactly_once(engine, tmp_path):
+    """versionedParquet saves inside a foreachBatch batchScript are
+    stamped with the stream's (txn, batchId) — a REPLAYED micro-batch
+    (crash between the save and the streaming checkpoint) skips its
+    duplicate append (round-8).  Simulated by re-running the sub-script
+    save under the same injected batch env, the way the custom sink's
+    run_batch sets it."""
+    lake = tmp_path / "xo_lake"
+    engine.execute(f"""
+    select 1 as id as xo_seed;
+    save overwrite xo_seed as versionedParquet.`{lake}`;
+    """)
+    engine.context.env["__batch_id__"] = "7"
+    engine.context.env["__stream_txn__"] = "ck-xyz"
+    try:
+        engine.execute(f"""
+        select 2 as id as xo_b;
+        save append xo_b as versionedParquet.`{lake}`;
+        """)
+        # replay of the same micro-batch: must NOT commit again
+        engine.execute(f"""
+        select 2 as id as xo_b;
+        save append xo_b as versionedParquet.`{lake}`;
+        """)
+    finally:
+        engine.context.env.pop("__batch_id__")
+        engine.context.env.pop("__stream_txn__")
+    # a different batch of the same transaction still commits
+    engine.context.env["__batch_id__"] = "8"
+    engine.context.env["__stream_txn__"] = "ck-xyz"
+    try:
+        engine.execute(f"""
+        select 3 as id as xo_c;
+        save append xo_c as versionedParquet.`{lake}`;
+        """)
+    finally:
+        engine.context.env.pop("__batch_id__")
+        engine.context.env.pop("__stream_txn__")
+    hist = engine.execute(f"!delta history {lake};").collect()
+    assert [r["version"] for r in hist] == [0, 1, 2]
+    rows = engine.execute(f"load versionedParquet.`{lake}` as xo_all; "
+                          "select id from xo_all as out;").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+
+
 def test_stream_stream_join(engine, sf_dir, tmp_path):
     """Watermarked stream-stream inner join with a time-range condition
     (view within 30 min after a click), verified against the batch
