@@ -519,7 +519,10 @@ def _q_ivf_pq_topk(spark, sf_dir):
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = f"{st.st_size:x}{int(st.st_mtime):x}"
+    # fingerprint = source identity + build params, so a changed
+    # nlist/pqSubspaces (or regenerated table) rebuilds instead of
+    # silently searching a stale index
+    fp = f"{st.st_size:x}{int(st.st_mtime):x}_n8m16"
     idx = os.path.join(tempfile.gettempdir(),
                        f"spk_ivfpq_{tag}_{fp}", "idx")
     if not os.path.exists(os.path.join(idx, "pq_codebooks.json")):

@@ -1102,10 +1102,12 @@ class DupClusters(ETAlgorithm):
             # shipping wrong survivors into a dedup pipeline
             labels.unpersist()
             edges.unpersist()
+            state = (f"{changed} labels still changing" if changed >= 0
+                     else "no rounds run")
             raise ValueError(
                 f"DupClusters: label propagation had not converged "
-                f"after maxIter={max_iter} rounds ({changed} labels "
-                f"still changing) — the pair graph has a component "
+                f"after maxIter={max_iter} rounds ({state}) — the "
+                f"pair graph has a component "
                 f"with diameter > {max_iter}, and stopping now would "
                 f"mislabel it (splitting one duplicate cluster into "
                 f"several survivors).  Raise maxIter (one join+groupBy "
