@@ -3674,6 +3674,79 @@ FROM flags
 """
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """GopherQualityFilter (Rae et al. §A1.1 non-repetition rules).
+    The corpus has no symbols/newlines, so both engines plant them:
+    ' hash ' -> ' # ' (symbol), ' row ' -> newline+'- ' (bullet-start
+    line), ' agg ' -> ' ...'+newline (ellipsis-end line)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           replace(replace(replace(text, ' hash ', ' # '),
+                           ' row ', concat(chr(10), '- ')),
+                   ' agg ', concat(' ...', chr(10))) as text
+    from documents as gdocs;
+    run gdocs as GopherQualityFilter.`` where minWords="20"
+        and minStopwords="1" and minAlphaWordFrac="0.85"
+        and maxSymbolWordRatio="0.05" as gq;
+    select doc_id, n_words, mean_word_len, symbol_word_ratio,
+           frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+           n_required_stopwords, keep from gq as output;
+    """)
+
+
+_GOPHER_QUALITY_ORACLE = """
+WITH gdocs AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' hash ', ' # '),
+                         ' row ', chr(10) || '- '),
+                 ' agg ', ' ...' || chr(10)) AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         string_split_regex(text, '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM gdocs
+), f AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    greatest(len(words), 1) AS dw,
+    greatest(len(lines), 1) AS dl,
+    len(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols,
+    len(list_filter(lines,
+        l -> regexp_matches(l, '^\\s*[-*•‣▪]'))) AS bullet,
+    len(list_filter(lines,
+        l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ellip,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+    CAST(len(list_intersect(
+        list_distinct(string_split_regex(lower(text), '\\s+')),
+        ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS n_required_stopwords
+  FROM m
+), r AS (
+  SELECT doc_id, n_words,
+    round(word_chars / dw, 4) AS mean_word_len,
+    round(n_symbols / dw, 4) AS symbol_word_ratio,
+    round(bullet / dl, 4) AS frac_bullet_lines,
+    round(ellip / dl, 4) AS frac_ellipsis_lines,
+    round(alpha / dw, 4) AS frac_alpha_words,
+    n_required_stopwords
+  FROM f
+)
+SELECT *,
+  (n_words >= 20 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.05
+   AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+   AND frac_alpha_words >= 0.85
+   AND n_required_stopwords >= 1) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3807,6 +3880,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_dedup": _q_exact_substr,
         "paragraph_dedup": _q_paragraph_dedup,
         "c4_quality_filter": _q_c4_quality,
+        "gopher_quality_filter": _q_gopher_quality,
         # LLM-pipeline: LM scoring / mixing / packing / tokenization
         "repetition_score": _q_repetition_score,
         "ngram_lm_score": _q_ngram_lm_score,
@@ -3932,6 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "c4_quality_filter": _C4_QUALITY_ORACLE,
+        "gopher_quality_filter": _GOPHER_QUALITY_ORACLE,
         "repetition_score": _REPETITION_ORACLE,
         "ngram_lm_score": _NGRAM_LM_ORACLE,
         "stratified_sample": _STRATIFIED_ORACLE,

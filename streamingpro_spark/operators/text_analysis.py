@@ -507,6 +507,122 @@ class C4QualityFilter(ETAlgorithm):
                 ("mode", "annotate | filter", "annotate")]
 
 
+@register_et("GopherQualityFilter")
+class GopherQualityFilter(ETAlgorithm):
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    the non-repetition half; RepetitionScore covers the repetition
+    half).  No reference counterpart — part of the training-data
+    curation family alongside C4QualityFilter / QualityScore.
+
+    Per document (fractions rounded to 4):
+
+    - n_words              whitespace-split word count
+    - mean_word_len        total non-whitespace chars / n_words
+    - symbol_word_ratio    ('#' + '...' / '…' occurrences) / n_words
+    - frac_bullet_lines    lines starting with a bullet glyph
+    - frac_ellipsis_lines  lines ending with an ellipsis
+    - frac_alpha_words     words containing >= 1 [A-Za-z]
+    - n_required_stopwords distinct hits among the 8 Gopher stop words
+                           (the, be, to, of, and, that, have, with;
+                           token equality — punctuation-adjacent forms
+                           don't count, chain TextNormalize-style
+                           cleanup first if the corpus needs it)
+    - keep                 the published conjunction: minWords <=
+                           n_words <= maxWords, minMeanWordLen <=
+                           mean_word_len <= maxMeanWordLen,
+                           symbol_word_ratio <= maxSymbolWordRatio,
+                           frac_bullet_lines <= maxBulletLineFrac,
+                           frac_ellipsis_lines <= maxEllipsisLineFrac,
+                           frac_alpha_words >= minAlphaWordFrac,
+                           n_required_stopwords >= minStopwords
+
+    mode=annotate (default) returns every row with the metrics;
+    mode=filter returns only kept rows.
+
+    Scale: per-row JVM expressions only (split / regexp_count / filter
+    over the line array) — zero shuffles, zero Python; a narrow map
+    over the corpus scan, same posture as C4QualityFilter.
+    """
+
+    REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and",
+                          "that", "have", "with"]
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        min_words = get_int(params, "minWords", 50)
+        max_words = get_int(params, "maxWords", 100000)
+        min_mwl = get_float(params, "minMeanWordLen", 3.0)
+        max_mwl = get_float(params, "maxMeanWordLen", 10.0)
+        max_sym = get_float(params, "maxSymbolWordRatio", 0.1)
+        max_bullet = get_float(params, "maxBulletLineFrac", 0.9)
+        max_ellip = get_float(params, "maxEllipsisLineFrac", 0.3)
+        min_alpha = get_float(params, "minAlphaWordFrac", 0.8)
+        min_stop = get_int(params, "minStopwords", 2)
+        mode = params.get("mode", "annotate")
+
+        text = F.coalesce(F.col(col), F.lit(""))
+        words = F.split(text, r"\s+")
+        n_words = F.size(words)
+        d_words = F.greatest(n_words, F.lit(1))
+        lines = F.split(text, "\n")
+        d_lines = F.greatest(F.size(lines), F.lit(1))
+
+        def frac(numer):
+            return F.round(numer.cast("double") / d_words, 4)
+
+        # mean word length via ONE regexp_replace (total word chars),
+        # not an interpreted aggregate fold over the array
+        word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+        n_symbols = (F.regexp_count(text, F.lit("#"))
+                     + F.regexp_count(text, F.lit(r"\.\.\.|…")))
+        bullet = F.size(F.filter(
+            lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+        ellip = F.size(F.filter(
+            lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        stops = F.size(F.array_intersect(
+            F.array_distinct(F.split(F.lower(text), r"\s+")),
+            F.array(*[F.lit(w) for w in self.REQUIRED_STOPWORDS])))
+
+        out = (df
+               .withColumn("n_words", n_words.cast("long"))
+               .withColumn("mean_word_len", frac(word_chars))
+               .withColumn("symbol_word_ratio", frac(n_symbols))
+               .withColumn("frac_bullet_lines",
+                           F.round(bullet.cast("double") / d_lines, 4))
+               .withColumn("frac_ellipsis_lines",
+                           F.round(ellip.cast("double") / d_lines, 4))
+               .withColumn("frac_alpha_words", frac(alpha))
+               .withColumn("n_required_stopwords", stops.cast("long")))
+        keep = ((F.col("n_words") >= min_words)
+                & (F.col("n_words") <= max_words)
+                & (F.col("mean_word_len") >= min_mwl)
+                & (F.col("mean_word_len") <= max_mwl)
+                & (F.col("symbol_word_ratio") <= max_sym)
+                & (F.col("frac_bullet_lines") <= max_bullet)
+                & (F.col("frac_ellipsis_lines") <= max_ellip)
+                & (F.col("frac_alpha_words") >= min_alpha)
+                & (F.col("n_required_stopwords") >= min_stop))
+        out = out.withColumn("keep", keep)
+        if mode == "filter":
+            out = out.filter(F.col("keep")).drop("keep")
+        return out
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("minWords", "minimum word count", "50"),
+                ("maxWords", "maximum word count", "100000"),
+                ("minMeanWordLen", "minimum mean word length", "3"),
+                ("maxMeanWordLen", "maximum mean word length", "10"),
+                ("maxSymbolWordRatio", "max (#|...)/words ratio", "0.1"),
+                ("maxBulletLineFrac", "max bullet-start line frac", "0.9"),
+                ("maxEllipsisLineFrac", "max ellipsis-end line frac", "0.3"),
+                ("minAlphaWordFrac", "min frac words with a letter", "0.8"),
+                ("minStopwords",
+                 "min distinct required stop words present", "2"),
+                ("mode", "annotate | filter", "annotate")]
+
+
 @register_et("UrlFilter")
 class UrlFilter(ETAlgorithm):
     """RefinedWeb-style URL curation (Penedo et al. 2023,

@@ -1942,6 +1942,55 @@ def test_c4_quality_bad_words(engine):
     assert rows[2]["keep"] is False and rows[2]["has_bad_word"] is True
 
 
+def test_gopher_quality_filter_rules(engine):
+    """Each Gopher §A1.1 rule trips on exactly the doc built to trip it
+    (minWords lowered to 5 to keep the fixture readable)."""
+    df = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"the cat and the dog have run off to that old barn with hay"}
+    {"doc_id":2,"text":"the end of it"}
+    {"doc_id":3,"text":"extraordinarily magnificent hippopotamus extravaganza celebration and the spectacular incomprehensibilities internationalization achievements of distinguished personalities"}
+    {"doc_id":4,"text":"the price # and # cost # of # it # went # up # fast # now # ok"}
+    {"doc_id":5,"text":"- the first bullet item\n- and the second one\n- plus a third here"}
+    {"doc_id":6,"text":"the thought trails off ...\nand again it does ...\nbut this one ends fine"}
+    {"doc_id":7,"text":"the 1 2 3 4 5 6 7 8 9 10 11 12 13 and 15"}
+    {"doc_id":8,"text":"quick brown fox jumps over lazy dogs near quiet river banks daily"}
+    {"doc_id":9,"text":null}
+    ''';
+    load jsonStr.`data` as t;
+    run t as GopherQualityFilter.`` where minWords="5" as out;
+    """)
+    r = {row["doc_id"]: row for row in df.collect()}
+    assert r[1]["keep"] is True
+    assert r[1]["n_required_stopwords"] >= 2
+    assert r[2]["keep"] is False and r[2]["n_words"] == 4     # minWords
+    assert r[3]["keep"] is False                              # mean len > 10
+    assert r[3]["mean_word_len"] > 10
+    assert r[4]["keep"] is False                              # '#' ratio
+    assert r[4]["symbol_word_ratio"] > 0.1
+    assert r[5]["keep"] is False                              # all bullets
+    assert r[5]["frac_bullet_lines"] == 1.0
+    assert r[6]["keep"] is False                              # 2/3 ellipsis
+    assert abs(r[6]["frac_ellipsis_lines"] - 0.6667) < 1e-9
+    assert r[7]["keep"] is False                              # digit words
+    assert r[7]["frac_alpha_words"] < 0.8
+    assert r[8]["keep"] is False                              # no stopwords
+    assert r[8]["n_required_stopwords"] == 0
+    assert r[9]["keep"] is False                              # null text
+    # filter mode keeps only the good doc and drops the keep column
+    kept = engine.execute(r"""
+    set data = '''
+    {"doc_id":1,"text":"the cat and the dog have run off to that old barn with hay"}
+    {"doc_id":2,"text":"the end of it"}
+    ''';
+    load jsonStr.`data` as t2;
+    run t2 as GopherQualityFilter.`` where minWords="5" and mode="filter" as out2;
+    """)
+    rows = kept.collect()
+    assert [row["doc_id"] for row in rows] == [1]
+    assert "keep" not in kept.columns
+
+
 def test_exact_substr_dedup_matches_python_reference(engine, spark):
     # deterministic pseudo-random corpus with planted repeats; compare
     # per-doc counts against a direct python implementation
