@@ -3674,6 +3674,61 @@ FROM flags
 """
 
 
+def _q_text_normalize(spark, sf_dir):
+    """TextNormalize (CCNet-style pre-dedup cleanup).  The corpus is
+    plain ASCII words, so both engines plant the mess first: smart
+    quotes + an accented word, a tab + em dash + digits, and an
+    ellipsis char — then normalize with every step on."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id,
+           replace(replace(replace(text, ' the ', ' “Thé” '),
+                           ' row ', concat(' Na', chr(9), 'ïve—42 ')),
+                   ' agg ', ' DATA… ') as text
+    from documents as ndocs;
+    run ndocs as TextNormalize.`` where stripAccents="true"
+        and digitsToZero="true" and outputCol="text_norm" as tn;
+    select doc_id, text_norm from tn as output;
+    """)
+
+
+def _text_normalize_oracle() -> str:
+    """DuckDB replay of the TextNormalize chain, translate maps taken
+    from the module constants so the two can't drift."""
+    from streamingpro_spark.operators.text_analysis import (
+        _ACCENT_FROM, _ACCENT_TO, _SMART_PUNCT_FROM, _SMART_PUNCT_TO)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return f"""
+WITH ndocs AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' the ', ' “Thé” '),
+                         ' row ', ' Na' || chr(9) || 'ïve—42 '),
+                 ' agg ', ' DATA… ') AS text
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    lower(
+      regexp_replace(
+        translate(
+          replace(
+            translate(
+              regexp_replace(text,
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                             '', 'g'),
+              {q(_SMART_PUNCT_FROM)}, {q(_SMART_PUNCT_TO)}),
+            '…', '...'),
+          {q(_ACCENT_FROM)}, {q(_ACCENT_TO)}),
+        '[0-9]', '0', 'g')),
+    '\\s+', ' ', 'g')) AS text_norm
+FROM ndocs
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """GopherQualityFilter (Rae et al. §A1.1 non-repetition rules).
     The corpus has no symbols/newlines, so both engines plant them:
@@ -3881,6 +3936,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "c4_quality_filter": _q_c4_quality,
         "gopher_quality_filter": _q_gopher_quality,
+        "text_normalize": _q_text_normalize,
         # LLM-pipeline: LM scoring / mixing / packing / tokenization
         "repetition_score": _q_repetition_score,
         "ngram_lm_score": _q_ngram_lm_score,
@@ -4007,6 +4063,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "c4_quality_filter": _C4_QUALITY_ORACLE,
         "gopher_quality_filter": _GOPHER_QUALITY_ORACLE,
+        "text_normalize": _text_normalize_oracle(),
         "repetition_score": _REPETITION_ORACLE,
         "ngram_lm_score": _NGRAM_LM_ORACLE,
         "stratified_sample": _STRATIFIED_ORACLE,

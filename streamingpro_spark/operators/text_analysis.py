@@ -507,6 +507,81 @@ class C4QualityFilter(ETAlgorithm):
                 ("mode", "annotate | filter", "annotate")]
 
 
+_SMART_PUNCT_FROM = "’‘‚“”„–—−\u00a0"
+_SMART_PUNCT_TO = "'''\"\"\"--- "
+_ACCENT_FROM = ("àáâãäåèéêë"
+                "ìíîïòóôõö"
+                "ùúûüçñýÿ"
+                "ÀÁÂÃÄÅÈÉÊË"
+                "ÌÍÎÏÒÓÔÕÖ"
+                "ÙÚÛÜÇÑÝ")
+_ACCENT_TO = ("aaaaaaeeee" "iiiiooooo" "uuuucnyy"
+              "AAAAAAEEEE" "IIIIOOOOO" "UUUUCNY")
+
+
+@register_et("TextNormalize")
+class TextNormalize(ETAlgorithm):
+    """CCNet-style text normalization (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1 normalizes before hashing) — the cleanup
+    step that belongs IN FRONT of ExactDedup / MinHashDedup /
+    ParagraphDedup so near-identical byte variants hash together.  No
+    reference counterpart — part of the training-data curation family.
+
+    Fixed-order, individually gated steps (defaults in parens):
+
+    1. stripControl (true)   remove C0/C1 control chars except
+                             tab/newline/CR (those are whitespace and
+                             fall to step 6)
+    2. unifyPunct (true)     smart quotes -> ASCII quotes, en/em
+                             dash and minus -> '-', NBSP -> space,
+                             ellipsis char -> '...'
+    3. stripAccents (false)  Latin-1 accented letters -> base letters
+                             (codepoint translate, no ICU dependency)
+    4. digitsToZero (false)  [0-9] -> '0' (CCNet digit unification)
+    5. lowercase (true)
+    6. collapseWhitespace (true)  \\s+ -> single space, then trim
+
+    Writes `outputCol` (default: in-place on `contentCol`).  Null text
+    stays null (every step propagates null), so pre-dedup chains keep
+    their null semantics.
+
+    Scale: per-row whole-stage codegen (translate / regexp_replace /
+    lower) — zero shuffles, zero Python; a narrow map over the corpus
+    scan, same posture as C4QualityFilter."""
+
+    def train(self, df, path, params, context=None):
+        col = params.get("contentCol", "text")
+        out_col = params.get("outputCol", "") or col
+        c = F.col(col)
+        if params.get("stripControl", "true") == "true":
+            c = F.regexp_replace(
+                c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+        if params.get("unifyPunct", "true") == "true":
+            c = F.translate(c, _SMART_PUNCT_FROM, _SMART_PUNCT_TO)
+            c = F.replace(c, F.lit("…"), F.lit("..."))
+        if params.get("stripAccents", "false") == "true":
+            c = F.translate(c, _ACCENT_FROM, _ACCENT_TO)
+        if params.get("digitsToZero", "false") == "true":
+            c = F.regexp_replace(c, "[0-9]", "0")
+        if params.get("lowercase", "true") == "true":
+            c = F.lower(c)
+        if params.get("collapseWhitespace", "true") == "true":
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(out_col, c)
+
+    def explain_params(self):
+        return [("contentCol", "text column", "text"),
+                ("outputCol", "destination column (default in-place)", ""),
+                ("stripControl", "drop C0/C1 control chars", "true"),
+                ("unifyPunct",
+                 "smart quotes/dashes/NBSP/ellipsis -> ASCII", "true"),
+                ("stripAccents", "Latin-1 accents -> base letters", "false"),
+                ("digitsToZero", "[0-9] -> 0 (CCNet)", "false"),
+                ("lowercase", "lowercase", "true"),
+                ("collapseWhitespace",
+                 "whitespace runs -> single space + trim", "true")]
+
+
 @register_et("GopherQualityFilter")
 class GopherQualityFilter(ETAlgorithm):
     """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —

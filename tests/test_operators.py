@@ -1942,6 +1942,50 @@ def test_c4_quality_bad_words(engine):
     assert rows[2]["keep"] is False and rows[2]["has_bad_word"] is True
 
 
+def test_text_normalize_steps(engine):
+    """Each TextNormalize step observable in isolation and in the
+    default chain; null text stays null."""
+    df = engine.execute("""
+    set data = '''
+    {"id":1,"text":"\\u201cSmart\\u201d \\u2018quotes\\u2019 \\u2014 and \\u2013 dashes\\u2026"}
+    {"id":2,"text":"Caf\\u00e9 na\\u00efve \\u00dcber"}
+    {"id":3,"text":"room 402, floor 7"}
+    {"id":4,"text":"  lots\\tof\\n\\n whitespace  "}
+    {"id":5,"text":"ctrl\\u0007here"}
+    {"id":6,"text":null}
+    ''';
+    load jsonStr.`data` as t;
+    run t as TextNormalize.`` where stripAccents="true"
+        and digitsToZero="true" and outputCol="text_norm" as out;
+    """)
+    r = {row["id"]: row["text_norm"] for row in df.collect()}
+    assert r[1] == '"smart" \'quotes\' - and - dashes...'
+    assert r[2] == "cafe naive uber"
+    assert r[3] == "room 000, floor 0"
+    assert r[4] == "lots of whitespace"
+    assert r[5] == "ctrlhere"          # BEL stripped, no space left
+    assert r[6] is None
+    # step gating: everything off is identity; in-place is the default
+    df2 = engine.execute("""
+    select "  A\\u2014B 7  " as text as t2;
+    run t2 as TextNormalize.`` where stripControl="false"
+        and unifyPunct="false" and lowercase="false"
+        and collapseWhitespace="false" as out2;
+    """)
+    assert df2.first()["text"] == "  A—B 7  "
+    # normalization makes byte-variants collide for downstream dedup
+    df3 = engine.execute("""
+    set data = '''
+    {"id":1,"text":"The  CAF\\u00c9 deal\\u2026"}
+    {"id":2,"text":"the caf\\u00e9 deal..."}
+    ''';
+    load jsonStr.`data` as t3;
+    run t3 as TextNormalize.`` where stripAccents="true" as n3;
+    select count(distinct text) as n from n3 as out3;
+    """)
+    assert df3.first()["n"] == 1
+
+
 def test_gopher_quality_filter_rules(engine):
     """Each Gopher §A1.1 rule trips on exactly the doc built to trip it
     (minWords lowered to 5 to keep the fixture readable)."""

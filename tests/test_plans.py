@@ -141,6 +141,17 @@ def test_c4_quality_filter_map_only(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_text_normalize_map_only(spark, sf_dir):
+    # translate/regexp_replace/lower chain: no Python, no exchange
+    import __spark_entry__ as em
+    df = em.base_queries()["text_normalize"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_gopher_quality_filter_map_only(spark, sf_dir):
     # per-row word/line metrics: no Python, no exchange — a narrow map
     # over the corpus scan, same posture as C4QualityFilter
