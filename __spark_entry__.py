@@ -3564,6 +3564,96 @@ FROM c LEFT JOIN w USING (stratum) CROSS JOIN t
 """
 
 
+def _q_perplexity_bucket(spark, sf_dir):
+    """PerplexityBucket (CCNet head/middle/tail quantile tiers) over a
+    derived score, per source stratum.  exact="true" is the oracle
+    path: Spark's percentile and DuckDB's quantile_cont share the
+    p*(n-1) linear-interpolation definition; both engines round the
+    thresholds to 6 decimals before the boundary compare."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, source, round(n_chars / 100.0, 4) as ppl
+    from documents as scored;
+    run scored as PerplexityBucket.`` where scoreCol="ppl"
+        and strataCol="source" and exact="true" as pb;
+    select source, ppl_bucket, count(*) as n_docs,
+           round(min(ppl), 4) as min_ppl, round(max(ppl), 4) as max_ppl
+    from pb group by source, ppl_bucket as output;
+    """)
+
+
+_PERPLEXITY_BUCKET_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, round(n_chars / 100.0, 4) AS ppl FROM documents
+),
+th AS (
+  SELECT source, round(quantile_cont(ppl, 0.3333), 6) AS t0,
+         round(quantile_cont(ppl, 0.6667), 6) AS t1
+  FROM scored GROUP BY source
+),
+b AS (
+  SELECT s.source,
+         CASE WHEN ppl IS NULL THEN NULL
+              WHEN round(ppl, 6) <= t0 THEN 'head'
+              WHEN round(ppl, 6) <= t1 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket, ppl
+  FROM scored s JOIN th USING (source)
+)
+SELECT source, ppl_bucket, count(*) AS n_docs,
+       round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+FROM b GROUP BY source, ppl_bucket
+"""
+
+
+def _q_token_budget_sample(spark, sf_dir):
+    """TokenBudgetSample: cap each source stratum at a token budget in
+    deterministic hash order (annotate mode so the oracle can check
+    the keep set AND the untouched row count in one output)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as TokenBudgetSample.`` where strataCol="source"
+        and defaultBudget="800" and budget.src0="300"
+        and budget.src1="100000" and mode="annotate" as tb;
+    select source,
+           sum(case when keep then 1 else 0 end) as n_kept,
+           sum(case when keep then n_tokens else 0 end) as kept_tokens,
+           count(*) as n_docs
+    from tb group by source as output;
+    """)
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH b AS (
+  SELECT source, doc_id,
+         {_PHASH_DUCK.format(payload="'budget:' || CAST(doc_id AS VARCHAR)")}
+           AS h,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(string_split_regex(lower(text), '\\s+')) END AS nt
+  FROM documents
+),
+w AS (
+  SELECT source, doc_id, nt,
+         CAST(sum(nt) OVER (PARTITION BY source ORDER BY h % 32, h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+),
+k AS (
+  SELECT *, (cum - nt <
+             CASE source WHEN 'src0' THEN 300
+                         WHEN 'src1' THEN 100000 ELSE 800 END) AS keep
+  FROM w
+)
+SELECT source,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       count(*) AS n_docs
+FROM k GROUP BY source
+"""
+
+
 def _q_bpe_tokenize(spark, sf_dir):
     """Real BPE: train merges on the corpus word counts, apply via
     broadcast Arrow UDF (rows-only: the merge loop has no SQL oracle)."""
@@ -3991,6 +4081,8 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
         "data_mixing": _q_data_mixing,
+        "perplexity_bucket": _q_perplexity_bucket,
+        "token_budget_sample": _q_token_budget_sample,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -4117,6 +4209,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "data_mixing": _DATA_MIXING_ORACLE,
+        "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
+        "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

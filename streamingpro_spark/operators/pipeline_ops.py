@@ -2,7 +2,9 @@
 (north-star family, joining dedup/similarity/text_analysis):
 
 - NgramLMScore        CCNet-style bigram-LM quality score (self-trained)
+- PerplexityBucket    CCNet head/middle/tail quantile bucketing of a score
 - StratifiedSampleExt deterministic hash sampling per stratum (data mixing)
+- TokenBudgetSample   cap each stratum at a token budget, hash-ordered
 - SequencePack        pack documents into fixed token-budget sequences
 - BPETokenizer        real byte-pair-encoding: distributed word counts →
                       driver merge training → broadcast Arrow apply
@@ -285,6 +287,207 @@ class SequencePack(ETAlgorithm):
                 ("mode", "chunk (split docs at cuts) | greedy (no splits)",
                  "chunk"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
+
+
+# ---------------------------------------------------------------------------
+# PerplexityBucket
+# ---------------------------------------------------------------------------
+
+@register_et("PerplexityBucket")
+class PerplexityBucket(ETAlgorithm):
+    """CCNet-style perplexity bucketing: split a corpus into quality
+    tiers (head/middle/tail by default) at per-stratum quantiles of a
+    score column — lower score = better, the convention of perplexity
+    and of NgramLMScore's lm_score, which this is built to consume
+    (CCNet buckets each language's documents at the 1/3 and 2/3
+    perplexity points; Wenzek et al. 2020 §4.3).
+
+    Plan: ONE aggregate pass computes the cut thresholds per stratum
+    (map-side combinable with the default approx sketch) to a
+    |strata| × |cuts| table, broadcast back, then a map-side CASE
+    assigns the bucket label.  No per-row shuffle, no Python.
+
+    100 TB: the default `exact="false"` uses approx_percentile
+    (positional-error ≤ 1/accuracy, partial-aggregable — the only
+    choice at scale); `exact="true"` uses the exact percentile
+    aggregate, which buffers each stratum's scores in one aggregation
+    task — the oracle/test path, documented as such.  Scores are
+    rounded to 6 decimals before comparison so the boundary docs land
+    deterministically on either engine.
+    """
+
+    def train(self, df, path, params, context=None):
+        score_col = params.get("scoreCol", "lm_score")
+        strata_col = params.get("strataCol", "")
+        out_col = params.get("outputCol", "ppl_bucket")
+        cuts = [float(x) for x in
+                params.get("cuts", "0.3333,0.6667").split(",")]
+        labels = [s.strip() for s in
+                  params.get("labels", "head,middle,tail").split(",")]
+        if len(labels) != len(cuts) + 1:
+            raise ValueError(
+                f"PerplexityBucket: {len(cuts)} cuts need exactly "
+                f"{len(cuts) + 1} labels, got {len(labels)} "
+                f"({labels!r})")
+        if cuts != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+            raise ValueError(
+                f"PerplexityBucket: cuts must be ascending and strictly "
+                f"inside (0, 1), got {cuts!r}")
+        if score_col not in df.columns:
+            raise ValueError(
+                f"PerplexityBucket: scoreCol {score_col!r} not in input "
+                f"columns {df.columns} — run NgramLMScore (or another "
+                f"scorer) first, or set scoreCol")
+        exact = params.get("exact", "false").lower() == "true"
+        accuracy = get_int(params, "accuracy", 10000)
+        score = F.col(score_col).cast("double")
+        if exact:
+            th_exprs = [F.round(F.percentile(score, F.lit(c)), 6)
+                         .alias(f"__t{i}") for i, c in enumerate(cuts)]
+        else:
+            th_exprs = [F.round(F.percentile_approx(score, F.lit(c),
+                                                    F.lit(accuracy)), 6)
+                         .alias(f"__t{i}") for i, c in enumerate(cuts)]
+        if strata_col:
+            th = (df.groupBy(F.col(strata_col).alias("__s"))
+                    .agg(*th_exprs))
+            joined = df.join(F.broadcast(th),
+                             on=df[strata_col] == th["__s"], how="left")
+        else:
+            joined = df.crossJoin(F.broadcast(df.agg(*th_exprs)))
+        rs = F.round(score, 6)
+        bucket = F.when(score.isNull(), F.lit(None).cast("string"))
+        for i, lab in enumerate(labels[:-1]):
+            bucket = bucket.when(rs <= F.col(f"__t{i}"), F.lit(lab))
+        bucket = bucket.otherwise(F.lit(labels[-1]))
+        return joined.select(*df.columns, bucket.alias(out_col))
+
+    def explain_params(self):
+        return [("scoreCol", "score column (lower = better; e.g. "
+                 "NgramLMScore's lm_score)", "lm_score"),
+                ("strataCol", "bucket within this column's strata "
+                 "(CCNet: per language); empty = global", ""),
+                ("cuts", "ascending quantile cut points in (0,1)",
+                 "0.3333,0.6667"),
+                ("labels", "bucket labels, len = cuts + 1",
+                 "head,middle,tail"),
+                ("exact", "true = exact percentile (test/oracle path; "
+                 "buffers each stratum in one task)", "false"),
+                ("accuracy", "approx_percentile accuracy (positional "
+                 "error <= 1/accuracy)", "10000"),
+                ("outputCol", "bucket label output column",
+                 "ppl_bucket")]
+
+
+# ---------------------------------------------------------------------------
+# TokenBudgetSample
+# ---------------------------------------------------------------------------
+
+@register_et("TokenBudgetSample")
+class TokenBudgetSample(ETAlgorithm):
+    """Cap each stratum at a TOKEN budget (not a row fraction): keep
+    documents in deterministic hash order until the stratum's running
+    token total reaches `budget.<value>` — the "take N tokens of web,
+    M tokens of code" step of pretraining-mix construction, complement
+    to DataMixing (which plans fractions) and StratifiedSampleExt
+    (which gates on fractions).  The document straddling the budget
+    line is KEPT (realized tokens ≥ budget when supply suffices), so a
+    budget is never undershot by one doc.
+
+    Plan: documents are ordered per stratum by (hash bucket, hash, id)
+    — deterministic, reproducible, engine-portable.  The running total
+    is a window cumsum WITHIN each (stratum, hash-bucket) partition
+    plus a broadcast per-bucket offset: a |strata| × numBuckets
+    aggregate is cumsum'd over bucket rank (tiny window) and joined
+    back, so no stratum ever sorts in a single task.
+
+    100 TB: the per-row shuffle partitions on (stratum, bucket) —
+    bounded at corpus/|strata|/numBuckets rows each, sized by
+    `numBuckets`; the offset table is |strata| × numBuckets rows,
+    broadcast.  Raising numBuckets re-orders the sample (ordering is
+    bucket-major) but keeps it deterministic for a fixed setting.
+    """
+
+    def train(self, df, path, params, context=None):
+        strata_col = params.get("strataCol", "source")
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        num_buckets = get_int(params, "numBuckets", 32)
+        default_budget = int(float(params.get("defaultBudget", "-1")))
+        budgets: dict[str, int] = {}
+        for pk, pv in params.items():
+            if pk.startswith("budget."):
+                budgets[pk[len("budget."):]] = int(float(pv))
+        if not budgets and default_budget < 0:
+            raise ValueError(
+                'TokenBudgetSample needs at least one budget.<value> '
+                'param (tokens to keep for stratum <value>, e.g. '
+                'budget.web="1000000") or a non-negative defaultBudget; '
+                'defaultBudget="-1" alone would keep everything')
+        mode = params.get("mode", "filter")
+        if mode not in ("filter", "annotate"):
+            raise ValueError(
+                f'TokenBudgetSample: mode must be "filter" or '
+                f'"annotate", got {mode!r}')
+        df = ensure_parallelism(df)
+        h = portable_hash64(F.col(id_col).cast("string"), "budget",
+                            hash_impl(params))
+        n_tokens = (F.when(F.trim(F.coalesce(F.col(col), F.lit(""))) == "",
+                           F.lit(0))
+                     .otherwise(F.size(tokens_col(F.col(col))))
+                     .cast("long"))
+        base = (df.withColumn("__h", h)
+                  .withColumn("__bk", F.pmod(F.col("__h"),
+                                             F.lit(num_buckets)))
+                  .withColumn("__nt", n_tokens))
+        w = (Window.partitionBy(strata_col, "__bk")
+                   .orderBy("__h", id_col)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+        base = base.withColumn("__cin", F.sum("__nt").over(w))
+        tot = (base.groupBy(F.col(strata_col).alias("__s"),
+                            F.col("__bk").alias("__ob"))
+                   .agg(F.sum("__nt").alias("__tot")))
+        wo = (Window.partitionBy("__s").orderBy("__ob")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+        off = tot.select("__s", "__ob",
+                         F.coalesce(F.sum("__tot").over(wo), F.lit(0))
+                          .alias("__off"))
+        joined = base.join(
+            F.broadcast(off),
+            (F.col(strata_col) == F.col("__s"))
+            & (F.col("__bk") == F.col("__ob")), "left")
+        tokens_before = (F.coalesce(F.col("__off"), F.lit(0))
+                         + F.col("__cin") - F.col("__nt"))
+        gate = F.lit(default_budget).cast("long")
+        for value, b in sorted(budgets.items()):
+            gate = F.when(F.col(strata_col) == value,
+                          F.lit(b).cast("long")).otherwise(gate)
+        keep = (gate < 0) | (tokens_before < gate)
+        if mode == "annotate":
+            return joined.select(*df.columns,
+                                 F.col("__nt").alias("n_tokens"),
+                                 tokens_before.alias("tokens_before"),
+                                 keep.alias("keep"))
+        return joined.filter(keep).select(*df.columns)
+
+    def explain_params(self):
+        return [("strataCol", "stratum column the budgets key on",
+                 "source"),
+                ("idCol", "id column for the deterministic hash order",
+                 "doc_id"),
+                ("contentCol", "text column (whitespace token counts)",
+                 "text"),
+                ("budget.<value>", "token budget for stratum <value>",
+                 "-"),
+                ("defaultBudget", "budget for unlisted strata; -1 = "
+                 "unlimited (keep all)", "-1"),
+                ("numBuckets", "parallel cumsum streams per stratum "
+                 "(partition bound at scale)", "32"),
+                ("mode", "filter (drop over-budget rows) | annotate "
+                 "(add n_tokens/tokens_before/keep)", "filter"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]
 
 
 # ---------------------------------------------------------------------------

@@ -419,3 +419,202 @@ def test_data_mixing_unknown_stratum_errors(engine):
         run t as DataMixing.`` where strataCol="source"
             and weight.web="0.5" and weight.books="0.5" as out;
         """)
+
+
+# ---------------------------------------------------------------------------
+# PerplexityBucket
+# ---------------------------------------------------------------------------
+
+def test_perplexity_bucket_exact_tertiles(engine):
+    """9 docs with scores 1..9 per stratum: exact tertile cuts put 3 in
+    each bucket, independently per stratum; a null score gets a null
+    bucket."""
+    df = engine.execute("""
+    select id % 9 + 1 as doc_id,
+           case when id < 9 then 'a' else 'b' end as src,
+           cast(case when id = 17 then null
+                     else (id % 9 + 1) * case when id < 9 then 1.0
+                                              else 10.0 end end
+                as double) as ppl
+    from range(18) as docs;
+    run docs as PerplexityBucket.`` where scoreCol="ppl"
+        and strataCol="src" and exact="true" as output;
+    """)
+    rows = df.collect()
+    by = {(r["src"], r["doc_id"]): r["ppl_bucket"] for r in rows}
+    for d in (1, 2, 3):
+        assert by[("a", d)] == "head"
+    for d in (4, 5, 6):
+        assert by[("a", d)] == "middle"
+    for d in (7, 8, 9):
+        assert by[("a", d)] == "tail"
+    # stratum b has its own (10x) thresholds, and one null row
+    assert by[("b", 1)] == "head" and by[("b", 8)] == "tail"
+    assert by[("b", 9)] is None          # null score -> null bucket
+    assert set(df.columns) == {"doc_id", "src", "ppl", "ppl_bucket"}
+
+
+def test_perplexity_bucket_global_custom_labels(engine):
+    """Empty strataCol = one global threshold set; custom cuts/labels."""
+    df = engine.execute("""
+    select id as doc_id, cast(id as double) as s from range(10) as docs;
+    run docs as PerplexityBucket.`` where scoreCol="s" and cuts="0.5"
+        and labels="keep,drop" and exact="true" as output;
+    """)
+    rows = {r["doc_id"]: r["ppl_bucket"] for r in df.collect()}
+    assert [rows[i] for i in range(10)] == ["keep"] * 5 + ["drop"] * 5
+
+
+def test_perplexity_bucket_approx_within_one_of_exact(engine):
+    """The default approx path lands each bucket within one doc of the
+    exact tertiles (approx_percentile returns a corpus ELEMENT while
+    the exact aggregate interpolates, so a single boundary doc may flip
+    — never more at full sketch accuracy), and assignment stays
+    monotone in the score."""
+    from collections import Counter
+    q = """
+    select id as doc_id, cast(id * 0.37 as double) as s
+    from range(60) as docs;
+    run docs as PerplexityBucket.`` where scoreCol="s" {extra} as output;
+    """
+    ex = {r["doc_id"]: r["ppl_bucket"]
+          for r in engine.execute(q.format(extra='and exact="true"')).collect()}
+    ap = {r["doc_id"]: r["ppl_bucket"]
+          for r in engine.execute(q.format(extra="")).collect()}
+    cx, ca = Counter(ex.values()), Counter(ap.values())
+    assert all(abs(cx[k] - ca[k]) <= 1 for k in ("head", "middle", "tail"))
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranks = [order[ap[i]] for i in range(60)]  # score rises with doc_id
+    assert ranks == sorted(ranks)
+
+
+def test_perplexity_bucket_param_errors(engine):
+    with pytest.raises(ValueError, match="labels"):
+        engine.execute("""
+        select 1 as doc_id, cast(1.0 as double) as s as d;
+        run d as PerplexityBucket.`` where scoreCol="s"
+            and cuts="0.5" and labels="a,b,c" as out;
+        """)
+    with pytest.raises(ValueError, match="scoreCol"):
+        engine.execute("""
+        select 1 as doc_id as d2;
+        run d2 as PerplexityBucket.`` where scoreCol="nope" as out2;
+        """)
+    with pytest.raises(ValueError, match="ascending"):
+        engine.execute("""
+        select 1 as doc_id, cast(1.0 as double) as s as d3;
+        run d3 as PerplexityBucket.`` where scoreCol="s"
+            and cuts="0.9,0.1" and labels="a,b,c" as out3;
+        """)
+
+
+def test_perplexity_bucket_broadcast_no_python_plan(spark, sf_dir):
+    """The threshold join is broadcast and the bucket CASE is codegen:
+    no Python eval, no shuffle join on the per-row side."""
+    import __spark_entry__ as em
+    df = em.base_queries()["perplexity_bucket"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TokenBudgetSample
+# ---------------------------------------------------------------------------
+
+def _tbs_replay(ids_texts, budget, num_buckets=32):
+    """Python replay of the deterministic hash-order budget walk."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[:15], 16)
+
+    rows = sorted(((h(i) % num_buckets, h(i), i, len(t.split()))
+                   for i, t in ids_texts))
+    kept, cum = set(), 0
+    for _bk, _h, i, nt in rows:
+        if cum < budget:
+            kept.add(i)
+        cum += nt
+    return kept
+
+
+def test_token_budget_matches_python_replay(engine):
+    docs = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    df = engine.execute(f"""
+    select * from (values {values}) v(doc_id, text) as d;
+    run d as TokenBudgetSample.`` where strataCol="text"
+        and idCol="doc_id" and defaultBudget="0" as out;
+    """)
+    # strataCol="text" makes 5 strata (by length); budget 0 drops all
+    assert df.count() == 0
+    df2 = engine.execute(f"""
+    select *, 'all' as src from (values {values}) v(doc_id, text) as d2;
+    run d2 as TokenBudgetSample.`` where strataCol="src"
+        and budget.all="60" as out2;
+    """)
+    kept = {r["doc_id"] for r in df2.collect()}
+    assert kept == _tbs_replay(docs, 60)
+    # the straddling doc is kept: realized tokens >= budget
+    realized = sum(len(t.split()) for i, t in docs if i in kept)
+    assert realized >= 60
+
+
+def test_token_budget_annotate_and_unlimited(engine):
+    df = engine.execute("""
+    select id as doc_id, 'a' as src, 'x y z' as text from range(10) as d;
+    run d as TokenBudgetSample.`` where strataCol="src"
+        and defaultBudget="7" and mode="annotate" as out;
+    """)
+    rows = sorted(df.collect(), key=lambda r: r["tokens_before"])
+    assert [r["keep"] for r in rows] == [True] * 3 + [False] * 7
+    assert all(r["n_tokens"] == 3 for r in rows)
+    assert rows[0]["tokens_before"] == 0
+    assert set(df.columns) == {"doc_id", "src", "text", "n_tokens",
+                               "tokens_before", "keep"}
+    # defaultBudget="-1" with an explicit budget keeps unlisted strata whole
+    df2 = engine.execute("""
+    select id as doc_id, case when id < 5 then 'a' else 'b' end as src,
+           'x y' as text from range(10) as d2;
+    run d2 as TokenBudgetSample.`` where strataCol="src"
+        and budget.a="2" as out2;
+    """)
+    by_src = {}
+    for r in df2.collect():
+        by_src.setdefault(r["src"], 0)
+        by_src[r["src"]] += 1
+    assert by_src["b"] == 5              # unlimited
+    assert by_src["a"] == 1              # 2-token budget: first doc only
+
+
+def test_token_budget_param_errors(engine):
+    with pytest.raises(ValueError, match="budget"):
+        engine.execute("""
+        select 1 as doc_id, 'a' as src, 'x' as text as d;
+        run d as TokenBudgetSample.`` where strataCol="src" as out;
+        """)
+    with pytest.raises(ValueError, match="mode"):
+        engine.execute("""
+        select 1 as doc_id, 'a' as src, 'x' as text as d2;
+        run d2 as TokenBudgetSample.`` where strataCol="src"
+            and defaultBudget="5" and mode="nope" as out2;
+        """)
+
+
+def test_token_budget_no_python_plan(spark, sf_dir):
+    """Window cumsum + broadcast offset join: no Python eval anywhere,
+    and the offset join side is broadcast (never sort-merge)."""
+    import __spark_entry__ as em
+    df = em.base_queries()["token_budget_sample"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
