@@ -539,6 +539,60 @@ def _q_ivf_pq_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ answer quality as a hash-matched contract (round-8):
+    recall@5 of the ADC+rerank search vs the exact brute-force
+    SimilaritySearch computed in the SAME script, aggregated to
+    bound flags (the same upgrade pattern as lsh_similarity).  With
+    nprobe = nlist the candidate set is complete and rerank="50"
+    exact-rescores, so measured recall is 1.0 at sf0.001/0.01/0.1;
+    bounds (mean >= 0.9, min >= 0.6) leave headroom for future
+    param retuning without letting a real ADC/rerank regression
+    through.  The benched search-only query ivf_pq_topk stays
+    unchanged (its committed floor times the SEARCH alone); this
+    query is the correctness side of the same path."""
+    import os
+    import tempfile
+    eng = _engine(spark)
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = f"{st.st_size:x}{int(st.st_mtime):x}_n8m16"
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"spk_ivfpq_{tag}_{fp}", "idx")
+    if not os.path.exists(os.path.join(idx, "pq_codebooks.json")):
+        eng.execute(f"""
+        load parquet.`{src}` as pq_corpus;
+        run pq_corpus as IVFIndexBuild.`{idx}` where nlist="8"
+            and pqSubspaces="16" as built;
+        """)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'embeddings')}
+    select * from embeddings where vec_id < 20 as pqr_queries;
+    run pqr_queries as IVFSimilaritySearch.`{idx}` where k="5"
+        and nprobe="8" and usePQ="true" and rerank="50" as pqr_hits;
+    run embeddings as SimilaritySearch.`` where k="5"
+        and queryFilter="vec_id < 20" as pqr_exact;
+    select e.query_id as query_id,
+           count(p.neighbor_id) / 5.0 as recall
+    from pqr_exact e left join pqr_hits p
+      on p.query_id = e.query_id and p.neighbor_id = e.neighbor_id
+    group by e.query_id as pqr_per_query;
+    select count(*) as n_queries,
+           (avg(recall) >= 0.9) as mean_recall_ok,
+           (min(recall) >= 0.6) as floor_recall_ok
+    from pqr_per_query as output;
+    """)
+
+
+_IVF_PQ_RECALL_ORACLE = """
+SELECT count(*) AS n_queries,
+       TRUE AS mean_recall_ok,
+       TRUE AS floor_recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def _q_ivf_index_append(spark, sf_dir):
     """Incremental IVF ingest (operators/similarity.py IVFIndexBuild
     append="true"): build the index on half the corpus, append the
@@ -3044,9 +3098,16 @@ FROM embeddings WHERE vec_id < 20
 
 
 def _q_ml_train_predict(spark, sf_dir):
-    """ML lifecycle through the script language: train → batchPredict
-    (model-based — rows-only check).  Returns per-class prediction
-    counts of a classifier trained on the embeddings table."""
+    """ML lifecycle through the script language: train → batchPredict,
+    hash-matched via an accuracy bound (round-8: upgraded from
+    rows-only).  Model predictions have no cross-engine oracle BY
+    DESIGN, so the contract is the exact per-label row counts plus a
+    Spark-computed flag: training-set accuracy of the 10-class
+    LogisticRegression >= 0.15 (chance = 0.10; measured 0.41/0.45/0.22
+    at sf0.001/0.01/0.1 — the synthetic embeddings are only weakly
+    label-correlated).  The oracle emits the same exact counts and a
+    literal TRUE — a training/serving regression flips the flag and
+    fails the value hash."""
     import tempfile
     path = tempfile.mkdtemp(prefix="spk_ml_")
     eng = _engine(spark)
@@ -3056,24 +3117,61 @@ def _q_ml_train_predict(spark, sf_dir):
     from embeddings as training;
     train training as LogisticRegression.`{path}/lr` where maxIter="20";
     predict training as LogisticRegression.`{path}/lr` as scored;
-    select cast(prediction as long) as prediction, count(*) as n
-    from scored group by prediction as output;
+    select (avg(case when prediction = label then 1.0 else 0.0 end)
+            >= 0.15) as flag from scored as accf;
+    select cast(label as long) as label, count(*) as n_rows,
+           (select flag from accf) as acc_above_chance
+    from scored group by label as output;
     """)
 
 
+_ML_TRAIN_PREDICT_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_rows,
+       TRUE AS acc_above_chance
+FROM embeddings GROUP BY label
+"""
+
+
 def _q_kmeans(spark, sf_dir):
-    """KMeans clustering through train→predict (rows-only)."""
+    """KMeans train→predict, hash-matched via cluster-quality bounds
+    (round-8: upgraded from rows-only).  Cluster ids/sizes are
+    seed- and implementation-specific BY DESIGN, so the contract is
+    the exact point count plus Spark-computed flags: all k=4 clusters
+    non-empty, and mean within-cluster squared distance to the cluster
+    centroid <= 0.97 x the mean cross-cluster distance (measured
+    ratio 0.885/0.894/0.922 at sf0.001/0.01/0.1 on the
+    near-orthogonal synthetic embeddings).  The centroid/distance math
+    is replayed in Spark SQL over the clustered output itself — the
+    oracle emits the exact count and literal TRUEs."""
     import tempfile
     path = tempfile.mkdtemp(prefix="spk_km_")
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'embeddings')}
-    select vec_dense(embedding) as features from embeddings as km_in;
+    select vec_id, embedding, vec_dense(embedding) as features
+    from embeddings as km_in;
     train km_in as KMeans.`{path}/km` where k="4" and seed="42";
     predict km_in as KMeans.`{path}/km` as clustered;
-    select cast(prediction as long) as cluster, count(*) as n
-    from clustered group by prediction as output;
+    select vec_id, cast(prediction as long) as cluster,
+           posexplode(embedding) as (pos, v) from clustered as km_ex;
+    select cluster, pos, avg(v) as cv from km_ex
+    group by cluster, pos as km_cent;
+    select e.vec_id, e.cluster as pc, c.cluster as cc,
+           sum((e.v - c.cv) * (e.v - c.cv)) as d2
+    from km_ex e join km_cent c on e.pos = c.pos
+    group by e.vec_id, e.cluster, c.cluster as km_dists;
+    select count(distinct pc) as n_clusters_found,
+           count(distinct vec_id) as n_points,
+           (avg(case when pc = cc then d2 end)
+            <= 0.97 * avg(case when pc != cc then d2 end)) as cohesion_ok
+    from km_dists as output;
     """)
+
+
+_KMEANS_ORACLE = """
+SELECT 4 AS n_clusters_found, count(*) AS n_points, TRUE AS cohesion_ok
+FROM embeddings
+"""
 
 
 def _q_tfidf(spark, sf_dir):
@@ -3573,7 +3671,7 @@ def _q_perplexity_bucket(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'documents')}
-    select doc_id, source, round(n_chars / 100.0, 4) as ppl
+    select doc_id, source, cast(round(n_chars / 100.0, 4) as double) as ppl
     from documents as scored;
     run scored as PerplexityBucket.`` where scoreCol="ppl"
         and strataCol="source" and exact="true" as pb;
@@ -3656,7 +3754,16 @@ FROM k GROUP BY source
 
 def _q_bpe_tokenize(spark, sf_dir):
     """Real BPE: train merges on the corpus word counts, apply via
-    broadcast Arrow UDF (rows-only: the merge loop has no SQL oracle)."""
+    broadcast Arrow UDF.  Hash-matched via invariants (round-8:
+    upgraded from rows-only — the iterative merge loop itself has no
+    SQL oracle BY DESIGN): per document, the exact whitespace word
+    count (SQL-replayable) plus two Spark-computed flags — the
+    encoding round-trips losslessly (tokens re-concatenated with the
+    </w> end-of-word marker restored to spaces reproduce the
+    lowercased whitespace-normalized text; measured 100% at
+    sf0.001/0.01/0.1) and every word yields at least one token
+    (n_bpe_tokens >= n_words).  A merge-table or apply regression
+    flips a flag and fails the value hash."""
     import tempfile
     path = tempfile.mkdtemp(prefix="spk_bpe_")
     eng = _engine(spark)
@@ -3665,10 +3772,27 @@ def _q_bpe_tokenize(spark, sf_dir):
     train documents as BPETokenizer.`{path}/m` where numMerges="60"
         and maxWords="5000";
     predict documents as BPETokenizer.`{path}/m` as encoded;
-    select doc_id, cast(n_bpe_tokens as long) as n_bpe_tokens,
-           array_join(slice(bpe_tokens, 1, 8), ' ') as head_tokens
+    select doc_id,
+           size(filter(split(lower(text), '\\\\s+'), w -> w != ''))
+             as n_words,
+           (trim(replace(concat_ws('', bpe_tokens), '</w>', ' ')) =
+            concat_ws(' ', filter(split(lower(text), '\\\\s+'),
+                                  w -> w != ''))) as roundtrip_ok,
+           (n_bpe_tokens >=
+            size(filter(split(lower(text), '\\\\s+'), w -> w != '')))
+             as tokens_ge_words
     from encoded as output;
     """)
+
+
+_BPE_TOKENIZE_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w != '')) AS INT) AS n_words,
+       TRUE AS roundtrip_ok,
+       TRUE AS tokens_ge_words
+FROM documents
+"""
 
 
 
@@ -3945,10 +4069,11 @@ FROM r
 # contract functions
 # ---------------------------------------------------------------------------
 
-# rows-only entries (no oracle): skipped by the deterministic-order wrap
-# (some return unsortable types like ml vectors)
-_ROWS_ONLY = {"ml_train_predict", "kmeans_clusters",
-              "bpe_tokenize", "ivf_pq_topk"}
+# rows-only entries (no oracle): skipped by the deterministic-order wrap.
+# Down to ONE — ivf_pq_topk's benched search-only shape (its committed
+# bench floor times the search alone); the same path's answer quality is
+# hash-checked by ivf_pq_recall and pinned in pytest.
+_ROWS_ONLY = {"ivf_pq_topk"}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -4056,6 +4181,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_index_append": _q_ivf_index_append,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_recall": _q_ivf_pq_recall,
         # LLM-pipeline: text analysis
         "language_id": _q_language_id,
         "quality_score": _q_quality,
@@ -4184,6 +4310,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_index_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_index_append": _EMBEDDING_TOPK_ORACLE,
+        "ivf_pq_recall": _IVF_PQ_RECALL_ORACLE,
+        "ml_train_predict": _ML_TRAIN_PREDICT_ORACLE,
+        "kmeans_clusters": _KMEANS_ORACLE,
+        "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "language_id": _language_id_oracle(),
         "quality_score": _QUALITY_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
