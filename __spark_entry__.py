@@ -391,6 +391,50 @@ SELECT doc_id FROM lbl WHERE doc_id = cl
 """
 
 
+def _q_soft_dedup(spark, sf_dir):
+    """SoftDedup (operators/dedup.py): the reweight-instead-of-remove
+    near-dedup — every doc kept, sample_weight = 1/|near-dup cluster|.
+    The oracle replays the same MinHash chain as near_dedup (shared
+    pair CTEs + recursive components) and derives the weights."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as SoftDedup.`` where threshold="0.8" as weighted;
+    select doc_id, dup_cluster_id, dup_cluster_size, sample_weight
+    from weighted as output;
+    """)
+
+
+_SOFT_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_mh_pair_ctes()},
+vp AS (
+  SELECT doc_a, doc_b FROM j
+  WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+conn(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cl
+  FROM documents d LEFT JOIN conn c ON c.a = d.doc_id
+  GROUP BY d.doc_id
+),
+sz AS (SELECT cl, count(*) AS csz FROM lbl GROUP BY cl)
+SELECT l.doc_id, l.cl AS dup_cluster_id,
+       CAST(s.csz AS BIGINT) AS dup_cluster_size,
+       round(1.0 / s.csz, 6) AS sample_weight
+FROM lbl l JOIN sz s ON l.cl = s.cl
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
@@ -4191,6 +4235,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_constraints": _q_data_constraints,
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
+        "soft_dedup": _q_soft_dedup,
         "near_dedup_incr": _q_near_dedup_incr,
         "incremental_lake_e2e": _q_incremental_lake,
         "streaming_lake_ingest": _q_streaming_lake_ingest,
@@ -4322,6 +4367,7 @@ def oracle_sql() -> dict[str, str]:
         "data_constraints": _DATA_CONSTRAINTS_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "near_dedup": _NEAR_DEDUP_ORACLE,
+        "soft_dedup": _SOFT_DEDUP_ORACLE,
         "near_dedup_incr": _NEAR_DEDUP_INCR_ORACLE,
         "incremental_lake_e2e": _INCREMENTAL_LAKE_ORACLE,
         # the streaming path must land exactly the batch chain's rows

@@ -1025,6 +1025,67 @@ class NearDedup(ETAlgorithm):
                                    "20")]
 
 
+@register_et("SoftDedup")
+class SoftDedup(ETAlgorithm):
+    """Soft deduplication: keep EVERY document but emit a training
+    weight that down-weights duplicated content — the
+    reweight-instead-of-remove alternative to NearDedup for corpora
+    where removal loses information (duplicated text often correlates
+    with quality/popularity; soft-dedup literature, e.g. SoftDeDup,
+    down-weights "common" spans instead of excising them).
+
+    Same chain as NearDedup — MinHash+LSH verified pairs → connected
+    components — but the output is the full input plus
+    (dup_cluster_id, dup_cluster_size, sample_weight) where
+    sample_weight = 1 / |cluster| (singletons: cluster of one, weight
+    1.0).  Sampling (or loss-weighting) by sample_weight makes each
+    near-dup cluster contribute one document's worth of training mass
+    in expectation, preserving WHICH copy is seen as a uniform choice.
+
+    Scale: MinHashDedup's single (band, hash) shuffle + DupClusters'
+    shallow label propagation (both audited in SCALE.md) + one
+    |clusters|-row size aggregate joined back on the id — strictly
+    cheaper than NearDedup's anti-join variant since nothing is
+    removed.  All MinHashDedup / DupClusters knobs pass through."""
+
+    def train(self, df, path, params, context=None):
+        import uuid as _uuid
+        id_col = params.get("idCol", "doc_id")
+        weight_digits = get_int(params, "weightDigits", 6)
+        spark = df.sparkSession
+        pairs = MinHashDedup().train(df, "", params, context)
+        view = f"__soft_dedup_pairs_{_uuid.uuid4().hex[:8]}"
+        pairs.createOrReplaceTempView(view)
+        clustered = DupClusters().train(
+            df, "", {**params, "pairsTable": view}, context)
+        sizes = (clustered.groupBy("cluster_id")
+                 .agg(F.count(F.lit(1)).alias("__csz")))
+        # |clusters| <= |docs| rows but usually tiny relative to the
+        # corpus; leave the join strategy to AQE (broadcast when small)
+        ann = (clustered.join(sizes, "cluster_id")
+               .select(F.col(id_col),
+                       F.col("cluster_id").alias("dup_cluster_id"),
+                       F.col("__csz").cast("long")
+                        .alias("dup_cluster_size"),
+                       F.round(F.lit(1.0) / F.col("__csz"), weight_digits)
+                        .alias("sample_weight")))
+        joined = df.join(ann, [id_col], "left")
+        out = eager_materialize(joined, params, context)
+        if out is not joined:
+            spark.catalog.dropTempView(view)
+        return out
+
+    def explain_params(self):
+        own = [("idCol", "document id column", "doc_id"),
+               ("weightDigits", "round sample_weight to this many "
+                "decimals", "6")]
+        taken = {name for name, *_ in own}
+        inherited = [p for p in MinHashDedup().explain_params()
+                     if p[0] not in taken]
+        return own + inherited + [("maxIter", "label-propagation bound",
+                                   "20")]
+
+
 @register_et("DupClusters")
 class DupClusters(ETAlgorithm):
     """Connected components over near-dup pairs — the step that turns

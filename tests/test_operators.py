@@ -2391,3 +2391,39 @@ def test_image_dedup_negative_hamming_rejected(engine):
         run t as ImageDedup.`` where idCol="id" and hashCol="h"
         and maxHamming="-2" as bad;
         """)
+
+
+def test_soft_dedup_weights(engine):
+    """SoftDedup keeps every row and weights each near-dup cluster to
+    one doc's worth of mass: 3 copies -> weight 1/3 each, singletons
+    weight 1.0; cluster id is the min doc id; full schema preserved."""
+    import json
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base), (3, base),
+            (5, "completely different text about spark dataframes and "
+                "shuffles"),
+            (6, "a third topic entirely parquet files and column "
+                "pruning")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t, "src": "s"})
+                   for i, t in docs)
+    rows = engine.execute(f"""
+    set sdj = '''{dj}''';
+    load jsonStr.`sdj` as sd_docs;
+    run sd_docs as SoftDedup.`` where threshold="0.8" as out;
+    """).collect()
+    r = {row["doc_id"]: row for row in rows}
+    assert sorted(r) == [1, 2, 3, 5, 6]          # nothing removed
+    for i in (1, 2, 3):
+        assert r[i]["dup_cluster_id"] == 1
+        assert r[i]["dup_cluster_size"] == 3
+        assert abs(r[i]["sample_weight"] - 1 / 3) < 1e-6
+    for i in (5, 6):
+        assert r[i]["dup_cluster_id"] == i
+        assert r[i]["dup_cluster_size"] == 1
+        assert r[i]["sample_weight"] == 1.0
+    # expected training mass: each cluster contributes ~1 doc (weights
+    # are rounded to 6 decimals, so the sum is off by <= n*5e-7)
+    assert abs(sum(row["sample_weight"] for row in rows) - 3.0) < 5e-6
+    assert set(rows[0].asDict()) == {"doc_id", "text", "src",
+                                     "dup_cluster_id", "dup_cluster_size",
+                                     "sample_weight"}
