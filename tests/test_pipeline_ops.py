@@ -618,3 +618,25 @@ def test_token_budget_no_python_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_xxhash64_parity_of_contract(engine):
+    """hashImpl="xxhash64" (production) selects a DIFFERENT sample than
+    md5 (the orders differ by design) but honors the same contract:
+    deterministic across runs, budget realized (>= budget when supply
+    suffices), never undershot by more than the straddling doc."""
+    q = """
+    select id as doc_id, 'a' as src, 'tok tok tok' as text
+    from range(40) as d;
+    run d as TokenBudgetSample.`` where strataCol="src"
+        and defaultBudget="50" and hashImpl="{impl}" as out;
+    """
+    md5_a = {r["doc_id"] for r in engine.execute(q.format(impl="md5")).collect()}
+    xx_a = {r["doc_id"] for r in engine.execute(q.format(impl="xxhash64")).collect()}
+    xx_b = {r["doc_id"] for r in engine.execute(q.format(impl="xxhash64")).collect()}
+    assert xx_a == xx_b                      # deterministic
+    # 3 tokens/doc, budget 50: 17 docs kept (48 before the 17th starts)
+    assert len(md5_a) == 17 and len(xx_a) == 17
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hashImpl"):
+        engine.execute(q.format(impl="sha1"))
