@@ -50,6 +50,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_dedup",
     "near_dedup",
+    "soft_dedup",
     "simhash_fingerprint",
     "embedding_dedup",
     "embedding_topk",
@@ -59,6 +60,8 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "pii_redact",
+    "perplexity_bucket",
+    "token_budget_sample",
     "warc_bench",
 ]
 
