@@ -3706,6 +3706,43 @@ FROM c LEFT JOIN w USING (stratum) CROSS JOIN t
 """
 
 
+def _q_data_mixing_epochs(spark, sf_dir):
+    """DataMixing with maxEpochs="3" (round-8): scarce strata may
+    repeat up to 3 passes, so the achievable total is capped by
+    min(n_tokens*3/weight) and fractions can exceed 1 (epochs).  Pure
+    |strata|-row plan math — the oracle replays it exactly."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DataMixing.`` where strataCol="source"
+        and weight.src0="0.6" and weight.src1="0.2" and weight.src2="0.2"
+        and maxEpochs="3" as output;
+    """)
+
+
+_DATA_MIXING_EPOCHS_ORACLE = """
+WITH c AS (
+  SELECT source AS stratum, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.2), ('src2', 0.2))
+    wv(stratum, target_weight)
+),
+t AS (
+  SELECT min(c.n_tokens * 3.0 / w.target_weight) AS cap
+  FROM c JOIN w USING (stratum)
+)
+SELECT c.stratum, c.n_docs, c.n_tokens,
+       coalesce(w.target_weight, 0.0) AS target_weight,
+       round(coalesce(w.target_weight * t.cap / c.n_tokens, 0.0), 4)
+         AS sample_fraction
+FROM c LEFT JOIN w USING (stratum) CROSS JOIN t
+"""
+
+
 def _q_perplexity_bucket(spark, sf_dir):
     """PerplexityBucket (CCNet head/middle/tail quantile tiers) over a
     derived score, per source stratum.  exact="true" is the oracle
@@ -4252,6 +4289,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
         "data_mixing": _q_data_mixing,
+        "data_mixing_epochs": _q_data_mixing_epochs,
         "perplexity_bucket": _q_perplexity_bucket,
         "token_budget_sample": _q_token_budget_sample,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -4385,6 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "data_mixing": _DATA_MIXING_ORACLE,
+        "data_mixing_epochs": _DATA_MIXING_EPOCHS_ORACLE,
         "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,

@@ -653,16 +653,23 @@ class BPETokenizer(ETAlgorithm):
 class DataMixing(ETAlgorithm):
     """Mixture planner for pretraining data: given target WEIGHTS per
     stratum (fraction of the final token mass — `weight.<value>="0.5"`),
-    compute the per-stratum sampling fractions that hit the target
-    WITHOUT upsampling: the achievable total is capped by the scarcest
-    stratum (T = min over strata of n_tokens/weight), and
+    compute the per-stratum sampling fractions that hit the target:
+    the achievable total is capped by the scarcest stratum
+    (T = min over strata of n_tokens·maxEpochs/weight), and
     sample_fraction = weight·T / n_tokens.
+
+    `maxEpochs` (default 1.0 = no upsampling) lets scarce strata repeat
+    up to that many passes — the standard pretraining-mix practice of
+    running rare high-quality strata (books, wiki) for 2-3 epochs while
+    web data stays sub-sampled; fractions above 1 mean epochs.
 
     Output (plan mode, default): one row per stratum —
     (stratum, n_docs, n_tokens, target_weight, sample_fraction) — ready
     to feed StratifiedSampleExt's `ratio.<value>` gates.  With
     `apply="true"` the plan is applied in the same pass: rows sampled by
-    the deterministic hash gate at the computed fractions.
+    the deterministic hash gate at the computed fractions; a fraction
+    f > 1 materializes floor(f) exact copies of every row plus a
+    hash-gated f−floor(f) remainder (map-side explode — no shuffle).
 
     Scale: ONE aggregate shuffle over the corpus (per-stratum token
     sums — map-side combined to |strata| rows); the plan math is a
@@ -684,6 +691,11 @@ class DataMixing(ETAlgorithm):
                              'param, e.g. weight.web="0.6"')
         total_w = sum(weights.values())
         weights = {k: v / total_w for k, v in weights.items()}  # normalize
+        max_epochs = get_float(params, "maxEpochs", 1.0)
+        if max_epochs < 1.0:
+            raise ValueError(
+                f"DataMixing: maxEpochs must be >= 1 (1 = no "
+                f"upsampling), got {max_epochs}")
         spark = df.sparkSession
         counts = script_cache(
             (df.groupBy(F.col(strata_col).alias("stratum"))
@@ -705,7 +717,8 @@ class DataMixing(ETAlgorithm):
                 f"DataMixing: weight keys {missing} match no rows in "
                 f"{strata_col!r} — present strata: {sorted(present)[:20]}")
         cap = (joined.filter(F.col("target_weight").isNotNull())
-               .agg(F.min(F.col("n_tokens") / F.col("target_weight"))
+               .agg(F.min(F.col("n_tokens") * F.lit(max_epochs)
+                          / F.col("target_weight"))
                     .alias("__cap")))
         plan = (joined.crossJoin(F.broadcast(cap))
                 .select("stratum", "n_docs",
@@ -721,9 +734,18 @@ class DataMixing(ETAlgorithm):
         fracs = {r["stratum"]: r["sample_fraction"]
                  for r in plan.collect()}          # |strata| rows only
         gate = F.lit(0)
+        full = F.lit(0)
         for value, frac in sorted(fracs.items()):
+            # no-upsampling path: the whole fraction rides the hash
+            # gate (frac == 1.0 must keep every row, not 1 copy + an
+            # empty remainder)
+            n_full = int(frac) if max_epochs > 1.0 else 0
+            rem = frac - n_full
             gate = F.when(F.col(strata_col) == value,
-                          F.lit(int(frac * 1_000_000))).otherwise(gate)
+                          F.lit(int(round(rem * 1_000_000))))\
+                    .otherwise(gate)
+            full = F.when(F.col(strata_col) == value,
+                          F.lit(n_full)).otherwise(full)
         # hash seed differs from StratifiedSampleExt's "strat" ON
         # PURPOSE: chaining the two samplers must compose as independent
         # gates, not intersect on the same hash (which would keep 100%
@@ -731,7 +753,18 @@ class DataMixing(ETAlgorithm):
         bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"),
                                         "datamix", hash_impl(params)),
                         F.lit(1_000_000))
-        return df.filter(bucket < gate)
+        remainder = df.filter(bucket < gate)
+        if max_epochs <= 1.0:
+            return remainder
+        # epoch copies: floor(frac) exact replicas per row, map-side
+        # explode (empty array when the stratum needs no full epoch —
+        # explode drops those rows, no shuffle anywhere)
+        replicas = (df.withColumn(
+            "__ep", F.explode(F.when(full >= 1,
+                                     F.sequence(F.lit(1), full))
+                              .otherwise(F.array().cast("array<int>"))))
+            .drop("__ep"))
+        return replicas.unionByName(remainder)
 
     def explain_params(self):
         return [("strataCol", "stratum column", "source"),
@@ -742,4 +775,7 @@ class DataMixing(ETAlgorithm):
                  "(normalized over listed strata)", "-"),
                 ("apply", "true = return sampled rows, not the plan",
                  "false"),
+                ("maxEpochs", "let scarce strata repeat up to this many "
+                 "passes (fractions > 1 = epochs); 1 = no upsampling",
+                 "1.0"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]

@@ -640,3 +640,38 @@ def test_token_budget_xxhash64_parity_of_contract(engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hashImpl"):
         engine.execute(q.format(impl="sha1"))
+
+
+def test_data_mixing_max_epochs_plan_and_apply(engine):
+    """maxEpochs > 1 raises the cap to min(n_tokens*E/weight) so scarce
+    strata can exceed fraction 1; apply mode materializes floor(f)
+    exact copies per row plus a hash-gated remainder."""
+    q = """
+    select id as doc_id,
+           case when id < 10 then 'rare' else 'web' end as src,
+           'tok tok tok tok' as text
+    from range(110) as docs;
+    run docs as DataMixing.`` where strataCol="src" and weight.rare="0.5"
+        and weight.web="0.5" and maxEpochs="4" {extra} as output;
+    """
+    plan = {r["stratum"]: r for r in engine.execute(q.format(extra="")).collect()}
+    # rare: 10 docs/40 tokens, web: 100 docs/400 tokens; cap =
+    # min(40*4/.5, 400*4/.5) = 320 -> rare f = .5*320/40 = 4.0, web 0.4
+    assert plan["rare"]["sample_fraction"] == 4.0
+    assert abs(plan["web"]["sample_fraction"] - 0.4) < 1e-9
+    rows = engine.execute(q.format(extra='and apply="true"')).collect()
+    from collections import Counter
+    per_doc = Counter(r["doc_id"] for r in rows)
+    for i in range(10):                       # every rare doc: 4 copies
+        assert per_doc[i] == 4
+    web_kept = sum(1 for i, n in per_doc.items() if i >= 10)
+    assert all(per_doc[i] == 1 for i in per_doc if i >= 10)
+    assert 20 <= web_kept <= 60               # ~40 of 100 at 0.4
+    # default maxEpochs=1 still caps at the scarcest stratum (f <= 1)
+    plan1 = {r["stratum"]: r["sample_fraction"]
+             for r in engine.execute(q.format(extra="").replace(
+                 'and maxEpochs="4"', "")).collect()}
+    assert plan1["rare"] == 1.0 and abs(plan1["web"] - 0.1) < 1e-9
+    with pytest.raises(ValueError, match="maxEpochs"):
+        engine.execute(q.format(extra="").replace('maxEpochs="4"',
+                                                  'maxEpochs="0.5"'))
