@@ -356,7 +356,10 @@ class PerplexityBucket(ETAlgorithm):
         else:
             joined = df.crossJoin(F.broadcast(df.agg(*th_exprs)))
         rs = F.round(score, 6)
-        bucket = F.when(score.isNull(), F.lit(None).cast("string"))
+        # null score OR null thresholds (a NULL stratum matches no
+        # threshold row) -> null bucket, never a silent tail assignment
+        bucket = F.when(score.isNull() | F.col("__t0").isNull(),
+                        F.lit(None).cast("string"))
         for i, lab in enumerate(labels[:-1]):
             bucket = bucket.when(rs <= F.col(f"__t{i}"), F.lit(lab))
         bucket = bucket.otherwise(F.lit(labels[-1]))

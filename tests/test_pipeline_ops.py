@@ -675,3 +675,19 @@ def test_data_mixing_max_epochs_plan_and_apply(engine):
     with pytest.raises(ValueError, match="maxEpochs"):
         engine.execute(q.format(extra="").replace('maxEpochs="4"',
                                                   'maxEpochs="0.5"'))
+
+
+def test_perplexity_bucket_null_stratum_null_bucket(engine):
+    """A row whose stratum is NULL matches no threshold row — it gets a
+    NULL bucket, never a silent tail assignment."""
+    df = engine.execute("""
+    select * from (values
+      (1, 'a', cast(1.0 as double)), (2, 'a', cast(2.0 as double)),
+      (3, 'a', cast(3.0 as double)), (4, cast(null as string),
+       cast(2.0 as double))) v(doc_id, src, s) as d;
+    run d as PerplexityBucket.`` where scoreCol="s" and strataCol="src"
+        and exact="true" as out;
+    """)
+    r = {row["doc_id"]: row["ppl_bucket"] for row in df.collect()}
+    assert r[1] == "head" and r[3] == "tail"
+    assert r[4] is None
