@@ -545,6 +545,21 @@ def _q_ivf_index_topk(spark, sf_dir):
     """)
 
 
+#: IVF-PQ build params shared by the benched search and the recall
+#: contract — one source of truth for the index layout AND its cache
+#: fingerprint, so the two can't drift
+_IVFPQ_PARAMS = {"nlist": "8", "pqSubspaces": "16"}
+
+
+def _ivfpq_build(eng, sf_dir: str, idx: str) -> None:
+    p = _IVFPQ_PARAMS
+    eng.execute(f"""
+    load parquet.`{sf_dir}/embeddings.parquet` as pq_corpus;
+    run pq_corpus as IVFIndexBuild.`{idx}` where nlist="{p['nlist']}"
+        and pqSubspaces="{p['pqSubspaces']}" as built;
+    """)
+
+
 def _q_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ ADC search (operators/similarity.py, Jégou et al. 2011):
     the index stores 1-byte-per-subspace codes; the probe scans ONLY
@@ -553,10 +568,11 @@ def _q_ivf_pq_topk(spark, sf_dir):
     by construction → rows-only contract (like lsh_topk); the recall
     floor and the column-pruning plan gate live in
     tests/test_operators.py (test_ivf_pq_adc_search_and_rerank,
-    test_ivf_pq_answer_quality_pinned).  The index build is cached per
-    (sf tag, source fingerprint) — the ANN lifecycle is build-once /
-    search-many, so bench samples time the SEARCH (round-8, bench
-    headline entry), and a regenerated embeddings table rebuilds."""
+    test_ivf_pq_answer_quality_pinned), and ivf_pq_recall rebuilds a
+    FRESH index and hash-checks recall every run.  Here the build is
+    cached per (sf tag, source fingerprint, build params) — the ANN
+    lifecycle is build-once / search-many, so bench samples time the
+    SEARCH (round-8 bench headline entry)."""
     import os
     import tempfile
     eng = _engine(spark)
@@ -566,15 +582,13 @@ def _q_ivf_pq_topk(spark, sf_dir):
     # fingerprint = source identity + build params, so a changed
     # nlist/pqSubspaces (or regenerated table) rebuilds instead of
     # silently searching a stale index
-    fp = f"{st.st_size:x}{int(st.st_mtime):x}_n8m16"
+    p = _IVFPQ_PARAMS
+    fp = (f"{st.st_size:x}{int(st.st_mtime):x}"
+          f"_n{p['nlist']}m{p['pqSubspaces']}")
     idx = os.path.join(tempfile.gettempdir(),
                        f"spk_ivfpq_{tag}_{fp}", "idx")
     if not os.path.exists(os.path.join(idx, "pq_codebooks.json")):
-        eng.execute(f"""
-        load parquet.`{src}` as pq_corpus;
-        run pq_corpus as IVFIndexBuild.`{idx}` where nlist="8"
-            and pqSubspaces="16" as built;
-        """)
+        _ivfpq_build(eng, sf_dir, idx)
     return eng.execute(f"""
     {_loads(sf_dir, 'embeddings')}
     select * from embeddings where vec_id < 20 as pq_queries;
@@ -594,22 +608,14 @@ def _q_ivf_pq_recall(spark, sf_dir):
     param retuning without letting a real ADC/rerank regression
     through.  The benched search-only query ivf_pq_topk stays
     unchanged (its committed floor times the SEARCH alone); this
-    query is the correctness side of the same path."""
-    import os
+    query is the correctness side of the same path — and it builds a
+    FRESH index every run (no fingerprint cache: a warm /tmp index
+    built by older code must never mask an IVFIndexBuild regression
+    in a correctness contract)."""
     import tempfile
     eng = _engine(spark)
-    src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = f"{st.st_size:x}{int(st.st_mtime):x}_n8m16"
-    idx = os.path.join(tempfile.gettempdir(),
-                       f"spk_ivfpq_{tag}_{fp}", "idx")
-    if not os.path.exists(os.path.join(idx, "pq_codebooks.json")):
-        eng.execute(f"""
-        load parquet.`{src}` as pq_corpus;
-        run pq_corpus as IVFIndexBuild.`{idx}` where nlist="8"
-            and pqSubspaces="16" as built;
-        """)
+    idx = tempfile.mkdtemp(prefix="spk_pqrecall_") + "/idx"
+    _ivfpq_build(eng, sf_dir, idx)
     return eng.execute(f"""
     {_loads(sf_dir, 'embeddings')}
     select * from embeddings where vec_id < 20 as pqr_queries;

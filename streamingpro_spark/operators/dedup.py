@@ -935,6 +935,24 @@ class EmbeddingDedup(ETAlgorithm):
                  "true")]
 
 
+def _cluster_self_pairs(df, params, context):
+    """Shared NearDedup/SoftDedup step: MinHash verified pairs over df
+    itself → DupClusters labels.  Returns (clustered, cleanup) where
+    cleanup(spark) drops the uuid pairs view once the caller has
+    materialized away from the lazy plan over it."""
+    import uuid as _uuid
+    pairs = MinHashDedup().train(df, "", params, context)
+    view = f"__near_dedup_pairs_{_uuid.uuid4().hex[:8]}"
+    pairs.createOrReplaceTempView(view)
+    clustered = DupClusters().train(
+        df, "", {**params, "pairsTable": view}, context)
+
+    def cleanup(spark):
+        spark.catalog.dropTempView(view)
+
+    return clustered, cleanup
+
+
 @register_et("NearDedup")
 class NearDedup(ETAlgorithm):
     """One-shot near-duplicate REMOVAL — the composition users chain by
@@ -994,11 +1012,7 @@ class NearDedup(ETAlgorithm):
                 spark.catalog.dropTempView(view)
                 pairs.unpersist()
             return out
-        pairs = MinHashDedup().train(df, "", params, context)
-        view = f"__near_dedup_pairs_{_uuid.uuid4().hex[:8]}"
-        pairs.createOrReplaceTempView(view)
-        clustered = DupClusters().train(
-            df, "", {**params, "pairsTable": view}, context)
+        clustered, cleanup = _cluster_self_pairs(df, params, context)
         survivors = clustered.filter(F.col("keep")).select(id_col)
         # semi-join keeps the full input schema for survivors
         joined = df.join(survivors, [id_col], "left_semi")
@@ -1007,7 +1021,7 @@ class NearDedup(ETAlgorithm):
             # materialized → the lazy plan over the temp view is gone;
             # safe to drop it (otherwise the uuid view lives out the
             # session, same lifecycle as other script temp views)
-            spark.catalog.dropTempView(view)
+            cleanup(spark)
         return out
 
     def explain_params(self):
@@ -1049,15 +1063,21 @@ class SoftDedup(ETAlgorithm):
     removed.  All MinHashDedup / DupClusters knobs pass through."""
 
     def train(self, df, path, params, context=None):
-        import uuid as _uuid
         id_col = params.get("idCol", "doc_id")
         weight_digits = get_int(params, "weightDigits", 6)
+        if params.get("refTable"):
+            # input x ref pairs reference doc ids absent from df, so
+            # label propagation cannot connect two input docs through a
+            # shared reference near-dup — the weights would be silently
+            # wrong.  NearDedup implements refTable's removal
+            # semantics; weighting against a reference corpus has none.
+            raise ValueError(
+                "SoftDedup weights near-dup clusters WITHIN the input "
+                "corpus and has no refTable mode — for incremental "
+                "ingest use NearDedup refTable (removal), then "
+                "SoftDedup over the deduplicated lake")
         spark = df.sparkSession
-        pairs = MinHashDedup().train(df, "", params, context)
-        view = f"__soft_dedup_pairs_{_uuid.uuid4().hex[:8]}"
-        pairs.createOrReplaceTempView(view)
-        clustered = DupClusters().train(
-            df, "", {**params, "pairsTable": view}, context)
+        clustered, cleanup = _cluster_self_pairs(df, params, context)
         sizes = (clustered.groupBy("cluster_id")
                  .agg(F.count(F.lit(1)).alias("__csz")))
         # |clusters| <= |docs| rows but usually tiny relative to the
@@ -1072,7 +1092,7 @@ class SoftDedup(ETAlgorithm):
         joined = df.join(ann, [id_col], "left")
         out = eager_materialize(joined, params, context)
         if out is not joined:
-            spark.catalog.dropTempView(view)
+            cleanup(spark)
         return out
 
     def explain_params(self):
@@ -1080,8 +1100,10 @@ class SoftDedup(ETAlgorithm):
                ("weightDigits", "round sample_weight to this many "
                 "decimals", "6")]
         taken = {name for name, *_ in own}
+        # refTable is rejected (rendered error in train) — don't
+        # advertise the inherited MinHashDedup row
         inherited = [p for p in MinHashDedup().explain_params()
-                     if p[0] not in taken]
+                     if p[0] not in taken and p[0] != "refTable"]
         return own + inherited + [("maxIter", "label-propagation bound",
                                    "20")]
 

@@ -185,6 +185,16 @@ class StratifiedSampleExt(ETAlgorithm):
         for pk, pv in params.items():
             if pk.startswith("ratio."):
                 ratios[pk[len("ratio."):]] = float(pv)
+        # a fraction > 1 means EPOCHS (row replication), which a filter
+        # gate cannot express — silently capping at 100% would skew the
+        # realized mixture, so reject with the remedy
+        over = {k: v for k, v in sorted(ratios.items()) if v > 1.0}
+        if default_frac > 1.0 or over:
+            raise ValueError(
+                f"StratifiedSampleExt samples by FILTERING — fractions "
+                f"above 1 (got {over or default_frac}) need row "
+                f"replication; use DataMixing with maxEpochs and "
+                f'apply="true" for epoch upsampling')
         gate = F.lit(int(default_frac * 1_000_000))
         for value, frac in sorted(ratios.items()):
             gate = F.when(F.col(strata_col) == value,
@@ -329,10 +339,13 @@ class PerplexityBucket(ETAlgorithm):
                 f"PerplexityBucket: {len(cuts)} cuts need exactly "
                 f"{len(cuts) + 1} labels, got {len(labels)} "
                 f"({labels!r})")
-        if cuts != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        if (any(b <= a for a, b in zip(cuts, cuts[1:]))
+                or not all(0.0 < c < 1.0 for c in cuts)):
+            # duplicates are as wrong as descending order: equal cuts
+            # make the later bucket label unreachable, silently
             raise ValueError(
-                f"PerplexityBucket: cuts must be ascending and strictly "
-                f"inside (0, 1), got {cuts!r}")
+                f"PerplexityBucket: cuts must be strictly increasing "
+                f"and strictly inside (0, 1), got {cuts!r}")
         if score_col not in df.columns:
             raise ValueError(
                 f"PerplexityBucket: scoreCol {score_col!r} not in input "
@@ -409,6 +422,11 @@ class TokenBudgetSample(ETAlgorithm):
     `numBuckets`; the offset table is |strata| × numBuckets rows,
     broadcast.  Raising numBuckets re-orders the sample (ordering is
     bucket-major) but keeps it deterministic for a fixed setting.
+
+    NULL-id rows have no hash, hence no deterministic position in the
+    walk — they are excluded (dropped in filter mode, keep=false with
+    null tokens_before in annotate).  A NULL stratum is a stratum: its
+    rows group together and take defaultBudget.
     """
 
     def train(self, df, path, params, context=None):
@@ -439,7 +457,13 @@ class TokenBudgetSample(ETAlgorithm):
                            F.lit(0))
                      .otherwise(F.size(tokens_col(F.col(col))))
                      .cast("long"))
-        base = (df.withColumn("__h", h)
+        # a NULL id has no hash, hence no deterministic position in the
+        # budget walk (all NULL-id rows would be an unordered tie whose
+        # keep set varies with partition layout) — exclude them from
+        # the walk: dropped in filter mode, keep=false in annotate
+        null_ids = df.filter(F.col(id_col).isNull())
+        df_walk = df.filter(F.col(id_col).isNotNull())
+        base = (df_walk.withColumn("__h", h)
                   .withColumn("__bk", F.pmod(F.col("__h"),
                                              F.lit(num_buckets)))
                   .withColumn("__nt", n_tokens))
@@ -456,9 +480,13 @@ class TokenBudgetSample(ETAlgorithm):
         off = tot.select("__s", "__ob",
                          F.coalesce(F.sum("__tot").over(wo), F.lit(0))
                           .alias("__off"))
+        # eqNullSafe: NULL-stratum rows form one stratum in the window
+        # and the offset agg (both group NULLs together) — a plain ==
+        # would miss the join and enforce their budget per BUCKET
+        # (numBuckets x over-keep) instead of per stratum
         joined = base.join(
             F.broadcast(off),
-            (F.col(strata_col) == F.col("__s"))
+            F.col(strata_col).eqNullSafe(F.col("__s"))
             & (F.col("__bk") == F.col("__ob")), "left")
         tokens_before = (F.coalesce(F.col("__off"), F.lit(0))
                          + F.col("__cin") - F.col("__nt"))
@@ -468,10 +496,15 @@ class TokenBudgetSample(ETAlgorithm):
                           F.lit(b).cast("long")).otherwise(gate)
         keep = (gate < 0) | (tokens_before < gate)
         if mode == "annotate":
-            return joined.select(*df.columns,
-                                 F.col("__nt").alias("n_tokens"),
-                                 tokens_before.alias("tokens_before"),
-                                 keep.alias("keep"))
+            walked = joined.select(*df.columns,
+                                   F.col("__nt").alias("n_tokens"),
+                                   tokens_before.alias("tokens_before"),
+                                   keep.alias("keep"))
+            excluded = null_ids.select(
+                *df.columns, n_tokens.alias("n_tokens"),
+                F.lit(None).cast("long").alias("tokens_before"),
+                F.lit(False).alias("keep"))
+            return walked.unionByName(excluded)
         return joined.filter(keep).select(*df.columns)
 
     def explain_params(self):
@@ -667,12 +700,15 @@ class DataMixing(ETAlgorithm):
     web data stays sub-sampled; fractions above 1 mean epochs.
 
     Output (plan mode, default): one row per stratum —
-    (stratum, n_docs, n_tokens, target_weight, sample_fraction) — ready
-    to feed StratifiedSampleExt's `ratio.<value>` gates.  With
-    `apply="true"` the plan is applied in the same pass: rows sampled by
-    the deterministic hash gate at the computed fractions; a fraction
-    f > 1 materializes floor(f) exact copies of every row plus a
-    hash-gated f−floor(f) remainder (map-side explode — no shuffle).
+    (stratum, n_docs, n_tokens, target_weight, sample_fraction).  With
+    maxEpochs=1 every fraction is <= 1 and the plan feeds
+    StratifiedSampleExt's `ratio.<value>` gates directly; fractions
+    above 1 (epochs) need row REPLICATION, which only `apply="true"`
+    implements (StratifiedSampleExt rejects them rather than silently
+    capping at 100%).  Apply mode samples in the same pass: rows kept
+    by the deterministic hash gate at the computed fractions; a
+    fraction f > 1 materializes floor(f) exact copies of every row plus
+    a hash-gated f−floor(f) remainder (map-side explode — no shuffle).
 
     Scale: ONE aggregate shuffle over the corpus (per-stratum token
     sums — map-side combined to |strata| rows); the plan math is a

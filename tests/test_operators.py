@@ -2427,3 +2427,17 @@ def test_soft_dedup_weights(engine):
     assert set(rows[0].asDict()) == {"doc_id", "text", "src",
                                      "dup_cluster_id", "dup_cluster_size",
                                      "sample_weight"}
+
+
+def test_soft_dedup_rejects_ref_table(engine):
+    """refTable pairs reference ids absent from the input, so cluster
+    weights would be silently wrong — rendered error with the remedy,
+    and the inherited param row is not advertised."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no refTable mode"):
+        engine.execute("""
+        select 1 as doc_id, 'x' as text as d;
+        run d as SoftDedup.`` where refTable="d" as out;
+        """)
+    from streamingpro_spark.operators.dedup import SoftDedup
+    assert all(p[0] != "refTable" for p in SoftDedup().explain_params())

@@ -500,7 +500,7 @@ def test_perplexity_bucket_param_errors(engine):
         select 1 as doc_id as d2;
         run d2 as PerplexityBucket.`` where scoreCol="nope" as out2;
         """)
-    with pytest.raises(ValueError, match="ascending"):
+    with pytest.raises(ValueError, match="strictly increasing"):
         engine.execute("""
         select 1 as doc_id, cast(1.0 as double) as s as d3;
         run d3 as PerplexityBucket.`` where scoreCol="s"
@@ -691,3 +691,49 @@ def test_perplexity_bucket_null_stratum_null_bucket(engine):
     r = {row["doc_id"]: row["ppl_bucket"] for row in df.collect()}
     assert r[1] == "head" and r[3] == "tail"
     assert r[4] is None
+
+
+def test_token_budget_null_stratum_and_null_id(engine):
+    """NULL stratum is a stratum (one budget across its rows, not one
+    per hash bucket); NULL ids are excluded from the walk — keep=false
+    in annotate mode, dropped in filter mode."""
+    df = engine.execute("""
+    select case when id = 9 then null else id end as doc_id,
+           cast(null as string) as src, 'x y z' as text
+    from range(10) as d;
+    run d as TokenBudgetSample.`` where strataCol="src"
+        and defaultBudget="7" and numBuckets="4" and mode="annotate" as out;
+    """)
+    rows = df.collect()
+    kept = [r for r in rows if r["keep"]]
+    # 3 tokens/doc, budget 7 -> exactly 3 docs kept ACROSS the whole
+    # NULL stratum (a per-bucket budget would keep up to 3 per bucket)
+    assert len(kept) == 3
+    null_id = [r for r in rows if r["doc_id"] is None]
+    assert len(null_id) == 1 and null_id[0]["keep"] is False
+    assert null_id[0]["tokens_before"] is None
+    filtered = engine.execute("""
+    select case when id = 9 then null else id end as doc_id,
+           'a' as src, 'x' as text from range(10) as d2;
+    run d2 as TokenBudgetSample.`` where strataCol="src"
+        and defaultBudget="100" as out2;
+    """).collect()
+    assert sorted(r["doc_id"] for r in filtered) == list(range(9))
+
+
+def test_stratified_rejects_fractions_above_one(engine):
+    with pytest.raises(ValueError, match="maxEpochs"):
+        engine.execute("""
+        select 1 as doc_id, 'a' as src as d;
+        run d as StratifiedSampleExt.`` where strataCol="src"
+            and ratio.a="3.0" as out;
+        """)
+
+
+def test_perplexity_bucket_rejects_duplicate_cuts(engine):
+    with pytest.raises(ValueError, match="strictly increasing"):
+        engine.execute("""
+        select 1 as doc_id, cast(1.0 as double) as s as d;
+        run d as PerplexityBucket.`` where scoreCol="s"
+            and cuts="0.3333,0.3333" as out;
+        """)
