@@ -435,6 +435,57 @@ FROM lbl l JOIN sz s ON l.cl = s.cl
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """SoftDedup → WeightedSampleExt: the realized soft-dedup sample —
+    each row kept iff pmod(md5-hash(id), 1e6) < sample_weight·1e6, so a
+    near-dup cluster contributes ~1 doc in expectation.  The oracle
+    replays the whole chain: MinHash pairs → components → 1/|cluster|
+    weights → the same hash gate."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as SoftDedup.`` where threshold="0.8" as sd_weighted;
+    run sd_weighted as WeightedSampleExt.`` as sampled;
+    select doc_id, dup_cluster_id, sample_weight from sampled as output;
+    """)
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH RECURSIVE {_mh_pair_ctes()},
+vp AS (
+  SELECT doc_a, doc_b FROM j
+  WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+conn(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a
+),
+lbl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cl
+  FROM documents d LEFT JOIN conn c ON c.a = d.doc_id
+  GROUP BY d.doc_id
+),
+sz AS (SELECT cl, count(*) AS csz FROM lbl GROUP BY cl),
+wts AS (
+  SELECT l.doc_id, l.cl AS dup_cluster_id,
+         round(1.0 / s.csz, 6) AS sample_weight
+  FROM lbl l JOIN sz s ON l.cl = s.cl
+)
+SELECT doc_id, dup_cluster_id, sample_weight
+FROM wts
+WHERE {_PHASH_DUCK.format(payload="'wsample:' || CAST(doc_id AS VARCHAR)")}
+      % 1000000
+      < CAST(floor(sample_weight * 1000000) AS BIGINT)
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     eng = _engine(spark)
     return eng.execute(f"""
@@ -4279,6 +4330,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
         "soft_dedup": _q_soft_dedup,
+        "weighted_sample": _q_weighted_sample,
         "near_dedup_incr": _q_near_dedup_incr,
         "incremental_lake_e2e": _q_incremental_lake,
         "streaming_lake_ingest": _q_streaming_lake_ingest,
@@ -4412,6 +4464,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "near_dedup": _NEAR_DEDUP_ORACLE,
         "soft_dedup": _SOFT_DEDUP_ORACLE,
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "near_dedup_incr": _NEAR_DEDUP_INCR_ORACLE,
         "incremental_lake_e2e": _INCREMENTAL_LAKE_ORACLE,
         # the streaming path must land exactly the batch chain's rows

@@ -4,6 +4,7 @@
 - NgramLMScore        CCNet-style bigram-LM quality score (self-trained)
 - PerplexityBucket    CCNet head/middle/tail quantile bucketing of a score
 - StratifiedSampleExt deterministic hash sampling per stratum (data mixing)
+- WeightedSampleExt   deterministic per-row sampling by a weight column
 - TokenBudgetSample   cap each stratum at a token budget, hash-ordered
 - SequencePack        pack documents into fixed token-budget sequences
 - BPETokenizer        real byte-pair-encoding: distributed word counts →
@@ -210,6 +211,51 @@ class StratifiedSampleExt(ETAlgorithm):
                 ("defaultFraction", "fraction for unlisted strata", "1.0"),
                 ("ratio.<value>", "fraction for stratum <value>", "-"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
+
+
+# ---------------------------------------------------------------------------
+# WeightedSampleExt
+# ---------------------------------------------------------------------------
+
+@register_et("WeightedSampleExt")
+class WeightedSampleExt(ETAlgorithm):
+    """Deterministic PER-ROW weighted sampling: keep a row iff
+    pmod(hash(id), 1e6) < weight·1e6, with the weight read from a
+    COLUMN — the realization step for soft-dedup (SoftDedup emits
+    sample_weight = 1/|cluster|; sampling by it keeps one doc per
+    near-dup cluster in expectation, uniformly at random over the
+    cluster) or any other per-document weight a scorer produced.
+    StratifiedSampleExt is the per-STRATUM special case of this.
+
+    Weights are clamped to [0, 1] (a weight above 1 means replication,
+    which a filter cannot express — DataMixing maxEpochs covers that);
+    NULL weights drop the row, deterministically.
+
+    100 TB: map-only — one codegen'd hash + compare per row, ZERO
+    exchange; reproducible across runs and engines (md5 default).
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        weight_col = params.get("weightCol", "sample_weight")
+        if weight_col not in df.columns:
+            raise ValueError(
+                f"WeightedSampleExt: weightCol {weight_col!r} not in "
+                f"input columns {df.columns} — run SoftDedup (or "
+                f"another weigher) first, or set weightCol")
+        w = F.least(F.greatest(F.col(weight_col).cast("double"),
+                               F.lit(0.0)), F.lit(1.0))
+        bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"),
+                                        "wsample", hash_impl(params)),
+                        F.lit(1_000_000))
+        return df.filter(bucket < (w * 1_000_000).cast("long"))
+
+    def explain_params(self):
+        return [("idCol", "id column the hash gate keys on", "doc_id"),
+                ("weightCol", "per-row keep probability in [0,1] "
+                 "(clamped; NULL drops the row)", "sample_weight"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]
 
 
 # ---------------------------------------------------------------------------

@@ -737,3 +737,47 @@ def test_perplexity_bucket_rejects_duplicate_cuts(engine):
         run d as PerplexityBucket.`` where scoreCol="s"
             and cuts="0.3333,0.3333" as out;
         """)
+
+
+def test_weighted_sample_gates_by_column(engine):
+    """Weight 1.0 keeps all, 0.0 and NULL drop all, a mid weight keeps
+    a hash-proportional subset; weights above 1 clamp to keep-all."""
+    q = """
+    select id as doc_id, cast({w} as double) as sample_weight
+    from range(200) as d;
+    run d as WeightedSampleExt.`` as out;
+    """
+    assert len(engine.execute(q.format(w="1.0")).collect()) == 200
+    assert len(engine.execute(q.format(w="0.0")).collect()) == 0
+    assert len(engine.execute(q.format(w="null")).collect()) == 0
+    assert len(engine.execute(q.format(w="7.5")).collect()) == 200  # clamp
+    mid = engine.execute(q.format(w="0.3")).collect()
+    assert 30 <= len(mid) <= 90
+    # deterministic and nested like the stratum sampler
+    mid2 = {r["doc_id"] for r in engine.execute(q.format(w="0.3")).collect()}
+    big = {r["doc_id"] for r in engine.execute(q.format(w="0.6")).collect()}
+    assert {r["doc_id"] for r in mid} == mid2 and mid2 <= big
+    with pytest.raises(ValueError, match="weightCol"):
+        engine.execute("""
+        select 1 as doc_id as d2;
+        run d2 as WeightedSampleExt.`` as out2;
+        """)
+
+
+def test_weighted_sample_realizes_soft_dedup(engine):
+    """Chained after SoftDedup, every singleton survives (weight 1.0)
+    and each dup cluster keeps a hash-chosen subset."""
+    import json
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base) for i in range(1, 7)] + [(9, "something else "
+            "entirely about columnar storage and encodings")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    rows = engine.execute(f"""
+    set wsj = '''{dj}''';
+    load jsonStr.`wsj` as ws_docs;
+    run ws_docs as SoftDedup.`` where threshold="0.8" as weighted;
+    run weighted as WeightedSampleExt.`` as out;
+    """).collect()
+    kept = {r["doc_id"] for r in rows}
+    assert 9 in kept                       # singleton, weight 1.0
+    assert kept - {9} <= set(range(1, 7))  # cluster subset only
