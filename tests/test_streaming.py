@@ -736,3 +736,38 @@ def test_multimodal_op_on_stream(engine, spark, tmp_path):
         assert got == {i: (8 + i, 6 + i, "png") for i in range(4)}
     finally:
         q.stop()
+
+
+def test_map_only_curation_et_in_stream(engine, tmp_path):
+    """Map-only curation ETs (quality filters, normalizers, scorers)
+    run UNCHANGED inside Structured Streaming: `run` on a streaming
+    table yields a streaming table — the streaming-ingest curation
+    pipeline needs no batch detour."""
+    engine.execute("""
+    select id as doc_id,
+           concat('the quick brown fox jumps over the lazy dog number ',
+                  cast(id as string)) as text
+    from range(20) as sqc_src;
+    """)
+    engine.execute("""
+    set streamName = "sqc";
+    load mockStream.`sqc_src` where stepSizeRange="0-5" as sqc_docs;
+    run sqc_docs as TextNormalize.`` where outputCol="text_norm" as tn;
+    run tn as GopherQualityFilter.`` where minWords="5"
+        and contentCol="text_norm" as gq;
+    """)
+    sdf = engine.context.spark.table("gq")
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("sqc_sink")
+         .option("checkpointLocation", str(tmp_path / "ck_sqc")).start())
+    try:
+        q.processAllAvailable()
+        rows = engine.spark.sql(
+            "select count(*) as n, sum(cast(keep as int)) as kept, "
+            "sum(n_words) as words from sqc_sink").collect()[0]
+        assert rows["n"] == 20          # every doc flowed through both ETs
+        assert rows["words"] == 20 * 11   # 10 words + the number suffix
+        # the quality rules actually evaluated per micro-batch
+        assert 0 <= rows["kept"] <= 20
+    finally:
+        q.stop()
