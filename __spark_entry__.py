@@ -4086,7 +4086,7 @@ def _q_text_normalize(spark, sf_dir):
     select doc_id,
            replace(replace(replace(text, ' the ', ' “Thé” '),
                            ' row ', concat(' Na', chr(9), 'ïve—42 ')),
-                   ' agg ', ' DATA… ') as text
+                   ' agg ', concat(' DA', chr(133), 'TA… ')) as text
     from documents as ndocs;
     run ndocs as TextNormalize.`` where stripAccents="true"
         and digitsToZero="true" and outputCol="text_norm" as tn;
@@ -4108,7 +4108,7 @@ WITH ndocs AS (
   SELECT doc_id,
          replace(replace(replace(text, ' the ', ' “Thé” '),
                          ' row ', ' Na' || chr(9) || 'ïve—42 '),
-                 ' agg ', ' DATA… ') AS text
+                 ' agg ', ' DA' || chr(133) || 'TA… ') AS text
   FROM documents
 )
 SELECT doc_id,
@@ -4119,7 +4119,7 @@ SELECT doc_id,
           replace(
             translate(
               regexp_replace(text,
-                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]',
                              '', 'g'),
               {q(_SMART_PUNCT_FROM)}, {q(_SMART_PUNCT_TO)}),
             '…', '...'),
@@ -4161,7 +4161,8 @@ WITH gdocs AS (
   FROM documents
 ), m AS (
   SELECT doc_id, text,
-         string_split_regex(text, '\\s+') AS words,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w != '') AS words,
          string_split(text, chr(10)) AS lines
   FROM gdocs
 ), f AS (

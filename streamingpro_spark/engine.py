@@ -117,6 +117,10 @@ class Engine:
         self.context.last_table = None
         self.context.stream_name = None
         self.context.branch_stack = []
+        # per-execute: versionedParquet's same-batch double-save guard
+        # (a REPLAYED batchScript is a new execute() and must take the
+        # silent replay-skip path, not the double-write error)
+        self.context.extra.pop("vp_txn_writes", None)
         table_auth = self.context.extra.get("table_auth")
         if table_auth is not None:
             from streamingpro_spark.analyzer import analyze

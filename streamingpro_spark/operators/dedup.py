@@ -1100,10 +1100,13 @@ class SoftDedup(ETAlgorithm):
                ("weightDigits", "round sample_weight to this many "
                 "decimals", "6")]
         taken = {name for name, *_ in own}
-        # refTable is rejected (rendered error in train) — don't
-        # advertise the inherited MinHashDedup row
+        # refTable is rejected (rendered error in train), and
+        # refBandsTable/intraBatch only apply WITH refTable — don't
+        # advertise dead-end inherited rows
         inherited = [p for p in MinHashDedup().explain_params()
-                     if p[0] not in taken and p[0] != "refTable"]
+                     if p[0] not in taken
+                     and p[0] not in ("refTable", "refBandsTable",
+                                      "intraBatch")]
         return own + inherited + [("maxIter", "label-propagation bound",
                                    "20")]
 
@@ -1178,6 +1181,22 @@ class DupClusters(ETAlgorithm):
             if changed == 0:
                 converged = True
                 break
+        if not converged:
+            # the last allowed round may have reached the fixpoint
+            # EXACTLY (changed > 0 but the labels are now final) —
+            # convergence is only observable by a zero-change round, so
+            # run one verification pass before declaring failure: a
+            # correct result tuned to maxIter == component depth must
+            # not become a spurious error (round-8 review finding)
+            neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                                .withColumnRenamed("label", "nlabel"), "dst")
+                     .groupBy(F.col("src").alias("id"))
+                     .agg(F.min("nlabel").alias("nmin")))
+            still = (labels.join(neigh, "id", "left")
+                     .filter(F.least(F.col("label"), F.col("nmin"))
+                             != F.col("label")).count())
+            if still == 0:
+                converged = True
         if not converged:
             # round-8: a component with diameter > maxIter would come
             # out MISLABELED (split into several clusters, extra docs

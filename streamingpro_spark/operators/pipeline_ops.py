@@ -422,7 +422,10 @@ class PerplexityBucket(ETAlgorithm):
         for i, lab in enumerate(labels[:-1]):
             bucket = bucket.when(rs <= F.col(f"__t{i}"), F.lit(lab))
         bucket = bucket.otherwise(F.lit(labels[-1]))
-        return joined.select(*df.columns, bucket.alias(out_col))
+        # overwrite an existing outputCol instead of appending a
+        # duplicate name (re-bucketing an already-bucketed table)
+        base_cols = [c for c in df.columns if c != out_col]
+        return joined.select(*base_cols, bucket.alias(out_col))
 
     def explain_params(self):
         return [("scoreCol", "score column (lower = better; e.g. "
@@ -542,12 +545,17 @@ class TokenBudgetSample(ETAlgorithm):
                           F.lit(b).cast("long")).otherwise(gate)
         keep = (gate < 0) | (tokens_before < gate)
         if mode == "annotate":
-            walked = joined.select(*df.columns,
+            # overwrite same-named input columns (a prior annotate ET
+            # may have left its own `keep`) — appending would emit a
+            # duplicate name and downstream references become AMBIGUOUS
+            base_cols = [c for c in df.columns
+                         if c not in ("n_tokens", "tokens_before", "keep")]
+            walked = joined.select(*base_cols,
                                    F.col("__nt").alias("n_tokens"),
                                    tokens_before.alias("tokens_before"),
                                    keep.alias("keep"))
             excluded = null_ids.select(
-                *df.columns, n_tokens.alias("n_tokens"),
+                *base_cols, n_tokens.alias("n_tokens"),
                 F.lit(None).cast("long").alias("tokens_before"),
                 F.lit(False).alias("keep"))
             return walked.unionByName(excluded)

@@ -555,7 +555,7 @@ class TextNormalize(ETAlgorithm):
         c = F.col(col)
         if params.get("stripControl", "true") == "true":
             c = F.regexp_replace(
-                c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+                c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", "")
         if params.get("unifyPunct", "true") == "true":
             c = F.translate(c, _SMART_PUNCT_FROM, _SMART_PUNCT_TO)
             c = F.replace(c, F.lit("…"), F.lit("..."))
@@ -636,7 +636,11 @@ class GopherQualityFilter(ETAlgorithm):
         mode = params.get("mode", "annotate")
 
         text = F.coalesce(F.col(col), F.lit(""))
-        words = F.split(text, r"\s+")
+        # drop empty split tokens: leading/trailing whitespace or a
+        # terminal newline otherwise inflates n_words by 1 (and an
+        # empty doc reports 1 word, not 0), skewing EVERY per-word
+        # fraction near its threshold (round-8 review finding)
+        words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
         n_words = F.size(words)
         d_words = F.greatest(n_words, F.lit(1))
         lines = F.split(text, "\n")

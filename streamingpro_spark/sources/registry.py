@@ -798,7 +798,7 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
         txn = ctx.env.get("__stream_txn__")
         vp_save(ctx, df, stmt.path, stmt.mode, options, stmt.partition_by,
                 batch_id=int(bid) if bid is not None and txn else None,
-                txn_id=txn)
+                txn_id=txn, guard_double_write=True)
         return
     if fmt == "warc":
         _save_warc(ctx, df, path, _norm_mode(stmt.mode), options)

@@ -234,7 +234,8 @@ def read_commits(path: str) -> list[dict]:
 
 def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
          options: dict[str, str], partition_by: list[str],
-         batch_id: int | None = None, txn_id: str | None = None) -> None:
+         batch_id: int | None = None, txn_id: str | None = None,
+         guard_double_write: bool = False) -> None:
     real = _normalize(ctx.resource_real_path(path))
     fsio.makedirs(real)
     _check_lockable_fs(real, options)
@@ -266,17 +267,39 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
         if mode not in ("overwrite", "append"):
             raise ValueError(
                 f"versionedParquet: unsupported mode {mode!r}")
-        if batch_id is not None and any(
-                c.get("batchId") == batch_id and c.get("txnId") == txn_id
-                for c in commits):
-            # foreachBatch is at-least-once: a replayed micro-batch
-            # (crash between data write and streaming checkpoint) must
-            # not commit twice.  Keyed on (txnId, batchId) — txnId is
-            # the query's checkpointLocation, so a RESTARTED query with
-            # a fresh checkpoint (batch ids reset to 0) is a new
-            # transaction and still commits (the reference Delta sink
-            # keys appId+batchId).
-            return
+        if batch_id is not None:
+            if guard_double_write:
+                # TWO script saves to the same lake within ONE
+                # batchScript execution share the (txnId, batchId) key
+                # — the second would hit the replay skip below and its
+                # rows would be silently lost.  The write-set is
+                # per-execute() (the engine clears it at script start)
+                # and the guard arms ONLY on the script-statement path:
+                # direct API calls and the native streaming sink keep
+                # pure replay-skip semantics (their replays reuse the
+                # same context).
+                written = ctx.extra.setdefault("vp_txn_writes", set())
+                wkey = (real, txn_id, batch_id)
+                if wkey in written:
+                    raise ValueError(
+                        f"versionedParquet.`{path}`: second save to "
+                        f"the same lake within one batchScript "
+                        f"execution — both saves share the "
+                        f"exactly-once key (txnId, batchId={batch_id}) "
+                        f"and the second would be silently skipped as "
+                        f"a replay.  Union the tables into one save, "
+                        f"or give each table its own lake path")
+                written.add(wkey)
+            if any(c.get("batchId") == batch_id
+                   and c.get("txnId") == txn_id for c in commits):
+                # foreachBatch is at-least-once: a replayed micro-batch
+                # (crash between data write and streaming checkpoint)
+                # must not commit twice.  Keyed on (txnId, batchId) —
+                # txnId is the query's checkpointLocation, so a
+                # RESTARTED query with a fresh checkpoint (batch ids
+                # reset to 0) is a new transaction and still commits
+                # (the reference Delta sink keys appId+batchId).
+                return
         n = commits[-1]["version"] + 1 if commits else 0
         target = real.rstrip("/") + f"/v={n}"
         # the commit POINT is the manifest rewrite.  A crash after

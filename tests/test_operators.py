@@ -2441,3 +2441,44 @@ def test_soft_dedup_rejects_ref_table(engine):
         """)
     from streamingpro_spark.operators.dedup import SoftDedup
     assert all(p[0] != "refTable" for p in SoftDedup().explain_params())
+
+
+def test_dup_clusters_fixpoint_on_last_round_is_not_an_error(engine):
+    """A chain whose labels reach the fixpoint EXACTLY on round maxIter
+    is correct — the verification pass must accept it instead of
+    raising a spurious non-convergence error."""
+    df = engine.execute("""
+    select * from (values (1, 2), (2, 3)) v(doc_a, doc_b) as chain2;
+    select explode(sequence(1, 3)) as doc_id as docs3;
+    run docs3 as DupClusters.`` where pairsTable="chain2"
+        and idCol="doc_id" and maxIter="2" as out;
+    """)
+    rows = {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}
+
+
+def test_gopher_empty_split_tokens_not_counted(engine):
+    """Leading/trailing whitespace or a terminal newline must not
+    inflate n_words (and an empty doc has 0 words, not 1)."""
+    df = engine.execute("""
+    select * from (values
+      (1, concat(chr(10), 'the cat and dog have fun', chr(10))),
+      (2, ''), (3, '   ')) v(doc_id, text) as d;
+    run d as GopherQualityFilter.`` where minWords="1" as out;
+    """)
+    r = {row["doc_id"]: row for row in df.collect()}
+    assert r[1]["n_words"] == 6
+    assert abs(r[1]["frac_alpha_words"] - 1.0) < 1e-9
+    assert r[2]["n_words"] == 0 and r[3]["n_words"] == 0
+
+
+def test_text_normalize_strips_c1_controls(engine):
+    """stripControl removes C1 (U+0080-U+009F) as documented — NEL and
+    friends from mis-decoded windows-1252 web text must not keep
+    byte-variant near-dups hashing apart."""
+    df = engine.execute("""
+    select concat('da', chr(133), 'ta and da', chr(128), 'ta') as text
+    as d;
+    run d as TextNormalize.`` where outputCol="n" as out;
+    """)
+    assert df.collect()[0]["n"] == "data and data"

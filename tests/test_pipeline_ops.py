@@ -781,3 +781,28 @@ def test_weighted_sample_realizes_soft_dedup(engine):
     kept = {r["doc_id"] for r in rows}
     assert 9 in kept                       # singleton, weight 1.0
     assert kept - {9} <= set(range(1, 7))  # cluster subset only
+
+
+def test_annotate_columns_overwrite_not_duplicate(engine):
+    """Chaining annotate ETs must not emit duplicate column names: a
+    prior `keep` is overwritten by TokenBudgetSample's, and
+    re-bucketing overwrites an existing ppl_bucket."""
+    df = engine.execute("""
+    select id as doc_id, 'a' as src, 'x y z' as text,
+           true as keep, cast(id as long) as n_tokens
+    from range(6) as d;
+    run d as TokenBudgetSample.`` where strataCol="src"
+        and defaultBudget="6" and mode="annotate" as out;
+    select doc_id from out where keep as kept;
+    """)
+    assert df.count() == 2              # 3 tok/doc, budget 6
+    out_cols = engine.context.spark.table("out").columns
+    assert out_cols.count("keep") == 1 and out_cols.count("n_tokens") == 1
+    df2 = engine.execute("""
+    select id as doc_id, cast(id as double) as s, 'stale' as ppl_bucket
+    from range(9) as d2;
+    run d2 as PerplexityBucket.`` where scoreCol="s" and exact="true" as out2;
+    """)
+    assert df2.columns.count("ppl_bucket") == 1
+    assert {r["ppl_bucket"] for r in df2.collect()} == {"head", "middle",
+                                                        "tail"}

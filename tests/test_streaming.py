@@ -761,7 +761,14 @@ def test_map_only_curation_et_in_stream(engine, tmp_path):
     q = (sdf.writeStream.format("memory").queryName("sqc_sink")
          .option("checkpointLocation", str(tmp_path / "ck_sqc")).start())
     try:
-        q.processAllAvailable()
+        # mockStream replays rows over rate-source time — wait until
+        # all 20 have been emitted AND processed (processAllAvailable
+        # alone only drains what the rate source has produced so far)
+        def all_in():
+            q.processAllAvailable()
+            return engine.spark.sql(
+                "select count(*) as n from sqc_sink").collect()[0]["n"] >= 20
+        assert _wait_for(all_in, timeout=60)
         rows = engine.spark.sql(
             "select count(*) as n, sum(cast(keep as int)) as kept, "
             "sum(n_words) as words from sqc_sink").collect()[0]
@@ -771,3 +778,32 @@ def test_map_only_curation_et_in_stream(engine, tmp_path):
         assert 0 <= rows["kept"] <= 20
     finally:
         q.stop()
+
+
+def test_batchscript_vp_double_save_same_batch_is_error(engine, tmp_path):
+    """TWO versionedParquet saves to the SAME lake within one
+    batchScript execution share the exactly-once key — the second used
+    to be silently skipped as a replay, losing its rows. Rendered error
+    now; a replay (a fresh execute of the sub-script) still skips."""
+    import pytest as _pytest
+    lake = tmp_path / "dbl_lake"
+    engine.context.env["__batch_id__"] = "3"
+    engine.context.env["__stream_txn__"] = "ck-dbl"
+    try:
+        with _pytest.raises(ValueError, match="second save to the same"):
+            engine.execute(f"""
+            select 1 as id as dbl_a;
+            save append dbl_a as versionedParquet.`{lake}`;
+            select 2 as id as dbl_b;
+            save append dbl_b as versionedParquet.`{lake}`;
+            """)
+        # fresh execution with the same (txn, batch): the replay skip
+        engine.execute(f"""
+        select 1 as id as dbl_a2;
+        save append dbl_a2 as versionedParquet.`{lake}`;
+        """)
+    finally:
+        engine.context.env.pop("__batch_id__")
+        engine.context.env.pop("__stream_txn__")
+    hist = engine.execute(f"!delta history {lake};").collect()
+    assert [r["version"] for r in hist] == [0]   # one commit total
