@@ -806,3 +806,32 @@ def test_annotate_columns_overwrite_not_duplicate(engine):
     assert df2.columns.count("ppl_bucket") == 1
     assert {r["ppl_bucket"] for r in df2.collect()} == {"head", "middle",
                                                         "tail"}
+
+
+def test_token_budget_monotone_and_realized(engine):
+    """Budget-walk invariants over one corpus: keep sets NEST as the
+    budget grows (the hash order is fixed, so a bigger budget keeps a
+    superset), and the realized token mass is >= min(budget, supply)
+    with overshoot bounded by one straddling document."""
+    engine.execute("""
+    select id as doc_id, 'a' as src,
+           concat_ws(' ', transform(sequence(1, 1 + cast(id % 7 as int)),
+                                    x -> 'w')) as text
+    from range(60) as tb_corpus;
+    """)
+    supply = sum(1 + i % 7 for i in range(60))
+    max_doc = 7
+    prev = set()
+    for budget in (0, 5, 40, 120, supply, supply + 500):
+        rows = engine.execute(f"""
+        run tb_corpus as TokenBudgetSample.`` where strataCol="src"
+            and defaultBudget="{budget}" as out;
+        """).collect()
+        kept = {r["doc_id"] for r in rows}
+        assert prev <= kept, (budget, prev - kept)
+        realized = sum(1 + i % 7 for i in kept)
+        assert realized >= min(budget, supply)
+        if budget < supply:
+            assert realized < budget + max_doc   # straddler-bounded
+        prev = kept
+    assert prev == set(range(60))                # full supply at the top
