@@ -3800,6 +3800,67 @@ FROM c LEFT JOIN w USING (stratum) CROSS JOIN t
 """
 
 
+def _q_dsir_score(spark, sf_dir):
+    """DSIRScore (Xie et al. 2023 importance resampling): every doc
+    scored by hashed-n-gram log-ratio against a target probe (src0's
+    docs).  The oracle replays the whole estimator in DuckDB — same
+    md5 feature buckets, add-k smoothing, per-doc sum."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, text from documents where source = 'src0'
+    as dsir_target;
+    run documents as DSIRScore.`` where targetTable="dsir_target"
+        and numBuckets="512" as scored;
+    select doc_id, dsir_score, n_features from scored as output;
+    """)
+
+
+_DSIR_SCORE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(toks) AS f FROM base
+  UNION ALL
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                 for i in generate_series(1, greatest(len(toks) - 1, 1))])
+  FROM base
+),
+fb AS (
+  SELECT doc_id,
+         {_PHASH_DUCK.format(payload="'dsir:' || f")} % 512 AS b
+  FROM feats WHERE f <> ''
+),
+tcnt AS (
+  SELECT fb.b, count(*) AS tc FROM fb
+  JOIN documents d ON fb.doc_id = d.doc_id
+  WHERE d.source = 'src0' GROUP BY fb.b
+),
+rcnt AS (SELECT b, count(*) AS rc FROM fb GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(sum(tc), 0) FROM tcnt) AS T,
+         (SELECT coalesce(sum(rc), 0) FROM rcnt) AS R
+),
+ratios AS (
+  SELECT r.b,
+         ln((coalesce(t.tc, 0) + 0.5) / (tot.T + 0.5 * 512))
+         - ln((r.rc + 0.5) / (tot.R + 0.5 * 512)) AS lr
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot
+)
+SELECT d.doc_id,
+       round(s.score, 4) AS dsir_score,
+       coalesce(s.nf, 0) AS n_features
+FROM documents d LEFT JOIN (
+  SELECT fb.doc_id, sum(ratios.lr) AS score, count(*) AS nf
+  FROM fb JOIN ratios ON fb.b = ratios.b
+  GROUP BY fb.doc_id
+) s ON d.doc_id = s.doc_id
+"""
+
+
 def _q_perplexity_bucket(spark, sf_dir):
     """PerplexityBucket (CCNet head/middle/tail quantile tiers) over a
     derived score, per source stratum.  exact="true" is the oracle
@@ -4349,6 +4410,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "data_mixing": _q_data_mixing,
         "data_mixing_epochs": _q_data_mixing_epochs,
+        "dsir_score": _q_dsir_score,
         "perplexity_bucket": _q_perplexity_bucket,
         "token_budget_sample": _q_token_budget_sample,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -4484,6 +4546,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "data_mixing": _DATA_MIXING_ORACLE,
         "data_mixing_epochs": _DATA_MIXING_EPOCHS_ORACLE,
+        "dsir_score": _DSIR_SCORE_ORACLE,
         "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,

@@ -2,6 +2,7 @@
 (north-star family, joining dedup/similarity/text_analysis):
 
 - NgramLMScore        CCNet-style bigram-LM quality score (self-trained)
+- DSIRScore           importance score vs a target corpus (hashed n-grams)
 - PerplexityBucket    CCNet head/middle/tail quantile bucketing of a score
 - StratifiedSampleExt deterministic hash sampling per stratum (data mixing)
 - WeightedSampleExt   deterministic per-row sampling by a weight column
@@ -155,6 +156,131 @@ class NgramLMScore(ETAlgorithm):
                  "hash-sample fraction for count building (score all)",
                  "1.0"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
+
+
+# ---------------------------------------------------------------------------
+# DSIRScore
+# ---------------------------------------------------------------------------
+
+@register_et("DSIRScore")
+class DSIRScore(ETAlgorithm):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score each raw document by how target-like its
+    hashed n-gram distribution is —
+    score = Σ_f c_doc(f) · [ln p_target(f) − ln p_raw(f)] over hashed
+    n-gram feature buckets f, with add-k smoothing
+    p(f) = (count(f) + k) / (total + k·numBuckets).  High score =
+    looks like the target corpus; feed the score to PerplexityBucket
+    (tiers) or rank-gate it into WeightedSampleExt for the actual
+    resampling step.
+
+    Plan: TWO bounded count aggregates (target + raw n-gram streams,
+    map-side combined to ≤ numBuckets rows each) joined into one
+    broadcast log-ratio table, then the per-doc pass: explode features
+    → broadcast-join the ratios → ONE groupBy(doc) sum.  No Python
+    anywhere.
+
+    100 TB: the feature space is fixed at `numBuckets` regardless of
+    corpus size (the hashing trick — DSIR's own design); the only
+    corpus-sized shuffle is the per-doc score aggregate, map-side
+    combinable.  The target corpus is usually small (wiki/books
+    probes); its count pass is one scan.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        col = params.get("contentCol", "text")
+        target_tbl = params.get("targetTable")
+        if not target_tbl:
+            raise ValueError(
+                'DSIRScore needs targetTable="..." — the corpus whose '
+                'distribution documents are scored against (e.g. a '
+                'wiki/books probe)')
+        num_buckets = get_int(params, "numBuckets", 4096)
+        k = get_float(params, "addK", 0.5)
+        n_list = [int(x) for x in params.get("ngrams", "1,2").split(",")]
+        if any(n < 1 for n in n_list):
+            raise ValueError(f"DSIRScore: ngrams must be >= 1, "
+                             f"got {n_list!r}")
+        impl = hash_impl(params)
+        spark = df.sparkSession
+        target = spark.table(target_tbl)
+        if col not in target.columns:
+            raise ValueError(
+                f"DSIRScore: contentCol {col!r} not in targetTable "
+                f"{target_tbl!r} columns {target.columns}")
+
+        def feature_stream(src, *extra_cols):
+            toks = tokens_col(F.col(col))
+
+            def ngram_of(n):
+                # closure, NOT a default-arg lambda: F.transform calls
+                # a TWO-parameter lambda as (element, index), so a
+                # `lambda i, _n=n` gets the array index bound to _n
+                # and the shingle length varies per position
+                return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+            arrs = []
+            for n in n_list:
+                if n == 1:
+                    arrs.append(toks)
+                else:
+                    idx = F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+                    arrs.append(F.transform(idx, ngram_of(n)))
+            feats = arrs[0]
+            for a in arrs[1:]:
+                feats = F.concat(feats, a)
+            ex = (src.select(*extra_cols, F.explode(feats).alias("__f"))
+                  # empty/null text degenerates to '' features — not a
+                  # distribution signal, and they would give empty docs
+                  # a nonzero score
+                  .filter(F.col("__f") != ""))
+            return ex.withColumn(
+                "__fb", F.pmod(portable_hash64(F.col("__f"), "dsir", impl),
+                               F.lit(num_buckets)))
+
+        tcnt = (feature_stream(target)
+                .groupBy("__fb").agg(F.count(F.lit(1)).alias("__tc")))
+        corpus_feats = feature_stream(df, F.col(id_col).alias("__id"))
+        rcnt = (corpus_feats
+                .groupBy("__fb").agg(F.count(F.lit(1)).alias("__rc")))
+        counts = tcnt.join(rcnt, "__fb", "full")
+        totals = counts.agg(
+            F.coalesce(F.sum("__tc"), F.lit(0)).alias("__T"),
+            F.coalesce(F.sum("__rc"), F.lit(0)).alias("__R"))
+        kb = k * num_buckets
+        ratios = (counts.crossJoin(F.broadcast(totals))
+                  .select("__fb",
+                          (F.log((F.coalesce(F.col("__tc"), F.lit(0)) + k)
+                                 / (F.col("__T") + kb))
+                           - F.log((F.coalesce(F.col("__rc"), F.lit(0)) + k)
+                                   / (F.col("__R") + kb))).alias("__lr")))
+        scores = (corpus_feats
+                  .join(F.broadcast(ratios), "__fb")
+                  .groupBy("__id")
+                  .agg(F.round(F.sum("__lr"), 4).alias("dsir_score"),
+                       F.count(F.lit(1)).alias("n_features")))
+        return (df.join(scores.withColumnRenamed("__id", id_col),
+                        [id_col], "left")
+                .select(*[c for c in df.columns
+                          if c not in ("dsir_score", "n_features")],
+                        F.col("dsir_score"),
+                        F.coalesce(F.col("n_features"), F.lit(0))
+                         .alias("n_features")))
+
+    def explain_params(self):
+        return [("targetTable", "corpus defining the TARGET "
+                 "distribution (wiki/books probe)", "-"),
+                ("contentCol", "text column (both tables)", "text"),
+                ("idCol", "document id column", "doc_id"),
+                ("numBuckets", "hashed n-gram feature buckets (fixed "
+                 "feature space at any corpus size)", "4096"),
+                ("addK", "add-k smoothing over the bucket space", "0.5"),
+                ("ngrams", "word n-gram orders, comma list", "1,2"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]
 
 
 # ---------------------------------------------------------------------------

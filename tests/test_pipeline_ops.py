@@ -835,3 +835,51 @@ def test_token_budget_monotone_and_realized(engine):
             assert realized < budget + max_doc   # straddler-bounded
         prev = kept
     assert prev == set(range(60))                # full supply at the top
+
+
+# ---------------------------------------------------------------------------
+# DSIRScore
+# ---------------------------------------------------------------------------
+
+def test_dsir_scores_target_like_docs_higher(engine):
+    """Docs sharing the target's vocabulary outscore alien-vocabulary
+    docs; the target members themselves rank above the corpus mean;
+    empty docs get a null score with 0 features."""
+    df = engine.execute("""
+    select * from (values
+      (1, 'spark shuffle partitions broadcast join optimizer'),
+      (2, 'spark partitions shuffle broadcast catalyst plans'),
+      (3, 'spark shuffle broadcast partitions join planner'),
+      (4, 'violets bloom sweetly in the quiet meadow garden'),
+      (5, 'recipe calls for flour butter sugar and vanilla'),
+      (6, '')) v(doc_id, text) as d;
+    select doc_id, text from d where doc_id <= 2 as dsir_t;
+    run d as DSIRScore.`` where targetTable="dsir_t" and numBuckets="256"
+        as out;
+    """)
+    r = {row["doc_id"]: row for row in df.collect()}
+    spark_like = min(r[i]["dsir_score"] for i in (1, 2, 3))
+    alien = max(r[i]["dsir_score"] for i in (4, 5))
+    assert spark_like > alien
+    assert r[6]["dsir_score"] is None and r[6]["n_features"] == 0
+
+
+def test_dsir_param_errors(engine):
+    with pytest.raises(ValueError, match="targetTable"):
+        engine.execute("""
+        select 1 as doc_id, 'x' as text as d;
+        run d as DSIRScore.`` as out;
+        """)
+    with pytest.raises(ValueError, match="ngrams"):
+        engine.execute("""
+        select 1 as doc_id, 'x' as text as d2;
+        run d2 as DSIRScore.`` where targetTable="d2" and ngrams="0,2"
+            as out2;
+        """)
+    with pytest.raises(ValueError, match="contentCol"):
+        engine.execute("""
+        select 1 as doc_id, 'x' as body as d3;
+        select 1 as doc_id as t3;
+        run d3 as DSIRScore.`` where targetTable="t3" and contentCol="body"
+            as out3;
+        """)
