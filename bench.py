@@ -62,6 +62,7 @@ HEADLINE = [
     "pii_redact",
     "perplexity_bucket",
     "token_budget_sample",
+    "dsir_score",
     "warc_bench",
 ]
 

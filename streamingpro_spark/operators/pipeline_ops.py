@@ -184,7 +184,11 @@ class DSIRScore(ETAlgorithm):
     corpus size (the hashing trick — DSIR's own design); the only
     corpus-sized shuffle is the per-doc score aggregate, map-side
     combinable.  The target corpus is usually small (wiki/books
-    probes); its count pass is one scan.
+    probes); its count pass is one scan.  The corpus feature stream is
+    RECOMPUTED for the scoring pass rather than cached — a persisted
+    (id, bucket) stream runs ~5x the raw text bytes, so two scans is
+    the 100 TB choice (locally it costs ~2x, visible in the bench
+    floor).
     """
 
     def train(self, df, path, params, context=None):
