@@ -648,6 +648,48 @@ def _q_ivf_pq_topk(spark, sf_dir):
     """)
 
 
+def _q_ivf_pq_topk_contract(spark, sf_dir):
+    """Hash-matched contract shape for ivf_pq_topk (round-9, retiring
+    the last rows-only oracle): run the EXACT benched search — same
+    cached index, same params, via _q_ivf_pq_topk — then aggregate its
+    answers per query into DuckDB-replayable values plus an in-engine
+    quality flag: (query_id, n_hits, recall_ok).  n_hits (=k) and the
+    query-id set are independently replayed by the oracle; recall@5 vs
+    a brute-force SimilaritySearch computed in the same script is
+    bounded per query (>= 0.6, measured 1.0 — same headroom as
+    ivf_pq_recall's min bound).  Unlike ivf_pq_recall (which builds a
+    FRESH index every run), this contract covers the benched
+    cached-index path itself, so a stale or corrupt cache artifact
+    fails the hash gate instead of silently serving wrong neighbors.
+    bench.py times base_queries()['ivf_pq_topk'] (search-only shape) —
+    this wrap exists only in queries(), outside the floor path."""
+    eng = _engine(spark)
+    _q_ivf_pq_topk(spark, sf_dir)  # registers `output` (hits) + `embeddings`
+    return eng.execute("""
+    select * from output as pqt_hits;
+    run embeddings as SimilaritySearch.`` where k="5"
+        and queryFilter="vec_id < 20" as pqt_exact;
+    select e.query_id as query_id,
+           count(h.neighbor_id) / 5.0 as recall
+    from pqt_exact e left join pqt_hits h
+      on h.query_id = e.query_id and h.neighbor_id = e.neighbor_id
+    group by e.query_id as pqt_per_query;
+    select c.query_id as query_id, c.n_hits as n_hits,
+           (p.recall >= 0.6) as recall_ok
+    from (select query_id, count(*) as n_hits
+          from pqt_hits group by query_id) c
+    join pqt_per_query p on c.query_id = p.query_id as output;
+    """)
+
+
+_IVF_PQ_TOPK_ORACLE = """
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_hits,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def _q_ivf_pq_recall(spark, sf_dir):
     """IVF-PQ answer quality as a hash-matched contract (round-8):
     recall@5 of the ADC+rerank search vs the exact brute-force
@@ -4270,10 +4312,14 @@ FROM r
 # ---------------------------------------------------------------------------
 
 # rows-only entries (no oracle): skipped by the deterministic-order wrap.
-# Down to ONE — ivf_pq_topk's benched search-only shape (its committed
-# bench floor times the search alone); the same path's answer quality is
-# hash-checked by ivf_pq_recall and pinned in pytest.
-_ROWS_ONLY = {"ivf_pq_topk"}
+# EMPTY as of round 9 — ivf_pq_topk, the last holdout, now hash-matches
+# through _q_ivf_pq_topk_contract (the benched search-only shape stays in
+# base_queries(); the contract wrap lives only in queries()).
+_ROWS_ONLY: set = set()
+
+# contract-shape overrides: queries()/oracle hash-check THIS shape while
+# bench.py times the base_queries() shape under the same name
+_CONTRACT_OVERRIDES = {"ivf_pq_topk": _q_ivf_pq_topk_contract}
 
 
 def _ordered(df: DataFrame) -> DataFrame:
@@ -4442,7 +4488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return _ordered(fn(spark, sf_dir))
         return run
 
-    return {name: (fn if name in _ROWS_ONLY else wrap(fn))
+    return {name: (fn if name in _ROWS_ONLY
+                   else wrap(_CONTRACT_OVERRIDES.get(name, fn)))
             for name, fn in base_queries().items()}
 
 
@@ -4515,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_topk": _EMBEDDING_TOPK_ORACLE,
         "ivf_index_append": _EMBEDDING_TOPK_ORACLE,
         "ivf_pq_recall": _IVF_PQ_RECALL_ORACLE,
+        "ivf_pq_topk": _IVF_PQ_TOPK_ORACLE,
         "ml_train_predict": _ML_TRAIN_PREDICT_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
