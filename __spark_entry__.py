@@ -3753,7 +3753,8 @@ WITH b AS (
   SELECT doc_id,
          {_PHASH_DUCK.format(payload="'pack:' || CAST(doc_id AS VARCHAR)")}
            % 8 AS bucket,
-         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '')) AS n_tokens
   FROM documents
 ),
 w AS (
@@ -3785,7 +3786,8 @@ def _q_data_mixing(spark, sf_dir):
 _DATA_MIXING_ORACLE = """
 WITH c AS (
   SELECT source AS stratum, count(*) AS n_docs,
-         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source
 ),
@@ -3822,7 +3824,8 @@ def _q_data_mixing_epochs(spark, sf_dir):
 _DATA_MIXING_EPOCHS_ORACLE = """
 WITH c AS (
   SELECT source AS stratum, count(*) AS n_docs,
-         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source
 ),
@@ -3868,7 +3871,7 @@ feats AS (
   UNION ALL
   SELECT doc_id,
          unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
-                 for i in generate_series(1, greatest(len(toks) - 1, 1))])
+                 for i in generate_series(1, len(toks) - 1)])
   FROM base
 ),
 fb AS (
@@ -3968,8 +3971,9 @@ WITH b AS (
   SELECT source, doc_id,
          {_PHASH_DUCK.format(payload="'budget:' || CAST(doc_id AS VARCHAR)")}
            AS h,
-         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-              ELSE len(string_split_regex(lower(text), '\\s+')) END AS nt
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'),
+                         w -> w <> '')) AS nt
   FROM documents
 ),
 w AS (

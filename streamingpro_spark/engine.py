@@ -117,10 +117,15 @@ class Engine:
         self.context.last_table = None
         self.context.stream_name = None
         self.context.branch_stack = []
-        # per-execute: versionedParquet's same-batch double-save guard
-        # (a REPLAYED batchScript is a new execute() and must take the
-        # silent replay-skip path, not the double-write error)
-        self.context.extra.pop("vp_txn_writes", None)
+        # per TOP-LEVEL execute: versionedParquet's same-batch
+        # double-save guard (a REPLAYED batchScript is a new execute()
+        # and must take the silent replay-skip path, not the
+        # double-write error).  Depth-gated (round-9): a NESTED
+        # execute() sharing this context (RunScript, IteratorCommand, a
+        # sub-script mid-batchScript) must not clear the outer batch's
+        # write-set and silently disarm the guard for later saves
+        if not self.context.extra.get("exec_depth", 0):
+            self.context.extra.pop("vp_txn_writes", None)
         table_auth = self.context.extra.get("table_auth")
         if table_auth is not None:
             from streamingpro_spark.analyzer import analyze
@@ -141,6 +146,8 @@ class Engine:
                     f"{self.context.owner!r}: "
                     f"{[t['table'] for t in tables['inputs']]} -> "
                     f"{[t['table'] for t in tables['outputs']]}")
+        self.context.extra["exec_depth"] = \
+            self.context.extra.get("exec_depth", 0) + 1
         try:
             stmts = P.split_statements(script)
             for i, raw in enumerate(stmts):
@@ -154,6 +161,8 @@ class Engine:
             if self.context.branch_stack:
                 raise ValueError("!if without matching !fi at end of script")
         finally:
+            self.context.extra["exec_depth"] = \
+                self.context.extra.get("exec_depth", 1) - 1
             # script-lifetime caches auto-unpersist at script end
             # (reference CleanCacheListener on job end)
             for key in [k for k, v in self.context.cached_tables.items()

@@ -85,6 +85,14 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def words_col(text: Column) -> Column:
+    """tokens_col with empty entries dropped: leading/trailing
+    whitespace (or a terminal newline) makes split emit '' tokens,
+    which inflated n_tokens counts by 1 per padded side (round-9 fix;
+    GopherQualityFilter already counted this way)."""
+    return F.filter(tokens_col(text), lambda w: w != "")
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams as an array — pure array functions, no explode."""
     toks = tokens_col(text)
@@ -1089,7 +1097,12 @@ class SoftDedup(ETAlgorithm):
                         .alias("dup_cluster_size"),
                        F.round(F.lit(1.0) / F.col("__csz"), weight_digits)
                         .alias("sample_weight")))
-        joined = df.join(ann, [id_col], "left")
+        # overwrite convention (round-9, matching PerplexityBucket /
+        # TokenBudgetSample): re-running over already-weighted input
+        # must REPLACE the three output columns, not emit ambiguous
+        # duplicate names
+        joined = df.drop("dup_cluster_id", "dup_cluster_size",
+                         "sample_weight").join(ann, [id_col], "left")
         out = eager_materialize(joined, params, context)
         if out is not joined:
             cleanup(spark)

@@ -29,7 +29,8 @@ from pyspark.sql import Window, functions as F
 from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
                                                get_float, get_int, script_cache)
 from streamingpro_spark.operators.dedup import (hash_impl,
-                                                portable_hash64, tokens_col)
+                                                portable_hash64, tokens_col,
+                                                words_col)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -229,9 +230,14 @@ class DSIRScore(ETAlgorithm):
                 if n == 1:
                     arrs.append(toks)
                 else:
-                    idx = F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+                    # docs shorter than n emit NO n-gram (round-9 fix:
+                    # greatest(size-n+1, 1) used to emit one truncated
+                    # shingle, double-counting a 1-token doc's token as
+                    # both unigram and 'bigram' and skewing its score)
+                    idx = F.when(
+                        F.size(toks) >= n,
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                    ).otherwise(F.array().cast("array<int>"))
                     arrs.append(F.transform(idx, ngram_of(n)))
             feats = arrs[0]
             for a in arrs[1:]:
@@ -411,8 +417,10 @@ class SequencePack(ETAlgorithm):
       the budget gets its own sequence).  Running state per bucket →
       applyInPandas per bucket.  Scale bound: one bucket must fit in
       executor memory — size `numBuckets` ≥ corpus_tokens/budget/10⁴ at
-      the target SF (documented, asserted nowhere: the grouping itself
-      fails loudly on OOM).  Chunk mode is the recommended path at
+      the target SF.  Guarded (round-9): a pre-check counts docs per
+      bucket and raises a rendered error with the numBuckets remedy
+      when any bucket exceeds `maxBucketRows` (default 5M), instead of
+      an opaque executor OOM.  Chunk mode is the recommended path at
       scale.
     """
 
@@ -427,9 +435,7 @@ class SequencePack(ETAlgorithm):
             F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack",
                                    hash_impl(params)),
                    F.lit(num_buckets)).alias("bucket"),
-            F.when(F.trim(F.coalesce(F.col(col), F.lit(""))) == "",
-                   F.lit(0))
-             .otherwise(F.size(tokens_col(F.col(col))))
+            F.size(words_col(F.coalesce(F.col(col), F.lit(""))))
              .alias("n_tokens"))
         if mode == "chunk":
             w = (Window.partitionBy("bucket").orderBy("doc_id_")
@@ -444,6 +450,29 @@ class SequencePack(ETAlgorithm):
             return out
         if mode == "greedy":
             import pandas as pd
+
+            # rendered guard on the documented memory bound (round-9):
+            # each bucket is materialized as ONE pandas frame on one
+            # executor, so an undersized numBuckets used to surface as
+            # an opaque executor OOM mid-job.  One cheap count over the
+            # already-built base (id/bucket/n_tokens only) converts
+            # that into the engine's standard rendered error + remedy
+            # BEFORE the packing job is launched.
+            max_rows = get_int(params, "maxBucketRows", 5_000_000)
+            top = (base.groupBy("bucket").count()
+                   .orderBy(F.desc("count")).limit(1).collect())
+            if top and top[0]["count"] > max_rows:
+                raise ValueError(
+                    f"SequencePack greedy mode materializes each bucket "
+                    f"as one in-memory pandas frame, and bucket "
+                    f"{top[0]['bucket']} has {top[0]['count']:,} docs > "
+                    f"maxBucketRows={max_rows:,} — this would risk an "
+                    f"executor OOM.  Remedies: raise numBuckets (docs "
+                    f"hash-spread evenly, so ~{top[0]['count']}/"
+                    f"{max_rows} x numBuckets buckets suffice), switch "
+                    f'to mode="chunk" (the windowed 100 TB path, no '
+                    f"per-bucket materialization), or raise "
+                    f"maxBucketRows if the executors have headroom.")
 
             def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 pdf = pdf.sort_values("doc_id_").reset_index(drop=True)
@@ -472,6 +501,8 @@ class SequencePack(ETAlgorithm):
                 ("numBuckets", "independent packing streams", "8"),
                 ("mode", "chunk (split docs at cuts) | greedy (no splits)",
                  "chunk"),
+                ("maxBucketRows", "greedy mode: rendered-error bound on "
+                 "docs per bucket (one in-memory frame each)", "5000000"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
 
 
@@ -632,9 +663,7 @@ class TokenBudgetSample(ETAlgorithm):
         df = ensure_parallelism(df)
         h = portable_hash64(F.col(id_col).cast("string"), "budget",
                             hash_impl(params))
-        n_tokens = (F.when(F.trim(F.coalesce(F.col(col), F.lit(""))) == "",
-                           F.lit(0))
-                     .otherwise(F.size(tokens_col(F.col(col))))
+        n_tokens = (F.size(words_col(F.coalesce(F.col(col), F.lit(""))))
                      .cast("long"))
         # a NULL id has no hash, hence no deterministic position in the
         # budget walk (all NULL-id rows would be an unordered tie whose
@@ -923,7 +952,8 @@ class DataMixing(ETAlgorithm):
         counts = script_cache(
             (df.groupBy(F.col(strata_col).alias("stratum"))
                .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size(tokens_col(F.col(col))))
+                    F.sum(F.size(words_col(
+                        F.coalesce(F.col(col), F.lit("")))))
                      .alias("n_tokens"))),
             context, "datamix_counts")  # consumed by the missing-weight
         # check, the cap agg, and the plan join — one corpus scan, not 3

@@ -1031,3 +1031,21 @@ def test_versioned_parquet_commit_lock(engine, tmp_path, spark):
     for e in errors:
         assert ("concurrent writer" in e or "commit lock" in e
                 or "already exists" in e), e
+
+
+def test_nested_execute_keeps_double_save_guard_armed(engine):
+    """The versionedParquet double-save write-set is cleared per
+    TOP-LEVEL execute only: a nested execute() sharing this context
+    (sub-script mid-batchScript) must not disarm the outer batch's
+    guard (round-9)."""
+    ctx = engine.context
+    marker = {("lake", "txn", 7)}
+    # simulate being inside an outer execute
+    ctx.extra["exec_depth"] = 1
+    ctx.extra["vp_txn_writes"] = set(marker)
+    engine.execute("select 1 as a as nested_t;")
+    assert ctx.extra["vp_txn_writes"] == marker
+    # back at top level: a fresh execute clears it
+    ctx.extra["exec_depth"] = 0
+    engine.execute("select 1 as a as nested_t;")
+    assert "vp_txn_writes" not in ctx.extra

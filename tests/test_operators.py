@@ -2482,3 +2482,25 @@ def test_text_normalize_strips_c1_controls(engine):
     run d as TextNormalize.`` where outputCol="n" as out;
     """)
     assert df.collect()[0]["n"] == "data and data"
+
+
+def test_soft_dedup_rerun_overwrites_annotations(engine):
+    """Re-running SoftDedup over already-weighted input must REPLACE
+    dup_cluster_id/dup_cluster_size/sample_weight (overwrite convention
+    shared with PerplexityBucket/TokenBudgetSample), not emit duplicate
+    column names that make downstream references ambiguous."""
+    import json
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t})
+                   for i, t in [(1, base), (2, base), (3, "other text "
+                                "entirely about parquet and shuffles")])
+    df = engine.execute(f"""
+    set sdr = '''{dj}''';
+    load jsonStr.`sdr` as sdr_docs;
+    run sdr_docs as SoftDedup.`` where threshold="0.8" as once;
+    run once as SoftDedup.`` where threshold="0.8" as out;
+    """)
+    for c in ("dup_cluster_id", "dup_cluster_size", "sample_weight"):
+        assert df.columns.count(c) == 1, df.columns
+    r = {row["doc_id"]: row for row in df.collect()}
+    assert r[1]["dup_cluster_size"] == 2 and r[3]["sample_weight"] == 1.0

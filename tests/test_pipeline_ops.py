@@ -883,3 +883,79 @@ def test_dsir_param_errors(engine):
         run d3 as DSIRScore.`` where targetTable="t3" and contentCol="body"
             as out3;
         """)
+
+
+# ---------------------------------------------------------------------------
+# round-9 fixes: whitespace-padded token counts, DSIR short-doc shingles,
+# greedy-mode bucket guard
+# ---------------------------------------------------------------------------
+
+def test_token_counts_ignore_whitespace_padding(engine):
+    """Leading/trailing whitespace (or a terminal newline) must not
+    inflate n_tokens: split('\\s+') emits '' entries at padded ends,
+    which used to count +1 per side in SequencePack, TokenBudgetSample
+    and DataMixing (Gopher already filtered them)."""
+    df = engine.execute("""
+    set data = '''
+    {"doc_id":1,"text":"  a b ","source":"s"}
+    {"doc_id":2,"text":"c d\\n","source":"s"}
+    {"doc_id":3,"text":"e f","source":"s"}
+    ''';
+    load jsonStr.`data` as t;
+    run t as SequencePack.`` where budget="8" and numBuckets="1" as out;
+    """)
+    assert {r["n_tokens"] for r in df.collect()} == {2}
+
+    tb = engine.execute("""
+    run t as TokenBudgetSample.`` where strataCol="source"
+        and defaultBudget="100" and mode="annotate" as out;
+    """)
+    assert {r["n_tokens"] for r in tb.collect()} == {2}
+
+    dm = engine.execute("""
+    run t as DataMixing.`` where strataCol="source" and weight.s="1.0"
+        as out;
+    """)
+    assert dm.collect()[0]["n_tokens"] == 6
+
+
+def test_dsir_short_doc_emits_no_truncated_shingle(engine):
+    """A doc shorter than n emits NO n-gram: a 1-token doc used to
+    count its token twice (unigram + degenerate 'bigram'), skewing
+    scores for very short documents."""
+    df = engine.execute("""
+    select * from (values
+      (1, 'solo'),
+      (2, 'two words'),
+      (3, 'three word doc')) v(doc_id, text) as d;
+    select doc_id, text from d where doc_id = 3 as probe;
+    run d as DSIRScore.`` where targetTable="probe" as out;
+    """)
+    nf = {r["doc_id"]: r["n_features"] for r in df.collect()}
+    # n tokens -> n unigrams + max(n-1, 0) bigrams
+    assert nf == {1: 1, 2: 3, 3: 5}
+
+
+def test_sequence_pack_greedy_bucket_guard(engine):
+    """greedy mode pre-checks docs-per-bucket against maxBucketRows and
+    raises the rendered remedy instead of an opaque executor OOM."""
+    with pytest.raises(ValueError, match="maxBucketRows"):
+        engine.execute("""
+        select * from (values (1,'a b'),(2,'c d'),(3,'e f'),(4,'g h'))
+          v(doc_id, text) as d;
+        run d as SequencePack.`` where mode="greedy" and numBuckets="1"
+            and maxBucketRows="2" as out;
+        """)
+    # remedy names the knobs
+    try:
+        engine.execute("""
+        run d as SequencePack.`` where mode="greedy" and numBuckets="1"
+            and maxBucketRows="2" as out;
+        """)
+    except ValueError as e:
+        assert "numBuckets" in str(e) and "chunk" in str(e)
+    # chunk mode is unguarded (no per-bucket materialization)
+    out = engine.execute("""
+    run d as SequencePack.`` where mode="chunk" and numBuckets="1" as out;
+    """)
+    assert out.count() == 4
