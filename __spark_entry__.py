@@ -1392,23 +1392,23 @@ def _q_incremental_lake(spark, sf_dir):
 
 _INCREMENTAL_LAKE_ORACLE = f"""
 WITH RECURSIVE consts AS ({_mh_oracle_consts()}),
-lake0 AS ({_LAKE_DAY0}),
+lake0 AS MATERIALIZED ({_LAKE_DAY0}),
 b1 AS ({_LAKE_BATCH1}),
-b1f AS (
+b1f AS MATERIALIZED (
   SELECT b.* FROM b1 b
   WHERE NOT EXISTS (SELECT 1 FROM lake0 l WHERE l.text = b.text)
 ),
 {_mh_day_ctes('d1_', 'b1f', 'lake0')},
-day1_kept AS (
+day1_kept AS MATERIALIZED (
   SELECT doc_id, text FROM b1f
   WHERE doc_id NOT IN (SELECT doc_id FROM d1_removed)
 ),
-lake1 AS (
+lake1 AS MATERIALIZED (
   SELECT doc_id, text FROM lake0
   UNION ALL SELECT doc_id, text FROM day1_kept
 ),
 b2 AS ({_LAKE_BATCH2}),
-b2f AS (
+b2f AS MATERIALIZED (
   SELECT b.* FROM b2 b
   WHERE NOT EXISTS (SELECT 1 FROM lake1 l WHERE l.text = b.text)
 ),
@@ -1492,6 +1492,193 @@ def _q_streaming_lake_ingest(spark, sf_dir):
     select doc_id, cast(__delta_version__ as bigint) as commit_version
     from slake_rows as output;
     """)
+
+
+def _tn_default_expr(col: str) -> str:
+    """DuckDB expression replaying TextNormalize's DEFAULT chain
+    (stripControl -> unifyPunct -> lowercase -> collapseWhitespace) on
+    `col` — translate maps taken from the module constants so the two
+    can't drift (the accents/digits steps are off by default)."""
+    from streamingpro_spark.operators.text_analysis import (
+        _SMART_PUNCT_FROM, _SMART_PUNCT_TO)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return (
+        "trim(regexp_replace(lower(replace(translate("
+        f"regexp_replace({col}, "
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g'), "
+        f"{q(_SMART_PUNCT_FROM)}, {q(_SMART_PUNCT_TO)}), "
+        "'…', '...')), '\\s+', ' ', 'g'))")
+
+
+def _gopher_kept_ctes(p: str, src: str) -> str:
+    """DuckDB CTEs replaying GopherQualityFilter's keep verdict over
+    `src` (doc_id, text) with the contract thresholds (minWords=20,
+    minStopwords=1, minAlphaWordFrac=0.85, maxSymbolWordRatio=0.05,
+    others default) — ends with {p}kept(doc_id, text).  Ratios are
+    rounded to 4 BEFORE the threshold compare, exactly as the ET
+    compares its rounded output columns."""
+    return f"""{p}m AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM {src}
+),
+{p}f AS (
+  SELECT doc_id, text,
+    len(words) AS n_words,
+    round(len(regexp_replace(text, '\\s+', '', 'g'))
+          / greatest(len(words), 1), 4) AS mwl,
+    round((len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.|…')))
+          / greatest(len(words), 1), 4) AS sym,
+    round(len(list_filter(lines,
+              l -> regexp_matches(l, '^\\s*[-*•‣▪]')))
+          / greatest(len(lines), 1), 4) AS bullet,
+    round(len(list_filter(lines,
+              l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+          / greatest(len(lines), 1), 4) AS ellip,
+    round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+          / greatest(len(words), 1), 4) AS alpha,
+    len(list_intersect(
+        list_distinct(string_split_regex(lower(text), '\\s+')),
+        ['the','be','to','of','and','that','have','with'])) AS stops
+  FROM {p}m
+),
+{p}kept AS MATERIALIZED (
+  SELECT doc_id, text FROM {p}f
+  WHERE n_words >= 20 AND n_words <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.05
+    AND bullet <= 0.9 AND ellip <= 0.3 AND alpha >= 0.85 AND stops >= 1
+)"""
+
+
+#: GopherQualityFilter params for the curated lake — one source of
+#: truth for BOTH ingest scripts; mirrored in _gopher_kept_ctes
+_CURATE_GOPHER = ('minWords="20" and minStopwords="1" and '
+                  'minAlphaWordFrac="0.85" and maxSymbolWordRatio="0.05" '
+                  'and mode="filter"')
+
+
+def _q_streaming_curated_lake(spark, sf_dir):
+    """The CURATED streaming lake (round-9; examples/14): every
+    arriving micro-batch is normalized (TextNormalize, default chain)
+    and quality-gated (GopherQualityFilter, filter mode) BEFORE the
+    dedup chain — TextNormalize -> Gopher -> Bloom -> NearDedup
+    refTable+refBandsTable -> versionedParquet append -> signature
+    refresh, all inside the exactly-once batchScript sink.  Same two
+    staged ingest days as streaming_lake_ingest; the DuckDB oracle
+    replays the ENTIRE composition (normalize expression, gopher keep
+    verdict, exact/near dedup, commit assignment) for both days, so a
+    hash match proves the curation operators compose with the lake
+    under streaming semantics, not just in isolated batch contracts."""
+    import os
+    import tempfile
+    import time as _time
+    import duckdb
+    root = tempfile.mkdtemp(prefix="spk_sclake_")
+    lake, sigs, inc = f"{root}/lake", f"{root}/sigs", f"{root}/inc"
+    os.makedirs(inc)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    con.execute(f"COPY ({_LAKE_BATCH1}) TO '{inc}/day1.parquet' "
+                f"(FORMAT PARQUET)")
+    con.execute(f"COPY ({_LAKE_BATCH2}) TO '{inc}/day2.parquet' "
+                f"(FORMAT PARQUET)")
+    con.close()
+    now = _time.time()
+    os.utime(f"{inc}/day1.parquet", (now - 2000, now - 2000))
+    os.utime(f"{inc}/day2.parquet", (now - 1000, now - 1000))
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_DAY0} as scl_raw0;
+    run scl_raw0 as TextNormalize.`` as scl_norm0;
+    run scl_norm0 as GopherQualityFilter.`` where {_CURATE_GOPHER}
+        as scl_gq0;
+    select doc_id, text from scl_gq0 as scl_day0;
+    save overwrite scl_day0 as versionedParquet.`{lake}`;
+    run scl_day0 as MinHashSignatures.`` as scl_sigs0;
+    save overwrite scl_sigs0 as parquet.`{sigs}`;
+    set streamName = "scl_ingest";
+    load streamParquet.`{inc}` options maxFilesPerTrigger="1"
+        as scl_inc;
+    save append scl_inc as custom.`` options
+        checkpointLocation="{root}/ck" and duration="0"
+        and batchScript='''
+        run __batch_df__ as TextNormalize.`` as scl_nb;
+        run scl_nb as GopherQualityFilter.`` where {_CURATE_GOPHER}
+            as scl_gb;
+        select doc_id, text from scl_gb as scl_cb;
+        load versionedParquet.`{lake}` as scl_lake;
+        run scl_cb as BloomFilterDedup.`` where
+            refTable="scl_lake" as scl_fresh;
+        load parquet.`{sigs}` as scl_sigs;
+        run scl_fresh as NearDedup.`` where refTable="scl_lake"
+            and refBandsTable="scl_sigs" and threshold="0.8"
+            as scl_kept;
+        save append scl_kept as versionedParquet.`{lake}`;
+        run scl_kept as MinHashSignatures.`` as scl_new_sigs;
+        save append scl_new_sigs as parquet.`{sigs}`;
+        ''';
+    """)
+    q = eng.context.jobs.pop("scl_ingest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return eng.execute(f"""
+    load versionedParquet.`{lake}`
+        where startingVersion="0" and endingVersion="2" as scl_rows;
+    select doc_id, cast(__delta_version__ as bigint) as commit_version
+    from scl_rows as output;
+    """)
+
+
+_STREAMING_CURATED_LAKE_ORACLE = f"""
+WITH RECURSIVE consts AS ({_mh_oracle_consts()}),
+raw0 AS ({_LAKE_DAY0}),
+n0 AS (SELECT doc_id, {_tn_default_expr('text')} AS text FROM raw0),
+{_gopher_kept_ctes('g0_', 'n0')},
+lake0 AS MATERIALIZED (SELECT doc_id, text FROM g0_kept),
+b1raw AS ({_LAKE_BATCH1}),
+b1n AS (SELECT doc_id, {_tn_default_expr('text')} AS text FROM b1raw),
+{_gopher_kept_ctes('g1_', 'b1n')},
+b1f AS MATERIALIZED (
+  SELECT b.* FROM g1_kept b
+  WHERE NOT EXISTS (SELECT 1 FROM lake0 l WHERE l.text = b.text)
+),
+{_mh_day_ctes('d1_', 'b1f', 'lake0')},
+day1_kept AS MATERIALIZED (
+  SELECT doc_id, text FROM b1f
+  WHERE doc_id NOT IN (SELECT doc_id FROM d1_removed)
+),
+lake1 AS MATERIALIZED (
+  SELECT doc_id, text FROM lake0
+  UNION ALL SELECT doc_id, text FROM day1_kept
+),
+b2raw AS ({_LAKE_BATCH2}),
+b2n AS (SELECT doc_id, {_tn_default_expr('text')} AS text FROM b2raw),
+{_gopher_kept_ctes('g2_', 'b2n')},
+b2f AS MATERIALIZED (
+  SELECT b.* FROM g2_kept b
+  WHERE NOT EXISTS (SELECT 1 FROM lake1 l WHERE l.text = b.text)
+),
+{_mh_day_ctes('d2_', 'b2f', 'lake1')},
+day2_kept AS (
+  SELECT doc_id, text FROM b2f
+  WHERE doc_id NOT IN (SELECT doc_id FROM d2_removed)
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS commit_version FROM lake0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) FROM day1_kept
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) FROM day2_kept
+"""
 
 
 def _q_dup_clusters(spark, sf_dir):
@@ -4446,6 +4633,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_incr": _q_near_dedup_incr,
         "incremental_lake_e2e": _q_incremental_lake,
         "streaming_lake_ingest": _q_streaming_lake_ingest,
+        "streaming_curated_lake": _q_streaming_curated_lake,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -4585,6 +4773,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming path must land exactly the batch chain's rows
         # in exactly the batch chain's commits — same oracle
         "streaming_lake_ingest": _INCREMENTAL_LAKE_ORACLE,
+        "streaming_curated_lake": _STREAMING_CURATED_LAKE_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,

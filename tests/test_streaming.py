@@ -807,3 +807,108 @@ def test_batchscript_vp_double_save_same_batch_is_error(engine, tmp_path):
         engine.context.env.pop("__stream_txn__")
     hist = engine.execute(f"!delta history {lake};").collect()
     assert [r["version"] for r in hist] == [0]   # one commit total
+
+
+def test_streaming_lake_replay_after_checkpoint_loss(engine, tmp_path):
+    """Query-level exactly-once (round-9): crash BETWEEN the
+    versionedParquet append and the streaming checkpoint commit —
+    simulated by deleting the checkpoint's last commit marker after a
+    clean run — must not double-commit on restart.  Spark replays the
+    uncommitted micro-batch with the same (txnId=checkpointLocation,
+    batchId) key, the sink takes the replay-skip path, and the lake's
+    version list and row multiset are unchanged.  This is the failure
+    mode the (txnId, batchId) key exists for (the reference's Delta
+    sink carries the same appId+batchId contract)."""
+    import os
+    import pandas as pd
+    from streamingpro_spark.sources import versioned as vp
+    lake = str(tmp_path / "replay_lake")
+    sigs = str(tmp_path / "replay_sigs")
+    ck = str(tmp_path / "replay_ck")
+    inc = tmp_path / "replay_inc"
+    inc.mkdir()
+    pd.DataFrame({"doc_id": [10, 11],
+                  "text": ["alpha beta gamma delta",
+                           "epsilon zeta eta theta"]}
+                 ).to_parquet(inc / "day1.parquet")
+    pd.DataFrame({"doc_id": [20, 21],
+                  "text": ["iota kappa lambda mu",
+                           "nu xi omicron pi rho"]}
+                 ).to_parquet(inc / "day2.parquet")
+    import time as _t
+    now = _t.time()
+    os.utime(inc / "day1.parquet", (now - 2000, now - 2000))
+    os.utime(inc / "day2.parquet", (now - 1000, now - 1000))
+    engine.execute(f"""
+    select cast(doc_id as bigint) as doc_id, text
+    from (values (1, 'sigma tau upsilon phi'))
+      v(doc_id, text) as slr_day0;
+    save overwrite slr_day0 as versionedParquet.`{lake}`;
+    run slr_day0 as MinHashSignatures.`` as slr_sig0;
+    save overwrite slr_sig0 as parquet.`{sigs}`;
+    """)
+
+    stream_script = f"""
+    set streamName = "slr_ingest";
+    load streamParquet.`{inc}` options maxFilesPerTrigger="1" as slr_inc;
+    save append slr_inc as custom.`` options
+        checkpointLocation="{ck}" and duration="0"
+        and batchScript='''
+        load versionedParquet.`{lake}` as slr_lake;
+        run __batch_df__ as BloomFilterDedup.`` where
+            refTable="slr_lake" as slr_fresh;
+        load parquet.`{sigs}` as slr_sigs;
+        run slr_fresh as NearDedup.`` where refTable="slr_lake"
+            and refBandsTable="slr_sigs" and threshold="0.8"
+            as slr_kept;
+        save append slr_kept as versionedParquet.`{lake}`;
+        run slr_kept as MinHashSignatures.`` as slr_new_sigs;
+        save append slr_new_sigs as parquet.`{sigs}`;
+        ''';
+    """
+
+    def run_stream():
+        engine.execute(stream_script)
+        q = engine.context.jobs.pop("slr_ingest")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # a restart over the SAME checkpoint needs the prior run
+            # fully deregistered, or Spark rejects it as a concurrent
+            # user of <ck>/commits
+            q.awaitTermination()
+            while any(aq.name == "slr_ingest"
+                      for aq in engine.spark.streams.active):
+                _t.sleep(0.2)
+
+    def lake_state():
+        hist = [(c["version"], c.get("txnId"), c.get("batchId"))
+                for c in vp.read_commits(lake)]
+        rows = sorted(r["doc_id"] for r in engine.execute(
+            f"load versionedParquet.`{lake}` as d; "
+            "select doc_id from d as out;").collect())
+        return hist, rows
+
+    run_stream()
+    hist1, rows1 = lake_state()
+    assert rows1 == [1, 10, 11, 20, 21]
+    assert [v for v, _, _ in hist1] == [0, 1, 2]
+    assert [b for _, _, b in hist1] == [None, 0, 1]
+
+    # the crash: the sink committed batch 1 but the streaming
+    # checkpoint never recorded it — on restart Spark REPLAYS batch 1.
+    # The sibling .crc must go too: a stale local-FS checksum blocks
+    # the commit log's atomic rename and Spark misreports it as
+    # concurrent checkpoint use
+    commit_files = sorted(f for f in os.listdir(os.path.join(ck, "commits"))
+                          if not f.startswith("."))
+    os.remove(os.path.join(ck, "commits", commit_files[-1]))
+    crc = os.path.join(ck, "commits", f".{commit_files[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_stream()
+    hist2, rows2 = lake_state()
+    assert hist2 == hist1, "replayed batch must not add a commit"
+    assert rows2 == rows1, "replayed batch must not duplicate rows"
