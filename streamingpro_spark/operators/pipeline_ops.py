@@ -189,7 +189,9 @@ class DSIRScore(ETAlgorithm):
     RECOMPUTED for the scoring pass rather than cached — a persisted
     (id, bucket) stream runs ~5x the raw text bytes, so two scans is
     the 100 TB choice (locally it costs ~2x, visible in the bench
-    floor).
+    floor).  `cacheFeatures="true"` (round-9) persists the stream for
+    the script's lifetime instead — the right call when the corpus is
+    small enough that 5x its feature bytes fit in cluster memory.
     """
 
     def train(self, df, path, params, context=None):
@@ -254,6 +256,13 @@ class DSIRScore(ETAlgorithm):
         tcnt = (feature_stream(target)
                 .groupBy("__fb").agg(F.count(F.lit(1)).alias("__tc")))
         corpus_feats = feature_stream(df, F.col(id_col).alias("__id"))
+        if params.get("cacheFeatures", "false") == "true":
+            # small-corpus path: one scan + a persisted (id, bucket)
+            # stream shared by the count pass and the scoring pass;
+            # script-lifetime so a REST session can't leak executor
+            # memory.  Default stays two-scan (the 100 TB choice).
+            corpus_feats = script_cache(corpus_feats, context,
+                                        "dsir_feats")
         rcnt = (corpus_feats
                 .groupBy("__fb").agg(F.count(F.lit(1)).alias("__rc")))
         counts = tcnt.join(rcnt, "__fb", "full")
@@ -289,6 +298,9 @@ class DSIRScore(ETAlgorithm):
                  "feature space at any corpus size)", "4096"),
                 ("addK", "add-k smoothing over the bucket space", "0.5"),
                 ("ngrams", "word n-gram orders, comma list", "1,2"),
+                ("cacheFeatures", "persist the corpus feature stream "
+                 "for the scoring pass (small-corpus path; default "
+                 "recomputes — the at-scale choice)", "false"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)",
                  "md5")]
 

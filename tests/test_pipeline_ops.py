@@ -959,3 +959,30 @@ def test_sequence_pack_greedy_bucket_guard(engine):
     run d as SequencePack.`` where mode="chunk" and numBuckets="1" as out;
     """)
     assert out.count() == 4
+
+
+def test_dsir_cache_features_parity(engine):
+    """cacheFeatures="true" (one persisted feature stream) must produce
+    byte-identical scores to the default two-scan path."""
+    setup = """
+    select * from (values
+      (1, 'the quick brown fox jumps over the lazy dog'),
+      (2, 'spark shuffles partition data across the cluster'),
+      (3, 'the lazy dog sleeps under the quick brown fox'),
+      (4, 'completely unrelated words zebra quark fjord')) v(doc_id, text)
+      as ddocs;
+    select doc_id, text from ddocs where doc_id <= 2 as dprobe;
+    """
+    a = engine.execute(setup + """
+    run ddocs as DSIRScore.`` where targetTable="dprobe" as out;
+    """).collect()
+    b = engine.execute(setup + """
+    run ddocs as DSIRScore.`` where targetTable="dprobe"
+        and cacheFeatures="true" as out;
+    """).collect()
+    ra = {r["doc_id"]: (r["dsir_score"], r["n_features"]) for r in a}
+    rb = {r["doc_id"]: (r["dsir_score"], r["n_features"]) for r in b}
+    assert ra == rb
+    # the script-lifetime cache is released at execute() end
+    assert not any(k.startswith("__et_dsir_feats")
+                   for k in engine.context.cached_tables)
