@@ -4135,6 +4135,35 @@ FROM b GROUP BY source, ppl_bucket
 """
 
 
+def _q_deterministic_shard(spark, sf_dir):
+    """DeterministicShard (round-9): stable training-data layout —
+    shard = hash gate, shard_pos = hash-order rank within the shard.
+    Fully replayed in DuckDB (same md5 gate + row_number), so the
+    physical layout a training loader would consume is byte-pinned
+    across engines."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DeterministicShard.`` where numShards="16" as sh;
+    select doc_id, shard, shard_pos from sh as output;
+    """)
+
+
+_DETERMINISTIC_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")}
+           AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 16
+                               ORDER BY hv, doc_id) - 1 AS BIGINT)
+         AS shard_pos
+FROM h
+"""
+
+
 def _q_token_budget_sample(spark, sf_dir):
     """TokenBudgetSample: cap each source stratum at a token budget in
     deterministic hash order (annotate mode so the oracle can check
@@ -4651,6 +4680,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": _q_dsir_score,
         "perplexity_bucket": _q_perplexity_bucket,
         "token_budget_sample": _q_token_budget_sample,
+        "deterministic_shard": _q_deterministic_shard,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -4790,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_score": _DSIR_SCORE_ORACLE,
         "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
+        "deterministic_shard": _DETERMINISTIC_SHARD_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

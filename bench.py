@@ -69,6 +69,7 @@ HEADLINE = [
     "perplexity_bucket",
     "token_budget_sample",
     "dsir_score",
+    "deterministic_shard",
     "warc_bench",
 ]
 

@@ -1044,3 +1044,81 @@ class DataMixing(ETAlgorithm):
                  "passes (fractions > 1 = epochs); 1 = no upsampling",
                  "1.0"),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)", "md5")]
+
+
+# ---------------------------------------------------------------------------
+# DeterministicShard
+# ---------------------------------------------------------------------------
+
+@register_et("DeterministicShard")
+class DeterministicShard(ETAlgorithm):
+    """Final training-data layout: assign every document a stable shard
+    and a stable position within it, so the written training set is
+    byte-reproducible across runs and engines and a training job can
+    resume from (shard, position) without any RNG state.
+
+    No reference counterpart — part of the training-data curation
+    family: this is the step AFTER dedup/budget/packing that decides
+    where each document physically lands (the layout T5/GPT-style
+    loaders consume as `shard-00042` files read in position order).
+
+    - ``shard``      = pmod(hash(id), numShards) — the same portable
+      md5/xxhash64 gate every sampler in this engine uses, so layout
+      is reproducible in SQL (oracle) and stable under re-runs.
+    - ``shard_pos``  = dense 0-based rank of hash(id) within the shard
+      (ties broken by id) — hash order inside a shard is an unbiased
+      global shuffle of the corpus, exactly what LM pretraining wants
+      (no accidental curriculum from source file order).
+    - ``orderCol``   (optional): order within each shard by this
+      column FIRST (hash breaks ties) — an explicit curriculum (e.g. a
+      quality or perplexity score: easy -> hard within every shard).
+
+    Write with ``save sharded as parquet.`...` partitionBy shard`` and
+    the layout is done.
+
+    100 TB: ONE shuffle keyed by shard; within-shard rank is a
+    sort-based window (spills, never materializes the shard in
+    memory), each shard is corpus/numShards rows — size numShards so a
+    shard is a sane file size (10k shards over 100 TB = 10 GB each).
+    No Python, no driver state, no global sort (the classic layout
+    mistake: orderBy(rand()) is a whole-corpus range sort AND
+    non-reproducible).
+
+    Re-running over already-sharded input overwrites shard/shard_pos
+    (the engine's annotator overwrite convention).
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        num_shards = get_int(params, "numShards", 64)
+        order_col = params.get("orderCol", "")
+        if num_shards < 1:
+            raise ValueError(
+                f"DeterministicShard: numShards must be >= 1, got "
+                f"{num_shards}")
+        if order_col and order_col not in df.columns:
+            raise ValueError(
+                f"DeterministicShard: orderCol {order_col!r} not in "
+                f"input columns {df.columns}")
+        h = portable_hash64(F.col(id_col).cast("string"), "shard",
+                            hash_impl(params))
+        base = (df.drop("shard", "shard_pos")
+                  .withColumn("__sh", h)
+                  .withColumn("shard",
+                              F.pmod(F.col("__sh"), F.lit(num_shards))
+                               .cast("int")))
+        keys = ([F.col(order_col).asc_nulls_last()] if order_col else [])
+        keys += [F.col("__sh"), F.col(id_col)]
+        w = Window.partitionBy("shard").orderBy(*keys)
+        return (base.withColumn("shard_pos",
+                                (F.row_number().over(w) - 1).cast("long"))
+                    .drop("__sh"))
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("numShards", "shard count (size so corpus/numShards "
+                 "is a sane file size)", "64"),
+                ("orderCol", "optional within-shard curriculum order "
+                 "column (hash breaks ties)", ""),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]

@@ -986,3 +986,76 @@ def test_dsir_cache_features_parity(engine):
     # the script-lifetime cache is released at execute() end
     assert not any(k.startswith("__et_dsir_feats")
                    for k in engine.context.cached_tables)
+
+
+# ---------------------------------------------------------------------------
+# DeterministicShard
+# ---------------------------------------------------------------------------
+
+def test_deterministic_shard_layout_invariants(engine):
+    """Positions are a contiguous 0..n-1 sequence per shard, the layout
+    is identical across re-runs, and re-sharding overwrites the two
+    output columns instead of duplicating them."""
+    rows1 = engine.execute("""
+    select id as doc_id, concat('doc ', id) as text
+    from range(0, 97) as d;
+    run d as DeterministicShard.`` where numShards="8" as out;
+    """).collect()
+    by_shard = {}
+    for r in rows1:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # stable across runs
+    rows2 = engine.execute("""
+    run d as DeterministicShard.`` where numShards="8" as out;
+    """).collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["shard_pos"])
+                            for r in rs)
+    assert key(rows1) == key(rows2)
+    # re-sharding to a different layout overwrites, not appends
+    df3 = engine.execute("""
+    run out as DeterministicShard.`` where numShards="4" as out2;
+    """)
+    assert df3.columns.count("shard") == 1
+    assert df3.columns.count("shard_pos") == 1
+    assert {r["shard"] for r in df3.collect()} <= set(range(4))
+
+
+def test_deterministic_shard_order_col_curriculum(engine):
+    """orderCol makes shard_pos follow the curriculum column first
+    (hash breaks ties), nulls last."""
+    rows = engine.execute("""
+    select * from (values
+      (1, 5.0), (2, 1.0), (3, 3.0), (4, cast(null as double)),
+      (5, 2.0), (6, 4.0), (7, 0.5), (8, 9.0)) v(doc_id, difficulty) as d;
+    run d as DeterministicShard.`` where numShards="2"
+        and orderCol="difficulty" as out;
+    """).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["shard_pos"], r["difficulty"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        diffs = [d for _, d in items]
+        non_null = [d for d in diffs if d is not None]
+        assert non_null == sorted(non_null), (shard, diffs)
+        # nulls last
+        if None in diffs:
+            assert diffs.index(None) == len(non_null), (shard, diffs)
+
+
+def test_deterministic_shard_rendered_errors(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="numShards"):
+        engine.execute("""
+        select 1 as doc_id as d1;
+        run d1 as DeterministicShard.`` where numShards="0" as out;
+        """)
+    with _pytest.raises(ValueError, match="orderCol"):
+        engine.execute("""
+        select 1 as doc_id as d2;
+        run d2 as DeterministicShard.`` where orderCol="nope" as out;
+        """)

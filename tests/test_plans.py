@@ -184,3 +184,20 @@ def test_bloom_dedup_broadcast_anti_join(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
     # the probe side stays a map stage: no SortMergeJoin against ref
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_deterministic_shard_single_exchange(spark, sf_dir):
+    """Layout = ONE hash-partition exchange on the shard key + a
+    sort-based window; no Python, no global sort (the orderBy(rand())
+    anti-pattern this operator replaces would show a rangepartitioning
+    exchange)."""
+    import __spark_entry__ as em
+    df = em.base_queries()["deterministic_shard"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
