@@ -1,0 +1,96 @@
+"""bench.py's driver-facing output contract (the round-8 failure):
+stdout must be exactly ONE JSON line printed LAST, notes go to stderr,
+exit 2 only on in-window taint; the stderr scan classifies JVM ERROR
+traces against the timed windows."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _log_line(epoch: float) -> str:
+    stamp = time.strftime("%y/%m/%d %H:%M:%S", time.localtime(epoch))
+    return (f"{stamp} ERROR DAGScheduler: Failed to update accumulator "
+            f"0 (PythonAccumulatorV2) for task 3\n")
+
+
+def test_scan_classifies_traces_against_windows(tmp_path, monkeypatch):
+    base = time.mktime(time.strptime("26/01/02 12:00:00",
+                                     "%y/%m/%d %H:%M:%S"))
+    log = tmp_path / "jvm.log"
+    log.write_text(
+        _log_line(base + 5)      # inside [base+3, base+8]
+        + _log_line(base + 100)  # outside every window
+        + "not an error line\n")
+    monkeypatch.setattr(bench, "TIMED_WINDOWS",
+                        [("q1", base + 3, base + 8),
+                         ("q2", base + 20, base + 25)])
+    errors, inside = bench.scan_jvm_stderr(str(log))
+    assert len(errors) == 2
+    assert len(inside) == 1 and "task 3" in inside[0][1]
+    # the ±1 s slack: a trace at window-edge+1s still taints
+    monkeypatch.setattr(bench, "TIMED_WINDOWS", [("q1", base + 6, base + 99)])
+    _, inside2 = bench.scan_jvm_stderr(str(log))
+    assert len(inside2) == 2
+
+
+def test_main_prints_single_json_line_last(tmp_path, monkeypatch, capfd):
+    """Even with stderr notes, stdout is pure JSON and it is the LAST
+    thing printed — the driver merges streams and parses the tail."""
+    payload = {"metric": "headline_queries_total_sec", "value": 1.0,
+               "unit": "sec", "queries": {"q": 1.0}, "sf": 0.1,
+               "floor_ratio": {}, "retimed_fresh_session": []}
+    monkeypatch.setattr(bench, "_run", lambda: dict(payload))
+
+    def fake_scan(path):
+        # an out-of-window teardown note must not break the contract
+        return [(0.0, "26/01/02 12:00:00 ERROR teardown")], []
+    monkeypatch.setattr(bench, "scan_jvm_stderr", fake_scan)
+    bench.main()
+    out, err = capfd.readouterr()
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, out
+    parsed = json.loads(lines[0])
+    assert parsed["tainted_windows"] == 0
+    assert parsed["queries"] == {"q": 1.0}
+    assert "OUTSIDE timed windows" in err
+
+
+def test_main_tainted_exits_2_but_still_emits_json(monkeypatch, capfd):
+    payload = {"metric": "headline_queries_total_sec", "value": 1.0,
+               "unit": "sec", "queries": {}, "sf": 0.1,
+               "floor_ratio": {}, "retimed_fresh_session": []}
+    monkeypatch.setattr(bench, "_run", lambda: dict(payload))
+    monkeypatch.setattr(
+        bench, "scan_jvm_stderr",
+        lambda path: ([(1.0, "e")], [(1.0, "26/01/02 12:00:00 ERROR x")]))
+    import pytest
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 2
+    out, err = capfd.readouterr()
+    parsed = json.loads(out.splitlines()[-1])
+    assert parsed["tainted_windows"] == 1
+    assert "tainted" in err
+
+
+def test_retime_subprocess_parses_best_sec(monkeypatch):
+    class FakeOut:
+        returncode = 0
+        stdout = 'noise\n{"query": "q1", "best_sec": 1.234}\n'
+        stderr = ""
+    import subprocess as sp
+    monkeypatch.setattr(sp, "run", lambda *a, **k: FakeOut())
+    assert bench.retime_in_subprocess("q1") == 1.234
+
+    class BadOut:
+        returncode = 1
+        stdout = ""
+        stderr = "boom"
+    monkeypatch.setattr(sp, "run", lambda *a, **k: BadOut())
+    assert bench.retime_in_subprocess("q1") is None
