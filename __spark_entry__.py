@@ -4164,6 +4164,59 @@ FROM h
 """
 
 
+def _q_deterministic_shard_incr(spark, sf_dir):
+    """Incremental layout (round-9): lay out half the corpus, then
+    append the other half with refTable — the increment keeps the
+    stable hash shard and its positions continue from each shard's
+    max, without reading the already-laid-out rows.  The union is the
+    layout a loader resumes against; the oracle replays both
+    generations."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select * from documents where doc_id % 2 = 0 as dsh_gen1;
+    select * from documents where doc_id % 2 = 1 as dsh_gen2;
+    run dsh_gen1 as DeterministicShard.`` where numShards="16" as dsh_l1;
+    run dsh_gen2 as DeterministicShard.`` where numShards="16"
+        and refTable="dsh_l1" as dsh_l2;
+    select doc_id, shard, shard_pos from dsh_l1
+    union all
+    select doc_id, shard, shard_pos from dsh_l2 as output;
+    """)
+
+
+_DETERMINISTIC_SHARD_INCR_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")}
+           AS hv
+  FROM documents
+),
+g1 AS (
+  SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hv % 16
+                                 ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS shard_pos
+  FROM h WHERE doc_id % 2 = 0
+),
+off AS (
+  SELECT shard, max(shard_pos) + 1 AS o FROM g1 GROUP BY shard
+),
+g2 AS (
+  SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hv % 16
+                                 ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS rnk
+  FROM h WHERE doc_id % 2 = 1
+)
+SELECT doc_id, shard, shard_pos FROM g1
+UNION ALL
+SELECT g2.doc_id, g2.shard,
+       CAST(g2.rnk + coalesce(off.o, 0) AS BIGINT) AS shard_pos
+FROM g2 LEFT JOIN off ON g2.shard = off.shard
+"""
+
+
 def _q_token_budget_sample(spark, sf_dir):
     """TokenBudgetSample: cap each source stratum at a token budget in
     deterministic hash order (annotate mode so the oracle can check
@@ -4681,6 +4734,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": _q_perplexity_bucket,
         "token_budget_sample": _q_token_budget_sample,
         "deterministic_shard": _q_deterministic_shard,
+        "deterministic_shard_incr": _q_deterministic_shard_incr,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -4821,6 +4875,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "deterministic_shard": _DETERMINISTIC_SHARD_ORACLE,
+        "deterministic_shard_incr": _DETERMINISTIC_SHARD_INCR_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

@@ -1086,12 +1086,24 @@ class DeterministicShard(ETAlgorithm):
 
     Re-running over already-sharded input overwrites shard/shard_pos
     (the engine's annotator overwrite convention).
+
+    ``refTable`` (incremental append): the previous layout — the new
+    batch keeps the SAME hash-gate shard assignment (stable by
+    construction) and its positions continue from each shard's current
+    max, so a daily curated increment (e.g. the incremental lake's
+    day-N kept rows) extends the training set without touching, or
+    even reading, the documents already laid out.  One |shards|-row
+    offset aggregate over the previous layout, broadcast back.  The
+    caller is responsible for the increment being disjoint from the
+    reference (that's what the dedup chain upstream guarantees);
+    numShards must match the reference layout's.
     """
 
     def train(self, df, path, params, context=None):
         id_col = params.get("idCol", "doc_id")
         num_shards = get_int(params, "numShards", 64)
         order_col = params.get("orderCol", "")
+        ref_tbl = params.get("refTable", "")
         if num_shards < 1:
             raise ValueError(
                 f"DeterministicShard: numShards must be >= 1, got "
@@ -1110,9 +1122,31 @@ class DeterministicShard(ETAlgorithm):
         keys = ([F.col(order_col).asc_nulls_last()] if order_col else [])
         keys += [F.col("__sh"), F.col(id_col)]
         w = Window.partitionBy("shard").orderBy(*keys)
-        return (base.withColumn("shard_pos",
-                                (F.row_number().over(w) - 1).cast("long"))
-                    .drop("__sh"))
+        out = (base.withColumn("shard_pos",
+                               (F.row_number().over(w) - 1).cast("long"))
+                   .drop("__sh"))
+        if ref_tbl:
+            prev = df.sparkSession.table(ref_tbl)
+            missing = [c for c in ("shard", "shard_pos")
+                       if c not in prev.columns]
+            if missing:
+                raise ValueError(
+                    f"DeterministicShard: refTable {ref_tbl!r} is not a "
+                    f"layout (missing {missing}) — it must be a prior "
+                    f"DeterministicShard output with the same numShards")
+            offsets = (prev.groupBy("shard")
+                       .agg((F.max("shard_pos") + 1).alias("__off")))
+            out = (out.join(F.broadcast(offsets), "shard", "left")
+                   .withColumn("shard_pos",
+                               F.col("shard_pos")
+                               + F.coalesce(F.col("__off"), F.lit(0)))
+                   # the join key moves `shard` to the front — restore
+                   # the no-ref column order (input cols, shard,
+                   # shard_pos) so the two generations union cleanly
+                   .select(*[c for c in df.columns
+                             if c not in ("shard", "shard_pos")],
+                           "shard", "shard_pos"))
+        return out
 
     def explain_params(self):
         return [("idCol", "document id column", "doc_id"),
@@ -1120,5 +1154,8 @@ class DeterministicShard(ETAlgorithm):
                  "is a sane file size)", "64"),
                 ("orderCol", "optional within-shard curriculum order "
                  "column (hash breaks ties)", ""),
+                ("refTable", "previous layout: keep its shard "
+                 "assignment and continue positions from each shard's "
+                 "max (incremental append)", ""),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)",
                  "md5")]

@@ -1059,3 +1059,43 @@ def test_deterministic_shard_rendered_errors(engine):
         select 1 as doc_id as d2;
         run d2 as DeterministicShard.`` where orderCol="nope" as out;
         """)
+
+
+def test_deterministic_shard_incremental_append(engine):
+    """refTable append: the increment keeps the same hash shard, its
+    positions continue from each shard's max, and the union is a
+    contiguous 0..n-1 per shard — identical to what a from-scratch
+    layout of gen1 would produce for gen1 (gen1 rows untouched)."""
+    rows = engine.execute("""
+    select id as doc_id from range(0, 60) as all_docs;
+    select * from all_docs where doc_id < 30 as gen1;
+    select * from all_docs where doc_id >= 30 as gen2;
+    run gen1 as DeterministicShard.`` where numShards="4" as l1;
+    run gen2 as DeterministicShard.`` where numShards="4"
+        and refTable="l1" as l2;
+    select doc_id, shard, shard_pos, 1 as gen from l1
+    union all
+    select doc_id, shard, shard_pos, 2 as gen from l2 as out;
+    """).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["shard_pos"], r["gen"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items))), shard
+        gens = [g for _, g in items]
+        # every gen-1 row precedes every gen-2 row in the shard
+        assert gens == sorted(gens), (shard, gens)
+    # the two generations must share COLUMN ORDER (the offsets join
+    # moves the key first; a positional union would misalign) — caught
+    # by a verify drive, pinned here
+    c1 = engine.execute("select * from l1 as o1;").columns
+    c2 = engine.execute("select * from l2 as o2;").columns
+    assert c1 == c2 == ["doc_id", "shard", "shard_pos"]
+    # refTable must be a layout
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="refTable"):
+        engine.execute("""
+        run gen2 as DeterministicShard.`` where refTable="all_docs" as bad;
+        """)
