@@ -1639,8 +1639,10 @@ def _q_streaming_curated_lake(spark, sf_dir):
     """)
 
 
-_STREAMING_CURATED_LAKE_ORACLE = f"""
-WITH RECURSIVE consts AS ({_mh_oracle_consts()}),
+#: shared CTE chain: curated day0 lake (lake0) + two curated, deduped
+#: ingest days (day1_kept, day2_kept) — the replay both the curated
+#: lake oracle and the layout-ingest oracle build on
+_CURATED_LAKE_CTES = f"""consts AS ({_mh_oracle_consts()}),
 raw0 AS ({_LAKE_DAY0}),
 n0 AS (SELECT doc_id, {_tn_default_expr('text')} AS text FROM raw0),
 {_gopher_kept_ctes('g0_', 'n0')},
@@ -1669,15 +1671,140 @@ b2f AS MATERIALIZED (
   WHERE NOT EXISTS (SELECT 1 FROM lake1 l WHERE l.text = b.text)
 ),
 {_mh_day_ctes('d2_', 'b2f', 'lake1')},
-day2_kept AS (
+day2_kept AS MATERIALIZED (
   SELECT doc_id, text FROM b2f
   WHERE doc_id NOT IN (SELECT doc_id FROM d2_removed)
-)
+)"""
+
+
+_STREAMING_CURATED_LAKE_ORACLE = f"""
+WITH RECURSIVE {_CURATED_LAKE_CTES}
 SELECT doc_id, CAST(0 AS BIGINT) AS commit_version FROM lake0
 UNION ALL
 SELECT doc_id, CAST(1 AS BIGINT) FROM day1_kept
 UNION ALL
 SELECT doc_id, CAST(2 AS BIGINT) FROM day2_kept
+"""
+
+
+def _q_streaming_layout_ingest(spark, sf_dir):
+    """The capstone composition (round-9): the curated streaming lake
+    FEEDING an incremental training-set layout — each micro-batch's
+    kept rows are appended to the layout via DeterministicShard
+    refTable (stable shards, positions continue from each shard's
+    max), so after two ingest days the layout is exactly what a
+    training loader resumes against.  The oracle replays curation +
+    dedup (shared CTEs) AND the per-day layout algebra; a hash match
+    pins every document's final (shard, position) byte-for-byte."""
+    import os
+    import tempfile
+    import time as _time
+    import duckdb
+    root = tempfile.mkdtemp(prefix="spk_slayout_")
+    lake, sigs, inc = f"{root}/lake", f"{root}/sigs", f"{root}/inc"
+    layout = f"{root}/layout"
+    os.makedirs(inc)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    con.execute(f"COPY ({_LAKE_BATCH1}) TO '{inc}/day1.parquet' "
+                f"(FORMAT PARQUET)")
+    con.execute(f"COPY ({_LAKE_BATCH2}) TO '{inc}/day2.parquet' "
+                f"(FORMAT PARQUET)")
+    con.close()
+    now = _time.time()
+    os.utime(f"{inc}/day1.parquet", (now - 2000, now - 2000))
+    os.utime(f"{inc}/day2.parquet", (now - 1000, now - 1000))
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_DAY0} as sli_raw0;
+    run sli_raw0 as TextNormalize.`` as sli_norm0;
+    run sli_norm0 as GopherQualityFilter.`` where {_CURATE_GOPHER}
+        as sli_gq0;
+    select doc_id, text from sli_gq0 as sli_day0;
+    save overwrite sli_day0 as versionedParquet.`{lake}`;
+    run sli_day0 as MinHashSignatures.`` as sli_sigs0;
+    save overwrite sli_sigs0 as parquet.`{sigs}`;
+    run sli_day0 as DeterministicShard.`` where numShards="16"
+        as sli_layout0;
+    select doc_id, shard, shard_pos from sli_layout0 as sli_l0;
+    save overwrite sli_l0 as parquet.`{layout}`;
+    set streamName = "sli_ingest";
+    load streamParquet.`{inc}` options maxFilesPerTrigger="1"
+        as sli_inc;
+    save append sli_inc as custom.`` options
+        checkpointLocation="{root}/ck" and duration="0"
+        and batchScript='''
+        run __batch_df__ as TextNormalize.`` as sli_nb;
+        run sli_nb as GopherQualityFilter.`` where {_CURATE_GOPHER}
+            as sli_gb;
+        select doc_id, text from sli_gb as sli_cb;
+        load versionedParquet.`{lake}` as sli_lake;
+        run sli_cb as BloomFilterDedup.`` where
+            refTable="sli_lake" as sli_fresh;
+        load parquet.`{sigs}` as sli_sigs;
+        run sli_fresh as NearDedup.`` where refTable="sli_lake"
+            and refBandsTable="sli_sigs" and threshold="0.8"
+            as sli_kept;
+        save append sli_kept as versionedParquet.`{lake}`;
+        run sli_kept as MinHashSignatures.`` as sli_new_sigs;
+        save append sli_new_sigs as parquet.`{sigs}`;
+        load parquet.`{layout}` as sli_prev_layout;
+        run sli_kept as DeterministicShard.`` where numShards="16"
+            and refTable="sli_prev_layout" as sli_new_layout;
+        select doc_id, shard, shard_pos from sli_new_layout as sli_nl;
+        save append sli_nl as parquet.`{layout}`;
+        ''';
+    """)
+    q = eng.context.jobs.pop("sli_ingest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return eng.execute(f"""
+    load parquet.`{layout}` as sli_final;
+    select doc_id, shard, shard_pos from sli_final as output;
+    """)
+
+
+def _layout_ctes(p: str, src: str, off: "str | None") -> str:
+    """DuckDB CTEs replaying one DeterministicShard generation over
+    `src` (doc_id, ...): hash-gate shard + hash-order rank, offset by
+    the prior layout's per-shard max (+1) when `off` is given — ends
+    with {p}l(doc_id, shard, shard_pos)."""
+    hv = _PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")
+    rank = (f"SELECT doc_id, CAST(hv % 16 AS INT) AS shard,\n"
+            f"       CAST(row_number() OVER (PARTITION BY hv % 16\n"
+            f"            ORDER BY hv, doc_id) - 1 AS BIGINT) AS rnk\n"
+            f"     FROM (SELECT doc_id, {hv} AS hv FROM {src})")
+    if off is None:
+        return (f"{p}l AS MATERIALIZED (\n"
+                f"  SELECT doc_id, shard, rnk AS shard_pos FROM ({rank})\n"
+                f")")
+    return (f"{p}l AS MATERIALIZED (\n"
+            f"  SELECT q.doc_id, q.shard,\n"
+            f"         CAST(q.rnk + coalesce({off}.o, 0) AS BIGINT)\n"
+            f"           AS shard_pos\n"
+            f"  FROM ({rank}) q LEFT JOIN {off} ON q.shard = {off}.shard\n"
+            f")")
+
+
+_STREAMING_LAYOUT_INGEST_ORACLE = f"""
+WITH RECURSIVE {_CURATED_LAKE_CTES},
+{_layout_ctes('g0', 'lake0', None)},
+off1 AS (SELECT shard, max(shard_pos) + 1 AS o FROM g0l GROUP BY shard),
+{_layout_ctes('g1', 'day1_kept', 'off1')},
+off2 AS (
+  SELECT shard, max(shard_pos) + 1 AS o
+  FROM (SELECT shard, shard_pos FROM g0l
+        UNION ALL SELECT shard, shard_pos FROM g1l)
+  GROUP BY shard
+),
+{_layout_ctes('g2', 'day2_kept', 'off2')}
+SELECT doc_id, shard, shard_pos FROM g0l
+UNION ALL SELECT doc_id, shard, shard_pos FROM g1l
+UNION ALL SELECT doc_id, shard, shard_pos FROM g2l
 """
 
 
@@ -4716,6 +4843,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lake_e2e": _q_incremental_lake,
         "streaming_lake_ingest": _q_streaming_lake_ingest,
         "streaming_curated_lake": _q_streaming_curated_lake,
+        "streaming_layout_ingest": _q_streaming_layout_ingest,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -4858,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         # in exactly the batch chain's commits — same oracle
         "streaming_lake_ingest": _INCREMENTAL_LAKE_ORACLE,
         "streaming_curated_lake": _STREAMING_CURATED_LAKE_ORACLE,
+        "streaming_layout_ingest": _STREAMING_LAYOUT_INGEST_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,
