@@ -1687,6 +1687,19 @@ SELECT doc_id, CAST(2 AS BIGINT) FROM day2_kept
 """
 
 
+#: hv = the shard-gate hash; bv = the layout-bucket hash (% 32, the
+#: layoutBuckets default).  The engine's parallel position walk (rank
+#: within (shard, bucket) + broadcast offset of earlier buckets) is
+#: EXACTLY a per-shard row_number ordered by (bucket, hash, id), which
+#: is how the oracle replays it in one window.
+_SHARD_HASHES = (
+    f"SELECT doc_id, "
+    f"{_PHASH_DUCK.format(payload=chr(39) + 'shard:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+    f" AS hv, "
+    f"{_PHASH_DUCK.format(payload=chr(39) + 'shardpos:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+    f" % 32 AS bv")
+
+
 def _q_streaming_layout_ingest(spark, sf_dir):
     """The capstone composition (round-9): the curated streaming lake
     FEEDING an incremental training-set layout — each micro-batch's
@@ -1773,11 +1786,10 @@ def _layout_ctes(p: str, src: str, off: "str | None") -> str:
     `src` (doc_id, ...): hash-gate shard + hash-order rank, offset by
     the prior layout's per-shard max (+1) when `off` is given — ends
     with {p}l(doc_id, shard, shard_pos)."""
-    hv = _PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")
     rank = (f"SELECT doc_id, CAST(hv % 16 AS INT) AS shard,\n"
             f"       CAST(row_number() OVER (PARTITION BY hv % 16\n"
-            f"            ORDER BY hv, doc_id) - 1 AS BIGINT) AS rnk\n"
-            f"     FROM (SELECT doc_id, {hv} AS hv FROM {src})")
+            f"            ORDER BY bv, hv, doc_id) - 1 AS BIGINT) AS rnk\n"
+            f"     FROM ({_SHARD_HASHES} FROM {src})")
     if off is None:
         return (f"{p}l AS MATERIALIZED (\n"
                 f"  SELECT doc_id, shard, rnk AS shard_pos FROM ({rank})\n"
@@ -4278,14 +4290,11 @@ def _q_deterministic_shard(spark, sf_dir):
 
 _DETERMINISTIC_SHARD_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id,
-         {_PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")}
-           AS hv
-  FROM documents
+  {_SHARD_HASHES} FROM documents
 )
 SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY hv % 16
-                               ORDER BY hv, doc_id) - 1 AS BIGINT)
+                               ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
          AS shard_pos
 FROM h
 """
@@ -4314,15 +4323,12 @@ def _q_deterministic_shard_incr(spark, sf_dir):
 
 _DETERMINISTIC_SHARD_INCR_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id,
-         {_PHASH_DUCK.format(payload="'shard:' || CAST(doc_id AS VARCHAR)")}
-           AS hv
-  FROM documents
+  {_SHARD_HASHES} FROM documents
 ),
 g1 AS (
   SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
          CAST(row_number() OVER (PARTITION BY hv % 16
-                                 ORDER BY hv, doc_id) - 1 AS BIGINT)
+                                 ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
            AS shard_pos
   FROM h WHERE doc_id % 2 = 0
 ),
@@ -4332,7 +4338,7 @@ off AS (
 g2 AS (
   SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
          CAST(row_number() OVER (PARTITION BY hv % 16
-                                 ORDER BY hv, doc_id) - 1 AS BIGINT)
+                                 ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
            AS rnk
   FROM h WHERE doc_id % 2 = 1
 )

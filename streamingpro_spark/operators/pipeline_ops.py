@@ -1076,13 +1076,17 @@ class DeterministicShard(ETAlgorithm):
     Write with ``save sharded as parquet.`...` partitionBy shard`` and
     the layout is done.
 
-    100 TB: ONE shuffle keyed by shard; within-shard rank is a
-    sort-based window (spills, never materializes the shard in
-    memory), each shard is corpus/numShards rows — size numShards so a
-    shard is a sane file size (10k shards over 100 TB = 10 GB each).
-    No Python, no driver state, no global sort (the classic layout
-    mistake: orderBy(rand()) is a whole-corpus range sort AND
-    non-reproducible).
+    100 TB: ONE corpus shuffle keyed by (shard, layout bucket);
+    within-shard position = rank within the (shard, bucket) window
+    plus a broadcast per-bucket offset (the TokenBudgetSample walk),
+    so NO single task ever sorts a whole shard — parallelism is
+    numShards x layoutBuckets regardless of shard size.  Within-shard
+    order is (bucket, hash, id): still a deterministic unbiased
+    shuffle of the corpus.  The `orderCol` curriculum path needs a
+    total order per shard, so it keeps the one-window-per-shard shape
+    (size numShards accordingly there).  No Python, no driver state,
+    no global sort (the classic layout mistake: orderBy(rand()) is a
+    whole-corpus range sort AND non-reproducible).
 
     Re-running over already-sharded input overwrites shard/shard_pos
     (the engine's annotator overwrite convention).
@@ -1112,19 +1116,59 @@ class DeterministicShard(ETAlgorithm):
             raise ValueError(
                 f"DeterministicShard: orderCol {order_col!r} not in "
                 f"input columns {df.columns}")
-        h = portable_hash64(F.col(id_col).cast("string"), "shard",
-                            hash_impl(params))
+        impl = hash_impl(params)
+        h = portable_hash64(F.col(id_col).cast("string"), "shard", impl)
+        in_cols = [c for c in df.columns if c not in ("shard",
+                                                      "shard_pos")]
         base = (df.drop("shard", "shard_pos")
                   .withColumn("__sh", h)
                   .withColumn("shard",
                               F.pmod(F.col("__sh"), F.lit(num_shards))
                                .cast("int")))
-        keys = ([F.col(order_col).asc_nulls_last()] if order_col else [])
-        keys += [F.col("__sh"), F.col(id_col)]
-        w = Window.partitionBy("shard").orderBy(*keys)
-        out = (base.withColumn("shard_pos",
-                               (F.row_number().over(w) - 1).cast("long"))
+        if order_col:
+            # curriculum needs a TOTAL order per shard → one window
+            # per shard (size numShards for this path)
+            w = Window.partitionBy("shard").orderBy(
+                F.col(order_col).asc_nulls_last(), F.col("__sh"),
+                F.col(id_col))
+            out = (base.withColumn(
+                       "shard_pos",
+                       (F.row_number().over(w) - 1).cast("long"))
                    .drop("__sh"))
+        else:
+            # parallel position walk (the TokenBudgetSample shape): a
+            # second hash buckets each shard into layoutBuckets
+            # streams; rank within (shard, bucket) + a broadcast
+            # offset of the earlier buckets = the within-shard
+            # position.  No task ever sorts a whole shard.
+            n_bkts = get_int(params, "layoutBuckets", 32)
+            if n_bkts < 1:
+                raise ValueError(
+                    f"DeterministicShard: layoutBuckets must be >= 1, "
+                    f"got {n_bkts}")
+            bv = F.pmod(portable_hash64(F.col(id_col).cast("string"),
+                                        "shardpos", impl),
+                        F.lit(n_bkts))
+            base = base.withColumn("__bv", bv)
+            w = Window.partitionBy("shard", "__bv").orderBy(
+                F.col("__sh"), F.col(id_col))
+            ranked = base.withColumn(
+                "__r", (F.row_number().over(w) - 1).cast("long"))
+            counts = base.groupBy("shard", "__bv").agg(
+                F.count(F.lit(1)).alias("__bc"))
+            offw = (Window.partitionBy("shard").orderBy("__bv")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+            offsets = (counts
+                       .withColumn("__boff",
+                                   F.coalesce(F.sum("__bc").over(offw),
+                                              F.lit(0)))
+                       .drop("__bc"))
+            out = (ranked.join(F.broadcast(offsets), ["shard", "__bv"],
+                               "left")
+                   .withColumn("shard_pos",
+                               (F.col("__r") + F.col("__boff"))
+                                .cast("long"))
+                   .select(*in_cols, "shard", "shard_pos"))
         if ref_tbl:
             prev = df.sparkSession.table(ref_tbl)
             missing = [c for c in ("shard", "shard_pos")
@@ -1153,7 +1197,10 @@ class DeterministicShard(ETAlgorithm):
                 ("numShards", "shard count (size so corpus/numShards "
                  "is a sane file size)", "64"),
                 ("orderCol", "optional within-shard curriculum order "
-                 "column (hash breaks ties)", ""),
+                 "column (hash breaks ties); uses one window per "
+                 "shard", ""),
+                ("layoutBuckets", "parallel position streams per "
+                 "shard (hash-order path; no whole-shard sort)", "32"),
                 ("refTable", "previous layout: keep its shard "
                  "assignment and continue positions from each shard's "
                  "max (incremental append)", ""),

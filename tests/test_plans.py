@@ -186,18 +186,28 @@ def test_bloom_dedup_broadcast_anti_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_deterministic_shard_single_exchange(spark, sf_dir):
-    """Layout = ONE hash-partition exchange on the shard key + a
-    sort-based window; no Python, no global sort (the orderBy(rand())
-    anti-pattern this operator replaces would show a rangepartitioning
-    exchange)."""
+def test_deterministic_shard_parallel_walk_plan(spark, sf_dir):
+    """Layout = hash-partition exchanges only (ONE corpus-sized, on
+    (shard, bucket); the bucket-offset side aggregates to
+    |shards|x|buckets| rows and is broadcast back); no Python, and no
+    global sort — the orderBy(rand()) anti-pattern this operator
+    replaces would show a rangepartitioning exchange, and a naive
+    per-shard rank would put the whole corpus through a
+    partitionBy(shard)-only window (one task per shard at 100 TB)."""
+    import re
     import __spark_entry__ as em
     df = em.base_queries()["deterministic_shard"](spark, sf_dir)
     je = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    import re
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
-    assert "hashpartitioning" in plan, plan
     assert "rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every exchange is a hash partition or the broadcast back
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_ex <= 3 and n_bc == 1, plan
+    # the corpus window is keyed by (shard, bucket), never shard alone
+    win = [ln for ln in plan.splitlines()
+           if "row_number()" in ln and "windowspecdefinition" in ln]
+    assert win and all("__bv" in ln for ln in win), win
