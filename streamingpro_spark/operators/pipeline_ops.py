@@ -1171,15 +1171,28 @@ class DeterministicShard(ETAlgorithm):
                    .select(*in_cols, "shard", "shard_pos"))
         if ref_tbl:
             prev = df.sparkSession.table(ref_tbl)
-            missing = [c for c in ("shard", "shard_pos")
-                       if c not in prev.columns]
-            if missing:
+            if "shard" in prev.columns and "next_pos" in prev.columns:
+                # manifest form — the O(|shards|) at-scale path: a
+                # per-shard (shard, next_pos) table maintained by the
+                # caller (examples/15's manifest aggregate), so a
+                # daily append never re-scans the full layout history
+                offsets = prev.select(
+                    "shard", F.col("next_pos").cast("long")
+                              .alias("__off"))
+            elif "shard" in prev.columns and "shard_pos" in prev.columns:
+                # full-layout form: aggregate the per-shard max — a
+                # column-pruned scan of two int columns over the
+                # history (fine for daily lakes; hand a manifest for
+                # truly huge layouts)
+                offsets = (prev.groupBy("shard")
+                           .agg((F.max("shard_pos") + 1).alias("__off")))
+            else:
                 raise ValueError(
-                    f"DeterministicShard: refTable {ref_tbl!r} is not a "
-                    f"layout (missing {missing}) — it must be a prior "
-                    f"DeterministicShard output with the same numShards")
-            offsets = (prev.groupBy("shard")
-                       .agg((F.max("shard_pos") + 1).alias("__off")))
+                    f"DeterministicShard: refTable {ref_tbl!r} is "
+                    f"neither a layout (shard, shard_pos) nor a "
+                    f"manifest (shard, next_pos) — it must be a prior "
+                    f"DeterministicShard output, or its per-shard "
+                    f"manifest, with the same numShards")
             out = (out.join(F.broadcast(offsets), "shard", "left")
                    .withColumn("shard_pos",
                                F.col("shard_pos")
@@ -1201,8 +1214,9 @@ class DeterministicShard(ETAlgorithm):
                  "shard", ""),
                 ("layoutBuckets", "parallel position streams per "
                  "shard (hash-order path; no whole-shard sort)", "32"),
-                ("refTable", "previous layout: keep its shard "
-                 "assignment and continue positions from each shard's "
-                 "max (incremental append)", ""),
+                ("refTable", "previous layout (shard, shard_pos) or "
+                 "per-shard manifest (shard, next_pos): keep the "
+                 "shard assignment and continue positions "
+                 "(incremental append)", ""),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)",
                  "md5")]

@@ -1099,3 +1099,28 @@ def test_deterministic_shard_incremental_append(engine):
         engine.execute("""
         run gen2 as DeterministicShard.`` where refTable="all_docs" as bad;
         """)
+
+
+def test_deterministic_shard_manifest_ref_equivalent(engine):
+    """The manifest form of refTable (shard, next_pos — the O(|shards|)
+    at-scale path) must yield the same append layout as handing the
+    full previous layout."""
+    engine.execute("""
+    select id as doc_id from range(0, 50) as md;
+    select * from md where doc_id < 25 as mg1;
+    select * from md where doc_id >= 25 as mg2;
+    run mg1 as DeterministicShard.`` where numShards="4" as ml1;
+    select shard, max(shard_pos) + 1 as next_pos from ml1
+    group by shard as ml1_manifest;
+    """)
+    via_layout = engine.execute("""
+    run mg2 as DeterministicShard.`` where numShards="4"
+        and refTable="ml1" as a;
+    """).collect()
+    via_manifest = engine.execute("""
+    run mg2 as DeterministicShard.`` where numShards="4"
+        and refTable="ml1_manifest" as b;
+    """).collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["shard_pos"])
+                            for r in rs)
+    assert key(via_layout) == key(via_manifest)
