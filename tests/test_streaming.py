@@ -912,3 +912,85 @@ def test_streaming_lake_replay_after_checkpoint_loss(engine, tmp_path):
     hist2, rows2 = lake_state()
     assert hist2 == hist1, "replayed batch must not add a commit"
     assert rows2 == rows1, "replayed batch must not duplicate rows"
+
+
+def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
+    """The layout parquet append inside the batchScript is NOT keyed —
+    its replay-idempotence comes from the chain: a replayed micro-batch
+    re-dedups against the lake that already contains it, so kept = none
+    and the layout (and sigs) appends are empty.  Crash-replay the real
+    query (delete the checkpoint's last commit marker, restart) and
+    assert the layout is byte-identical."""
+    import os
+    import time as _t
+    import pandas as pd
+    lake = str(tmp_path / "lyr_lake")
+    layout = str(tmp_path / "lyr_layout")
+    ck = str(tmp_path / "lyr_ck")
+    inc = tmp_path / "lyr_inc"
+    inc.mkdir()
+    pd.DataFrame({"doc_id": [10, 11],
+                  "text": ["alpha beta gamma", "delta epsilon zeta"]}
+                 ).to_parquet(inc / "d1.parquet")
+    pd.DataFrame({"doc_id": [20, 21],
+                  "text": ["eta theta iota", "kappa lambda mu"]}
+                 ).to_parquet(inc / "d2.parquet")
+    now = _t.time()
+    os.utime(inc / "d1.parquet", (now - 2000, now - 2000))
+    os.utime(inc / "d2.parquet", (now - 1000, now - 1000))
+    engine.execute(f"""
+    select cast(doc_id as bigint) as doc_id, text
+    from (values (1, 'nu xi omicron')) v(doc_id, text) as lyr_day0;
+    save overwrite lyr_day0 as versionedParquet.`{lake}`;
+    run lyr_day0 as DeterministicShard.`` where numShards="4" as lyr_l0;
+    select doc_id, shard, shard_pos from lyr_l0 as lyr_l0s;
+    save overwrite lyr_l0s as parquet.`{layout}`;
+    """)
+    script = f"""
+    set streamName = "lyr_ingest";
+    load streamParquet.`{inc}` options maxFilesPerTrigger="1" as lyr_in;
+    save append lyr_in as custom.`` options
+        checkpointLocation="{ck}" and duration="0"
+        and batchScript='''
+        load versionedParquet.`{lake}` as lyr_lake;
+        run __batch_df__ as BloomFilterDedup.`` where
+            refTable="lyr_lake" as lyr_kept;
+        save append lyr_kept as versionedParquet.`{lake}`;
+        load parquet.`{layout}` as lyr_prev;
+        run lyr_kept as DeterministicShard.`` where numShards="4"
+            and refTable="lyr_prev" as lyr_new;
+        select doc_id, shard, shard_pos from lyr_new as lyr_news;
+        save append lyr_news as parquet.`{layout}`;
+        ''';
+    """
+
+    def run_stream():
+        engine.execute(script)
+        q = engine.context.jobs.pop("lyr_ingest")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+            while any(aq.name == "lyr_ingest"
+                      for aq in engine.spark.streams.active):
+                _t.sleep(0.2)
+
+    def layout_state():
+        return sorted(
+            (r["doc_id"], r["shard"], r["shard_pos"])
+            for r in engine.execute(
+                f"load parquet.`{layout}` as l; select * from l as out;"
+            ).collect())
+
+    run_stream()
+    state1 = layout_state()
+    assert len(state1) == 5  # day0 + both increments
+    commits = sorted(f for f in os.listdir(os.path.join(ck, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_stream()
+    assert layout_state() == state1, "replayed batch must not re-append"
