@@ -1089,7 +1089,10 @@ class DeterministicShard(ETAlgorithm):
     whole-corpus range sort AND non-reproducible).
 
     Re-running over already-sharded input overwrites shard/shard_pos
-    (the engine's annotator overwrite convention).
+    (the engine's annotator overwrite convention).  A NULL id has no
+    hash, hence no deterministic placement: the row passes through
+    with shard = shard_pos = NULL (visible, never silently dropped) —
+    same convention as TokenBudgetSample's NULL-id exclusion.
 
     ``refTable`` (incremental append): the previous layout — the new
     batch keeps the SAME hash-gate shard assignment (stable by

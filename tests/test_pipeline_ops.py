@@ -1124,3 +1124,23 @@ def test_deterministic_shard_manifest_ref_equivalent(engine):
     key = lambda rs: sorted((r["doc_id"], r["shard"], r["shard_pos"])
                             for r in rs)
     assert key(via_layout) == key(via_manifest)
+
+
+def test_deterministic_shard_null_id_passthrough(engine):
+    """A NULL id has no hash, hence no deterministic placement: the row
+    passes through with shard = shard_pos = NULL, never silently
+    dropped, and non-null rows keep contiguous positions."""
+    rows = engine.execute("""
+    select * from (values (1), (2), (cast(null as int)), (4)) v(doc_id) as d;
+    run d as DeterministicShard.`` where numShards="2" as out;
+    """).collect()
+    assert len(rows) == 4
+    null_rows = [r for r in rows if r["doc_id"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["shard"] is None and null_rows[0]["shard_pos"] is None
+    by_shard = {}
+    for r in rows:
+        if r["doc_id"] is not None:
+            by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
