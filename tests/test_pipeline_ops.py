@@ -1144,3 +1144,34 @@ def test_deterministic_shard_null_id_passthrough(engine):
             by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_deterministic_shard_curriculum_with_ref_append(engine):
+    """orderCol and refTable compose: the appended generation is
+    curriculum-ordered WITHIN itself and positioned after the previous
+    generation's rows in each shard."""
+    rows = engine.execute("""
+    select id as doc_id, cast(id % 7 as double) as difficulty
+    from range(0, 40) as cd;
+    select * from cd where doc_id < 20 as cg1;
+    select * from cd where doc_id >= 20 as cg2;
+    run cg1 as DeterministicShard.`` where numShards="2"
+        and orderCol="difficulty" as cl1;
+    run cg2 as DeterministicShard.`` where numShards="2"
+        and orderCol="difficulty" and refTable="cl1" as cl2;
+    select doc_id, shard, shard_pos, difficulty, 2 as gen from cl2
+    union all
+    select doc_id, shard, shard_pos, difficulty, 1 as gen from cl1 as out;
+    """).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["shard_pos"], r["gen"], r["difficulty"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _, _ in items] == list(range(len(items)))
+        gens = [g for _, g, _ in items]
+        assert gens == sorted(gens)          # gen1 block precedes gen2
+        for g in (1, 2):
+            diffs = [d for _, gg, d in items if gg == g]
+            assert diffs == sorted(diffs), (shard, g, diffs)
