@@ -471,17 +471,29 @@ class SequencePack(ETAlgorithm):
             # that into the engine's standard rendered error + remedy
             # BEFORE the packing job is launched.
             max_rows = get_int(params, "maxBucketRows", 5_000_000)
+            # the guard's count and the pack job share ONE input scan:
+            # base is tiny per row (id, bucket, n_tokens) and
+            # script-lifetime cached, so the pre-check is not a second
+            # full pass over the corpus text
+            base = script_cache(base, context, "seqpack_greedy_base")
             top = (base.groupBy("bucket").count()
                    .orderBy(F.desc("count")).limit(1).collect())
             if top and top[0]["count"] > max_rows:
+                import math as _math
+                # hash spread is near-even but not exact: size the
+                # remedy from the observed WORST bucket with ~20%
+                # headroom so the suggested count doesn't trip the
+                # guard again on the next skewed bucket
+                suggest = _math.ceil(
+                    top[0]["count"] * num_buckets * 1.2 / max_rows)
                 raise ValueError(
                     f"SequencePack greedy mode materializes each bucket "
                     f"as one in-memory pandas frame, and bucket "
                     f"{top[0]['bucket']} has {top[0]['count']:,} docs > "
                     f"maxBucketRows={max_rows:,} — this would risk an "
-                    f"executor OOM.  Remedies: raise numBuckets (docs "
-                    f"hash-spread evenly, so ~{top[0]['count']}/"
-                    f"{max_rows} x numBuckets buckets suffice), switch "
+                    f"executor OOM.  Remedies: raise numBuckets to "
+                    f"~{suggest} (worst observed bucket x 1.2 hash-skew "
+                    f"headroom), switch "
                     f'to mode="chunk" (the windowed 100 TB path, no '
                     f"per-bucket materialization), or raise "
                     f"maxBucketRows if the executors have headroom.")
@@ -1083,8 +1095,13 @@ class DeterministicShard(ETAlgorithm):
     numShards x layoutBuckets regardless of shard size.  Within-shard
     order is (bucket, hash, id): still a deterministic unbiased
     shuffle of the corpus.  The `orderCol` curriculum path needs a
-    total order per shard, so it keeps the one-window-per-shard shape
-    (size numShards accordingly there).  No Python, no driver state,
+    total order per shard: curriculumMode="exact" (default) keeps the
+    one-window-per-shard shape (size numShards accordingly);
+    curriculumMode="bucketed" range-buckets orderCol by quantile VALUE
+    thresholds — a monotone assignment, so positions are provably
+    identical to exact mode (approximation affects only bucket
+    balance) while parallelism returns to numShards x layoutBuckets,
+    at the cost of one approxQuantile pass.  No Python, no driver state,
     no global sort (the classic layout mistake: orderBy(rand()) is a
     whole-corpus range sort AND non-reproducible).
 
@@ -1129,15 +1146,102 @@ class DeterministicShard(ETAlgorithm):
                               F.pmod(F.col("__sh"), F.lit(num_shards))
                                .cast("int")))
         if order_col:
-            # curriculum needs a TOTAL order per shard → one window
-            # per shard (size numShards for this path)
-            w = Window.partitionBy("shard").orderBy(
-                F.col(order_col).asc_nulls_last(), F.col("__sh"),
-                F.col(id_col))
-            out = (base.withColumn(
-                       "shard_pos",
-                       (F.row_number().over(w) - 1).cast("long"))
-                   .drop("__sh"))
+            # a NULL id has no hash gate, so the layout convention
+            # (shard = shard_pos = NULL, visible pass-through) must be
+            # applied EXPLICITLY here: unlike the hash path — where the
+            # null join key propagates NULL all the way to shard_pos —
+            # row_number() would happily assign the NULL-shard window
+            # partition positions ordered only by orderCol (round-10
+            # advisor finding: nondeterministic on orderCol ties)
+            null_mask = F.col(id_col).isNull()
+            cmode = params.get("curriculumMode", "exact")
+            if cmode == "exact":
+                # curriculum needs a TOTAL order per shard → one window
+                # per shard (size numShards for this path)
+                w = Window.partitionBy("shard").orderBy(
+                    F.col(order_col).asc_nulls_last(), F.col("__sh"),
+                    F.col(id_col))
+                out = (base.withColumn(
+                           "shard_pos",
+                           F.when(null_mask,
+                                  F.lit(None).cast("long"))
+                            .otherwise((F.row_number().over(w) - 1)
+                                       .cast("long")))
+                       .drop("__sh"))
+            elif cmode == "bucketed":
+                # the scale path: range-bucket orderCol by value
+                # thresholds (approx quantiles → balance), rank within
+                # (shard, qbucket), add broadcast offsets of earlier
+                # buckets — numShards x layoutBuckets parallel windows
+                # instead of one per shard.  Bucket assignment is a
+                # MONOTONE function of the orderCol VALUE, so the
+                # composed order (qbucket, orderCol, hash, id) equals
+                # exact mode's (orderCol, hash, id) total order: the
+                # positions are IDENTICAL to exact mode for ANY
+                # boundary choice (pytest parity gate) — quantile
+                # approximation only affects bucket balance, never the
+                # layout, so the operator's byte-reproducibility
+                # promise survives approxQuantile's merge-order
+                # sensitivity.
+                dt = df.schema[order_col].dataType.simpleString()
+                if dt not in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double", "decimal") \
+                        and not dt.startswith("decimal"):
+                    raise ValueError(
+                        f'DeterministicShard: curriculumMode="bucketed"'
+                        f" needs a numeric orderCol for quantile "
+                        f"bucketing; {order_col!r} is {dt} — use "
+                        f'curriculumMode="exact"')
+                n_bkts = get_int(params, "layoutBuckets", 32)
+                if n_bkts < 1:
+                    raise ValueError(
+                        f"DeterministicShard: layoutBuckets must be "
+                        f">= 1, got {n_bkts}")
+                probs = [i / n_bkts for i in range(1, n_bkts)]
+                bnds = sorted(set(
+                    df.where(F.col(order_col).isNotNull())
+                      .select(F.col(order_col).cast("double")
+                              .alias("__oc"))
+                      .stat.approxQuantile("__oc", probs, 0.001))) \
+                    if probs else []
+                barr = F.array(*[F.lit(float(b)) for b in bnds]) \
+                    if bnds else F.array().cast("array<double>")
+                oc = F.col(order_col).cast("double")
+                # NULLs sort last in exact mode; the top bucket holds
+                # both above-last-boundary values and NULLs — the
+                # within-bucket asc_nulls_last order keeps them last
+                qb = F.when(F.col(order_col).isNull(),
+                            F.lit(len(bnds))).otherwise(
+                    F.size(F.filter(barr, lambda b: b <= oc)))
+                base = base.withColumn("__qb", qb)
+                w = Window.partitionBy("shard", "__qb").orderBy(
+                    F.col(order_col).asc_nulls_last(), F.col("__sh"),
+                    F.col(id_col))
+                ranked = base.withColumn(
+                    "__r", (F.row_number().over(w) - 1).cast("long"))
+                counts = base.groupBy("shard", "__qb").agg(
+                    F.count(F.lit(1)).alias("__bc"))
+                offw = (Window.partitionBy("shard").orderBy("__qb")
+                        .rowsBetween(Window.unboundedPreceding, -1))
+                offsets = (counts
+                           .withColumn("__boff",
+                                       F.coalesce(
+                                           F.sum("__bc").over(offw),
+                                           F.lit(0)))
+                           .drop("__bc"))
+                out = (ranked.join(F.broadcast(offsets),
+                                   ["shard", "__qb"], "left")
+                       .withColumn("shard_pos",
+                                   F.when(null_mask,
+                                          F.lit(None).cast("long"))
+                                    .otherwise((F.col("__r")
+                                                + F.col("__boff"))
+                                               .cast("long")))
+                       .select(*in_cols, "shard", "shard_pos"))
+            else:
+                raise ValueError(
+                    f"DeterministicShard: unknown curriculumMode "
+                    f'{cmode!r}; use "exact" or "bucketed"')
         else:
             # parallel position walk (the TokenBudgetSample shape): a
             # second hash buckets each shard into layoutBuckets
@@ -1196,6 +1300,33 @@ class DeterministicShard(ETAlgorithm):
                     f"manifest (shard, next_pos) — it must be a prior "
                     f"DeterministicShard output, or its per-shard "
                     f"manifest, with the same numShards")
+            # numShards-mismatch guard (round-10 advisor finding): a
+            # reference built with a DIFFERENT numShards used to
+            # coalesce silently to offset 0 for the missing shards and
+            # produce positions colliding with the existing layout.
+            # The |shards|-row aggregate comes to the driver anyway for
+            # this check, so reuse it as a LITERAL local relation — the
+            # broadcast join then costs no recompute of the history
+            # scan.  limit(numShards+1) bounds the collect: if it
+            # fills, the reference provably has more distinct shards
+            # than numShards and the rendered error below fires.
+            off_rows = offsets.limit(num_shards + 1).collect()
+            bad = [r for r in off_rows if r["shard"] is not None
+                   and not (0 <= r["shard"] < num_shards)]
+            if len(off_rows) > num_shards or bad:
+                seen = (f"shard id {bad[0]['shard']}" if bad else
+                        f"> {num_shards} distinct shards")
+                raise ValueError(
+                    f"DeterministicShard: refTable {ref_tbl!r} was "
+                    f"built with a different numShards (it has {seen}, "
+                    f"this run uses numShards={num_shards}) — appending "
+                    f"would assign positions that collide with the "
+                    f"existing layout.  Pass the numShards the "
+                    f"reference layout was built with.")
+            offsets = df.sparkSession.createDataFrame(
+                [(int(r["shard"]), int(r["__off"])) for r in off_rows
+                 if r["shard"] is not None and r["__off"] is not None],
+                "shard int, __off long")
             out = (out.join(F.broadcast(offsets), "shard", "left")
                    .withColumn("shard_pos",
                                F.col("shard_pos")
@@ -1213,8 +1344,11 @@ class DeterministicShard(ETAlgorithm):
                 ("numShards", "shard count (size so corpus/numShards "
                  "is a sane file size)", "64"),
                 ("orderCol", "optional within-shard curriculum order "
-                 "column (hash breaks ties); uses one window per "
-                 "shard", ""),
+                 "column (hash breaks ties)", ""),
+                ("curriculumMode", "exact (one window per shard) | "
+                 "bucketed (quantile range-buckets restore numShards x "
+                 "layoutBuckets parallelism; positions identical to "
+                 "exact for any boundary choice)", "exact"),
                 ("layoutBuckets", "parallel position streams per "
                  "shard (hash-order path; no whole-shard sort)", "32"),
                 ("refTable", "previous layout (shard, shard_pos) or "

@@ -1146,6 +1146,111 @@ def test_deterministic_shard_null_id_passthrough(engine):
         assert sorted(poss) == list(range(len(poss)))
 
 
+def test_deterministic_shard_null_id_order_col(engine):
+    """The NULL-id convention (shard = shard_pos = NULL) must hold on
+    the orderCol path too: row_number over the NULL-shard window used
+    to assign such rows real positions ordered only by orderCol
+    (advisor finding, round 10) — in BOTH curriculum modes."""
+    for mode in ("exact", "bucketed"):
+        rows = engine.execute(f"""
+        select * from (values
+          (1, 2.0), (2, 1.0), (cast(null as int), 0.5),
+          (cast(null as int), 0.5), (4, 3.0)) v(doc_id, difficulty) as d;
+        run d as DeterministicShard.`` where numShards="2"
+            and orderCol="difficulty" and curriculumMode="{mode}" as out;
+        """).collect()
+        assert len(rows) == 5, mode
+        null_rows = [r for r in rows if r["doc_id"] is None]
+        assert len(null_rows) == 2, mode
+        for r in null_rows:
+            assert r["shard"] is None and r["shard_pos"] is None, mode
+        by_shard = {}
+        for r in rows:
+            if r["doc_id"] is not None:
+                by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss))), mode
+
+
+def test_deterministic_shard_bucketed_curriculum_parity(engine):
+    """curriculumMode="bucketed" (quantile range-buckets, numShards x
+    layoutBuckets parallel windows) must yield POSITIONS IDENTICAL to
+    exact mode: bucket assignment is a monotone function of the
+    orderCol value, so (qbucket, orderCol, hash, id) is the same total
+    order as (orderCol, hash, id) regardless of boundary choice.
+    Includes ties, negative values, and NULL orderCol rows (which sort
+    last in both modes)."""
+    engine.execute("""
+    select id as doc_id,
+           case when id % 11 = 0 then cast(null as double)
+                else cast((id * 37) % 13 - 6 as double) end as difficulty
+    from range(0, 300) as bd;
+    """)
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["shard_pos"])
+                            for r in rs)
+    exact = engine.execute("""
+    run bd as DeterministicShard.`` where numShards="4"
+        and orderCol="difficulty" as be;
+    """).collect()
+    for n_bkts in ("1", "4", "32"):
+        bucketed = engine.execute(f"""
+        run bd as DeterministicShard.`` where numShards="4"
+            and orderCol="difficulty" and curriculumMode="bucketed"
+            and layoutBuckets="{n_bkts}" as bb;
+        """).collect()
+        assert key(exact) == key(bucketed), n_bkts
+    # rendered errors: non-numeric orderCol, unknown mode
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="numeric orderCol"):
+        engine.execute("""
+        select 1 as doc_id, 'a' as tag as sd;
+        run sd as DeterministicShard.`` where orderCol="tag"
+            and curriculumMode="bucketed" as out;
+        """)
+    with _pytest.raises(ValueError, match="curriculumMode"):
+        engine.execute("""
+        run bd as DeterministicShard.`` where orderCol="difficulty"
+            and curriculumMode="nope" as out;
+        """)
+
+
+def test_deterministic_shard_ref_num_shards_mismatch(engine):
+    """A reference layout built with a DIFFERENT numShards must be a
+    rendered error, not a silent position collision: shards absent from
+    the reference used to coalesce to offset 0 (advisor finding,
+    round 10).  Both refTable forms (layout and manifest) are checked."""
+    import pytest as _pytest
+    engine.execute("""
+    select id as doc_id from range(0, 80) as nm;
+    select * from nm where doc_id < 40 as nm1;
+    select * from nm where doc_id >= 40 as nm2;
+    run nm1 as DeterministicShard.`` where numShards="8" as nml8;
+    select shard, max(shard_pos) + 1 as next_pos from nml8
+    group by shard as nml8_manifest;
+    """)
+    for ref in ("nml8", "nml8_manifest"):
+        with _pytest.raises(ValueError, match="different numShards"):
+            engine.execute(f"""
+            run nm2 as DeterministicShard.`` where numShards="4"
+                and refTable="{ref}" as bad;
+            """)
+    # the matching numShards still works, and the literal-offsets
+    # rebuild yields the same layout as before the guard
+    rows = engine.execute("""
+    run nm2 as DeterministicShard.`` where numShards="8"
+        and refTable="nml8" as ok;
+    select doc_id, shard, shard_pos, 1 as gen from nml8
+    union all
+    select doc_id, shard, shard_pos, 2 as gen from ok as out;
+    """).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["shard_pos"], r["gen"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items))), shard
+
+
 def test_deterministic_shard_curriculum_with_ref_append(engine):
     """orderCol and refTable compose: the appended generation is
     curriculum-ordered WITHIN itself and positioned after the previous

@@ -211,3 +211,33 @@ def test_deterministic_shard_parallel_walk_plan(spark, sf_dir):
     win = [ln for ln in plan.splitlines()
            if "row_number()" in ln and "windowspecdefinition" in ln]
     assert win and all("__bv" in ln for ln in win), win
+
+
+def test_deterministic_shard_bucketed_curriculum_plan(spark, sf_dir):
+    """curriculumMode="bucketed" must keep the parallel-walk plan shape
+    on the ORDERED path too: hash exchanges only (no rangepartitioning
+    — the global-sort anti-pattern), one broadcast for the bucket
+    offsets, no Python, and the rank window keyed by (shard, __qb),
+    never shard alone (exact mode's one-task-per-shard shape is the
+    documented trade-off this mode removes)."""
+    import re
+    from streamingpro_spark.engine import Engine
+    eng = Engine(spark)
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as dsb_docs;
+    run dsb_docs as QualityScore.`` as dsb_scored;
+    run dsb_scored as DeterministicShard.`` where numShards="8"
+        and orderCol="quality_score" and curriculumMode="bucketed"
+        and layoutBuckets="8" as out;
+    """)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_bc == 1, plan
+    win = [ln for ln in plan.splitlines()
+           if "row_number()" in ln and "windowspecdefinition" in ln]
+    assert win and all("__qb" in ln for ln in win), win
