@@ -1462,7 +1462,7 @@ def _q_streaming_lake_ingest(spark, sf_dir):
     {_LAKE_DAY0} as slake_day0;
     save overwrite slake_day0 as versionedParquet.`{lake}`;
     run slake_day0 as MinHashSignatures.`` as slake_sigs0;
-    save overwrite slake_sigs0 as parquet.`{sigs}`;
+    save overwrite slake_sigs0 as versionedParquet.`{sigs}`;
     set streamName = "slake_ingest";
     load streamParquet.`{inc}` options maxFilesPerTrigger="1"
         as slake_inc;
@@ -1472,13 +1472,21 @@ def _q_streaming_lake_ingest(spark, sf_dir):
         load versionedParquet.`{lake}` as cur_lake;
         run __batch_df__ as BloomFilterDedup.`` where
             refTable="cur_lake" as fresh_batch;
-        load parquet.`{sigs}` as cur_sigs;
+        load versionedParquet.`{sigs}` as cur_sigs;
         run fresh_batch as NearDedup.`` where refTable="cur_lake"
             and refBandsTable="cur_sigs" and threshold="0.8"
             as kept_batch;
         save append kept_batch as versionedParquet.`{lake}`;
-        run kept_batch as MinHashSignatures.`` as new_sigs;
-        save append new_sigs as parquet.`{sigs}`;
+        -- derived store is computed from the COMMITTED batch delta,
+        -- not the in-flight batch, and written through the same
+        -- (txnId, batchId) key: a crash between the lake append and
+        -- this append is healed by the replay (the replayed batch
+        -- dedups to empty, but the committed delta is still there),
+        -- and a full replay skips both saves (round-10)
+        load versionedParquet.`{lake}` options commitOfBatch="true"
+            as lake_delta;
+        run lake_delta as MinHashSignatures.`` as new_sigs;
+        save append new_sigs as versionedParquet.`{sigs}`;
         ''';
     """)
     q = eng.context.jobs.pop("slake_ingest")
@@ -1603,7 +1611,7 @@ def _q_streaming_curated_lake(spark, sf_dir):
     select doc_id, text from scl_gq0 as scl_day0;
     save overwrite scl_day0 as versionedParquet.`{lake}`;
     run scl_day0 as MinHashSignatures.`` as scl_sigs0;
-    save overwrite scl_sigs0 as parquet.`{sigs}`;
+    save overwrite scl_sigs0 as versionedParquet.`{sigs}`;
     set streamName = "scl_ingest";
     load streamParquet.`{inc}` options maxFilesPerTrigger="1"
         as scl_inc;
@@ -1617,13 +1625,18 @@ def _q_streaming_curated_lake(spark, sf_dir):
         load versionedParquet.`{lake}` as scl_lake;
         run scl_cb as BloomFilterDedup.`` where
             refTable="scl_lake" as scl_fresh;
-        load parquet.`{sigs}` as scl_sigs;
+        load versionedParquet.`{sigs}` as scl_sigs;
         run scl_fresh as NearDedup.`` where refTable="scl_lake"
             and refBandsTable="scl_sigs" and threshold="0.8"
             as scl_kept;
         save append scl_kept as versionedParquet.`{lake}`;
-        run scl_kept as MinHashSignatures.`` as scl_new_sigs;
-        save append scl_new_sigs as parquet.`{sigs}`;
+        -- signature refresh from the COMMITTED delta under the same
+        -- (txnId, batchId) key: crash-healed and replay-skipped with
+        -- the lake append (round-10)
+        load versionedParquet.`{lake}` options commitOfBatch="true"
+            as scl_delta;
+        run scl_delta as MinHashSignatures.`` as scl_new_sigs;
+        save append scl_new_sigs as versionedParquet.`{sigs}`;
         ''';
     """)
     q = eng.context.jobs.pop("scl_ingest")
@@ -1708,7 +1721,16 @@ def _q_streaming_layout_ingest(spark, sf_dir):
     max), so after two ingest days the layout is exactly what a
     training loader resumes against.  The oracle replays curation +
     dedup (shared CTEs) AND the per-day layout algebra; a hash match
-    pins every document's final (shard, position) byte-for-byte."""
+    pins every document's final (shard, position) byte-for-byte.
+
+    Exactly-once across ALL THREE stores (round-10): the signature and
+    layout appends are derived from the lake commit read back under
+    this batch's (txnId, batchId) key (commitOfBatch) and written
+    through versionedParquet under the same key — a crash between the
+    lake append and a derived append is healed on replay (the
+    committed delta is re-read and the missing append lands), and a
+    full replay skips all three saves.  Pinned by
+    tests/test_streaming.py::test_batch_script_derived_store_crash_heal."""
     import os
     import tempfile
     import time as _time
@@ -1738,11 +1760,11 @@ def _q_streaming_layout_ingest(spark, sf_dir):
     select doc_id, text from sli_gq0 as sli_day0;
     save overwrite sli_day0 as versionedParquet.`{lake}`;
     run sli_day0 as MinHashSignatures.`` as sli_sigs0;
-    save overwrite sli_sigs0 as parquet.`{sigs}`;
+    save overwrite sli_sigs0 as versionedParquet.`{sigs}`;
     run sli_day0 as DeterministicShard.`` where numShards="16"
         as sli_layout0;
     select doc_id, shard, shard_pos from sli_layout0 as sli_l0;
-    save overwrite sli_l0 as parquet.`{layout}`;
+    save overwrite sli_l0 as versionedParquet.`{layout}`;
     set streamName = "sli_ingest";
     load streamParquet.`{inc}` options maxFilesPerTrigger="1"
         as sli_inc;
@@ -1756,18 +1778,29 @@ def _q_streaming_layout_ingest(spark, sf_dir):
         load versionedParquet.`{lake}` as sli_lake;
         run sli_cb as BloomFilterDedup.`` where
             refTable="sli_lake" as sli_fresh;
-        load parquet.`{sigs}` as sli_sigs;
+        load versionedParquet.`{sigs}` as sli_sigs;
         run sli_fresh as NearDedup.`` where refTable="sli_lake"
             and refBandsTable="sli_sigs" and threshold="0.8"
             as sli_kept;
         save append sli_kept as versionedParquet.`{lake}`;
-        run sli_kept as MinHashSignatures.`` as sli_new_sigs;
-        save append sli_new_sigs as parquet.`{sigs}`;
-        load parquet.`{layout}` as sli_prev_layout;
-        run sli_kept as DeterministicShard.`` where numShards="16"
+        -- BOTH derived stores (signatures, layout) are computed from
+        -- the COMMITTED batch delta — not the in-flight sli_kept — and
+        -- written through versionedParquet under the same
+        -- (txnId, batchId) key.  A crash between the lake append and
+        -- either derived append used to strand lake rows with no
+        -- (shard, shard_pos) forever (the replayed batch re-dedups to
+        -- empty); reading the commit back makes the replay re-derive
+        -- and append exactly the missing rows, while a full replay
+        -- skips all three saves (round-10 advisor finding).
+        load versionedParquet.`{lake}` options commitOfBatch="true"
+            as sli_delta;
+        run sli_delta as MinHashSignatures.`` as sli_new_sigs;
+        save append sli_new_sigs as versionedParquet.`{sigs}`;
+        load versionedParquet.`{layout}` as sli_prev_layout;
+        run sli_delta as DeterministicShard.`` where numShards="16"
             and refTable="sli_prev_layout" as sli_new_layout;
         select doc_id, shard, shard_pos from sli_new_layout as sli_nl;
-        save append sli_nl as parquet.`{layout}`;
+        save append sli_nl as versionedParquet.`{layout}`;
         ''';
     """)
     q = eng.context.jobs.pop("sli_ingest")
@@ -1776,7 +1809,7 @@ def _q_streaming_layout_ingest(spark, sf_dir):
     finally:
         q.stop()
     return eng.execute(f"""
-    load parquet.`{layout}` as sli_final;
+    load versionedParquet.`{layout}` as sli_final;
     select doc_id, shard, shard_pos from sli_final as output;
     """)
 

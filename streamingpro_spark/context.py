@@ -12,6 +12,7 @@ tech/mlsql/dsl/adaptor/DslAdaptor.scala:69-116 (withPathPrefix).
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
@@ -52,6 +53,14 @@ class ExecutionContext:
     #: result render chain — fn(ctx, df) -> df, applied to the script's
     #: final table (reference RestController.scala ResultRenderManager)
     render_hooks: list[Any] = field(default_factory=list)
+    #: per-THREAD execution state (exec_depth, vp_txn_writes): a REST
+    #: session's concurrent requests, or any caller driving execute()
+    #: from two threads on one shared context, must not race each
+    #: other's nesting counter or versionedParquet write-set — an
+    #: unsynchronized read-modify-write could make a replayed batch see
+    #: depth > 0, skip the write-set clear, and hit the double-write
+    #: error instead of the replay-skip path (round-10 advisor finding)
+    tls: Any = field(default_factory=threading.local, repr=False)
 
     # ---- path semantics (SURVEY.md §1) ----
     def resource_real_path(self, path: str) -> str:

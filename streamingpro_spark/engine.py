@@ -123,9 +123,13 @@ class Engine:
         # double-write error).  Depth-gated (round-9): a NESTED
         # execute() sharing this context (RunScript, IteratorCommand, a
         # sub-script mid-batchScript) must not clear the outer batch's
-        # write-set and silently disarm the guard for later saves
-        if not self.context.extra.get("exec_depth", 0):
-            self.context.extra.pop("vp_txn_writes", None)
+        # write-set and silently disarm the guard for later saves.
+        # Both depth and write-set live in context.tls (round-10): they
+        # are PER-THREAD nesting state, so two threads driving one
+        # shared context can never race the counter
+        tls = self.context.tls
+        if not getattr(tls, "exec_depth", 0):
+            tls.vp_txn_writes = set()
         table_auth = self.context.extra.get("table_auth")
         if table_auth is not None:
             from streamingpro_spark.analyzer import analyze
@@ -146,8 +150,7 @@ class Engine:
                     f"{self.context.owner!r}: "
                     f"{[t['table'] for t in tables['inputs']]} -> "
                     f"{[t['table'] for t in tables['outputs']]}")
-        self.context.extra["exec_depth"] = \
-            self.context.extra.get("exec_depth", 0) + 1
+        tls.exec_depth = getattr(tls, "exec_depth", 0) + 1
         try:
             stmts = P.split_statements(script)
             for i, raw in enumerate(stmts):
@@ -161,8 +164,7 @@ class Engine:
             if self.context.branch_stack:
                 raise ValueError("!if without matching !fi at end of script")
         finally:
-            self.context.extra["exec_depth"] = \
-                self.context.extra.get("exec_depth", 1) - 1
+            tls.exec_depth = getattr(tls, "exec_depth", 1) - 1
             # script-lifetime caches auto-unpersist at script end
             # (reference CleanCacheListener on job end)
             for key in [k for k, v in self.context.cached_tables.items()

@@ -278,7 +278,13 @@ def save(ctx: "ExecutionContext", df: "DataFrame", path: str, mode: str,
                 # direct API calls and the native streaming sink keep
                 # pure replay-skip semantics (their replays reuse the
                 # same context).
-                written = ctx.extra.setdefault("vp_txn_writes", set())
+                # per-THREAD (context.tls): the write-set tracks nesting
+                # within ONE thread's batchScript execution — sharing it
+                # across threads would let a concurrent execute() race
+                # the guard (round-10)
+                written = getattr(ctx.tls, "vp_txn_writes", None)
+                if written is None:
+                    written = ctx.tls.vp_txn_writes = set()
                 wkey = (real, txn_id, batch_id)
                 if wkey in written:
                     raise ValueError(
@@ -410,7 +416,39 @@ def load(ctx: "ExecutionContext", path: str,
     # lakes whose append commits evolved the schema)
     reader_opts = {k: v for k, v in options.items()
                    if k not in ("versionAsOf", "history",
-                                "startingVersion", "endingVersion")}
+                                "startingVersion", "endingVersion",
+                                "commitOfBatch")}
+    if options.get("commitOfBatch", "").lower() == "true":
+        # the rows THIS micro-batch's (txnId, batchId) key committed to
+        # the lake — whether the commit happened seconds ago in this
+        # batchScript run or in a PREVIOUS run of the same batch that
+        # crashed before its downstream writes (round-10: lets every
+        # derived store — signatures, layout — be computed from the
+        # committed delta instead of the in-flight batch, closing the
+        # non-atomic window between a lake append and its dependents;
+        # the delta-lake analogue is reading one commit of the change
+        # feed).  Only meaningful inside a batchScript, where the
+        # engine stamps the txn key into env.
+        txn = ctx.env.get("__stream_txn__")
+        bid = ctx.env.get("__batch_id__")
+        if txn is None or bid is None:
+            raise ValueError(
+                'versionedParquet: commitOfBatch="true" reads the '
+                "current micro-batch's own commit, so it only works "
+                "inside a streaming batchScript (where __batch_id__ "
+                "and the checkpoint txn are set) — use versionAsOf / "
+                "startingVersion for ad-hoc reads")
+        match = [c for c in commits if c.get("txnId") == txn
+                 and c.get("batchId") == int(bid)]
+        if match:
+            return spark.read.options(**reader_opts).parquet(
+                real.rstrip("/") + f"/v={match[-1]['version']}")
+        # no commit under this key (the batch hasn't saved yet, or the
+        # lake save itself crashed): an EMPTY slice of the lake schema,
+        # so downstream derivations are no-ops, not errors
+        return (spark.read.options(**reader_opts)
+                .parquet(real.rstrip("/") + f"/v={latest}")
+                .where(F.lit(False)))
     if "startingVersion" in options or "endingVersion" in options:
         # per-commit range read with the version stamped on each row
         # (reference MLSQLDelta.scala `__delta_version__` union)

@@ -1040,12 +1040,48 @@ def test_nested_execute_keeps_double_save_guard_armed(engine):
     guard (round-9)."""
     ctx = engine.context
     marker = {("lake", "txn", 7)}
-    # simulate being inside an outer execute
-    ctx.extra["exec_depth"] = 1
-    ctx.extra["vp_txn_writes"] = set(marker)
+    # simulate being inside an outer execute (state is per-thread:
+    # context.tls, round-10)
+    ctx.tls.exec_depth = 1
+    ctx.tls.vp_txn_writes = set(marker)
     engine.execute("select 1 as a as nested_t;")
-    assert ctx.extra["vp_txn_writes"] == marker
+    assert ctx.tls.vp_txn_writes == marker
     # back at top level: a fresh execute clears it
-    ctx.extra["exec_depth"] = 0
+    ctx.tls.exec_depth = 0
     engine.execute("select 1 as a as nested_t;")
-    assert "vp_txn_writes" not in ctx.extra
+    assert ctx.tls.vp_txn_writes == set()
+
+
+def test_exec_depth_is_per_thread(engine):
+    """Two threads driving execute() on ONE shared context must not
+    race the nesting counter: a cross-thread read-modify-write could
+    make a top-level execute see depth > 0, skip the write-set clear,
+    and later hit the double-write error instead of the replay-skip
+    path (round-10 advisor finding).  Each thread's executes must see a
+    clean write-set regardless of the other thread's nesting."""
+    import threading
+    ctx = engine.context
+    errs = []
+    seen_dirty = []
+
+    def worker():
+        try:
+            for _ in range(25):
+                ctx.tls.vp_txn_writes = {("lake", "txn", 1)}
+                engine.execute("select 1 as a as tls_t;")
+                # a TOP-LEVEL execute on this thread must have cleared
+                # THIS thread's write-set, whatever the other thread does
+                if getattr(ctx.tls, "vp_txn_writes", None):
+                    seen_dirty.append(True)
+                if getattr(ctx.tls, "exec_depth", 0) != 0:
+                    seen_dirty.append("depth")
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert not seen_dirty, seen_dirty

@@ -915,12 +915,15 @@ def test_streaming_lake_replay_after_checkpoint_loss(engine, tmp_path):
 
 
 def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
-    """The layout parquet append inside the batchScript is NOT keyed —
-    its replay-idempotence comes from the chain: a replayed micro-batch
-    re-dedups against the lake that already contains it, so kept = none
-    and the layout (and sigs) appends are empty.  Crash-replay the real
-    query (delete the checkpoint's last commit marker, restart) and
-    assert the layout is byte-identical."""
+    """Round-10 transactional layout chain under a checkpoint-loss
+    replay: the layout is derived from the lake commit read back under
+    this batch's (txnId, batchId) key (commitOfBatch) and appended
+    through versionedParquet under the SAME key, so a replayed
+    micro-batch skips both the lake and the layout append — the layout
+    is byte-identical after crash-replaying the real query (delete the
+    checkpoint's last commit marker, restart).  The partial-failure
+    window (crash BETWEEN the two appends) is covered separately by
+    test_batch_script_derived_store_crash_heal."""
     import os
     import time as _t
     import pandas as pd
@@ -944,7 +947,7 @@ def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
     save overwrite lyr_day0 as versionedParquet.`{lake}`;
     run lyr_day0 as DeterministicShard.`` where numShards="4" as lyr_l0;
     select doc_id, shard, shard_pos from lyr_l0 as lyr_l0s;
-    save overwrite lyr_l0s as parquet.`{layout}`;
+    save overwrite lyr_l0s as versionedParquet.`{layout}`;
     """)
     script = f"""
     set streamName = "lyr_ingest";
@@ -956,11 +959,13 @@ def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
         run __batch_df__ as BloomFilterDedup.`` where
             refTable="lyr_lake" as lyr_kept;
         save append lyr_kept as versionedParquet.`{lake}`;
-        load parquet.`{layout}` as lyr_prev;
-        run lyr_kept as DeterministicShard.`` where numShards="4"
+        load versionedParquet.`{lake}` options commitOfBatch="true"
+            as lyr_delta;
+        load versionedParquet.`{layout}` as lyr_prev;
+        run lyr_delta as DeterministicShard.`` where numShards="4"
             and refTable="lyr_prev" as lyr_new;
         select doc_id, shard, shard_pos from lyr_new as lyr_news;
-        save append lyr_news as parquet.`{layout}`;
+        save append lyr_news as versionedParquet.`{layout}`;
         ''';
     """
 
@@ -980,7 +985,8 @@ def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
         return sorted(
             (r["doc_id"], r["shard"], r["shard_pos"])
             for r in engine.execute(
-                f"load parquet.`{layout}` as l; select * from l as out;"
+                f"load versionedParquet.`{layout}` as l; "
+                f"select * from l as out;"
             ).collect())
 
     run_stream()
@@ -994,3 +1000,127 @@ def test_streaming_layout_replay_keeps_layout_stable(engine, tmp_path):
         os.remove(crc)
     run_stream()
     assert layout_state() == state1, "replayed batch must not re-append"
+
+
+def test_batch_script_derived_store_crash_heal(engine, tmp_path):
+    """The partial-failure window the round-10 advisor flagged: a crash
+    AFTER the lake append but BEFORE the derived layout append used to
+    strand the batch's rows in the lake with no (shard, shard_pos)
+    forever — the replayed batch re-dedups to empty, so the plain
+    parquet append had nothing to write.  With the layout derived from
+    commitOfBatch (the lake commit under this batch's (txnId, batchId)
+    key) and appended through versionedParquet under the same key, the
+    replay re-reads the COMMITTED delta and lands exactly the missing
+    append; a second full replay then skips everything.  Simulated at
+    the batchScript level: the engine stamps the same env keys the
+    streaming sink sets per micro-batch."""
+    from streamingpro_spark.sources import versioned as vp
+    lake = str(tmp_path / "heal_lake")
+    layout = str(tmp_path / "heal_layout")
+    engine.execute(f"""
+    select cast(doc_id as bigint) as doc_id, text
+    from (values (1, 'base row one'), (2, 'base row two'))
+      v(doc_id, text) as hl_day0;
+    save overwrite hl_day0 as versionedParquet.`{lake}`;
+    run hl_day0 as DeterministicShard.`` where numShards="4" as hl_l0;
+    select doc_id, shard, shard_pos from hl_l0 as hl_l0s;
+    save overwrite hl_l0s as versionedParquet.`{layout}`;
+    """)
+    batch_stmts = [
+        f'load versionedParquet.`{lake}` as hl_lake;',
+        ('select cast(doc_id as bigint) as doc_id, text from (values '
+         "(10, 'incoming alpha'), (11, 'incoming beta')) "
+         'v(doc_id, text) as hl_batch;'),
+        'run hl_batch as BloomFilterDedup.`` where refTable="hl_lake" '
+        'as hl_kept;',
+        f'save append hl_kept as versionedParquet.`{lake}`;',
+        # ---- the crash point: everything below may never run ----
+        f'load versionedParquet.`{lake}` options commitOfBatch="true" '
+        f'as hl_delta;',
+        f'load versionedParquet.`{layout}` as hl_prev;',
+        'run hl_delta as DeterministicShard.`` where numShards="4" '
+        'and refTable="hl_prev" as hl_new;',
+        'select doc_id, shard, shard_pos from hl_new as hl_news;',
+        f'save append hl_news as versionedParquet.`{layout}`;',
+    ]
+    env = engine.context.env
+    env["__batch_id__"] = "0"
+    env["__stream_txn__"] = "heal-ck"
+    try:
+        # run 1 "crashes" right after the lake append
+        engine.execute("\n".join(batch_stmts[:4]))
+        lake_commits_1 = [(c["version"], c.get("batchId"))
+                          for c in vp.read_commits(lake)]
+        assert lake_commits_1 == [(0, None), (1, 0)]
+        stranded = engine.execute(
+            f"load versionedParquet.`{lake}` as l; "
+            f"load versionedParquet.`{layout}` as y; "
+            f"select l.doc_id from l left join y on l.doc_id = y.doc_id "
+            f"where y.doc_id is null as out;").collect()
+        assert sorted(r["doc_id"] for r in stranded) == [10, 11]
+
+        def layout_state():
+            return sorted(
+                (r["doc_id"], r["shard"], r["shard_pos"])
+                for r in engine.execute(
+                    f"load versionedParquet.`{layout}` as y2; "
+                    f"select * from y2 as out;").collect())
+
+        # run 2: the REPLAY executes the full batchScript — lake save
+        # skips, the committed delta is re-read, the layout heals
+        engine.execute("\n".join(batch_stmts))
+        healed = layout_state()
+        assert sorted(d for d, _, _ in healed) == [1, 2, 10, 11]
+        assert [(c["version"], c.get("batchId"))
+                for c in vp.read_commits(lake)] == lake_commits_1
+        # positions contiguous per shard across both generations
+        by_shard = {}
+        for d, s, p in healed:
+            by_shard.setdefault(s, []).append(p)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+        # run 3: a full second replay is a no-op on every store
+        engine.execute("\n".join(batch_stmts))
+        assert layout_state() == healed
+        assert [(c["version"], c.get("batchId"))
+                for c in vp.read_commits(layout)][-1][1] == 0
+    finally:
+        env.pop("__batch_id__", None)
+        env.pop("__stream_txn__", None)
+
+
+def test_commit_of_batch_load_contract(engine, tmp_path):
+    """commitOfBatch reads exactly the current (txnId, batchId) commit:
+    an empty lake-schema slice when no such commit exists, and a
+    rendered error outside a batchScript (no batch env)."""
+    import pytest as _pytest
+    lake = str(tmp_path / "cob_lake")
+    engine.execute(f"""
+    select cast(1 as bigint) as doc_id, 'zero' as text as cob0;
+    save overwrite cob0 as versionedParquet.`{lake}`;
+    """)
+    with _pytest.raises(ValueError, match="batchScript"):
+        engine.execute(f'load versionedParquet.`{lake}` options '
+                       f'commitOfBatch="true" as bad;')
+    env = engine.context.env
+    env["__batch_id__"] = "7"
+    env["__stream_txn__"] = "cob-ck"
+    try:
+        empty = engine.execute(
+            f'load versionedParquet.`{lake}` options '
+            f'commitOfBatch="true" as cob_none; '
+            f'select * from cob_none as out;')
+        assert empty.count() == 0
+        assert set(empty.columns) == {"doc_id", "text"}
+        engine.execute(f"""
+        select cast(2 as bigint) as doc_id, 'batch seven' as text as cob7;
+        save append cob7 as versionedParquet.`{lake}`;
+        """)
+        rows = engine.execute(
+            f'load versionedParquet.`{lake}` options '
+            f'commitOfBatch="true" as cob_mine; '
+            f'select * from cob_mine as out;').collect()
+        assert [(r["doc_id"], r["text"]) for r in rows] == [(2, "batch seven")]
+    finally:
+        env.pop("__batch_id__", None)
+        env.pop("__stream_txn__", None)
