@@ -761,8 +761,35 @@ def save_sink(ctx: "ExecutionContext", stmt: "SaveStmt") -> None:
     # a rewrite changes the footer schema (cache keyed (path, merge))
     _NANOS_CACHE.pop((path, False), None)
     _NANOS_CACHE.pop((path, True), None)
-    if "fileNum" in options:  # SaveAdaptor.scala:109-111
+    if "repartitionBy" in options:
+        # column-keyed repartition (optionally with fileNum as the
+        # partition count): co-locates each key's rows in one task, the
+        # prerequisite for per-file ordering guarantees below
+        rcols = [s.strip() for s in options["repartitionBy"].split(",")
+                 if s.strip()]
+        if not rcols:
+            raise ValueError('repartitionBy needs "col[,col...]"')
+        if "fileNum" in options:
+            df = df.repartition(int(options["fileNum"]), *rcols)
+        else:
+            df = df.repartition(*rcols)
+    elif "fileNum" in options:  # SaveAdaptor.scala:109-111
         df = df.repartition(int(options["fileNum"]))
+    if "sortWithinPartitions" in options:
+        # per-TASK sort before the write — no global shuffle, no range
+        # exchange.  Spark only supports sortBy on the bucketBy managed-
+        # table path (it needs the catalog to record the sort); for
+        # plain path saves this is the way to get position-ORDERED
+        # files: repartitionBy="shard" + sortWithinPartitions=
+        # "shard_pos" makes every written file monotone in shard_pos,
+        # so a sequential training loader needs no sort (round-10;
+        # examples/15).
+        scols = [s.strip()
+                 for s in options["sortWithinPartitions"].split(",")
+                 if s.strip()]
+        if not scols:
+            raise ValueError('sortWithinPartitions needs "col[,col...]"')
+        df = df.sortWithinPartitions(*scols)
     if fmt == "console":
         df.show(int(options.get("numRows", "20")), truncate=False)
         return

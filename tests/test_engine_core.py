@@ -159,6 +159,48 @@ def test_save_and_reload(engine, tmp_path):
     assert engine.execute("select a from out as final;").collect()[0]["a"] == 1
 
 
+def test_save_sort_within_partitions_orders_shard_files(engine, tmp_path):
+    """repartitionBy + sortWithinPartitions on a path save gives
+    position-ORDERED shard files (round-10): each shard's rows land in
+    one task, sorted by shard_pos before the write, so reading a shard
+    file RAW (pyarrow, no sort) yields monotone positions — the layout
+    a sequential training loader consumes with no shuffle and no
+    per-file sort.  `sortBy` can't do this: Spark restricts it to the
+    bucketBy managed-table path."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+    out = str(tmp_path / "layout_shards")
+    engine.execute(f"""
+    select id as doc_id, concat('doc ', id) as text
+    from range(0, 400) as lo_docs;
+    run lo_docs as DeterministicShard.`` where numShards="4" as lo_sharded;
+    save overwrite lo_sharded as parquet.`{out}`
+        options repartitionBy="shard" and sortWithinPartitions="shard_pos"
+        partitionBy shard;
+    """)
+    files = _glob.glob(f"{out}/shard=*/part-*.parquet")
+    assert files, out
+    seen_shards = set()
+    for f in files:
+        poss = pq.read_table(f, columns=["shard_pos"])["shard_pos"] \
+            .to_pylist()
+        assert poss == sorted(poss), f
+        seen_shards.add(f.split("shard=")[1].split("/")[0])
+    assert seen_shards == {"0", "1", "2", "3"}
+    # one task per shard -> one file per shard dir (plus the ordering
+    # above, this makes each shard a single sequential read)
+    for sh in seen_shards:
+        assert len(_glob.glob(f"{out}/shard={sh}/part-*.parquet")) == 1
+    # rendered errors for empty column lists
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="repartitionBy"):
+        engine.execute(f'save overwrite lo_sharded as parquet.`{out}2` '
+                       f'options repartitionBy="";')
+    with _pytest.raises(ValueError, match="sortWithinPartitions"):
+        engine.execute(f'save overwrite lo_sharded as parquet.`{out}3` '
+                       f'options sortWithinPartitions=" ";')
+
+
 def test_include_script_variable(engine):
     df = engine.execute("""
     set helper = '''select 7 as v as base;''';
