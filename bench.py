@@ -40,6 +40,22 @@ FLOOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # escalate to a fresh session when best-of-4 exceeds this multiple of the
 # committed standalone floor (the round-4 minhash artifact was 2.0x)
 ESCALATE_RATIO = 1.3
+# ...AND by this much wall-clock (round-10 policy): ratios alone
+# over-escalate sub-second queries — on a loaded host a fixed ~0.15s of
+# scheduling overhead put round-9's running_total at 1.42x its 0.36s
+# floor with nothing wrong, burning a subprocess retime and red ink.  A
+# real regression on a 3-10s query trips both conditions; a fixed
+# overhead on a sub-second one trips neither.
+ESCALATE_MIN_DELTA_SEC = 0.25
+ESCALATE_MIN_DELTA_FRAC = 0.05
+
+
+def needs_escalation(elapsed: float, floor: float) -> bool:
+    """Escalation policy: ratio > ESCALATE_RATIO AND absolute delta >
+    max(ESCALATE_MIN_DELTA_SEC, ESCALATE_MIN_DELTA_FRAC x floor)."""
+    return (elapsed > ESCALATE_RATIO * floor
+            and (elapsed - floor) > max(ESCALATE_MIN_DELTA_SEC,
+                                        ESCALATE_MIN_DELTA_FRAC * floor))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -298,7 +314,7 @@ def _run() -> dict:
     # land inside a timed window even with many escalations under load
     floors = load_floors()
     outliers = [n for n in HEADLINE
-                if n in floors and timings[n] > ESCALATE_RATIO * floors[n]]
+                if n in floors and needs_escalation(timings[n], floors[n])]
     retimed = []
     for name in outliers:
         fresh = retime_in_subprocess(name)

@@ -79,6 +79,22 @@ def test_main_tainted_exits_2_but_still_emits_json(monkeypatch, capfd):
     assert "tainted" in err
 
 
+def test_escalation_needs_ratio_and_absolute_slack():
+    """Round-10 policy: a sub-second query at 1.4x floor on pure fixed
+    overhead (r9: running_total 0.51s vs 0.359s floor) must NOT
+    escalate; a real 1.4x regression on a multi-second query must."""
+    # the round-9 false positive: ratio 1.42 but delta only 0.15s
+    assert not bench.needs_escalation(0.51, 0.359)
+    # ratio under the bound never escalates, whatever the delta
+    assert not bench.needs_escalation(12.0, 10.0)
+    # a genuine regression: both conditions trip
+    assert bench.needs_escalation(4.2, 3.0)
+    # large floors scale the slack: 1.31x on a 10s query is +3.1s
+    assert bench.needs_escalation(13.1, 10.0)
+    # just over ratio but within the absolute slack floor
+    assert not bench.needs_escalation(0.40, 0.30)
+
+
 def test_retime_subprocess_parses_best_sec(monkeypatch):
     class FakeOut:
         returncode = 0
