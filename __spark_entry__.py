@@ -596,6 +596,41 @@ def _q_ivf_index_topk(spark, sf_dir):
     """)
 
 
+#: per-query EXACT top-5 neighbor csv, replayed entirely in DuckDB
+#: (same cosine/tie-break algebra the hash-matched embedding_topk
+#: oracle pins) — the cross-engine exact side both recall contracts
+#: (ivf_pq_topk, lsh_similarity) anchor to (round-10): a correlated
+#: bug in the engine's cosine math now fails the value hash instead of
+#: passing both sides of a Spark-vs-Spark recall
+_EXACT_TOP5_CSV = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y*y)))) AS u
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.u, c.u), 4) AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id,
+       string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank)
+         AS exact_top5
+FROM ranked WHERE rank <= 5 GROUP BY query_id
+"""
+
+
 #: IVF-PQ build params shared by the benched search and the recall
 #: contract — one source of truth for the index layout AND its cache
 #: fingerprint, so the two can't drift
@@ -662,7 +697,11 @@ def _q_ivf_pq_topk_contract(spark, sf_dir):
     cached-index path itself, so a stale or corrupt cache artifact
     fails the hash gate instead of silently serving wrong neighbors.
     bench.py times base_queries()['ivf_pq_topk'] (search-only shape) —
-    this wrap exists only in queries(), outside the floor path."""
+    this wrap exists only in queries(), outside the floor path.
+
+    Round-10: the per-query EXACT top-5 csv rides along and is
+    recomputed by the oracle in DuckDB list arithmetic, so the recall
+    flag's exact side is cross-engine, not Spark-vs-Spark."""
     eng = _engine(spark)
     _q_ivf_pq_topk(spark, sf_dir)  # registers `output` (hits) + `embeddings`
     return eng.execute("""
@@ -674,19 +713,27 @@ def _q_ivf_pq_topk_contract(spark, sf_dir):
     from pqt_exact e left join pqt_hits h
       on h.query_id = e.query_id and h.neighbor_id = e.neighbor_id
     group by e.query_id as pqt_per_query;
+    select query_id,
+           array_join(transform(array_sort(collect_list(
+               struct(rank, neighbor_id))),
+               s -> cast(s.neighbor_id as string)), ',') as exact_top5
+    from pqt_exact group by query_id as pqt_exact_sets;
     select c.query_id as query_id, c.n_hits as n_hits,
+           s.exact_top5 as exact_top5,
            (p.recall >= 0.6) as recall_ok
     from (select query_id, count(*) as n_hits
           from pqt_hits group by query_id) c
-    join pqt_per_query p on c.query_id = p.query_id as output;
+    join pqt_per_query p on c.query_id = p.query_id
+    join pqt_exact_sets s on c.query_id = s.query_id as output;
     """)
 
 
-_IVF_PQ_TOPK_ORACLE = """
-SELECT vec_id AS query_id,
+_IVF_PQ_TOPK_ORACLE = f"""
+SELECT query_id,
        CAST(5 AS BIGINT) AS n_hits,
+       exact_top5,
        TRUE AS recall_ok
-FROM embeddings WHERE vec_id < 20
+FROM ({_EXACT_TOP5_CSV})
 """
 
 
@@ -1850,6 +1897,124 @@ off2 AS (
 SELECT doc_id, shard, shard_pos FROM g0l
 UNION ALL SELECT doc_id, shard, shard_pos FROM g1l
 UNION ALL SELECT doc_id, shard, shard_pos FROM g2l
+"""
+
+
+#: per-process day-1 lake state for the benched day-2 ingest —
+#: keyed by sf_dir; the ANN-index pattern (build-once / measure-many):
+#: the first call pays the setup, so best-of-N bench samples time the
+#: DAY-2 INCREMENT alone, which is the product claim (day cost tracks
+#: the increment, not the history)
+_LAKE_DAY_STATE: dict = {}
+
+
+def _lake_day_state(spark, sf_dir):
+    """Build (once per process per sf_dir) the curated day-1 lake the
+    benched day-2 ingest runs against: day-0 seed + day-1 increment,
+    each through TextNormalize -> Gopher -> Bloom -> NearDedup, with
+    the signature store and the DeterministicShard layout maintained
+    per day — exactly the state examples/15's pipeline leaves behind
+    after one ingest day."""
+    import tempfile
+    if sf_dir in _LAKE_DAY_STATE:
+        return _LAKE_DAY_STATE[sf_dir]
+    root = tempfile.mkdtemp(prefix="spk_dayingest_")
+    lake, sigs, layout = f"{root}/lake", f"{root}/sigs", f"{root}/layout"
+    eng = _engine(spark)
+    eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_DAY0} as ldi_raw0;
+    run ldi_raw0 as TextNormalize.`` as ldi_n0;
+    run ldi_n0 as GopherQualityFilter.`` where {_CURATE_GOPHER} as ldi_g0;
+    select doc_id, text from ldi_g0 as ldi_day0;
+    save overwrite ldi_day0 as versionedParquet.`{lake}`;
+    run ldi_day0 as MinHashSignatures.`` as ldi_sigs0;
+    save overwrite ldi_sigs0 as parquet.`{sigs}`;
+    run ldi_day0 as DeterministicShard.`` where numShards="16" as ldi_l0;
+    select doc_id, shard, shard_pos from ldi_l0 as ldi_l0s;
+    save overwrite ldi_l0s as parquet.`{layout}`;
+
+    {_LAKE_BATCH1} as ldi_b1;
+    run ldi_b1 as TextNormalize.`` as ldi_n1;
+    run ldi_n1 as GopherQualityFilter.`` where {_CURATE_GOPHER} as ldi_g1;
+    select doc_id, text from ldi_g1 as ldi_c1;
+    load versionedParquet.`{lake}` as ldi_hist0;
+    run ldi_c1 as BloomFilterDedup.`` where refTable="ldi_hist0"
+        as ldi_f1;
+    load parquet.`{sigs}` as ldi_s0;
+    run ldi_f1 as NearDedup.`` where refTable="ldi_hist0"
+        and refBandsTable="ldi_s0" and threshold="0.8" as ldi_k1;
+    save append ldi_k1 as versionedParquet.`{lake}`;
+    run ldi_k1 as MinHashSignatures.`` as ldi_sigs1;
+    save append ldi_sigs1 as parquet.`{sigs}`;
+    load parquet.`{layout}` as ldi_prev0;
+    run ldi_k1 as DeterministicShard.`` where numShards="16"
+        and refTable="ldi_prev0" as ldi_l1;
+    select doc_id, shard, shard_pos from ldi_l1 as ldi_l1s;
+    save append ldi_l1s as parquet.`{layout}`;
+    """)
+    _LAKE_DAY_STATE[sf_dir] = (lake, sigs, layout)
+    return _LAKE_DAY_STATE[sf_dir]
+
+
+def _q_lake_day_ingest(spark, sf_dir):
+    """The composed-lake DAY cost as a benchable, hash-matched shape
+    (round-10): the day-2 increment's full derivation against a
+    PREPARED day-1 lake — curate (TextNormalize -> Gopher), exact dedup
+    vs the lake snapshot (Bloom), near dedup with the stored band rows
+    (NearDedup refTable+refBandsTable: history is never re-hashed), and
+    the layout extension (DeterministicShard refTable: history is never
+    re-read beyond a per-shard max).  This is the product claim's hot
+    path: a plan regression in the refTable broadcast, the signature
+    reuse, or the offset aggregate moves THIS number, which carries a
+    committed floor in BENCH_STANDALONE.json.  The physical appends are
+    deliberately outside the timed shape so re-runs are idempotent
+    (the derivation is everything that scales with the day; the write
+    cost is the increment's own bytes).  The oracle replays the shared
+    curated-lake CTEs and the day-2 layout algebra."""
+    lake, sigs, layout = _lake_day_state(spark, sf_dir)
+    eng = _engine(spark)
+    # !cache (script lifetime): the curated batch and the bloom-fresh
+    # batch are INCREMENT-sized by construction, and every downstream
+    # stage (bloom verify, NearDedup's signature/band/CC passes, the
+    # layout) re-executes their lineage once per action without it —
+    # recomputing the curation regexes and the Arrow bloom probe 5-6x
+    # per day.  Caching the increment is the at-scale choice precisely
+    # because it is the DAY's data, not the history.
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    {_LAKE_BATCH2} as ldi_b2;
+    run ldi_b2 as TextNormalize.`` as ldi_n2;
+    run ldi_n2 as GopherQualityFilter.`` where {_CURATE_GOPHER} as ldi_g2;
+    select doc_id, text from ldi_g2 as ldi_c2;
+    !cache ldi_c2 script;
+    load versionedParquet.`{lake}` as ldi_hist1;
+    run ldi_c2 as BloomFilterDedup.`` where refTable="ldi_hist1"
+        as ldi_f2;
+    !cache ldi_f2 script;
+    load parquet.`{sigs}` as ldi_s1;
+    run ldi_f2 as NearDedup.`` where refTable="ldi_hist1"
+        and refBandsTable="ldi_s1" and threshold="0.8" as ldi_k2;
+    load parquet.`{layout}` as ldi_prev1;
+    run ldi_k2 as DeterministicShard.`` where numShards="16"
+        and refTable="ldi_prev1" as ldi_l2;
+    select doc_id, shard, shard_pos from ldi_l2 as output;
+    """)
+
+
+_LAKE_DAY_INGEST_ORACLE = f"""
+WITH RECURSIVE {_CURATED_LAKE_CTES},
+{_layout_ctes('g0', 'lake0', None)},
+off1 AS (SELECT shard, max(shard_pos) + 1 AS o FROM g0l GROUP BY shard),
+{_layout_ctes('g1', 'day1_kept', 'off1')},
+off2 AS (
+  SELECT shard, max(shard_pos) + 1 AS o
+  FROM (SELECT shard, shard_pos FROM g0l
+        UNION ALL SELECT shard, shard_pos FROM g1l)
+  GROUP BY shard
+),
+{_layout_ctes('g2', 'day2_kept', 'off2')}
+SELECT doc_id, shard, shard_pos FROM g2l
 """
 
 
@@ -3571,7 +3736,13 @@ def _q_lsh_similarity(spark, sf_dir):
     8×8 banding collides such neighbors only ~12% of the time).  Bounds
     (mean ≥ 0.75, min ≥ 0.40) sit under the measured seed-42 recall at
     sf0.001/0.01/0.1 (mean 0.95/0.92/0.91, min 0.60 at all three),
-    which is deterministic per input."""
+    which is deterministic per input.
+
+    Round-10: the EXACT side is no longer Spark-vs-Spark — each row
+    carries the per-query exact top-5 neighbor set (rank-ordered csv),
+    which the oracle recomputes with DuckDB's own list arithmetic, so
+    a correlated bug in the engine's cosine math now fails the value
+    hash instead of passing both sides of the recall."""
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'embeddings')}
@@ -3584,18 +3755,25 @@ def _q_lsh_similarity(spark, sf_dir):
     from exact_hits e left join lsh_hits l
       on l.query_id = e.query_id and l.neighbor_id = e.neighbor_id
     group by e.query_id as per_query;
-    select count(*) as n_queries,
-           (avg(recall) >= 0.75) as mean_recall_ok,
-           (min(recall) >= 0.40) as floor_recall_ok
-    from per_query as output;
+    select query_id,
+           array_join(transform(array_sort(collect_list(
+               struct(rank, neighbor_id))),
+               s -> cast(s.neighbor_id as string)), ',') as exact_top5
+    from exact_hits group by query_id as exact_sets;
+    select (avg(recall) >= 0.75) as mean_ok from per_query as mean_flag;
+    select p.query_id as query_id, s.exact_top5 as exact_top5,
+           (p.recall >= 0.40) as floor_recall_ok,
+           (select mean_ok from mean_flag) as mean_recall_ok
+    from per_query p join exact_sets s on p.query_id = s.query_id
+    as output;
     """)
 
 
-_LSH_SIMILARITY_ORACLE = """
-SELECT count(*) AS n_queries,
-       TRUE AS mean_recall_ok,
-       TRUE AS floor_recall_ok
-FROM embeddings WHERE vec_id < 20
+_LSH_SIMILARITY_ORACLE = f"""
+SELECT query_id, exact_top5,
+       TRUE AS floor_recall_ok,
+       TRUE AS mean_recall_ok
+FROM ({_EXACT_TOP5_CSV})
 """
 
 
@@ -4883,6 +5061,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lake_ingest": _q_streaming_lake_ingest,
         "streaming_curated_lake": _q_streaming_curated_lake,
         "streaming_layout_ingest": _q_streaming_layout_ingest,
+        "lake_day_ingest": _q_lake_day_ingest,
         "chunk_documents": _q_chunk_documents,
         "contamination_check": _q_contamination,
         "exact_substr_dedup": _q_exact_substr,
@@ -5026,6 +5205,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_lake_ingest": _INCREMENTAL_LAKE_ORACLE,
         "streaming_curated_lake": _STREAMING_CURATED_LAKE_ORACLE,
         "streaming_layout_ingest": _STREAMING_LAYOUT_INGEST_ORACLE,
+        "lake_day_ingest": _LAKE_DAY_INGEST_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "exact_substr_dedup": _EXACT_SUBSTR_ORACLE,

@@ -86,6 +86,7 @@ HEADLINE = [
     "token_budget_sample",
     "dsir_score",
     "deterministic_shard",
+    "lake_day_ingest",
     "warc_bench",
 ]
 

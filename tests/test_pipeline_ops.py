@@ -1199,6 +1199,23 @@ def test_deterministic_shard_bucketed_curriculum_parity(engine):
             and layoutBuckets="{n_bkts}" as bb;
         """).collect()
         assert key(exact) == key(bucketed), n_bkts
+    # composes with refTable append identically to exact mode
+    engine.execute("""
+    select * from bd where doc_id < 150 as bdg1;
+    select * from bd where doc_id >= 150 as bdg2;
+    run bdg1 as DeterministicShard.`` where numShards="4"
+        and orderCol="difficulty" as bdl1;
+    """)
+    exact_ref = engine.execute("""
+    run bdg2 as DeterministicShard.`` where numShards="4"
+        and orderCol="difficulty" and refTable="bdl1" as a;
+    """).collect()
+    bucketed_ref = engine.execute("""
+    run bdg2 as DeterministicShard.`` where numShards="4"
+        and orderCol="difficulty" and curriculumMode="bucketed"
+        and layoutBuckets="8" and refTable="bdl1" as b;
+    """).collect()
+    assert key(exact_ref) == key(bucketed_ref)
     # rendered errors: non-numeric orderCol, unknown mode
     import pytest as _pytest
     with _pytest.raises(ValueError, match="numeric orderCol"):
