@@ -45,17 +45,18 @@ ESCALATE_RATIO = 1.3
 # scheduling overhead put round-9's running_total at 1.42x its 0.36s
 # floor with nothing wrong, burning a subprocess retime and red ink.  A
 # real regression on a 3-10s query trips both conditions; a fixed
-# overhead on a sub-second one trips neither.
+# overhead on a sub-second one trips neither.  (A floor-scaled delta
+# term would be dead code here: ratio > 1.3 already implies
+# delta > 0.3 x floor, so only the constant can ever bind — it does so
+# exactly for floors under 0.25/0.3 ~ 0.83s, the fixed-overhead range.)
 ESCALATE_MIN_DELTA_SEC = 0.25
-ESCALATE_MIN_DELTA_FRAC = 0.05
 
 
 def needs_escalation(elapsed: float, floor: float) -> bool:
     """Escalation policy: ratio > ESCALATE_RATIO AND absolute delta >
-    max(ESCALATE_MIN_DELTA_SEC, ESCALATE_MIN_DELTA_FRAC x floor)."""
+    ESCALATE_MIN_DELTA_SEC."""
     return (elapsed > ESCALATE_RATIO * floor
-            and (elapsed - floor) > max(ESCALATE_MIN_DELTA_SEC,
-                                        ESCALATE_MIN_DELTA_FRAC * floor))
+            and (elapsed - floor) > ESCALATE_MIN_DELTA_SEC)
 
 HEADLINE = [
     "q1_pricing_summary",

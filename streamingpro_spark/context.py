@@ -53,13 +53,17 @@ class ExecutionContext:
     #: result render chain — fn(ctx, df) -> df, applied to the script's
     #: final table (reference RestController.scala ResultRenderManager)
     render_hooks: list[Any] = field(default_factory=list)
-    #: per-THREAD execution state (exec_depth, vp_txn_writes): a REST
-    #: session's concurrent requests, or any caller driving execute()
-    #: from two threads on one shared context, must not race each
-    #: other's nesting counter or versionedParquet write-set — an
-    #: unsynchronized read-modify-write could make a replayed batch see
-    #: depth > 0, skip the write-set clear, and hit the double-write
-    #: error instead of the replay-skip path (round-10 advisor finding)
+    #: per-THREAD state for the execute() nesting counter and the
+    #: versionedParquet double-save write-set: an unsynchronized
+    #: read-modify-write on a shared counter could make a replayed
+    #: batch see depth > 0, skip the write-set clear, and hit the
+    #: double-write error instead of the replay-skip path (round-10
+    #: advisor finding).  SCOPE: this protects exactly that guard
+    #: state.  Full concurrent execute() on ONE context is still not a
+    #: supported pattern — last_table / stream_name / branch_stack are
+    #: deliberately per-execute context fields, and the REST server
+    #: isolates concurrent requests with a per-request Engine
+    #: (server.py SessionManager) rather than per-thread script state.
     tls: Any = field(default_factory=threading.local, repr=False)
 
     # ---- path semantics (SURVEY.md §1) ----

@@ -1307,14 +1307,28 @@ class DeterministicShard(ETAlgorithm):
             # The |shards|-row aggregate comes to the driver anyway for
             # this check, so reuse it as a LITERAL local relation — the
             # broadcast join then costs no recompute of the history
-            # scan.  limit(numShards+1) bounds the collect: if it
+            # scan.  NULL-shard rows (the operator's own NULL-id
+            # pass-through convention) are excluded BEFORE the bound:
+            # they carry no offset and must not count against
+            # numShards.  limit(numShards+1) bounds the collect: if it
             # fills, the reference provably has more distinct shards
             # than numShards and the rendered error below fires.
-            off_rows = offsets.limit(num_shards + 1).collect()
-            bad = [r for r in off_rows if r["shard"] is not None
-                   and not (0 <= r["shard"] < num_shards)]
-            if len(off_rows) > num_shards or bad:
-                seen = (f"shard id {bad[0]['shard']}" if bad else
+            off_rows = (offsets.where(F.col("shard").isNotNull()
+                                      & F.col("__off").isNotNull())
+                        .limit(num_shards + 1).collect())
+            try:
+                typed = [(int(r["shard"]), int(r["__off"]))
+                         for r in off_rows]
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"DeterministicShard: refTable {ref_tbl!r} has a "
+                    f"non-integer shard/next_pos column — a layout or "
+                    f"manifest round-tripped through a typeless format "
+                    f"(e.g. csv)?  Cast shard to int and the position "
+                    f"column to bigint first.")
+            bad = [s for s, _ in typed if not 0 <= s < num_shards]
+            if len(typed) > num_shards or bad:
+                seen = (f"shard id {bad[0]}" if bad else
                         f"> {num_shards} distinct shards")
                 raise ValueError(
                     f"DeterministicShard: refTable {ref_tbl!r} was "
@@ -1324,9 +1338,7 @@ class DeterministicShard(ETAlgorithm):
                     f"existing layout.  Pass the numShards the "
                     f"reference layout was built with.")
             offsets = df.sparkSession.createDataFrame(
-                [(int(r["shard"]), int(r["__off"])) for r in off_rows
-                 if r["shard"] is not None and r["__off"] is not None],
-                "shard int, __off long")
+                typed, "shard int, __off long")
             out = (out.join(F.broadcast(offsets), "shard", "left")
                    .withColumn("shard_pos",
                                F.col("shard_pos")

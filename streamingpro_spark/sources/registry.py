@@ -79,7 +79,7 @@ def _wants_stream(ctx: "ExecutionContext", fmt: str) -> bool:
 def _spark_opts(options: dict[str, str]) -> dict[str, str]:
     skip = {"eventTimeCol", "delayThreshold", "valueFormat", "valueSchema",
             "directQuery", "prePtnArray", "prePtnDelimiter", "fileNum",
-            "bucketBy", "sortBy"}
+            "bucketBy", "sortBy", "repartitionBy", "sortWithinPartitions"}
     return {k: v for k, v in options.items() if k not in skip}
 
 

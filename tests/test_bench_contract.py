@@ -89,7 +89,8 @@ def test_escalation_needs_ratio_and_absolute_slack():
     assert not bench.needs_escalation(12.0, 10.0)
     # a genuine regression: both conditions trip
     assert bench.needs_escalation(4.2, 3.0)
-    # large floors scale the slack: 1.31x on a 10s query is +3.1s
+    # on multi-second floors the ratio term is the binding one (ratio
+    # > 1.3 implies delta > 0.3 x floor >> the 0.25s constant)
     assert bench.needs_escalation(13.1, 10.0)
     # just over ratio but within the absolute slack floor
     assert not bench.needs_escalation(0.40, 0.30)

@@ -1251,6 +1251,34 @@ def test_deterministic_shard_ref_num_shards_mismatch(engine):
             run nm2 as DeterministicShard.`` where numShards="4"
                 and refTable="{ref}" as bad;
             """)
+    # a NULL-shard row in the reference (the operator's own NULL-id
+    # pass-through convention) must NOT trip the guard — it carries no
+    # offset and does not count against numShards (review finding,
+    # round 10: the first guard version counted the NULL group and
+    # false-positived on a matching reference)
+    engine.execute("""
+    select doc_id, shard, shard_pos from nml8
+    union all
+    select cast(null as bigint), cast(null as int), cast(null as bigint)
+    as nml8_with_null;
+    run nm2 as DeterministicShard.`` where numShards="8"
+        and refTable="nml8_with_null" as ok_null;
+    """)
+    # a string-typed manifest (csv round-trip) still works: digits
+    # coerce; non-numeric values get a rendered error, not a TypeError
+    engine.execute("""
+    select cast(shard as string) as shard, next_pos from nml8_manifest
+    as nml8_str_manifest;
+    run nm2 as DeterministicShard.`` where numShards="8"
+        and refTable="nml8_str_manifest" as ok_str;
+    """)
+    with _pytest.raises(ValueError, match="non-integer"):
+        engine.execute("""
+        select concat('s', shard) as shard, next_pos from nml8_manifest
+        as nml8_bad_manifest;
+        run nm2 as DeterministicShard.`` where numShards="8"
+            and refTable="nml8_bad_manifest" as bad2;
+        """)
     # the matching numShards still works, and the literal-offsets
     # rebuild yields the same layout as before the guard
     rows = engine.execute("""
