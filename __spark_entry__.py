@@ -4511,6 +4511,47 @@ FROM h
 """
 
 
+def _q_deterministic_shard_epoch(spark, sf_dir):
+    """Per-epoch reshuffle (round-10): epochSeed keeps the shard
+    ASSIGNMENT byte-identical to the unseeded layout (the hash gate is
+    unchanged, so shard sizes / file mapping / refTable offsets stay
+    valid) but draws the within-shard order from a seed-mixed hash —
+    each epoch is a fresh deterministic permutation, the per-epoch
+    data-order variation LM training wants without any RNG state.  The
+    oracle replays the seeded hash in DuckDB md5, pinning the epoch-2
+    permutation byte-for-byte; the output also carries the unseeded
+    shard for the same doc so the hash match proves assignment
+    stability, not just order determinism."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DeterministicShard.`` where numShards="16" as dse_l0;
+    run documents as DeterministicShard.`` where numShards="16"
+        and epochSeed="epoch2" as dse_l2;
+    select a.doc_id as doc_id, a.shard as shard,
+           a.shard_pos as shard_pos, b.shard as base_shard
+    from dse_l2 a join dse_l0 b on a.doc_id = b.doc_id as output;
+    """)
+
+
+#: the seeded position hash: same md5 algebra as _PHASH_DUCK with the
+#: epoch-mixed domain tag the operator uses for epochSeed="epoch2"
+_DETERMINISTIC_SHARD_EPOCH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_PHASH_DUCK.format(payload=chr(39) + 'shard:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} AS hv,
+         {_PHASH_DUCK.format(payload=chr(39) + 'shardpos[epoch2]:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} AS ho
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 16
+                               ORDER BY ho % 32, ho, doc_id) - 1 AS BIGINT)
+         AS shard_pos,
+       CAST(hv % 16 AS INT) AS base_shard
+FROM h
+"""
+
+
 def _q_deterministic_shard_incr(spark, sf_dir):
     """Incremental layout (round-9): lay out half the corpus, then
     append the other half with refTable — the increment keeps the
@@ -5081,6 +5122,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "deterministic_shard": _q_deterministic_shard,
         "deterministic_shard_incr": _q_deterministic_shard_incr,
+        "deterministic_shard_epoch": _q_deterministic_shard_epoch,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -5223,6 +5265,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_bucket": _PERPLEXITY_BUCKET_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "deterministic_shard": _DETERMINISTIC_SHARD_ORACLE,
+        "deterministic_shard_epoch": _DETERMINISTIC_SHARD_EPOCH_ORACLE,
         "deterministic_shard_incr": _DETERMINISTIC_SHARD_INCR_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,

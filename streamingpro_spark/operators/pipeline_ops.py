@@ -1111,6 +1111,16 @@ class DeterministicShard(ETAlgorithm):
     with shard = shard_pos = NULL (visible, never silently dropped) —
     same convention as TokenBudgetSample's NULL-id exclusion.
 
+    ``epochSeed`` (round-10): multi-epoch LM training should not see
+    the SAME document order every epoch — a fixed layout replays one
+    permutation forever, a known quality loss vs per-epoch reshuffle.
+    Setting epochSeed (any string, e.g. "epoch1") keeps the shard
+    ASSIGNMENT stable (same hash gate — shard sizes, file mapping and
+    refTable offsets stay valid) but draws the within-shard order from
+    a seed-mixed hash, so each epoch's layout is a fresh, byte-
+    reproducible permutation of the same shards.  Default "" is the
+    legacy order (byte-identical to round-9 layouts).
+
     ``refTable`` (incremental append): the previous layout — the new
     batch keeps the SAME hash-gate shard assignment (stable by
     construction) and its positions continue from each shard's current
@@ -1138,6 +1148,11 @@ class DeterministicShard(ETAlgorithm):
                 f"input columns {df.columns}")
         impl = hash_impl(params)
         h = portable_hash64(F.col(id_col).cast("string"), "shard", impl)
+        epoch = params.get("epochSeed", "")
+        # the position-hash domain tag: seed-mixed for per-epoch
+        # reshuffle; the bare legacy tag otherwise (layouts stay
+        # byte-identical to pre-epochSeed runs)
+        pos_tag = f"shardpos[{epoch}]" if epoch else "shardpos"
         in_cols = [c for c in df.columns if c not in ("shard",
                                                       "shard_pos")]
         base = (df.drop("shard", "shard_pos")
@@ -1145,6 +1160,17 @@ class DeterministicShard(ETAlgorithm):
                   .withColumn("shard",
                               F.pmod(F.col("__sh"), F.lit(num_shards))
                                .cast("int")))
+        # the within-shard order key: the shard-gate hash by default;
+        # the seeded position hash under epochSeed (ONE draw decides
+        # both the bucket and the order, so the permutation is fully
+        # seed-determined)
+        if epoch:
+            base = base.withColumn(
+                "__ho", portable_hash64(F.col(id_col).cast("string"),
+                                        pos_tag, impl))
+            order_hash = F.col("__ho")
+        else:
+            order_hash = F.col("__sh")
         if order_col:
             # a NULL id has no hash gate, so the layout convention
             # (shard = shard_pos = NULL, visible pass-through) must be
@@ -1159,7 +1185,7 @@ class DeterministicShard(ETAlgorithm):
                 # curriculum needs a TOTAL order per shard → one window
                 # per shard (size numShards for this path)
                 w = Window.partitionBy("shard").orderBy(
-                    F.col(order_col).asc_nulls_last(), F.col("__sh"),
+                    F.col(order_col).asc_nulls_last(), order_hash,
                     F.col(id_col))
                 out = (base.withColumn(
                            "shard_pos",
@@ -1167,7 +1193,7 @@ class DeterministicShard(ETAlgorithm):
                                   F.lit(None).cast("long"))
                             .otherwise((F.row_number().over(w) - 1)
                                        .cast("long")))
-                       .drop("__sh"))
+                       .drop("__sh", "__ho"))
             elif cmode == "bucketed":
                 # the scale path: range-bucket orderCol by value
                 # thresholds (approx quantiles → balance), rank within
@@ -1215,7 +1241,7 @@ class DeterministicShard(ETAlgorithm):
                     F.size(F.filter(barr, lambda b: b <= oc)))
                 base = base.withColumn("__qb", qb)
                 w = Window.partitionBy("shard", "__qb").orderBy(
-                    F.col(order_col).asc_nulls_last(), F.col("__sh"),
+                    F.col(order_col).asc_nulls_last(), order_hash,
                     F.col(id_col))
                 ranked = base.withColumn(
                     "__r", (F.row_number().over(w) - 1).cast("long"))
@@ -1253,12 +1279,13 @@ class DeterministicShard(ETAlgorithm):
                 raise ValueError(
                     f"DeterministicShard: layoutBuckets must be >= 1, "
                     f"got {n_bkts}")
-            bv = F.pmod(portable_hash64(F.col(id_col).cast("string"),
-                                        "shardpos", impl),
+            bv = F.pmod(F.col("__ho") if epoch
+                        else portable_hash64(
+                            F.col(id_col).cast("string"), pos_tag, impl),
                         F.lit(n_bkts))
             base = base.withColumn("__bv", bv)
             w = Window.partitionBy("shard", "__bv").orderBy(
-                F.col("__sh"), F.col(id_col))
+                order_hash, F.col(id_col))
             ranked = base.withColumn(
                 "__r", (F.row_number().over(w) - 1).cast("long"))
             counts = base.groupBy("shard", "__bv").agg(
@@ -1367,5 +1394,8 @@ class DeterministicShard(ETAlgorithm):
                  "per-shard manifest (shard, next_pos): keep the "
                  "shard assignment and continue positions "
                  "(incremental append)", ""),
+                ("epochSeed", "per-epoch reshuffle: same shards, "
+                 "seed-mixed within-shard order ('' = legacy order)",
+                 ""),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)",
                  "md5")]

@@ -1296,6 +1296,57 @@ def test_deterministic_shard_ref_num_shards_mismatch(engine):
         assert [p for p, _ in items] == list(range(len(items))), shard
 
 
+def test_deterministic_shard_epoch_reshuffle(engine):
+    """epochSeed: shard assignment identical to the unseeded layout,
+    positions contiguous per shard, the within-shard ORDER actually
+    changes between epochs, the same seed reproduces, and refTable
+    append composes (offsets from an unseeded base layout remain
+    valid)."""
+    engine.execute("""
+    select id as doc_id from range(0, 400) as ed;
+    run ed as DeterministicShard.`` where numShards="4" as e_base;
+    run ed as DeterministicShard.`` where numShards="4"
+        and epochSeed="e1" as e_one;
+    run ed as DeterministicShard.`` where numShards="4"
+        and epochSeed="e2" as e_two;
+    run ed as DeterministicShard.`` where numShards="4"
+        and epochSeed="e1" as e_one_again;
+    """)
+    pull = lambda t: {r["doc_id"]: (r["shard"], r["shard_pos"])
+                      for r in engine.execute(
+                          f"select * from {t} as o;").collect()}
+    base, e1, e2, e1b = (pull(t) for t in
+                         ("e_base", "e_one", "e_two", "e_one_again"))
+    # shard assignment is epoch-invariant
+    for d in base:
+        assert base[d][0] == e1[d][0] == e2[d][0], d
+    # same seed reproduces exactly; different seeds permute
+    assert e1 == e1b
+    assert any(e1[d][1] != e2[d][1] for d in e1)
+    assert any(e1[d][1] != base[d][1] for d in e1)
+    # contiguous positions per shard in every epoch
+    for lay in (e1, e2):
+        by_shard = {}
+        for d, (s, p) in lay.items():
+            by_shard.setdefault(s, []).append(p)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+    # composes with refTable: append an increment against the EPOCH
+    # layout — stable shards mean the offsets line up
+    rows = engine.execute("""
+    select id + 1000 as doc_id from range(0, 60) as ed2;
+    run ed2 as DeterministicShard.`` where numShards="4"
+        and epochSeed="e1" and refTable="e_one" as e_app;
+    select a.doc_id as doc_id, a.shard as shard, a.shard_pos as shard_pos
+    from e_app a as out;
+    """).collect()
+    mx = {}
+    for d, (s, p) in e1.items():
+        mx[s] = max(mx.get(s, -1), p)
+    for r in rows:
+        assert r["shard_pos"] > mx[r["shard"]], r
+
+
 def test_deterministic_shard_curriculum_with_ref_append(engine):
     """orderCol and refTable compose: the appended generation is
     curriculum-ordered WITHIN itself and positioned after the previous
