@@ -98,7 +98,11 @@ def test_running_jobs_and_kill(server, spark):
         "sql": "select max(sleep(20)) as s from (select explode(sequence(1, 2000)) as i) t as output;",
         "async": "true", "jobName": "sleepy"})
     gid = resp["groupId"]
-    deadline = time.time() + 15
+    # 40s: under a loaded full-suite run the async submit thread can
+    # take >15s to start the Spark job (observed flake, round 10) —
+    # the loop exits as soon as the job surfaces, so the wide bound
+    # costs nothing on a quiet host
+    deadline = time.time() + 40
     jobs = []
     while time.time() < deadline:
         with urllib.request.urlopen(
