@@ -95,7 +95,7 @@ def test_async_job_with_callback(server):
 
 def test_running_jobs_and_kill(server, spark):
     resp = _post(server.port, "/run/script", {
-        "sql": "select max(sleep(20)) as s from (select explode(sequence(1, 2000)) as i) t as output;",
+        "sql": "select max(s) as s from (select i, sleep(20) as s from (select explode(sequence(1, 2000)) as i) tt) t as output;",
         "async": "true", "jobName": "sleepy"})
     gid = resp["groupId"]
     # 40s: under a loaded full-suite run the async submit thread can
@@ -128,7 +128,7 @@ def test_running_jobs_and_kill(server, spark):
 
 def test_job_timeout_reaped(server):
     resp = _post(server.port, "/run/script", {
-        "sql": "select max(sleep(20)) as s from (select explode(sequence(1, 2000)) as i) t as output;",
+        "sql": "select max(s) as s from (select i, sleep(20) as s from (select explode(sequence(1, 2000)) as i) tt) t as output;",
         "async": "true", "jobName": "expiring", "timeout": "2000"})
     assert resp["status"] == "submitted"
     deadline = time.time() + 20
