@@ -1193,7 +1193,10 @@ class DeterministicShard(ETAlgorithm):
                                   F.lit(None).cast("long"))
                             .otherwise((F.row_number().over(w) - 1)
                                        .cast("long")))
-                       .drop("__sh", "__ho"))
+                       # drop only the scratch columns THIS run created
+                       # — an unseeded run never made __ho, and a user
+                       # column of that name must pass through
+                       .drop("__sh", *(["__ho"] if epoch else [])))
             elif cmode == "bucketed":
                 # the scale path: range-bucket orderCol by value
                 # thresholds (approx quantiles → balance), rank within

@@ -1345,6 +1345,16 @@ def test_deterministic_shard_epoch_reshuffle(engine):
         mx[s] = max(mx.get(s, -1), p)
     for r in rows:
         assert r["shard_pos"] > mx[r["shard"]], r
+    # a user column that happens to be named __ho passes through an
+    # UNSEEDED run untouched (review finding, round 10: the curriculum
+    # drop used to remove it unconditionally)
+    cols = engine.execute("""
+    select id as doc_id, cast(id as double) as diff, id * 10 as __ho
+    from range(0, 20) as hd;
+    run hd as DeterministicShard.`` where numShards="2"
+        and orderCol="diff" as hout;
+    """).columns
+    assert "__ho" in cols, cols
 
 
 def test_deterministic_shard_curriculum_with_ref_append(engine):

@@ -131,6 +131,20 @@ def test_job_timeout_reaped(server):
         "sql": "select max(s) as s from (select i, sleep(20) as s from (select explode(sequence(1, 2000)) as i) tt) t as output;",
         "async": "true", "jobName": "expiring", "timeout": "2000"})
     assert resp["status"] == "submitted"
+    # the job must SURFACE first — otherwise the absence check below
+    # passes vacuously before the job even starts (review finding,
+    # round 10) and the reaper is never actually exercised
+    deadline = time.time() + 40
+    seen = False
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/runningjobs", timeout=10) as r:
+            jobs = json.loads(r.read())
+        if any(j["jobName"] == "expiring" for j in jobs):
+            seen = True
+            break
+        time.sleep(0.2)
+    assert seen, "async job never surfaced in /runningjobs"
     deadline = time.time() + 20
     gone = False
     while time.time() < deadline:
