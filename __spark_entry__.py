@@ -601,7 +601,23 @@ def _q_ivf_index_topk(spark, sf_dir):
 #: oracle pins) — the cross-engine exact side both recall contracts
 #: (ivf_pq_topk, lsh_similarity) anchor to (round-10): a correlated
 #: bug in the engine's cosine math now fails the value hash instead of
-#: passing both sides of a Spark-vs-Spark recall
+#: passing both sides of a Spark-vs-Spark recall.
+#:
+#: Accepted boundary risk (documented round 11, advisor finding): the
+#: engine rounds cosines with numpy (round-half-to-EVEN) and this
+#: oracle with DuckDB round() (round-half-AWAY-from-zero).  The modes
+#: disagree only when the float64 dot product lands within ~1 ulp of
+#: an exact k.5e-4 boundary — and at that distance the two engines'
+#: different summation orders (einsum vs list_dot_product) can already
+#: flip the pre-round value by an ulp, so NO rounding scheme removes
+#: the hazard; 4dp-then-id-tiebreak exists precisely to collapse ulp
+#: noise everywhere EXCEPT that measure-zero band.  Exposure is one
+#: adjacent-rank swap in one query's csv.  Empirically pinned: 129/129
+#: hash-matched at sf0.001/0.01/0.1 on the synthetic corpus, and the
+#: identical pattern has held in embedding_topk since round 4.  If it
+#: ever flakes on new data, the remedy is to rank both sides on
+#: floor(x*1e4 + 0.5) (bit-identical arithmetic in both engines)
+#: rather than widen the epsilon.
 _EXACT_TOP5_CSV = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3648,11 +3664,16 @@ def _q_approx_distinct(spark, sf_dir):
     """HLL / quantile-sketch aggregates, hash-matched via an accuracy
     bound (round-8: upgraded from rows-only).  Sketch values are
     implementation-specific across engines BY DESIGN, so the contract
-    is the exact value plus a Spark-computed tolerance flag:
-    approx_count_distinct (rsd=0.02) within 5% of the exact distinct
-    count, and approx_percentile(0.5) inside the exact p40..p60 band.
-    The oracle emits the same exact counts and literal TRUE flags — a
-    sketch regression flips a flag and fails the value hash."""
+    is the exact value plus a tolerance flag: approx_count_distinct
+    (rsd=0.02) within 5% of the exact distinct count, and
+    approx_percentile(0.5) inside the exact p40..p60 band.  Round 11
+    (retiring the literal-TRUE self-certification): the oracle now
+    computes the SAME flags over DuckDB's own sketches
+    (approx_count_distinct HLL, approx_quantile t-digest) — both
+    engines' sketches must independently satisfy the shared published
+    accuracy bound, so this is a genuine cross-engine replay of the
+    CONTRACT (verified to hold at sf0.001/0.01/0.1); only the sketch
+    values themselves remain engine-specific, as they must be."""
     eng = _engine(spark)
     return eng.execute(f"""
     {_loads(sf_dir, 'lineitem')}
@@ -3671,8 +3692,12 @@ def _q_approx_distinct(spark, sf_dir):
 _APPROX_DISTINCT_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS acd_ok,
-       TRUE AS median_ok
+       (abs(approx_count_distinct(l_partkey)
+            - count(DISTINCT l_partkey))
+          <= 0.05 * count(DISTINCT l_partkey)) AS acd_ok,
+       (approx_quantile(l_extendedprice, 0.5)
+          BETWEEN quantile_cont(l_extendedprice, 0.40)
+              AND quantile_cont(l_extendedprice, 0.60)) AS median_ok
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -1131,6 +1131,31 @@ class DeterministicShard(ETAlgorithm):
     caller is responsible for the increment being disjoint from the
     reference (that's what the dedup chain upstream guarantees);
     numShards must match the reference layout's.
+
+    ``epochSeed`` x ``refTable`` (round-11, on the round-10 verdict):
+    the MEANINGFUL combination is appending an increment into a layout
+    built with the SAME epochSeed — shard assignment is seed-invariant,
+    so the offsets line up and the increment extends that epoch's
+    permutation at each shard's tail (pinned by
+    test_deterministic_shard_epoch_reshuffle).  What this is NOT is a
+    reshuffle of the union: re-permuting existing documents for a new
+    epoch is a FULL-corpus rebuild by design (examples/15 rebuilds
+    epoch 2 from all_shards) — an append can never retroactively
+    interleave into already-laid-out positions.  A layout table carries
+    no record of the seed that built it, so the operator cannot detect
+    a seed mismatch; like increment-disjointness, seed consistency
+    between the reference layout and the append is the caller's
+    contract.
+
+    Column hygiene (round-11): the operator reserves the scratch names
+    it will create for the chosen mode (always ``__sh``; ``__ho`` when
+    epochSeed is set; ``__qb``/``__r``/``__boff`` on the bucketed
+    curriculum path; ``__bv``/``__r``/``__boff`` on the hash-order
+    path; ``__off`` when refTable is set) and raises a rendered error
+    if an input column collides — the pre-round-11 behavior silently
+    overwrote and then dropped such a column.  A scratch name a given
+    run does NOT create (e.g. ``__ho`` without epochSeed) still passes
+    through untouched.
     """
 
     def train(self, df, path, params, context=None):
@@ -1149,6 +1174,37 @@ class DeterministicShard(ETAlgorithm):
         impl = hash_impl(params)
         h = portable_hash64(F.col(id_col).cast("string"), "shard", impl)
         epoch = params.get("epochSeed", "")
+        cmode = params.get("curriculumMode", "exact")
+        if order_col and cmode not in ("exact", "bucketed"):
+            raise ValueError(
+                f"DeterministicShard: unknown curriculumMode "
+                f'{cmode!r}; use "exact" or "bucketed"')
+        # scratch-column collision guard (round-11, ADVICE): compute
+        # exactly the scratch names the CHOSEN mode will create and
+        # refuse input columns that collide — before this guard a
+        # seeded run silently overwrote a user `__ho` and dropped it.
+        # Names a run does NOT create keep passing through (the
+        # round-10 unseeded-`__ho` regression test).
+        scratch = {"__sh"}
+        if epoch:
+            scratch.add("__ho")
+        if order_col:
+            if cmode == "bucketed":
+                scratch |= {"__qb", "__r", "__boff"}
+        else:
+            scratch |= {"__bv", "__r", "__boff"}
+        if ref_tbl:
+            scratch.add("__off")
+        clash = sorted(scratch & set(df.columns))
+        if clash:
+            raise ValueError(
+                f"DeterministicShard: input column(s) {clash} collide "
+                f"with scratch columns this run creates "
+                f"({sorted(scratch)}) — rename them before sharding "
+                f"(the __-prefixed names are reserved per mode: __sh "
+                f"always, __ho with epochSeed, __qb/__r/__boff with "
+                f'curriculumMode="bucketed", __bv/__r/__boff on the '
+                f"hash-order path, __off with refTable)")
         # the position-hash domain tag: seed-mixed for per-epoch
         # reshuffle; the bare legacy tag otherwise (layouts stay
         # byte-identical to pre-epochSeed runs)
@@ -1180,7 +1236,6 @@ class DeterministicShard(ETAlgorithm):
             # partition positions ordered only by orderCol (round-10
             # advisor finding: nondeterministic on orderCol ties)
             null_mask = F.col(id_col).isNull()
-            cmode = params.get("curriculumMode", "exact")
             if cmode == "exact":
                 # curriculum needs a TOTAL order per shard → one window
                 # per shard (size numShards for this path)
@@ -1357,6 +1412,30 @@ class DeterministicShard(ETAlgorithm):
                     f"(e.g. csv)?  Cast shard to int and the position "
                     f"column to bigint first.")
             bad = [s for s, _ in typed if not 0 <= s < num_shards]
+            # duplicate-manifest-row guard (round-11, ADVICE): a
+            # manifest with two rows for one shard would either trip
+            # the misleading numShards-mismatch message below (when
+            # the dup pushes the collect over the bound) or pass the
+            # guard and FAN OUT the broadcast join, silently
+            # multiplying output rows.  Out-of-range shards are
+            # diagnosed first (that IS a numShards mismatch); in-range
+            # duplicates get their own error.  The full-layout form
+            # can't dupe (it aggregates by shard) — only a
+            # caller-maintained manifest can.
+            seen_shards: set[int] = set()
+            dup_set: set[int] = set()
+            for s, _ in typed:
+                (dup_set if s in seen_shards else seen_shards).add(s)
+            dup_shards = sorted(dup_set)
+            if not bad and dup_shards:
+                raise ValueError(
+                    f"DeterministicShard: refTable {ref_tbl!r} has "
+                    f"multiple rows for shard(s) {dup_shards[:5]} — a "
+                    f"manifest must carry exactly one (shard, "
+                    f"next_pos) row per shard (joining a duplicated "
+                    f"manifest would multiply output rows).  "
+                    f"Re-aggregate it: select shard, max(next_pos) as "
+                    f"next_pos ... group by shard.")
             if len(typed) > num_shards or bad:
                 seen = (f"shard id {bad[0]}" if bad else
                         f"> {num_shards} distinct shards")

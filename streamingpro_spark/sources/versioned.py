@@ -445,10 +445,15 @@ def load(ctx: "ExecutionContext", path: str,
                 real.rstrip("/") + f"/v={match[-1]['version']}")
         # no commit under this key (the batch hasn't saved yet, or the
         # lake save itself crashed): an EMPTY slice of the lake schema,
-        # so downstream derivations are no-ops, not errors
-        return (spark.read.options(**reader_opts)
-                .parquet(real.rstrip("/") + f"/v={latest}")
-                .where(F.lit(False)))
+        # so downstream derivations are no-ops, not errors.  The slice
+        # is built from the FULL latest snapshot read (same dirs as
+        # versionAsOf=latest, reader options — mergeSchema — honored),
+        # not from the v=latest commit dir alone: on a schema-evolving
+        # lake whose newest commit lacks columns earlier commits carry,
+        # a single-dir read would hand downstream derivations a
+        # NARROWER schema than a real commit read would (advisor
+        # finding, round 11)
+        return load(ctx, path, dict(reader_opts)).where(F.lit(False))
     if "startingVersion" in options or "endingVersion" in options:
         # per-commit range read with the version stamped on each row
         # (reference MLSQLDelta.scala `__delta_version__` union)

@@ -1296,6 +1296,105 @@ def test_deterministic_shard_ref_num_shards_mismatch(engine):
         assert [p for p, _ in items] == list(range(len(items))), shard
 
 
+def test_deterministic_shard_manifest_duplicate_rows(engine):
+    """A manifest refTable with two rows for one shard must be a
+    DEDICATED rendered error (advisor finding, round 11): within the
+    collect bound it used to pass the guard and the broadcast join
+    silently multiplied output rows; over the bound it tripped the
+    misleading numShards-mismatch message."""
+    import pytest as _pytest
+    engine.execute("""
+    select id as doc_id from range(0, 60) as dm;
+    select * from dm where doc_id < 30 as dm1;
+    select * from dm where doc_id >= 30 as dm2;
+    run dm1 as DeterministicShard.`` where numShards="4" as dml;
+    select shard, max(shard_pos) + 1 as next_pos from dml
+    group by shard as dml_manifest;
+    """)
+    # within-bound dup (5 rows vs numShards=4): the join used to fan out
+    with _pytest.raises(ValueError, match="multiple rows for shard"):
+        engine.execute("""
+        select * from dml_manifest
+        union all
+        select shard, next_pos + 7 as next_pos from dml_manifest
+        where shard = 2 as dml_dup;
+        run dm2 as DeterministicShard.`` where numShards="4"
+            and refTable="dml_dup" as bad;
+        """)
+    # over-bound dup (8 rows vs numShards=4, all shard ids in range):
+    # must ALSO diagnose duplication, not claim a numShards mismatch
+    with _pytest.raises(ValueError, match="multiple rows for shard"):
+        engine.execute("""
+        select * from dml_manifest
+        union all
+        select shard, next_pos + 7 as next_pos from dml_manifest
+        as dml_dup_all;
+        run dm2 as DeterministicShard.`` where numShards="4"
+            and refTable="dml_dup_all" as bad2;
+        """)
+    # out-of-range shard id AND duplicates: either diagnosis is
+    # legitimate (the bounded limit(numShards+1) collect picks an
+    # arbitrary subset, so which defect it sees first is not pinned) —
+    # what matters is that SOME rendered error fires, never a fan-out
+    with _pytest.raises(ValueError,
+                        match="different numShards|multiple rows"):
+        engine.execute("""
+        select * from dml_dup union all
+        select 9 as shard, cast(1 as long) as next_pos as dml_mixed;
+        run dm2 as DeterministicShard.`` where numShards="4"
+            and refTable="dml_mixed" as bad3;
+        """)
+
+
+def test_deterministic_shard_scratch_collision_guard(engine):
+    """Input columns colliding with the scratch names the CHOSEN mode
+    creates are a rendered error (advisor finding, round 11: a seeded
+    run silently overwrote a user `__ho` and dropped it); names the
+    run does NOT create keep passing through."""
+    import pytest as _pytest
+    cases = [
+        # (extra select cols, where clause) -> colliding scratch name
+        ("id * 2 as __sh", 'numShards="2"'),
+        ("id * 2 as __ho", 'numShards="2" and epochSeed="e1"'),
+        ("id * 2 as __bv", 'numShards="2"'),
+        ("cast(id as double) as diff, id * 2 as __qb",
+         'numShards="2" and orderCol="diff" '
+         'and curriculumMode="bucketed"'),
+    ]
+    for cols, where in cases:
+        with _pytest.raises(ValueError, match="collide"):
+            engine.execute(f"""
+            select id as doc_id, {cols} from range(0, 10) as sg;
+            run sg as DeterministicShard.`` where {where} as out;
+            """)
+    # __off only collides when refTable is in play
+    engine.execute("""
+    select id as doc_id from range(0, 20) as sgr;
+    run sgr as DeterministicShard.`` where numShards="2" as sgr_base;
+    """)
+    with _pytest.raises(ValueError, match="collide"):
+        engine.execute("""
+        select id + 100 as doc_id, id as __off from range(0, 10) as sg2;
+        run sg2 as DeterministicShard.`` where numShards="2"
+            and refTable="sgr_base" as out;
+        """)
+    # ...and passes through when it isn't (no refTable)
+    cols = engine.execute("""
+    select id as doc_id, id as __off from range(0, 10) as sg3;
+    run sg3 as DeterministicShard.`` where numShards="2" as out3;
+    """).columns
+    assert "__off" in cols, cols
+    # exact-curriculum run without epochSeed creates neither __qb nor
+    # __ho: both pass through (the round-10 regression, now widened)
+    cols = engine.execute("""
+    select id as doc_id, cast(id as double) as diff,
+           id as __qb, id * 10 as __ho from range(0, 10) as sg4;
+    run sg4 as DeterministicShard.`` where numShards="2"
+        and orderCol="diff" as out4;
+    """).columns
+    assert "__qb" in cols and "__ho" in cols, cols
+
+
 def test_deterministic_shard_epoch_reshuffle(engine):
     """epochSeed: shard assignment identical to the unseeded layout,
     positions contiguous per shard, the within-shard ORDER actually

@@ -258,6 +258,38 @@ def test_batchscript_vp_save_exactly_once(engine, tmp_path):
     assert sorted(r["id"] for r in rows) == [1, 2, 3]
 
 
+def test_commit_of_batch_empty_slice_full_snapshot_schema(engine,
+                                                          tmp_path):
+    """The commitOfBatch no-commit EMPTY slice must carry the FULL
+    snapshot schema (mergeSchema honored across commit dirs), not the
+    newest commit dir's alone: on a schema-evolving lake whose latest
+    commit lacks columns earlier commits carry, downstream derivations
+    would otherwise see a narrower schema than a real commit read
+    (advisor finding, round 11)."""
+    lake = tmp_path / "es_lake"
+    engine.execute(f"""
+    select 1 as id, 'x' as a as es_seed;
+    save overwrite es_seed as versionedParquet.`{lake}`;
+    select 2 as id, 7 as b as es_evo;
+    save append es_evo as versionedParquet.`{lake}`;
+    """)
+    # a batch key that never committed: the read must be EMPTY but
+    # carry id, a AND b (v=1, the latest commit, has no `a`)
+    engine.context.env["__batch_id__"] = "42"
+    engine.context.env["__stream_txn__"] = "ck-empty"
+    try:
+        out = engine.execute(f"""
+        load versionedParquet.`{lake}` where commitOfBatch="true"
+            and mergeSchema="true" as es_slice;
+        select * from es_slice as out;
+        """)
+    finally:
+        engine.context.env.pop("__batch_id__")
+        engine.context.env.pop("__stream_txn__")
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "a", "b"}, out.columns
+
+
 def test_stream_stream_join(engine, sf_dir, tmp_path):
     """Watermarked stream-stream inner join with a time-range condition
     (view within 30 min after a click), verified against the batch

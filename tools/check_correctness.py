@@ -103,6 +103,19 @@ def main() -> int:
             fails.append(name)
             continue
         print(f"PASS {name}: {len(s)} rows match ({time.time()-t0:.1f}s)")
+    if only:
+        unknown = only - set(qs)
+        ran = len([n for n in qs if n in only])
+        if unknown or ran == 0:
+            # a typo'd filter must not print a vacuous N/N pass
+            # (round-11: `--help` silently "passed" 129/129 having run
+            # zero queries)
+            print(f"\nERROR: filter matched {ran} queries; unknown "
+                  f"names: {sorted(unknown)}")
+            return 1
+        print(f"\n{ran - len(fails)}/{ran} pass (filtered; "
+              f"{len(qs)} total)")
+        return 1 if fails else 0
     print(f"\n{len(qs) - len(fails)}/{len(qs)} pass")
     return 1 if fails else 0
 
