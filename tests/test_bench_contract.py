@@ -96,14 +96,27 @@ def test_escalation_needs_ratio_and_absolute_slack():
     assert not bench.needs_escalation(0.40, 0.30)
 
 
-def test_retime_subprocess_parses_best_sec(monkeypatch):
+def test_retime_subprocess_parses_best_sec_and_probe(monkeypatch):
     class FakeOut:
         returncode = 0
-        stdout = 'noise\n{"query": "q1", "best_sec": 1.234}\n'
+        stdout = ('noise\n{"query": "q1", "best_sec": 1.234, '
+                  '"probe": {"ext_cpus": 0.4, "load1": 3.1}}\n')
         stderr = ""
     import subprocess as sp
     monkeypatch.setattr(sp, "run", lambda *a, **k: FakeOut())
-    assert bench.retime_in_subprocess("q1") == 1.234
+    rec = bench.retime_in_subprocess("q1")
+    assert rec == {"best_sec": 1.234,
+                   "probe": {"ext_cpus": 0.4, "load1": 3.1}}
+
+    # a pre-round-11 child without a probe still parses (empty probe —
+    # treated as unknown, i.e. cannot exonerate)
+    class OldOut:
+        returncode = 0
+        stdout = '{"query": "q1", "best_sec": 1.234}\n'
+        stderr = ""
+    monkeypatch.setattr(sp, "run", lambda *a, **k: OldOut())
+    assert bench.retime_in_subprocess("q1") == {"best_sec": 1.234,
+                                                "probe": {}}
 
     class BadOut:
         returncode = 1
@@ -111,3 +124,53 @@ def test_retime_subprocess_parses_best_sec(monkeypatch):
         stderr = "boom"
     monkeypatch.setattr(sp, "run", lambda *a, **k: BadOut())
     assert bench.retime_in_subprocess("q1") is None
+
+
+def test_tree_pids_includes_descendants_not_strangers():
+    """The probe's own-tree exclusion: a spawned child is in the tree,
+    init and our own parent are not."""
+    import subprocess
+    p = subprocess.Popen([sys.executable, "-c",
+                          "import time; time.sleep(30)"])
+    try:
+        tree = bench.tree_pids(os.getpid())
+        assert os.getpid() in tree
+        assert p.pid in tree
+        assert 1 not in tree
+        assert os.getppid() not in tree
+    finally:
+        p.terminate()
+        p.wait()
+
+
+def test_probe_host_shape():
+    """probe_host returns the two stamped fields; on this Linux box
+    both are real measurements (>= 0)."""
+    pr = bench.probe_host(window=0.05)
+    assert set(pr) == {"ext_cpus", "load1"}
+    assert pr["ext_cpus"] >= 0.0
+    assert pr["load1"] >= 0.0
+
+
+def test_load_suspect_policy():
+    """A big ratio is load_suspect ONLY when (a) it trips the
+    escalation policy AND (b) its measurement ran hot or unprobed —
+    a quiet-measured big ratio is a real regression signal and must
+    NOT be exonerated; a sub-policy ratio is never suspect however
+    hot the host was."""
+    hot = {"ext_cpus": 8.0, "load1": 40.0}
+    quiet = {"ext_cpus": 0.3, "load1": 2.0}
+    unknown = {"ext_cpus": -1.0, "load1": 2.0}
+    # not flagged by policy -> never suspect, even hot
+    assert not bench.is_load_suspect(1.0, 1.0, hot)
+    assert not bench.is_load_suspect(0.51, 0.359, hot)
+    # flagged + hot -> suspect (round-10's near_dedup 2.12x case)
+    assert bench.is_load_suspect(7.5, 3.548, hot)
+    # flagged + quiet -> NOT suspect: adjudicable as a regression
+    assert not bench.is_load_suspect(7.5, 3.548, quiet)
+    # flagged + unknown probe -> suspect (can't prove quiet)
+    assert bench.is_load_suspect(7.5, 3.548, unknown)
+    assert bench.is_load_suspect(7.5, 3.548, None)
+    # the threshold itself is exclusive: exactly-at-threshold is quiet
+    at = {"ext_cpus": bench.LOAD_QUIET_EXT_CPUS, "load1": 5.0}
+    assert not bench.is_load_suspect(7.5, 3.548, at)

@@ -26,25 +26,38 @@ SAMPLES = 3
 
 
 def run_one(name: str) -> None:
-    """Child mode: boot, warm, time best-of-SAMPLES, print one JSON."""
+    """Child mode: boot, warm, time best-of-SAMPLES, print one JSON
+    (includes the host-load probe of the best sample, round 11: a
+    floor — or a retime reusing this path — is only trustworthy if its
+    measurement provably ran quiet)."""
     import bench
     import __spark_entry__ as entrymod
     spark = bench.make_session()
     bench.warmup(spark, entrymod)
     qs = entrymod.base_queries()
     best = bench.time_query(spark, qs[name], name, samples=SAMPLES)
+    # the probe paired with the BEST sample, not an arbitrary one
+    probe = {}
+    best_e = None
+    for n, e, p in bench.SAMPLE_PROBES:
+        if n == name and (best_e is None or e < best_e):
+            best_e, probe = e, p
     spark.stop()
-    print(json.dumps({"query": name, "best_sec": round(best, 3)}))
+    print(json.dumps({"query": name, "best_sec": round(best, 3),
+                      "probe": probe}))
 
 
 def orchestrate(names: list[str]) -> None:
     floors: dict[str, float] = {}
+    probes: dict[str, dict] = {}
     # keep any floors for queries not being re-measured
     json_path = os.path.join(REPO, "BENCH_STANDALONE.json")
     if os.path.exists(json_path):
         try:
             with open(json_path) as f:
-                floors.update(json.load(f).get("floors", {}))
+                prev = json.load(f)
+            floors.update(prev.get("floors", {}))
+            probes.update(prev.get("probes", {}))
         except ValueError:
             pass
     for name in names:
@@ -60,8 +73,10 @@ def orchestrate(names: list[str]) -> None:
             continue
         rec = json.loads(line[-1])
         floors[rec["query"]] = rec["best_sec"]
+        probes[rec["query"]] = rec.get("probe") or {}
         print(f"{rec['query']:28s} {rec['best_sec']:7.3f}s "
-              f"(wall {time.time() - t0:5.1f}s)")
+              f"(ext_cpus {probes[rec['query']].get('ext_cpus')}, "
+              f"wall {time.time() - t0:5.1f}s)")
 
     sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
@@ -71,7 +86,11 @@ def orchestrate(names: list[str]) -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     with open(json_path, "w") as f:
         json.dump({"git_sha": sha, "measured_at": stamp, "sf_dir": sf_dir,
-                   "cpus": cpus, "samples": SAMPLES, "floors": floors},
+                   "cpus": cpus, "samples": SAMPLES, "floors": floors,
+                   # host-load probe of each floor's best sample
+                   # (round-11): proves the committed floors were
+                   # measured on a quiet host
+                   "probes": probes},
                   f, indent=2, sort_keys=True)
         f.write("\n")
     md_path = os.path.join(REPO, "BENCH_STANDALONE.md")
