@@ -4627,6 +4627,146 @@ FROM g2 LEFT JOIN off ON g2.shard = off.shard
 """
 
 
+def _q_layout_audit(spark, sf_dir):
+    """LayoutAudit (round-11): the data-quality gate a training job
+    runs before resuming from (shard, position) — per-shard
+    contiguity / uniqueness / hash-gate / NULL-convention invariants.
+    The contract audits a layout with shard 5's positions DELIBERATELY
+    shifted by +3, so the flags are exercised in both directions:
+    DuckDB replays the layout, the corruption AND every audit
+    aggregate — nothing about the verdicts is engine-certified."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as DeterministicShard.`` where numShards="16" as la_l;
+    select doc_id, shard,
+           case when shard = 5 then shard_pos + 3 else shard_pos end
+             as shard_pos
+    from la_l as la_bad;
+    run la_bad as LayoutAudit.`` where numShards="16" as la_audit;
+    select shard, n_rows, n_distinct_pos, min_pos, max_pos,
+           contiguous_ok, gate_ok, convention_ok
+    from la_audit as output;
+    """)
+
+
+_LAYOUT_AUDIT_ORACLE = f"""
+WITH h AS (
+  {_SHARD_HASHES} FROM documents
+),
+lay AS (
+  SELECT doc_id, hv, CAST(hv % 16 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hv % 16
+                                 ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
+           AS shard_pos
+  FROM h
+),
+bad AS (
+  SELECT doc_id, hv, shard,
+         CASE WHEN shard = 5 THEN shard_pos + 3 ELSE shard_pos END
+           AS shard_pos
+  FROM lay
+)
+SELECT shard,
+       count(*) AS n_rows,
+       count(DISTINCT shard_pos) AS n_distinct_pos,
+       min(shard_pos) AS min_pos,
+       max(shard_pos) AS max_pos,
+       (count(DISTINCT shard_pos) = count(*)
+        AND min(shard_pos) = 0
+        AND max(shard_pos) = count(*) - 1) AS contiguous_ok,
+       bool_and(shard = CAST(hv % 16 AS INT)) AS gate_ok,
+       bool_and(doc_id IS NOT NULL AND shard IS NOT NULL
+                AND shard_pos IS NOT NULL) AS convention_ok
+FROM bad GROUP BY shard
+"""
+
+
+def _q_layout_manifest(spark, sf_dir):
+    """LayoutManifest (round-11): the O(|shards|) per-shard
+    (shard, next_pos, n_rows) manifest DeterministicShard appends
+    against — examples/15's hand-rolled aggregate as a first-class op.
+    The contract also closes the loop: the manifest FEEDS a refTable
+    append and the appended generation's per-shard min position must
+    equal the manifest's next_pos (replayed in DuckDB end to end)."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select * from documents where doc_id % 2 = 0 as lm_g1;
+    select * from documents where doc_id % 2 = 1 as lm_g2;
+    run lm_g1 as DeterministicShard.`` where numShards="16" as lm_l1;
+    run lm_l1 as LayoutManifest.`` as lm_man;
+    run lm_g2 as DeterministicShard.`` where numShards="16"
+        and refTable="lm_man" as lm_l2;
+    select m.shard as shard, m.next_pos as next_pos, m.n_rows as n_rows,
+           g.min_pos2 as gen2_min_pos
+    from lm_man m
+    left join (select shard, min(shard_pos) as min_pos2 from lm_l2
+               group by shard) g on m.shard = g.shard as output;
+    """)
+
+
+_LAYOUT_MANIFEST_ORACLE = f"""
+WITH h AS (
+  {_SHARD_HASHES} FROM documents
+),
+g1 AS (
+  SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hv % 16
+                                 ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
+           AS shard_pos
+  FROM h WHERE doc_id % 2 = 0
+),
+man AS (
+  SELECT shard, max(shard_pos) + 1 AS next_pos, count(*) AS n_rows
+  FROM g1 GROUP BY shard
+),
+g2 AS (
+  SELECT CAST(hv % 16 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hv % 16
+                                 ORDER BY bv, hv, doc_id) - 1 AS BIGINT)
+           AS rnk
+  FROM h WHERE doc_id % 2 = 1
+)
+SELECT man.shard AS shard, man.next_pos AS next_pos,
+       man.n_rows AS n_rows,
+       g.mn + man.next_pos AS gen2_min_pos
+FROM man LEFT JOIN (SELECT shard, min(rnk) AS mn FROM g2
+                    GROUP BY shard) g ON man.shard = g.shard
+"""
+
+
+def _q_grouped_split(spark, sf_dir):
+    """GroupedSplit (round-11): leakage-safe train/val/test assignment
+    by GROUP hash — all rows of a group land in one split, so
+    near-duplicates within a group can never straddle the train/eval
+    boundary.  Per-row doc-level output: the md5 gate and the integer
+    cumulative thresholds are replayed byte-for-byte in DuckDB."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    run documents as GroupedSplit.`` where groupCol="source"
+        and splits="train:0.8,validation:0.1,test:0.1" as gs;
+    select doc_id, source, split from gs as output;
+    """)
+
+
+_GROUPED_SPLIT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_PHASH_DUCK.format(payload=chr(39) + 'split:' + chr(39) + ' || source')}
+           % 1000000 AS hv
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN source IS NULL THEN NULL
+            WHEN hv < 800000 THEN 'train'
+            WHEN hv < 900000 THEN 'validation'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def _q_token_budget_sample(spark, sf_dir):
     """TokenBudgetSample: cap each source stratum at a token budget in
     deterministic hash order (annotate mode so the oracle can check
@@ -5148,6 +5288,9 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_shard": _q_deterministic_shard,
         "deterministic_shard_incr": _q_deterministic_shard_incr,
         "deterministic_shard_epoch": _q_deterministic_shard_epoch,
+        "layout_audit": _q_layout_audit,
+        "layout_manifest": _q_layout_manifest,
+        "grouped_split": _q_grouped_split,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -5292,6 +5435,9 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_shard": _DETERMINISTIC_SHARD_ORACLE,
         "deterministic_shard_epoch": _DETERMINISTIC_SHARD_EPOCH_ORACLE,
         "deterministic_shard_incr": _DETERMINISTIC_SHARD_INCR_ORACLE,
+        "layout_audit": _LAYOUT_AUDIT_ORACLE,
+        "layout_manifest": _LAYOUT_MANIFEST_ORACLE,
+        "grouped_split": _GROUPED_SPLIT_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

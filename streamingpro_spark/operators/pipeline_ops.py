@@ -1481,3 +1481,227 @@ class DeterministicShard(ETAlgorithm):
                  ""),
                 ("hashImpl", "md5 (oracle) | xxhash64 (production)",
                  "md5")]
+
+
+# ---------------------------------------------------------------------------
+# LayoutAudit / LayoutManifest / GroupedSplit (round 11) — the rest of
+# the training-set layout lifecycle around DeterministicShard: verify a
+# layout's invariants before training reads it, maintain the O(|shards|)
+# append manifest as a first-class op instead of hand-rolled SQL
+# (examples/15), and split by group hash without cross-split leakage.
+# ---------------------------------------------------------------------------
+
+@register_et("LayoutAudit")
+class LayoutAudit(ETAlgorithm):
+    """Validate a DeterministicShard layout's invariants, per shard.
+
+    A training loader consumes a layout on faith: positions 0..n-1
+    contiguous and unique per shard, every document in the shard its id
+    hashes to, NULL-id rows carrying NULL shard/pos.  After any
+    composed day-N append (DeterministicShard refTable over a curated
+    increment) those invariants are exactly what a corrupted manifest,
+    a numShards drift, or a double-appended increment would break —
+    this is the data-quality gate to run before a training job resumes
+    from (shard, position).
+
+    One row per shard (the NULL-shard group audits the NULL-id
+    convention):
+
+    - ``n_rows``, ``n_distinct_pos``, ``min_pos``, ``max_pos``
+    - ``contiguous_ok``  — positions are exactly 0..n_rows-1 (unique,
+      gapless, zero-based); for the NULL-shard group: all positions
+      NULL
+    - ``gate_ok``        — every row sits in pmod(hash(id), numShards)
+      (hashImpl must match the layout's)
+    - ``convention_ok``  — NULL id  ⇔  NULL shard AND NULL pos
+
+    100 TB: map-only boolean expressions + ONE groupBy(shard)
+    aggregation (|shards| result rows; countDistinct is Spark's
+    standard two-phase partial-distinct — no window, no join, no
+    driver state).  Runs as a full-scan audit by design: auditing a
+    100 TB layout costs one pass, the same as reading it.
+    """
+
+    def train(self, df, path, params, context=None):
+        id_col = params.get("idCol", "doc_id")
+        num_shards = get_int(params, "numShards", 64)
+        impl = hash_impl(params)
+        if num_shards < 1:
+            raise ValueError(
+                f"LayoutAudit: numShards must be >= 1, got {num_shards}")
+        missing = [c for c in (id_col, "shard", "shard_pos")
+                   if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"LayoutAudit: input is not a layout — missing "
+                f"column(s) {missing} (expect a DeterministicShard "
+                f"output with {id_col!r}, shard, shard_pos)")
+        gate = F.pmod(
+            portable_hash64(F.col(id_col).cast("string"), "shard", impl),
+            F.lit(num_shards)).cast("int")
+        id_null = F.col(id_col).isNull()
+        gate_bad = (~id_null & (F.col("shard").isNull()
+                                | (F.col("shard") != gate))).cast("int")
+        convention_bad = F.when(
+            id_null, (F.col("shard").isNotNull()
+                      | F.col("shard_pos").isNotNull()).cast("int")
+        ).otherwise((F.col("shard").isNull()
+                     | F.col("shard_pos").isNull()).cast("int"))
+        agg = (df.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("shard_pos").alias("n_distinct_pos"),
+                    F.min("shard_pos").alias("min_pos"),
+                    F.max("shard_pos").alias("max_pos"),
+                    F.sum(gate_bad).alias("__gb"),
+                    F.sum(convention_bad).alias("__cb")))
+        contiguous = F.when(
+            F.col("shard").isNull(), F.col("n_distinct_pos") == 0
+        ).otherwise((F.col("n_distinct_pos") == F.col("n_rows"))
+                    & (F.col("min_pos") == 0)
+                    & (F.col("max_pos") == F.col("n_rows") - 1))
+        return (agg
+                .withColumn("contiguous_ok", contiguous)
+                .withColumn("gate_ok", F.col("__gb") == 0)
+                .withColumn("convention_ok", F.col("__cb") == 0)
+                .drop("__gb", "__cb"))
+
+    def explain_params(self):
+        return [("idCol", "document id column", "doc_id"),
+                ("numShards", "shard count the layout was built with",
+                 "64"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production); "
+                 "must match the layout's", "md5")]
+
+
+@register_et("LayoutManifest")
+class LayoutManifest(ETAlgorithm):
+    """Reduce a layout to its per-shard append manifest: one
+    (shard, next_pos, n_rows) row per shard — the O(|shards|) refTable
+    form DeterministicShard appends against, so a daily increment
+    never re-scans the full layout history (examples/15 hand-rolled
+    this aggregate; it is the thing a caller should persist alongside
+    each layout generation).
+
+    NULL-shard rows (the NULL-id pass-through convention) carry no
+    position and are excluded — they must not produce a manifest row
+    (DeterministicShard's refTable guard would ignore it anyway, but a
+    manifest is also read by humans and loaders).
+
+    By construction one row per shard: the manifest this op emits can
+    never trip DeterministicShard's duplicate-manifest-row guard.
+
+    100 TB: ONE column-pruned aggregation over (shard, shard_pos) —
+    two int columns — to |shards| rows.  Maintain it incrementally:
+    manifest(gen N) = per-shard max of manifest(gen N-1) and the
+    increment's own manifest, so steady state never reads old layout
+    data at all.
+    """
+
+    def train(self, df, path, params, context=None):
+        missing = [c for c in ("shard", "shard_pos") if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"LayoutManifest: input is not a layout — missing "
+                f"column(s) {missing} (expect a DeterministicShard "
+                f"output with shard, shard_pos)")
+        return (df.where(F.col("shard").isNotNull())
+                .groupBy("shard")
+                .agg((F.max("shard_pos") + 1).alias("next_pos"),
+                     F.count(F.lit(1)).alias("n_rows")))
+
+    def explain_params(self):
+        return []
+
+
+@register_et("GroupedSplit")
+class GroupedSplit(ETAlgorithm):
+    """Leakage-safe train/validation/test split: every row's split is
+    decided by a portable hash of a GROUP key, so all rows sharing the
+    key (a url domain, a source document's id, a dedup cluster id)
+    land in the SAME split — near-duplicates within a group can never
+    straddle the train/eval boundary, the classic contamination bug of
+    row-level random splits (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" measures exactly this leak).
+
+    ``splits`` is "name:ratio,..." (ratios sum to 1); assignment is
+    pmod(hash(group), 1e6) compared against INTEGER cumulative
+    thresholds (round(cum*1e6)) — integer compares are bit-portable
+    across engines, so the split is reproducible in SQL (oracle) and
+    stable across runs, engines and numShards choices.  A NULL group
+    key has no hash: split = NULL, visible pass-through (the engine's
+    NULL-id convention).  Re-running overwrites an existing output
+    column (annotator overwrite convention).
+
+    100 TB: map-only — one hash + a CASE chain, ZERO exchanges
+    (plan-gated); ratios hold per group-population by the law of large
+    numbers exactly like every hash sampler in this engine
+    (StratifiedSampleExt's contract).
+    """
+
+    def train(self, df, path, params, context=None):
+        group_col = params.get("groupCol", "doc_id")
+        out_col = params.get("outputCol", "split")
+        impl = hash_impl(params)
+        if group_col not in df.columns:
+            raise ValueError(
+                f"GroupedSplit: groupCol {group_col!r} not in input "
+                f"columns {df.columns}")
+        spec = params.get("splits", "train:0.98,validation:0.01,test:0.01")
+        names, ratios = [], []
+        for part in spec.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" not in part:
+                raise ValueError(
+                    f"GroupedSplit: splits entry {part!r} is not "
+                    f"name:ratio (e.g. "
+                    f'splits="train:0.9,validation:0.05,test:0.05")')
+            name, _, ratio = part.partition(":")
+            try:
+                r = float(ratio)
+            except ValueError:
+                raise ValueError(
+                    f"GroupedSplit: ratio {ratio!r} for split "
+                    f"{name.strip()!r} is not a number")
+            if r <= 0:
+                raise ValueError(
+                    f"GroupedSplit: ratio for split {name.strip()!r} "
+                    f"must be > 0, got {r}")
+            names.append(name.strip())
+            ratios.append(r)
+        if len(names) < 2:
+            raise ValueError(
+                f"GroupedSplit: need at least 2 splits, got {names}")
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"GroupedSplit: duplicate split names in {names}")
+        if abs(sum(ratios) - 1.0) > 1e-6:
+            raise ValueError(
+                f"GroupedSplit: ratios must sum to 1.0, got "
+                f"{sum(ratios)} from {spec!r}")
+        denom = 1_000_000
+        hv = F.pmod(portable_hash64(F.col(group_col).cast("string"),
+                                    "split", impl), F.lit(denom))
+        # integer cumulative thresholds: the LAST split absorbs any
+        # rounding residue so every non-null hash lands somewhere
+        cum, bounds = 0.0, []
+        for r in ratios[:-1]:
+            cum += r
+            bounds.append(int(round(cum * denom)))
+        expr = F.lit(names[-1])
+        for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+            expr = F.when(hv < F.lit(b), F.lit(name)).otherwise(expr)
+        expr = F.when(F.col(group_col).isNull(),
+                      F.lit(None).cast("string")).otherwise(expr)
+        return df.drop(out_col).withColumn(out_col, expr)
+
+    def explain_params(self):
+        return [("groupCol", "leakage group key: all rows sharing it "
+                 "get the same split", "doc_id"),
+                ("splits", "name:ratio list summing to 1",
+                 "train:0.98,validation:0.01,test:0.01"),
+                ("outputCol", "split label column (overwritten if "
+                 "present)", "split"),
+                ("hashImpl", "md5 (oracle) | xxhash64 (production)",
+                 "md5")]

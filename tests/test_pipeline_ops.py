@@ -1485,3 +1485,177 @@ def test_deterministic_shard_curriculum_with_ref_append(engine):
         for g in (1, 2):
             diffs = [d for _, gg, d in items if gg == g]
             assert diffs == sorted(diffs), (shard, g, diffs)
+
+
+# ---------------------------------------------------------------------------
+# LayoutAudit / LayoutManifest / GroupedSplit (round 11)
+# ---------------------------------------------------------------------------
+
+def test_layout_audit_invariants(engine):
+    """LayoutAudit: green on a fresh layout; detects a position shift,
+    a duplicated position, a numShards drift, and NULL-convention
+    violations — each in exactly the shard that carries it."""
+    import pytest as _pytest
+    engine.execute("""
+    select id as doc_id from range(0, 300) as au_d;
+    run au_d as DeterministicShard.`` where numShards="6" as au_l;
+    """)
+    ok = engine.execute("""
+    run au_l as LayoutAudit.`` where numShards="6" as a;
+    select * from a as out;
+    """).collect()
+    assert len(ok) == 6
+    assert all(r["contiguous_ok"] and r["gate_ok"] and r["convention_ok"]
+               for r in ok), ok
+    # shifted positions: contiguous fails ONLY in shard 2
+    rows = engine.execute("""
+    select doc_id, shard,
+           case when shard = 2 then shard_pos + 1 else shard_pos end
+             as shard_pos from au_l as au_shift;
+    run au_shift as LayoutAudit.`` where numShards="6" as a2;
+    select * from a2 as out;
+    """).collect()
+    assert {r["shard"] for r in rows if not r["contiguous_ok"]} == {2}
+    assert all(r["gate_ok"] for r in rows)
+    # duplicated position: n_distinct_pos < n_rows, contiguous fails
+    rows = engine.execute("""
+    select doc_id, shard,
+           case when shard = 4 and shard_pos = 1 then cast(0 as long)
+                else shard_pos end as shard_pos
+    from au_l as au_dup;
+    run au_dup as LayoutAudit.`` where numShards="6" as a3;
+    select * from a3 as out;
+    """).collect()
+    bad = [r for r in rows if not r["contiguous_ok"]]
+    assert len(bad) == 1 and bad[0]["shard"] == 4
+    assert bad[0]["n_distinct_pos"] == bad[0]["n_rows"] - 1
+    # numShards drift: gate fails (every shard has rows that hash
+    # elsewhere under 12 shards)
+    rows = engine.execute("""
+    run au_l as LayoutAudit.`` where numShards="12" as a4;
+    select * from a4 as out;
+    """).collect()
+    assert any(not r["gate_ok"] for r in rows)
+    # NULL conventions: a well-formed NULL row audits green in the
+    # NULL-shard group; a NULL id with a shard violates
+    rows = engine.execute("""
+    select doc_id, shard, shard_pos from au_l
+    union all
+    select cast(null as bigint), cast(null as int), cast(null as bigint)
+    as au_n;
+    run au_n as LayoutAudit.`` where numShards="6" as a5;
+    select * from a5 as out;
+    """).collect()
+    ng = [r for r in rows if r["shard"] is None]
+    assert len(ng) == 1 and ng[0]["contiguous_ok"] and ng[0]["convention_ok"]
+    rows = engine.execute("""
+    select doc_id, shard, shard_pos from au_l
+    union all
+    select cast(null as bigint), 1, cast(null as bigint) as au_bn;
+    run au_bn as LayoutAudit.`` where numShards="6" as a6;
+    select * from a6 as out;
+    """).collect()
+    assert any(not r["convention_ok"] for r in rows if r["shard"] == 1)
+    # not a layout: rendered error
+    with _pytest.raises(ValueError, match="not a layout"):
+        engine.execute("""
+        select 1 as doc_id as au_x;
+        run au_x as LayoutAudit.`` as bad;
+        """)
+
+
+def test_layout_manifest_shape_and_composition(engine):
+    """LayoutManifest equals the hand-rolled aggregate, excludes the
+    NULL-shard group, can never trip the duplicate-manifest guard, and
+    feeds DeterministicShard refTable so the appended generation
+    starts at next_pos."""
+    import pytest as _pytest
+    engine.execute("""
+    select id as doc_id from range(0, 200) as mf_d;
+    run mf_d as DeterministicShard.`` where numShards="5" as mf_l;
+    select doc_id, shard, shard_pos from mf_l
+    union all
+    select cast(null as bigint), cast(null as int), cast(null as bigint)
+    as mf_ln;
+    run mf_ln as LayoutManifest.`` as mf_m;
+    """)
+    man = {r["shard"]: (r["next_pos"], r["n_rows"]) for r in
+           engine.execute("select * from mf_m as o;").collect()}
+    hand = {r["shard"]: (r["np"], r["n"]) for r in engine.execute(
+        "select shard, max(shard_pos) + 1 as np, count(*) as n "
+        "from mf_l group by shard as o;").collect()}
+    assert man == hand and None not in man
+    # composes: appended generation continues at next_pos per shard
+    rows = engine.execute("""
+    select id + 1000 as doc_id from range(0, 50) as mf_d2;
+    run mf_d2 as DeterministicShard.`` where numShards="5"
+        and refTable="mf_m" as mf_l2;
+    select shard, min(shard_pos) as mn from mf_l2 group by shard as o;
+    """).collect()
+    for r in rows:
+        assert r["mn"] == man[r["shard"]][0], (r, man)
+    with _pytest.raises(ValueError, match="not a layout"):
+        engine.execute("""
+        select 1 as shard as mf_x;
+        run mf_x as LayoutManifest.`` as bad;
+        """)
+
+
+def test_grouped_split_leakage_safe_and_params(engine):
+    """GroupedSplit: one split per group (leakage-safe), deterministic
+    across runs and engines (md5 gate), NULL group -> NULL split,
+    annotator overwrite convention, rendered param errors, xxhash64
+    impl accepted."""
+    import pytest as _pytest
+    rows = engine.execute("""
+    select id as doc_id, concat('g', cast(id % 37 as string)) as grp
+    from range(0, 500) as gs_d;
+    run gs_d as GroupedSplit.`` where groupCol="grp"
+        and splits="train:0.8,validation:0.1,test:0.1" as gs_o;
+    select grp, split, count(*) as n from gs_o group by grp, split as o;
+    """).collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in per_group.values()), per_group
+    assert {s for v in per_group.values() for s in v} \
+        <= {"train", "validation", "test"}
+    # deterministic: re-run identical
+    again = engine.execute("""
+    run gs_d as GroupedSplit.`` where groupCol="grp"
+        and splits="train:0.8,validation:0.1,test:0.1" as gs_o2;
+    select grp, split, count(*) as n from gs_o2 group by grp, split as o;
+    """).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # overwrite convention: an existing `split` column is replaced
+    cols_rows = engine.execute("""
+    select id as doc_id, 'stale' as split from range(0, 20) as gs_s;
+    run gs_s as GroupedSplit.`` where splits="a:0.5,b:0.5" as gs_so;
+    select * from gs_so as o;
+    """).collect()
+    assert all(r["split"] in ("a", "b") for r in cols_rows)
+    # NULL group passes through with NULL split
+    rows = engine.execute("""
+    select cast(null as string) as g union all select 'x' as g as gs_n;
+    run gs_n as GroupedSplit.`` where groupCol="g"
+        and splits="a:0.5,b:0.5" as gs_no;
+    select g, split from gs_no as o;
+    """).collect()
+    m = {r["g"]: r["split"] for r in rows}
+    assert m[None] is None and m["x"] in ("a", "b")
+    # xxhash64 production impl runs (values differ from md5 by design)
+    engine.execute("""
+    run gs_d as GroupedSplit.`` where groupCol="grp"
+        and splits="a:0.5,b:0.5" and hashImpl="xxhash64" as gs_xx;
+    """)
+    for bad, msg in [('splits="train:1.0"', "at least 2"),
+                     ('splits="a:0.5,b:0.6"', "sum to 1"),
+                     ('splits="a:0.5,a:0.5"', "duplicate"),
+                     ('splits="a:0.5,b:x"', "not a number"),
+                     ('splits="a:0.5,b"', "name:ratio"),
+                     ('splits="a:0.5,b:-0.5"', "> 0"),
+                     ('groupCol="nope" and splits="a:0.5,b:0.5"',
+                      "groupCol")]:
+        with _pytest.raises(ValueError, match=msg.replace("(", "\\(")):
+            engine.execute(
+                f"run gs_d as GroupedSplit.`` where {bad} as x;")

@@ -241,3 +241,45 @@ def test_deterministic_shard_bucketed_curriculum_plan(spark, sf_dir):
     win = [ln for ln in plan.splitlines()
            if "row_number()" in ln and "windowspecdefinition" in ln]
     assert win and all("__qb" in ln for ln in win), win
+
+
+def test_grouped_split_map_only(spark, sf_dir):
+    """GroupedSplit is a pure map: one md5 hash + a CASE chain in
+    whole-stage codegen — ZERO exchanges, no Python (a split that
+    shuffles or collects would be a scale bug, not a feature)."""
+    import __spark_entry__ as em
+    df = em.base_queries()["grouped_split"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_layout_audit_single_agg_plan(spark, sf_dir):
+    """LayoutAudit over an existing layout table is map-only boolean
+    expressions + ONE groupBy(shard) aggregation (countDistinct's
+    standard two-phase partial-distinct): hash exchanges only, no
+    window, no join, no Python, no range sort."""
+    import re
+    from streamingpro_spark.engine import Engine
+    eng = Engine(spark)
+    # a pre-materialized layout shape straight off a scan (shard /
+    # shard_pos as plain columns), so the plan is the AUDIT's alone
+    df = eng.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as pl_docs;
+    select doc_id, cast(doc_id % 16 as int) as shard,
+           cast(doc_id as long) as shard_pos from pl_docs as pl_lay;
+    run pl_lay as LayoutAudit.`` where numShards="16" as out;
+    """)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    # two-phase distinct = at most 2 hash exchanges, both tiny-keyed
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, plan
