@@ -4645,10 +4645,16 @@ def _q_layout_audit(spark, sf_dir):
     from la_l as la_bad;
     run la_bad as LayoutAudit.`` where numShards="16" as la_audit;
     select shard, n_rows, n_distinct_pos, min_pos, max_pos,
-           contiguous_ok, gate_ok, convention_ok
+           contiguous_ok, gate_ok, convention_ok, xor_sig
     from la_audit as output;
     """)
 
+
+#: the audit's per-row content-signature hash — same md5 algebra as
+#: the engine's portable_hash64("sig", id || ':' || pos)
+_PHASH_DUCK_SIG = _PHASH_DUCK.format(
+    payload="'sig:' || CAST(doc_id AS VARCHAR) || ':' "
+            "|| CAST(shard_pos AS VARCHAR)")
 
 _LAYOUT_AUDIT_ORACLE = f"""
 WITH h AS (
@@ -4677,7 +4683,8 @@ SELECT shard,
         AND max(shard_pos) = count(*) - 1) AS contiguous_ok,
        bool_and(shard = CAST(hv % 16 AS INT)) AS gate_ok,
        bool_and(doc_id IS NOT NULL AND shard IS NOT NULL
-                AND shard_pos IS NOT NULL) AS convention_ok
+                AND shard_pos IS NOT NULL) AS convention_ok,
+       bit_xor({_PHASH_DUCK_SIG}) AS xor_sig
 FROM bad GROUP BY shard
 """
 

@@ -200,6 +200,7 @@ HEADLINE = [
     "token_budget_sample",
     "dsir_score",
     "deterministic_shard",
+    "layout_audit",
     "lake_day_ingest",
     "warc_bench",
 ]

@@ -1514,6 +1514,15 @@ class LayoutAudit(ETAlgorithm):
     - ``gate_ok``        — every row sits in pmod(hash(id), numShards)
       (hashImpl must match the layout's)
     - ``convention_ok``  — NULL id  ⇔  NULL shard AND NULL pos
+    - ``xor_sig``        — order-insensitive per-shard content
+      signature: bit_xor of hash(id:pos).  Two layout generations (or
+      the same layout read back from disk, or replayed on another
+      engine) carry identical xor_sig per shard iff every document
+      sits at the same position — the cheap byte-reproducibility
+      check the operator's determinism promise is about.  XOR is
+      commutative, so the signature is scan-order-free and computable
+      map-side; BIGINT on both engines (no sum-overflow semantics to
+      reconcile).
 
     100 TB: map-only boolean expressions + ONE groupBy(shard)
     aggregation (|shards| result rows; countDistinct is Spark's
@@ -1547,13 +1556,19 @@ class LayoutAudit(ETAlgorithm):
                       | F.col("shard_pos").isNotNull()).cast("int")
         ).otherwise((F.col("shard").isNull()
                      | F.col("shard_pos").isNull()).cast("int"))
+        # concat null-propagates: a NULL id or pos contributes nothing
+        # (bit_xor skips NULLs in both engines)
+        sig = portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                     F.col("shard_pos").cast("string")), "sig", impl)
         agg = (df.groupBy("shard")
                .agg(F.count(F.lit(1)).alias("n_rows"),
                     F.countDistinct("shard_pos").alias("n_distinct_pos"),
                     F.min("shard_pos").alias("min_pos"),
                     F.max("shard_pos").alias("max_pos"),
                     F.sum(gate_bad).alias("__gb"),
-                    F.sum(convention_bad).alias("__cb")))
+                    F.sum(convention_bad).alias("__cb"),
+                    F.bit_xor(sig).alias("xor_sig")))
         contiguous = F.when(
             F.col("shard").isNull(), F.col("n_distinct_pos") == 0
         ).otherwise((F.col("n_distinct_pos") == F.col("n_rows"))

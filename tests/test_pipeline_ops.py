@@ -1556,6 +1556,27 @@ def test_layout_audit_invariants(engine):
     select * from a6 as out;
     """).collect()
     assert any(not r["convention_ok"] for r in rows if r["shard"] == 1)
+    # xor_sig: identical layouts carry identical per-shard signatures;
+    # swapping two documents' positions inside one shard (counts,
+    # bounds and distinctness all UNCHANGED — invisible to the other
+    # flags) flips that shard's signature and only that shard's
+    base_sig = {r["shard"]: r["xor_sig"] for r in ok}
+    again = {r["shard"]: r["xor_sig"] for r in engine.execute("""
+    run au_l as LayoutAudit.`` where numShards="6" as a7;
+    select * from a7 as out;
+    """).collect()}
+    assert again == base_sig
+    swapped = {r["shard"]: r["xor_sig"] for r in engine.execute("""
+    select doc_id, shard,
+           case when shard = 3 and shard_pos = 0 then cast(1 as long)
+                when shard = 3 and shard_pos = 1 then cast(0 as long)
+                else shard_pos end as shard_pos
+    from au_l as au_swap;
+    run au_swap as LayoutAudit.`` where numShards="6" as a8;
+    select * from a8 as out;
+    """).collect()}
+    assert swapped[3] != base_sig[3]
+    assert all(swapped[s] == base_sig[s] for s in base_sig if s != 3)
     # not a layout: rendered error
     with _pytest.raises(ValueError, match="not a layout"):
         engine.execute("""
