@@ -4774,6 +4774,58 @@ FROM h
 """
 
 
+def _q_lake_diff(spark, sf_dir):
+    """LakeDiff (round-11): keyed added/removed/changed diff of a
+    candidate table against a versionedParquet snapshot — the
+    change-data-feed analogue for the native lake, covering overwrite
+    semantics the __delta_version__ range read cannot express.  The
+    lake (v0 = docs except id%3==2) and the candidate (docs except
+    id%3==0, text edited where id%7==0) are built deterministically
+    from `documents`, so DuckDB replays both sides, the md5 content
+    digests AND the full-outer classification."""
+    import tempfile
+    eng = _engine(spark)
+    lake = tempfile.mkdtemp(prefix="spk_lakediff_") + "/lake"
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, source, text from documents
+    where doc_id % 3 != 2 as ld_v0;
+    save overwrite ld_v0 as versionedParquet.`{lake}`;
+    select doc_id, source,
+           case when doc_id % 7 = 0 then concat(text, ' EDITED')
+                else text end as text
+    from documents where doc_id % 3 != 0 as ld_cand;
+    run ld_cand as LakeDiff.`{lake}` where versionAsOf="0"
+        and digestCols="source,text" as ld_d;
+    select doc_id, change, old_digest, new_digest from ld_d as output;
+    """)
+
+
+_LAKE_DIFF_ORACLE = """
+WITH v0 AS (
+  SELECT doc_id, md5(source || chr(31) || text) AS old_digest
+  FROM documents WHERE doc_id % 3 != 2
+),
+cand AS (
+  SELECT doc_id,
+         md5(source || chr(31) ||
+             CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+                  ELSE text END) AS new_digest
+  FROM documents WHERE doc_id % 3 != 0
+),
+j AS (
+  SELECT coalesce(cand.doc_id, v0.doc_id) AS doc_id,
+         old_digest, new_digest,
+         CASE WHEN old_digest IS NULL THEN 'added'
+              WHEN new_digest IS NULL THEN 'removed'
+              WHEN new_digest != old_digest THEN 'changed' END AS change
+  FROM cand FULL OUTER JOIN v0 ON cand.doc_id = v0.doc_id
+)
+SELECT doc_id, change, old_digest, new_digest
+FROM j WHERE change IS NOT NULL
+"""
+
+
 def _q_token_budget_sample(spark, sf_dir):
     """TokenBudgetSample: cap each source stratum at a token budget in
     deterministic hash order (annotate mode so the oracle can check
@@ -5298,6 +5350,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_audit": _q_layout_audit,
         "layout_manifest": _q_layout_manifest,
         "grouped_split": _q_grouped_split,
+        "lake_diff": _q_lake_diff,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -5445,6 +5498,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_audit": _LAYOUT_AUDIT_ORACLE,
         "layout_manifest": _LAYOUT_MANIFEST_ORACLE,
         "grouped_split": _GROUPED_SPLIT_ORACLE,
+        "lake_diff": _LAKE_DIFF_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

@@ -483,3 +483,136 @@ class NothingET(ETAlgorithm):
 from streamingpro_spark.operators.registry import alias_et  # noqa: E402
 
 alias_et("DeltaCompactionCommand", "DeltaCommandWrapper")
+
+
+@register_et("LakeDiff")
+class LakeDiff(ETAlgorithm):
+    """Diff the input table against a versionedParquet snapshot: which
+    keys were ADDED, REMOVED, or CHANGED — the change-data-feed
+    analogue for this engine's native lake (delta-lake's CDF answers
+    the same question per commit; the reference's MLSQLDelta.scala
+    range read, reproduced here as `load versionedParquet ... where
+    startingVersion/endingVersion`, stamps commits but cannot express
+    overwrite semantics or content changes; file:line provenance —
+    streamingpro MLSQLDelta.scala:22-100).
+
+    Two shapes, one operator:
+
+    - pre-commit review: ``run candidate as LakeDiff.`/lake`` `` —
+      what WOULD change if candidate were overwrite-committed now.
+    - version-to-version: load version N as a table, diff it against
+      ``versionAsOf="M"`` — the historical change feed between any
+      two snapshots, overwrites included.
+
+    Output: one row per differing key — (key, change
+    'added'|'removed'|'changed', old_digest, new_digest).  `added` =
+    key in input, not in snapshot; `removed` = the reverse; `changed`
+    = both sides, digest differs.  The digest is md5 over
+    ``digestCols`` (default: every shared non-key column, sorted by
+    name so both sides agree), null-safe via per-column coalesce to a
+    sentinel.  Duplicate keys on either side are a rendered error —
+    a keyed diff over a non-keyed table silently multiplies rows.
+    NULL keys have no identity to diff on and are EXCLUDED from both
+    sides (the engine's NULL-key convention: visible in the inputs,
+    never silently matched).
+
+    100 TB: digests are computed map-side inside each scan (the scans
+    are COLUMN-PRUNED to key + digestCols — parquet never reads the
+    rest); the diff itself is ONE full-outer shuffle join keyed by the
+    key column; the duplicate guard rides the same aggregation shape
+    (groupBy key) rather than a second scan.  No window, no collect,
+    no Python.
+    """
+
+    def train(self, df, path, params, context=None):
+        from streamingpro_spark.sources import versioned as vp
+        key = params.get("keyCol", "doc_id")
+        if key not in df.columns:
+            raise ValueError(
+                f"LakeDiff: keyCol {key!r} not in input columns "
+                f"{df.columns}")
+        opts = {}
+        if params.get("versionAsOf", ""):
+            opts["versionAsOf"] = params["versionAsOf"]
+        if params.get("mergeSchema", ""):
+            opts["mergeSchema"] = params["mergeSchema"]
+        old = vp.load(context, path, opts)
+        if key not in old.columns:
+            raise ValueError(
+                f"LakeDiff: keyCol {key!r} not in lake columns "
+                f"{old.columns} at {path!r}")
+        spec = params.get("digestCols", "")
+        if spec:
+            cols = [c.strip() for c in spec.split(",") if c.strip()]
+            missing = [c for c in cols
+                       if c not in df.columns or c not in old.columns]
+            if missing:
+                raise ValueError(
+                    f"LakeDiff: digestCols {missing} not present on "
+                    f"both sides (input has {df.columns}, lake has "
+                    f"{old.columns})")
+        else:
+            cols = sorted((set(df.columns) & set(old.columns))
+                          - {key})
+            if not cols:
+                raise ValueError(
+                    f"LakeDiff: no shared non-key columns to digest "
+                    f"(input {df.columns} vs lake {old.columns}) — "
+                    f"pass digestCols explicitly")
+
+        def digested(side, tag):
+            # null-safe, type-erased digest: every column cast to
+            # string and coalesced to a sentinel no real value shares
+            dig = F.md5(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                     F.lit("\x00null")) for c in cols]))
+            return (side.where(F.col(key).isNotNull())
+                    .select(F.col(key).alias("__k"), dig.alias(tag))
+                    .groupBy("__k")
+                    .agg(F.count(F.lit(1)).alias(f"{tag}_n"),
+                         F.max(tag).alias(tag)))
+
+        new_d = digested(df, "new_digest")
+        old_d = digested(old, "old_digest")
+        joined = new_d.join(old_d, "__k", "full_outer")
+        # duplicate-key guard: a diff over a non-keyed side is
+        # meaningless; the counts ride the digest aggregation, so the
+        # guard costs no extra scan.  Rendered via assert-on-read —
+        # and folded INTO the change expression (first coalesce arm),
+        # because a standalone guard column is prunable: an identical-
+        # content duplicate yields change=NULL, and a filter on change
+        # alone would drop the row before a separate guard ever
+        # evaluated (caught while driving this operator).
+        dup_msg = f"LakeDiff: keyCol {key!r} is not unique on "
+        guard = (F.when(
+            F.coalesce(F.col("new_digest_n"), F.lit(0)) > 1,
+            F.raise_error(F.concat(
+                F.lit(dup_msg + "the INPUT side (key "),
+                F.col("__k").cast("string"), F.lit(")"))))
+            .when(
+            F.coalesce(F.col("old_digest_n"), F.lit(0)) > 1,
+            F.raise_error(F.concat(
+                F.lit(dup_msg + "the LAKE side (key "),
+                F.col("__k").cast("string"), F.lit(")")))))
+        change = F.coalesce(
+            guard.cast("string"),
+            F.when(F.col("old_digest").isNull(), F.lit("added"))
+             .when(F.col("new_digest").isNull(), F.lit("removed"))
+             .when(F.col("new_digest") != F.col("old_digest"),
+                   F.lit("changed")))
+        return (joined
+                .withColumn("change", change)
+                .where(F.col("change").isNotNull())
+                .select(F.col("__k").alias(key), "change",
+                        "old_digest", "new_digest"))
+
+    def explain_params(self):
+        return [("keyCol", "row identity for the diff (must be unique "
+                 "on both sides)", "doc_id"),
+                ("digestCols", "comma list of content columns to "
+                 "digest; default = all shared non-key columns "
+                 "(sorted)", ""),
+                ("versionAsOf", "lake snapshot to diff against "
+                 "(default latest)", ""),
+                ("mergeSchema", "honor schema evolution across lake "
+                 "commits", "")]

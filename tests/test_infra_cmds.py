@@ -254,3 +254,83 @@ def test_vacuumed_version_renders_clear_error(engine, tmp_path):
     df = engine.execute(f"load versionedParquet.`{lake}` as z2; "
                         "select id from z2 as out;")
     assert df.collect()[0]["id"] == 2
+
+
+def test_lake_diff_classification_and_guards(engine, tmp_path):
+    """LakeDiff (round-11): added/removed/changed keyed diff of a
+    candidate table against a versionedParquet snapshot — both shapes
+    (pre-commit candidate, version-to-version), identity diff empty,
+    digestCols subset narrows the change set, duplicate keys rendered,
+    NULL keys excluded."""
+    import pytest as _pytest
+    lake = tmp_path / "ld_lake"
+    engine.execute(f"""
+    select id as k, concat('v', cast(id as string)) as payload,
+           cast(id % 3 as int) as tag from range(0, 100) as ld0;
+    save overwrite ld0 as versionedParquet.`{lake}`;
+    -- v1: drop 0-9 (removed), add 100-109, change payload for 20-24
+    select id as k,
+           case when id between 20 and 24
+                then concat('vX', cast(id as string))
+                else concat('v', cast(id as string)) end as payload,
+           cast(id % 3 as int) as tag
+    from range(10, 110) as ld1;
+    save overwrite ld1 as versionedParquet.`{lake}`;
+    """)
+    pull = lambda t: {r["change"]: r["n"] for r in engine.execute(
+        f"select change, count(*) as n from {t} group by change as o;"
+    ).collect()}
+    engine.execute(f"""
+    run ld1 as LakeDiff.`{lake}` where versionAsOf="0" and keyCol="k"
+        as d_pre;
+    """)
+    assert pull("d_pre") == {"added": 10, "removed": 10, "changed": 5}
+    engine.execute(f"""
+    load versionedParquet.`{lake}` where versionAsOf="1" as ld_s1;
+    run ld_s1 as LakeDiff.`{lake}` where versionAsOf="0" and keyCol="k"
+        as d_vv;
+    """)
+    assert pull("d_vv") == {"added": 10, "removed": 10, "changed": 5}
+    # identity diff: latest vs latest -> empty
+    n = engine.execute(f"""
+    load versionedParquet.`{lake}` as ld_latest;
+    run ld_latest as LakeDiff.`{lake}` where keyCol="k" as d_id;
+    select * from d_id as o;
+    """).count()
+    assert n == 0
+    # digest on tag only: payload edits disappear from the change set
+    engine.execute(f"""
+    run ld1 as LakeDiff.`{lake}` where versionAsOf="0" and keyCol="k"
+        and digestCols="tag" as d_tag;
+    """)
+    assert pull("d_tag") == {"added": 10, "removed": 10}
+    # the changed rows carry BOTH digests; added/removed carry one
+    rows = engine.execute(
+        "select * from d_pre where change = 'changed' as o;").collect()
+    assert all(r["old_digest"] and r["new_digest"]
+               and r["old_digest"] != r["new_digest"] for r in rows)
+    # duplicate key on the input side: rendered error at action time
+    with _pytest.raises(Exception, match="not unique"):
+        engine.execute(f"""
+        select * from ld1 union all select * from ld1 where k = 50
+        as ld_dup;
+        run ld_dup as LakeDiff.`{lake}` where versionAsOf="0"
+            and keyCol="k" as d_dup;
+        select * from d_dup as o;
+        """).count()
+    # NULL keys excluded from the diff, not matched or multiplied
+    engine.execute(f"""
+    select cast(null as bigint) as k, 'vnull' as payload,
+           cast(0 as int) as tag
+    union all select * from ld1 as ld_null;
+    run ld_null as LakeDiff.`{lake}` where versionAsOf="0"
+        and keyCol="k" as d_null;
+    """)
+    assert pull("d_null") == {"added": 10, "removed": 10, "changed": 5}
+    # param errors
+    with _pytest.raises(ValueError, match="keyCol"):
+        engine.execute(
+            f'run ld1 as LakeDiff.`{lake}` where keyCol="nope" as x;')
+    with _pytest.raises(ValueError, match="digestCols"):
+        engine.execute(f'run ld1 as LakeDiff.`{lake}` where keyCol="k" '
+                       f'and digestCols="bogus" as x;')

@@ -283,3 +283,42 @@ def test_layout_audit_single_agg_plan(spark, sf_dir):
     # two-phase distinct = at most 2 hash exchanges, both tiny-keyed
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 2, plan
+
+
+def test_lake_diff_pruned_scans_one_join(spark, sf_dir, tmp_path):
+    """LakeDiff = two COLUMN-PRUNED scans (key + digest cols only -
+    parquet never reads the rest), map-side md5 digests, per-side
+    digest aggregations, ONE full-outer join keyed by the key column.
+    No Python, no window, no range sort."""
+    import re
+    from streamingpro_spark.engine import Engine
+    eng = Engine(spark)
+    lake = tmp_path / "pl_lake"
+    eng.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as pl_docs;
+    select doc_id, source, text from pl_docs as pl_v0;
+    save overwrite pl_v0 as versionedParquet.`{lake}`;
+    """)
+    df = eng.execute(f"""
+    select doc_id, source, text from pl_docs where doc_id % 2 = 0
+    as pl_cand;
+    run pl_cand as LakeDiff.`{lake}` where digestCols="source,text"
+        as out;
+    """)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    # exactly one join, and it is the keyed full-outer
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert len(joins) == 1, (joins, plan)
+    assert "FullOuter" in plan, plan
+    # the documents scan is pruned to the three needed columns: text
+    # is needed (digest), but e.g. n_tokens/n_chars/lang must not be
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    assert all("n_chars" not in ln and "lang" not in ln
+               for ln in scans), scans
