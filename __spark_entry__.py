@@ -4801,16 +4801,22 @@ def _q_lake_diff(spark, sf_dir):
     """)
 
 
+#: null-safe digest matching the operator's per-column sentinel
+#: coalesce (review finding, round 11: a bare || null-propagates, so a
+#: future NULL source/text row would diverge from Spark's digest)
 _LAKE_DIFF_ORACLE = """
 WITH v0 AS (
-  SELECT doc_id, md5(source || chr(31) || text) AS old_digest
+  SELECT doc_id,
+         md5(coalesce(source, chr(0) || 'null') || chr(31)
+             || coalesce(text, chr(0) || 'null')) AS old_digest
   FROM documents WHERE doc_id % 3 != 2
 ),
 cand AS (
   SELECT doc_id,
-         md5(source || chr(31) ||
-             CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
-                  ELSE text END) AS new_digest
+         md5(coalesce(source, chr(0) || 'null') || chr(31)
+             || coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+                              ELSE text END,
+                         chr(0) || 'null')) AS new_digest
   FROM documents WHERE doc_id % 3 != 0
 ),
 j AS (

@@ -169,6 +169,14 @@ def is_load_suspect(elapsed: float, floor: float, probe) -> bool:
     if not needs_escalation(elapsed, floor):
         return False
     ext = probe.get("ext_cpus", -1.0) if probe else -1.0
+    # a failed fresh-session retime's probe supersedes the in-session
+    # one: a QUIET retime that still confirmed the slow timing is
+    # independent evidence of a real regression (not suspect), while a
+    # HOT retime exonerated nothing (suspect) — round-11 review
+    # finding: without this, a mid-run load burst could stamp a
+    # contention-inflated ratio as 'measured quiet'
+    if probe and "retime_ext_cpus" in probe:
+        ext = probe["retime_ext_cpus"]
     return ext < 0 or ext > LOAD_QUIET_EXT_CPUS
 
 HEADLINE = [
@@ -269,20 +277,30 @@ TIMED_WINDOWS: list[tuple[str, float, float]] = []
 
 
 def time_query(spark, fn, name: str, samples: int = 1) -> float:
-    """Best-of-N end-to-end (noop write) with a settle gap and a host-
-    load probe before each sample (the probe's sleep replaces most of
-    the settle gap, so per-sample overhead is unchanged); every
+    """Best-of-N end-to-end (noop write) with a settle gap and host-
+    load probes BRACKETING each sample: contention that starts
+    mid-sample is invisible to a pre-probe alone (review finding,
+    round 11), so the recorded ext_cpus is the max of the pre- and
+    post-sample probes.  The pre-probe's sleep replaces most of the
+    settle gap; the post-probe window is short.  Every
     (name, elapsed, probe) lands in SAMPLE_PROBES for the artifact."""
     best = None
     for _ in range(samples):
         settle(spark, gap=0.05)
-        probe = probe_host(0.2)
+        pre = probe_host(0.2)
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         t1 = time.time()
         TIMED_WINDOWS.append((name, t0, t1))
         elapsed = t1 - t0
+        post = probe_host(0.1)
+        # an unknown edge (probe failure, ext_cpus=-1) poisons the
+        # pair: half-bracketed is not provably quiet
+        ext = (-1.0 if pre["ext_cpus"] < 0 or post["ext_cpus"] < 0
+               else max(pre["ext_cpus"], post["ext_cpus"]))
+        probe = {"ext_cpus": ext,
+                 "load1": max(pre["load1"], post["load1"])}
         SAMPLE_PROBES.append((name, elapsed, probe))
         best = elapsed if best is None else min(best, elapsed)
     return best
@@ -450,11 +468,19 @@ def _run() -> dict:
     outliers = [n for n in HEADLINE
                 if n in floors and needs_escalation(timings[n], floors[n])]
     retimed = []
+    failed_retime_probe: dict[str, dict] = {}
     for name in outliers:
         rec = retime_in_subprocess(name)
         if rec is not None and rec["best_sec"] < timings[name]:
             timings[name] = rec["best_sec"]
             best_probe[name] = (rec["best_sec"], rec["probe"])
+        elif rec is not None:
+            # the retime did NOT exonerate: its probe still matters —
+            # a retime under the same contention that inflated the
+            # original sample must not let the artifact claim
+            # 'measured quiet' (review finding, round 11: the hotter
+            # of the two probes decides load_suspect)
+            failed_retime_probe[name] = rec["probe"]
         retimed.append(name)
 
     timings = {k: round(v, 3) for k, v in timings.items()}
@@ -462,6 +488,13 @@ def _run() -> dict:
               for n in HEADLINE if n in floors}
     host_load = {n: best_probe[n][1] for n in HEADLINE
                  if n in best_probe}
+    for n, rp in failed_retime_probe.items():
+        cur = dict(host_load.get(n) or {"ext_cpus": -1.0, "load1": -1.0})
+        # the retime's probe supersedes for adjudication: a QUIET
+        # failed retime independently confirms the slow timing (real
+        # regression, not suspect); a HOT one exonerates nothing
+        cur["retime_ext_cpus"] = rp.get("ext_cpus", -1.0)
+        host_load[n] = cur
     suspects = sorted(n for n in HEADLINE if n in floors
                       and is_load_suspect(timings[n], floors[n],
                                           host_load.get(n)))

@@ -1185,26 +1185,28 @@ class DeterministicShard(ETAlgorithm):
         # seeded run silently overwrote a user `__ho` and dropped it.
         # Names a run does NOT create keep passing through (the
         # round-10 unseeded-`__ho` regression test).
-        scratch = {"__sh"}
+        # one structure drives BOTH the guard set and the error text,
+        # so a future scratch column added here stays in sync (the
+        # per-mode prose listing used to be hand-maintained)
+        scratch: dict[str, str] = {"__sh": "always created"}
         if epoch:
-            scratch.add("__ho")
+            scratch["__ho"] = "created by epochSeed"
         if order_col:
             if cmode == "bucketed":
-                scratch |= {"__qb", "__r", "__boff"}
+                for c in ("__qb", "__r", "__boff"):
+                    scratch[c] = 'created by curriculumMode="bucketed"'
         else:
-            scratch |= {"__bv", "__r", "__boff"}
+            for c in ("__bv", "__r", "__boff"):
+                scratch[c] = "created by the hash-order path"
         if ref_tbl:
-            scratch.add("__off")
-        clash = sorted(scratch & set(df.columns))
+            scratch["__off"] = "created by refTable"
+        clash = sorted(set(scratch) & set(df.columns))
         if clash:
+            why = "; ".join(f"{c}: {scratch[c]}" for c in clash)
             raise ValueError(
                 f"DeterministicShard: input column(s) {clash} collide "
-                f"with scratch columns this run creates "
-                f"({sorted(scratch)}) — rename them before sharding "
-                f"(the __-prefixed names are reserved per mode: __sh "
-                f"always, __ho with epochSeed, __qb/__r/__boff with "
-                f'curriculumMode="bucketed", __bv/__r/__boff on the '
-                f"hash-order path, __off with refTable)")
+                f"with scratch columns this run creates ({why}) — "
+                f"rename them before sharding")
         # the position-hash domain tag: seed-mixed for per-epoch
         # reshuffle; the bare legacy tag otherwise (layouts stay
         # byte-identical to pre-epochSeed runs)
@@ -1661,6 +1663,15 @@ class GroupedSplit(ETAlgorithm):
             raise ValueError(
                 f"GroupedSplit: groupCol {group_col!r} not in input "
                 f"columns {df.columns}")
+        if out_col == group_col:
+            # the overwrite convention drops out_col before adding it,
+            # which would destroy the very column the hash reads
+            # (review finding, round 11: this used to surface as a raw
+            # unresolved-column AnalysisException)
+            raise ValueError(
+                f"GroupedSplit: outputCol and groupCol are both "
+                f"{out_col!r} — the split label would overwrite its "
+                f"own group key; pick a different outputCol")
         spec = params.get("splits", "train:0.98,validation:0.01,test:0.01")
         names, ratios = [], []
         for part in spec.split(","):
@@ -1704,6 +1715,26 @@ class GroupedSplit(ETAlgorithm):
         for r in ratios[:-1]:
             cum += r
             bounds.append(int(round(cum * denom)))
+        # every split must own a non-empty hash range at the 1e6
+        # resolution (review finding, round 11: a ratio like 1e-7
+        # passed the > 0 check but rounded to a ZERO-width bucket —
+        # an unreachable split with no error)
+        for i, b in enumerate(bounds):
+            prev_b = bounds[i - 1] if i else 0
+            if b <= prev_b:
+                raise ValueError(
+                    f"GroupedSplit: split {names[i]!r} "
+                    f"(ratio {ratios[i]}) rounds to an EMPTY hash "
+                    f"range at the 1/{denom} assignment resolution — "
+                    f"no row could ever receive it; use a ratio of at "
+                    f"least {1.0 / denom}")
+        if bounds and bounds[-1] >= denom:
+            raise ValueError(
+                f"GroupedSplit: split {names[-1]!r} "
+                f"(ratio {ratios[-1]}) rounds to an EMPTY hash range "
+                f"at the 1/{denom} assignment resolution — no row "
+                f"could ever receive it; use a ratio of at least "
+                f"{1.0 / denom}")
         expr = F.lit(names[-1])
         for name, b in zip(reversed(names[:-1]), reversed(bounds)):
             expr = F.when(hv < F.lit(b), F.lit(name)).otherwise(expr)

@@ -174,3 +174,17 @@ def test_load_suspect_policy():
     # the threshold itself is exclusive: exactly-at-threshold is quiet
     at = {"ext_cpus": bench.LOAD_QUIET_EXT_CPUS, "load1": 5.0}
     assert not bench.is_load_suspect(7.5, 3.548, at)
+    # a failed fresh-session retime's probe SUPERSEDES the in-session
+    # one: quiet retime that confirmed the slow timing = real
+    # regression even if the original sample was hot...
+    assert not bench.is_load_suspect(
+        7.5, 3.548, {"ext_cpus": 9.0, "load1": 40.0,
+                     "retime_ext_cpus": 0.2})
+    # ...and a hot retime exonerates nothing even if the original
+    # probe read quiet (mid-sample burst invisible to the pre-probe)
+    assert bench.is_load_suspect(
+        7.5, 3.548, {"ext_cpus": 0.1, "load1": 2.0,
+                     "retime_ext_cpus": 9.0})
+    # an unknown retime probe cannot prove quiet either
+    assert bench.is_load_suspect(
+        7.5, 3.548, {"ext_cpus": 0.1, "retime_ext_cpus": -1.0})

@@ -1675,6 +1675,15 @@ def test_grouped_split_leakage_safe_and_params(engine):
                      ('splits="a:0.5,b:x"', "not a number"),
                      ('splits="a:0.5,b"', "name:ratio"),
                      ('splits="a:0.5,b:-0.5"', "> 0"),
+                     # ratios that pass > 0 but round to a zero-width
+                     # hash range at the 1e6 resolution (review
+                     # finding: the split was silently unreachable)
+                     ('splits="a:0.0000001,b:0.9999999"', "EMPTY"),
+                     ('splits="b:0.9999999,a:0.0000001"', "EMPTY"),
+                     # outputCol clobbering its own group key (review
+                     # finding: used to be a raw AnalysisException)
+                     ('groupCol="grp" and outputCol="grp" '
+                      'and splits="a:0.5,b:0.5"', "overwrite its own"),
                      ('groupCol="nope" and splits="a:0.5,b:0.5"',
                       "groupCol")]:
         with _pytest.raises(ValueError, match=msg.replace("(", "\\(")):

@@ -65,6 +65,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
+    if only:
+        # validate the filter BEFORE running anything — a typo mixed
+        # with valid names must not burn a multi-minute run first
+        # (round-11 review finding), and an all-unknown filter must
+        # not print a vacuous N/N pass
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}; "
+                  f"known: {sorted(qs)[:10]}...")
+            return 1
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -104,15 +114,7 @@ def main() -> int:
             continue
         print(f"PASS {name}: {len(s)} rows match ({time.time()-t0:.1f}s)")
     if only:
-        unknown = only - set(qs)
         ran = len([n for n in qs if n in only])
-        if unknown or ran == 0:
-            # a typo'd filter must not print a vacuous N/N pass
-            # (round-11: `--help` silently "passed" 129/129 having run
-            # zero queries)
-            print(f"\nERROR: filter matched {ran} queries; unknown "
-                  f"names: {sorted(unknown)}")
-            return 1
         print(f"\n{ran - len(fails)}/{ran} pass (filtered; "
               f"{len(qs)} total)")
         return 1 if fails else 0
