@@ -4774,6 +4774,94 @@ FROM h
 """
 
 
+#: the synthetic page each document is wrapped in for the
+#: MainContentExtract contract: a link-dense nav block (dropped by the
+#: link-density gate), the document text as the prose block, a
+#: too-short block, script/style/comment noise — one source of truth
+#: for BOTH engines' page construction
+_MCE_PRE = ('<html><head><title>t</title><style>.n{color:red}</style>'
+            '<script>var n=1; if (n<2) {}</script></head><body>'
+            '<div><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/b">Contact</a> nav menu</div><p>')
+_MCE_POST = ('</p><div>too short</div>'
+             '<!-- boilerplate comment that must never surface -->'
+             '</body></html>')
+
+
+def _q_main_content_extract(spark, sf_dir):
+    """MainContentExtract (round-11): boilerplate-aware main-content
+    extraction (Kohlschütter 2010 / trafilatura block model) as pure
+    JVM regex + higher-order-list expressions — every step (script/
+    style/comment strip, block split, entity decode, word and anchor
+    counts, the integer link-density gate) is replayed in DuckDB, so
+    the extraction semantics are pinned cross-engine, not just
+    row-counted."""
+    eng = _engine(spark)
+    return eng.execute(f"""
+    {_loads(sf_dir, 'documents')}
+    select doc_id, concat('{_MCE_PRE}', text, '{_MCE_POST}') as html
+    from documents as mce_in;
+    run mce_in as MainContentExtract.`` as mce;
+    select doc_id, main_content, n_blocks_kept, n_blocks_total
+    from mce as output;
+    """)
+
+
+_MAIN_CONTENT_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, '{_MCE_PRE}' || text || '{_MCE_POST}' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             html,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</?(?:p|div|br|li|h[1-6]|tr|td|th|section|article|ul|ol|table|blockquote|header|footer|nav)\\b[^>]*>',
+             chr(10), 'g') AS c
+  FROM pages
+),
+blocks AS (
+  SELECT doc_id, string_split(c, chr(10)) AS bs FROM cleaned
+),
+judged AS (
+  SELECT doc_id,
+         list_transform(bs, b -> {{
+           't': trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(b, '<[^>]+>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                  '\\s+', ' ', 'g')),
+           'l': len(regexp_extract_all(b, '(?i)<a\\b'))
+         }}) AS js
+  FROM blocks
+),
+scored AS (
+  SELECT doc_id,
+         list_transform(js, j -> {{
+           't': j.t,
+           'w': len(list_filter(string_split(j.t, ' '), x -> x != '')),
+           'l': j.l
+         }}) AS ss
+  FROM judged
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_filter(ss, s -> s.w >= 5 AND s.l * 5 < s.w),
+           s -> s.t),
+         chr(10)) AS main_content,
+       CAST(len(list_filter(ss, s -> s.w >= 5 AND s.l * 5 < s.w))
+            AS INT) AS n_blocks_kept,
+       CAST(len(list_filter(ss, s -> s.w > 0)) AS INT)
+         AS n_blocks_total
+FROM scored
+"""
+
+
 def _q_lake_diff(spark, sf_dir):
     """LakeDiff (round-11): keyed added/removed/changed diff of a
     candidate table against a versionedParquet snapshot — the
@@ -5357,6 +5445,7 @@ def base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_manifest": _q_layout_manifest,
         "grouped_split": _q_grouped_split,
         "lake_diff": _q_lake_diff,
+        "main_content_extract": _q_main_content_extract,
         "bpe_tokenize": _q_bpe_tokenize,
         # LLM-pipeline: multimodal (stub decode, real plumbing)
         "image_metadata": _q_image_metadata,
@@ -5505,6 +5594,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_manifest": _LAYOUT_MANIFEST_ORACLE,
         "grouped_split": _GROUPED_SPLIT_ORACLE,
         "lake_diff": _LAKE_DIFF_ORACLE,
+        "main_content_extract": _MAIN_CONTENT_ORACLE,
         "image_metadata": _IMAGE_METADATA_ORACLE,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "video_metadata": _VIDEO_METADATA_ORACLE,

@@ -800,3 +800,125 @@ class UrlFilter(ETAlgorithm):
                 ("blockedExtensions", "comma-separated blocked path "
                  "extensions", ""),
                 ("mode", "annotate | filter", "annotate")]
+
+
+@register_et("MainContentExtract")
+class MainContentExtract(ETAlgorithm):
+    """Boilerplate-aware main-content extraction from raw HTML — the
+    step between a WARC/crawl scan and the text-curation chain.
+
+    Method (public prior art: Kohlschütter et al. 2010 "Boilerplate
+    Detection using Shallow Text Features"; Barbaresi 2021
+    trafilatura): navigation, headers, footers and link farms are
+    short and link-dense, article prose is long and link-sparse — so
+    split the page into BLOCKS at block-level tags and keep a block
+    only if it has at least ``minWords`` words AND fewer than one
+    anchor per ``wordsPerLink`` words (integer compare: strictly
+    n_links * wordsPerLink < n_words; exact in SQL on both engines).
+    The reference's crawler_auto_extract_body UDF
+    (MLSQLCrawlerFunctions, streamingpro crawler module) strips tags
+    with no boilerplate judgement at all — and runs row-at-a-time in
+    the JVM; this operator adds the block model and stays entirely in
+    whole-stage codegen.
+
+    Pipeline per row (all deterministic regex/list expressions —
+    replayable in the DuckDB oracle):
+
+    1. drop <script>/<style> elements and <!-- comments -->
+    2. convert block-level tags (p, div, br, li, h1-h6, tr, td, th,
+       section, article, ul, ol, table, blockquote, header, footer,
+       nav) to newlines; split into blocks
+    3. per block: strip inline tags, decode the common HTML entities
+       (&amp; last, the single-pass order), collapse whitespace;
+       count words and ``<a`` anchors (counted BEFORE tag-strip)
+    4. keep prose blocks (the rule above); join survivors with \\n
+
+    Output columns: ``main_content`` (NULL html → NULL, the visible
+    pass-through convention), ``n_blocks_kept``, ``n_blocks_total``
+    (non-empty blocks, NULL for NULL html).
+
+    Numeric character references beyond &#39; are left undecoded by
+    design (documented scope — a full entity table buys little for
+    quality filtering and costs a reference-table join or a UDF).
+
+    100 TB: per-row regex + higher-order-list expressions, ZERO
+    exchanges, no Python (plan-gated) — extraction rides the WARC
+    scan itself, the same posture as LanguageID/QualityScore.
+    """
+
+    #: block-level elements converted to block boundaries
+    _BLOCK_TAGS = ("p|div|br|li|h[1-6]|tr|td|th|section|article|ul|ol"
+                   "|table|blockquote|header|footer|nav")
+
+    def train(self, df, path, params, context=None):
+        in_col = params.get("inputCol", "html")
+        out_col = params.get("outputCol", "main_content")
+        min_words = get_int(params, "minWords", 5)
+        words_per_link = get_int(params, "wordsPerLink", 5)
+        if in_col not in df.columns:
+            raise ValueError(
+                f"MainContentExtract: inputCol {in_col!r} not in input "
+                f"columns {df.columns}")
+        if min_words < 1:
+            raise ValueError(
+                f"MainContentExtract: minWords must be >= 1, got "
+                f"{min_words}")
+        if words_per_link < 1:
+            raise ValueError(
+                f"MainContentExtract: wordsPerLink must be >= 1, got "
+                f"{words_per_link}")
+        html = F.col(in_col)
+        cleaned = F.regexp_replace(
+            html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+        cleaned = F.regexp_replace(
+            cleaned, r"(?is)<style\b[^>]*>.*?</style>", " ")
+        cleaned = F.regexp_replace(cleaned, r"(?s)<!--.*?-->", " ")
+        cleaned = F.regexp_replace(
+            cleaned, rf"(?i)</?(?:{self._BLOCK_TAGS})\b[^>]*>", "\n")
+        blocks = F.split(cleaned, "\n")
+
+        def block_text(b):
+            t = F.regexp_replace(b, r"<[^>]+>", " ")
+            # single-pass entity decode: &amp; strictly LAST
+            for ent, ch in (("&nbsp;", " "), ("&lt;", "<"),
+                            ("&gt;", ">"), ("&quot;", '"'),
+                            ("&#39;", "'"), ("&amp;", "&")):
+                t = F.replace(t, F.lit(ent), F.lit(ch))
+            return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+        def n_words(b):
+            return F.size(F.filter(F.split(block_text(b), " "),
+                                   lambda w: w != ""))
+
+        def n_links(b):
+            return F.regexp_count(b, F.lit(r"(?i)<a\b"))
+
+        keep = F.filter(
+            blocks,
+            lambda b: (n_words(b) >= F.lit(min_words))
+            & (n_links(b) * F.lit(words_per_link) < n_words(b)))
+        content = F.array_join(
+            F.transform(keep, block_text), "\n")
+        non_empty = F.filter(blocks, lambda b: n_words(b) > 0)
+        return (df.drop(out_col, "n_blocks_kept", "n_blocks_total")
+                .withColumn(out_col,
+                            F.when(html.isNull(),
+                                   F.lit(None).cast("string"))
+                             .otherwise(content))
+                .withColumn("n_blocks_kept",
+                            F.when(html.isNull(),
+                                   F.lit(None).cast("int"))
+                             .otherwise(F.size(keep).cast("int")))
+                .withColumn("n_blocks_total",
+                            F.when(html.isNull(),
+                                   F.lit(None).cast("int"))
+                             .otherwise(F.size(non_empty).cast("int"))))
+
+    def explain_params(self):
+        return [("inputCol", "raw HTML column", "html"),
+                ("outputCol", "extracted main-content column "
+                 "(overwritten if present)", "main_content"),
+                ("minWords", "minimum words for a block to be prose",
+                 "5"),
+                ("wordsPerLink", "keep a block only if anchors * this "
+                 "< words (link-density gate)", "5")]

@@ -322,3 +322,18 @@ def test_lake_diff_pruned_scans_one_join(spark, sf_dir, tmp_path):
     assert scans, plan
     assert all("n_chars" not in ln and "lang" not in ln
                for ln in scans), scans
+
+
+def test_main_content_extract_map_only(spark, sf_dir):
+    """MainContentExtract is pure per-row regex + higher-order-list
+    expressions: ZERO exchanges, no Python — extraction rides the scan
+    (the operator exists to REPLACE the row-at-a-time
+    crawler_auto_extract_body UDF in curation chains)."""
+    import __spark_entry__ as em
+    df = em.base_queries()["main_content_extract"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = je.explainString(mode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, plan
