@@ -475,11 +475,11 @@ def _run() -> dict:
             timings[name] = rec["best_sec"]
             best_probe[name] = (rec["best_sec"], rec["probe"])
         elif rec is not None:
-            # the retime did NOT exonerate: its probe still matters —
-            # a retime under the same contention that inflated the
-            # original sample must not let the artifact claim
-            # 'measured quiet' (review finding, round 11: the hotter
-            # of the two probes decides load_suspect)
+            # the retime did NOT exonerate: record its probe as
+            # retime_ext_cpus, which SUPERSEDES the in-session probe
+            # in is_load_suspect — a quiet retime that confirmed the
+            # slow timing is independent evidence of a real
+            # regression, a hot one exonerates nothing (round 11)
             failed_retime_probe[name] = rec["probe"]
         retimed.append(name)
 

@@ -859,6 +859,21 @@ class MainContentExtract(ETAlgorithm):
             raise ValueError(
                 f"MainContentExtract: inputCol {in_col!r} not in input "
                 f"columns {df.columns}")
+        if out_col == in_col:
+            # the overwrite convention drops out_col first, which
+            # would destroy the very column the expressions read
+            # (review finding, round 11 — same class as GroupedSplit's
+            # outputCol == groupCol)
+            raise ValueError(
+                f"MainContentExtract: outputCol and inputCol are both "
+                f"{out_col!r} — the extracted content would overwrite "
+                f"its own source; pick a different outputCol")
+        if out_col in ("n_blocks_kept", "n_blocks_total"):
+            raise ValueError(
+                f"MainContentExtract: outputCol {out_col!r} collides "
+                f"with the operator's count columns (n_blocks_kept, "
+                f"n_blocks_total) — the content would be silently "
+                f"overwritten; pick a different outputCol")
         if min_words < 1:
             raise ValueError(
                 f"MainContentExtract: minWords must be >= 1, got "
@@ -886,20 +901,31 @@ class MainContentExtract(ETAlgorithm):
                 t = F.replace(t, F.lit(ent), F.lit(ch))
             return F.trim(F.regexp_replace(t, r"\s+", " "))
 
-        def n_words(b):
-            return F.size(F.filter(F.split(block_text(b), " "),
-                                   lambda w: w != ""))
-
-        def n_links(b):
-            return F.regexp_count(b, F.lit(r"(?i)<a\b"))
-
-        keep = F.filter(
+        # one struct pass materializes (text, words, links) per block,
+        # then every consumer reads the struct fields — Catalyst does
+        # no CSE inside higher-order-function lambdas, so the naive
+        # shape re-ran the 8-step block_text chain up to 4x per block
+        # (review finding, round 11; this mirrors the DuckDB oracle's
+        # judged/scored CTEs)
+        judged = F.transform(
             blocks,
-            lambda b: (n_words(b) >= F.lit(min_words))
-            & (n_links(b) * F.lit(words_per_link) < n_words(b)))
+            lambda b: F.struct(
+                block_text(b).alias("t"),
+                F.regexp_count(b, F.lit(r"(?i)<a\b")).alias("l")))
+        scored = F.transform(
+            judged,
+            lambda j: F.struct(
+                j["t"].alias("t"),
+                F.size(F.filter(F.split(j["t"], " "),
+                                lambda w: w != "")).alias("w"),
+                j["l"].alias("l")))
+        keep = F.filter(
+            scored,
+            lambda s: (s["w"] >= F.lit(min_words))
+            & (s["l"] * F.lit(words_per_link) < s["w"]))
         content = F.array_join(
-            F.transform(keep, block_text), "\n")
-        non_empty = F.filter(blocks, lambda b: n_words(b) > 0)
+            F.transform(keep, lambda s: s["t"]), "\n")
+        non_empty = F.filter(scored, lambda s: s["w"] > 0)
         return (df.drop(out_col, "n_blocks_kept", "n_blocks_total")
                 .withColumn(out_col,
                             F.when(html.isNull(),

@@ -67,7 +67,13 @@ def test_main_content_extract(engine):
     assert rows[0]["n_blocks_kept"] == 1
     for bad, msg in [('inputCol="nope"', "inputCol"),
                      ('minWords="0"', "minWords"),
-                     ('wordsPerLink="-1"', "wordsPerLink")]:
+                     ('wordsPerLink="-1"', "wordsPerLink"),
+                     # review findings, round 11: overwrite-in-place
+                     # used to be a raw AnalysisException; a count-
+                     # column collision silently destroyed the content
+                     ('outputCol="html"', "overwrite its own source"),
+                     ('outputCol="n_blocks_kept"', "count columns"),
+                     ('outputCol="n_blocks_total"', "count columns")]:
         with _pytest.raises(ValueError, match=msg):
             engine.execute(f"""
             select 1 as id, 'x' as html as mce_e;

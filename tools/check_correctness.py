@@ -49,6 +49,21 @@ def main() -> int:
     print(f"git {sha}{' (dirty)' if dirty else ''}  sf_dir={SF_DIR}  "
           f"{time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}")
 
+    # validate any name filter BEFORE the SparkSession boots — the
+    # query/oracle dicts are just callables and need no session, so a
+    # typo costs zero seconds, not a JVM boot (round-11 review
+    # finding); an all-unknown filter must also never print a vacuous
+    # N/N pass
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}; "
+                  f"known: {sorted(qs)[:10]}...")
+            return 1
+
     spark = (SparkSession.builder.master("local[8]")
              .appName("correctness")
              .config("spark.sql.shuffle.partitions", "8")
@@ -62,19 +77,6 @@ def main() -> int:
     for t in entrymod.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
-    if only:
-        # validate the filter BEFORE running anything — a typo mixed
-        # with valid names must not burn a multi-minute run first
-        # (round-11 review finding), and an all-unknown filter must
-        # not print a vacuous N/N pass
-        unknown = only - set(qs)
-        if unknown:
-            print(f"ERROR: unknown query name(s): {sorted(unknown)}; "
-                  f"known: {sorted(qs)[:10]}...")
-            return 1
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
