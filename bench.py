@@ -204,6 +204,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "pii_redact",
+    "main_content_extract",
     "perplexity_bucket",
     "token_budget_sample",
     "dsir_score",
