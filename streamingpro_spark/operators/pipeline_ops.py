@@ -211,7 +211,15 @@ class DSIRScore(ETAlgorithm):
                              f"got {n_list!r}")
         impl = hash_impl(params)
         spark = df.sparkSession
-        target = spark.table(target_tbl)
+        # spread BOTH feature streams before the explode+md5 passes: a
+        # small-file scan arrives as ONE partition (single-row-group
+        # parquet cannot be split), serializing the n-gram hashing on
+        # one core — profiled 7.2s + 5.1s single-task stages for the
+        # two corpus passes at sf0.1 (optimization round 11).  At
+        # 100 TB the scan yields partitions >> cores and this is a
+        # no-op, preserving the documented two-scan design.
+        df = ensure_parallelism(df)
+        target = ensure_parallelism(spark.table(target_tbl))
         if col not in target.columns:
             raise ValueError(
                 f"DSIRScore: contentCol {col!r} not in targetTable "
@@ -351,7 +359,11 @@ class StratifiedSampleExt(ETAlgorithm):
         bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), "strat",
                                         hash_impl(params)),
                         F.lit(1_000_000))
-        return df.filter(bucket < gate)
+        # spread before the per-row md5 gate: a small-file scan arrives
+        # as ONE partition (single-row-group parquet cannot be split)
+        # and would serialize the hashing on one core; no-op at scale
+        # (optimization round 11, same idiom as RepetitionScore)
+        return ensure_parallelism(df).filter(bucket < gate)
 
     def explain_params(self):
         return [("strataCol", "stratum column", "source"),
@@ -396,7 +408,9 @@ class WeightedSampleExt(ETAlgorithm):
         bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"),
                                         "wsample", hash_impl(params)),
                         F.lit(1_000_000))
-        return df.filter(bucket < (w * 1_000_000).cast("long"))
+        # spread before the per-row md5 gate (see StratifiedSampleExt)
+        return ensure_parallelism(df).filter(
+            bucket < (w * 1_000_000).cast("long"))
 
     def explain_params(self):
         return [("idCol", "id column the hash gate keys on", "doc_id"),

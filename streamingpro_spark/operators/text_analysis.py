@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, get_float, get_int
+from streamingpro_spark.operators.base import (ETAlgorithm,
+                                                ensure_parallelism,
+                                                get_float, get_int)
 from streamingpro_spark.operators.registry import register_et
 from streamingpro_spark.operators.dedup import (hash_impl,
                                                 portable_hash64, tokens_col)
@@ -62,6 +64,13 @@ class LanguageID(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        # spread before per-row regex/array work: a small-file scan
+        # arrives as ONE partition (single-row-group parquet cannot be
+        # split) and would serialize the corpus on one core — measured
+        # 0.89s single-task for 5k docs at sf0.1.  At 100 TB the scan
+        # already yields partitions >> cores and this is a no-op
+        # (same idiom as RepetitionScore, optimization round 11).
+        df = ensure_parallelism(df)
         return df.withColumn("lang_pred", lang_guess_col(F.col(col)))
 
     def explain_params(self):
@@ -99,7 +108,8 @@ class QualityScore(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
-        out = df
+        # spread the single-partition small-file scan (see LanguageID)
+        out = ensure_parallelism(df)
         qc = quality_cols(F.col(col))
         for name, c in qc.items():
             out = out.withColumn(name, c)
@@ -137,6 +147,8 @@ class TokenCount(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         return (df.withColumn("ws_tokens", F.size(tokens_col(F.col(col))).cast("long"))
                   .withColumn("est_bpe_tokens", bpe_ish_token_count(F.col(col))))
 
@@ -162,6 +174,8 @@ class PiiRedact(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         c = F.col(col)
         red = F.regexp_replace(c, self.EMAIL, "<EMAIL>")
         red = F.regexp_replace(red, self.IPV4, "<IP>")
@@ -186,6 +200,8 @@ class DocFingerprint(ETAlgorithm):
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
         impl = hash_impl(params)
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
         return (df.withColumn("md5", F.md5(F.col(col)))
                   .withColumn("content_hash",
@@ -218,6 +234,8 @@ class ChunkDocuments(ETAlgorithm):
         overlap = get_int(params, "overlap", 0)
         if not 0 <= overlap < size:
             raise ValueError("ChunkDocuments: need 0 <= overlap < chunkSize")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         step = size - overlap
         toks = F.split(F.col(col), r"\s+")
         n = F.size(toks)
@@ -454,6 +472,8 @@ class C4QualityFilter(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         min_words = get_int(params, "minWordsPerLine", 5)
         min_sent = get_int(params, "minSentences", 3)
         bad_words = [w.strip().lower()
@@ -552,6 +572,8 @@ class TextNormalize(ETAlgorithm):
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
         out_col = params.get("outputCol", "") or col
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         c = F.col(col)
         if params.get("stripControl", "true") == "true":
             c = F.regexp_replace(
@@ -624,6 +646,8 @@ class GopherQualityFilter(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("contentCol", "text")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         min_words = get_int(params, "minWords", 50)
         max_words = get_int(params, "maxWords", 100000)
         min_mwl = get_float(params, "minMeanWordLen", 3.0)
@@ -729,6 +753,8 @@ class UrlFilter(ETAlgorithm):
 
     def train(self, df, path, params, context=None):
         col = params.get("urlCol", "url")
+        # spread the single-partition small-file scan (see LanguageID)
+        df = ensure_parallelism(df)
         allowed = [s.strip().lower() for s in
                    params.get("allowedSchemes", "http,https").split(",")
                    if s.strip()]
@@ -882,6 +908,10 @@ class MainContentExtract(ETAlgorithm):
             raise ValueError(
                 f"MainContentExtract: wordsPerLink must be >= 1, got "
                 f"{words_per_link}")
+        # spread the single-partition small-file scan (see LanguageID):
+        # measured 1.55s single-task for 5k pages at sf0.1 — the
+        # heaviest per-row chain in the text family
+        df = ensure_parallelism(df)
         html = F.col(in_col)
         cleaned = F.regexp_replace(
             html, r"(?is)<script\b[^>]*>.*?</script>", " ")

@@ -83,7 +83,11 @@ def test_stratified_deterministic_and_nested(engine):
 
 
 def test_stratified_map_only_plan(spark, sf_dir):
-    """The sample filter is map-only: no exchange in the plan at all."""
+    """The sample filter stays keyed-shuffle-free: the only exchange
+    allowed is the guarded ensure_parallelism round-robin spread of a
+    single-partition small-file scan (a no-op at scale — optimization
+    round 11); no hash/range partitioning, no Python."""
+    import re
     import __spark_entry__ as em
     eng = em._engine(spark)
     df = eng.execute(f"""
@@ -95,7 +99,8 @@ def test_stratified_map_only_plan(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = je.explainString(mode)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

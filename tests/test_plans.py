@@ -15,6 +15,24 @@ def _plan(spark, name, sf_dir):
     return je.explainString(mode)
 
 
+def _assert_spread_only(plan):
+    """Map-only ops now spread a single-partition small-file scan via
+    ensure_parallelism (optimization round 11): the ONLY exchange
+    allowed is that one guarded round-robin spread — which is a no-op
+    at scale, where the scan already yields partitions >> cores.  The
+    load-bearing claims stay pinned: no hash/range partitioning (no
+    keyed shuffle), no Python.
+    """
+    import re as _re
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    n_rr = len(_re.findall(r"REPARTITION_BY_NUM|RoundRobinPartitioning",
+                           plan))
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 1 and (n_ex == 0 or n_rr >= 1), plan
+
+
+
 def test_q6_pushdown_and_pruning(spark, sf_dir):
     plan = _plan(spark, "q6_revenue_forecast", sf_dir)
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
@@ -138,7 +156,7 @@ def test_c4_quality_filter_map_only(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan
+    _assert_spread_only(plan)
 
 
 def test_text_normalize_map_only(spark, sf_dir):
@@ -149,7 +167,7 @@ def test_text_normalize_map_only(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan
+    _assert_spread_only(plan)
 
 
 def test_gopher_quality_filter_map_only(spark, sf_dir):
@@ -161,7 +179,7 @@ def test_gopher_quality_filter_map_only(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan
+    _assert_spread_only(plan)
 
 
 def test_url_filter_map_only(spark, sf_dir):
@@ -173,7 +191,7 @@ def test_url_filter_map_only(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan
+    _assert_spread_only(plan)
 
 
 def test_bloom_dedup_broadcast_anti_join(spark, sf_dir):
@@ -336,4 +354,4 @@ def test_main_content_extract_map_only(spark, sf_dir):
         .fromString("formatted")
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan, plan
+    _assert_spread_only(plan)
