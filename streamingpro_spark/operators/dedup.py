@@ -1165,8 +1165,27 @@ class DupClusters(ETAlgorithm):
                                      F.col(a_col).alias("dst"))),
             context, "dup_edges")
         edges.count()
-        labels = df.select(F.col(id_col).alias("id"),
-                           F.col(id_col).alias("label")).persist()
+        # Propagate over ONLY the nodes that appear in the pair graph
+        # (optimization round 11, guide §2.3/§1.2): a doc with no pair
+        # row can never change its label — iterating the full corpus
+        # made every round's join + convergence count CORPUS-sized
+        # (at 100 TB: a full-corpus shuffle per round for a dup graph
+        # that is typically <1% of the corpus).  Non-edge docs are
+        # singletons attached by one broadcast-ready left join at the
+        # end.  The df-semi-join keeps the old semantics exactly: an
+        # edge endpoint NOT present in df contributed no label before
+        # (its labels row never existed) and still contributes none —
+        # two df nodes connected only THROUGH an out-of-corpus id must
+        # not merge.  distinct() collapses duplicate-id input rows so
+        # the final join cannot fan out (the old per-row labels carried
+        # identical values for duplicate ids anyway).
+        all_ids = df.select(F.col(id_col).alias("id"))
+        labels_cache = (all_ids.distinct()
+                        .join(edges.select(F.col("src").alias("id"))
+                              .distinct(),
+                              "id", "left_semi")
+                        .select("id", F.col("id").alias("label")).persist())
+        labels = labels_cache
         ckpt_every = get_int(params, "checkpointEvery", 5)
         converged, changed = False, -1
         for it in range(max_iter):
@@ -1175,22 +1194,25 @@ class DupClusters(ETAlgorithm):
                                 .withColumnRenamed("label", "nlabel"), "dst")
                      .groupBy(F.col("src").alias("id"))
                      .agg(F.min("nlabel").alias("nmin")))
-            new_labels = (labels.join(neigh, "id", "left")
-                          .select("id", F.least("label", "nmin").alias("label")))
+            # ONE join yields both the next labels and the change count
+            # (was: a second labels-join purely to count changes)
+            upd = (labels.join(neigh, "id", "left")
+                   .select("id",
+                           F.least("label", "nmin").alias("label"),
+                           (F.col("nmin") < F.col("label")).alias("__chg")))
             # truncate lineage every few rounds: each iteration otherwise
             # deepens the plan (join-on-join-on-...), and by round ~15
             # analysis time dominates compute
             if (it + 1) % ckpt_every == 0:
                 sc = spark.sparkContext
-                new_labels = (new_labels.checkpoint(eager=False)
-                              if sc.getCheckpointDir()
-                              else new_labels.localCheckpoint(eager=False))
-            new_labels = new_labels.persist()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "id")
-                       .filter(F.col("n.label") != F.col("o.label")).count())
-            labels.unpersist()
-            labels = new_labels
+                upd = (upd.checkpoint(eager=False)
+                       if sc.getCheckpointDir()
+                       else upd.localCheckpoint(eager=False))
+            upd = upd.persist()
+            changed = upd.filter(F.col("__chg")).count()
+            labels_cache.unpersist()
+            labels_cache = upd
+            labels = upd.drop("__chg")
             if changed == 0:
                 converged = True
                 break
@@ -1215,7 +1237,7 @@ class DupClusters(ETAlgorithm):
             # out MISLABELED (split into several clusters, extra docs
             # marked keep) — fail with the remedy instead of silently
             # shipping wrong survivors into a dedup pipeline
-            labels.unpersist()
+            labels_cache.unpersist()
             edges.unpersist()
             state = (f"{changed} labels still changing" if changed >= 0
                      else "no rounds run")
@@ -1228,18 +1250,26 @@ class DupClusters(ETAlgorithm):
                 f"several survivors).  Raise maxIter (one join+groupBy "
                 f"per extra round), or pre-partition the pairs if the "
                 f"graph is genuinely that deep.")
-        out = (labels.select(F.col("id").alias(id_col),
-                             F.col("label").alias("cluster_id"))
+        # singletons (no pair row) re-attach here: labels is distinct
+        # on id and tiny (pair-graph nodes only), so AQE broadcasts it
+        # and the corpus side is never shuffled; a missing label means
+        # "own cluster"
+        out = (all_ids
+               .join(labels.withColumnRenamed("label", "__lab"),
+                     "id", "left")
+               .select(F.col("id").alias(id_col),
+                       F.coalesce(F.col("__lab"), F.col("id"))
+                        .alias("cluster_id"))
                .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
         mat = eager_materialize(out, params, context)
         if mat is not out:
-            labels.unpersist()
+            labels_cache.unpersist()
             edges.unpersist()
         elif context is not None:
             # lazy path: hand the final label cache to the engine's
             # end-of-script reaper
-            context.cached_tables[f"__et_dup_labels_{id(labels)}"] = \
-                (labels, "script")
+            context.cached_tables[f"__et_dup_labels_{id(labels_cache)}"] = \
+                (labels_cache, "script")
         return mat
 
     def explain_params(self):

@@ -1238,6 +1238,36 @@ def test_dup_clusters_deep_chain_converges(engine):
     assert sum(1 for r in rows if r["keep"]) == 1
 
 
+def test_dup_clusters_out_of_corpus_endpoint_does_not_bridge(engine):
+    """Round-11 optimization (node-restricted propagation) must keep
+    the old semantics for edges whose endpoint is NOT in the input
+    table: such an endpoint never had a label row, so two input docs
+    connected only THROUGH it must stay in separate clusters, and the
+    out-of-corpus id must not appear in the output."""
+    df = engine.execute("""
+    set pairs_data = '''
+    {"doc_a":5,"doc_b":99}
+    {"doc_a":99,"doc_b":7}
+    {"doc_a":2,"doc_b":3}
+    ''';
+    set docs_data = '''
+    {"doc_id":2}
+    {"doc_id":3}
+    {"doc_id":5}
+    {"doc_id":7}
+    {"doc_id":11}
+    ''';
+    load jsonStr.`pairs_data` as oc_pairs;
+    load jsonStr.`docs_data` as oc_docs;
+    run oc_docs as DupClusters.`` where pairsTable="oc_pairs" as out;
+    """)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in df.collect()}
+    assert set(got) == {2, 3, 5, 7, 11}          # 99 never surfaces
+    assert got[5] == (5, True) and got[7] == (7, True)  # NOT bridged
+    assert got[2] == (2, True) and got[3] == (2, False)
+    assert got[11] == (11, True)                 # singleton untouched
+
+
 def test_dup_clusters_non_convergence_is_rendered_error(engine):
     """A 50-node chain (diameter 49) against the default maxIter=20:
     silently stopping would split ONE duplicate cluster into several
