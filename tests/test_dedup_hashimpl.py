@@ -204,3 +204,31 @@ def test_bloom_filter_dedup_annotate_and_validation(engine):
         run t2 as BloomFilterDedup.`` where refTable="t2" and fpp="1.5"
         as bad2;
         """)
+
+
+def test_shingles_col_zip_edges(spark):
+    """The round-11 zip-based shingles_col must be byte-identical to
+    the old per-position slice form on every edge case: normal docs,
+    docs shorter than n (single truncated shingle), empty text ([''])
+    and NULL text ([''] via the coalesce), and multi-space runs."""
+    from pyspark.sql import functions as F
+    from streamingpro_spark.operators.dedup import shingles_col, tokens_col
+
+    def old_shingles(text, n=3):
+        toks = tokens_col(text)
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ",
+                                                   F.slice(toks, i, n))))
+
+    rows = [(1, "a b c d e"), (2, "a b"), (3, "a"), (4, ""), (5, None),
+            (6, "x  y   z"), (7, "a b c"), (8, "dup dup dup dup")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n in (1, 2, 3, 5):
+        bad = (df.select(old_shingles(F.col("text"), n).alias("a"),
+                         shingles_col(F.col("text"), n).alias("b"))
+               .filter((F.col("a") != F.col("b"))
+                       | F.col("a").isNull() | F.col("b").isNull())
+               .count())
+        assert bad == 0, f"n={n}: zip shingles diverge from legacy form"

@@ -50,6 +50,12 @@ def profile(name: str, samples: int, out_path: str | None) -> None:
     store = jsc.statusStore()
     sql_store = spark._jsparkSession.sharedState().statusStore()
 
+    if "--prewarm" in sys.argv:
+        # one untimed run first: e.g. lake_day_ingest memoizes its
+        # day-0/day-1 state build on first invocation per process
+        fn(spark, bench.SF_DIR).write.mode("overwrite") \
+            .format("noop").save()
+
     # ---- timed runs (same shape as bench.time_query) ----
     times = []
     marks = []  # (t0, t1) of each sample
