@@ -30,7 +30,8 @@ from streamingpro_spark.operators.base import (ETAlgorithm, ensure_parallelism,
                                                get_float, get_int, script_cache)
 from streamingpro_spark.operators.dedup import (hash_impl,
                                                 portable_hash64, tokens_col,
-                                                words_col)
+                                                words_col,
+                                                words_count_col)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -467,7 +468,7 @@ class SequencePack(ETAlgorithm):
             F.pmod(portable_hash64(F.col(id_col).cast("string"), "pack",
                                    hash_impl(params)),
                    F.lit(num_buckets)).alias("bucket"),
-            F.size(words_col(F.coalesce(F.col(col), F.lit(""))))
+            words_count_col(F.coalesce(F.col(col), F.lit("")))
              .alias("n_tokens"))
         if mode == "chunk":
             w = (Window.partitionBy("bucket").orderBy("doc_id_")
@@ -707,7 +708,8 @@ class TokenBudgetSample(ETAlgorithm):
         df = ensure_parallelism(df)
         h = portable_hash64(F.col(id_col).cast("string"), "budget",
                             hash_impl(params))
-        n_tokens = (F.size(words_col(F.coalesce(F.col(col), F.lit(""))))
+        n_tokens = (words_count_col(F.coalesce(F.col(col),
+                                                   F.lit("")))
                      .cast("long"))
         # a NULL id has no hash, hence no deterministic position in the
         # budget walk (all NULL-id rows would be an unordered tie whose
@@ -724,9 +726,17 @@ class TokenBudgetSample(ETAlgorithm):
                    .rowsBetween(Window.unboundedPreceding,
                                 Window.currentRow))
         base = base.withColumn("__cin", F.sum("__nt").over(w))
+        # per-bucket totals as max(running sum) over the WINDOWED
+        # stream (optimization round 11): the old groupBy over the
+        # pre-window `base` re-projected before its own shuffle, so
+        # the md5 hash + token count ran in a SECOND full corpus scan
+        # (profiled: two ~11 CPU-sec map stages at sf0.1).  Taking
+        # max(__cin) — the last value of a non-negative running sum is
+        # its total — lets the aggregate share the window's exchange
+        # (ReusedExchange): one scan, one shuffle write.
         tot = (base.groupBy(F.col(strata_col).alias("__s"),
                             F.col("__bk").alias("__ob"))
-                   .agg(F.sum("__nt").alias("__tot")))
+                   .agg(F.max("__cin").alias("__tot")))
         wo = (Window.partitionBy("__s").orderBy("__ob")
                     .rowsBetween(Window.unboundedPreceding, -1))
         off = tot.select("__s", "__ob",
@@ -996,8 +1006,8 @@ class DataMixing(ETAlgorithm):
         counts = script_cache(
             (df.groupBy(F.col(strata_col).alias("stratum"))
                .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size(words_col(
-                        F.coalesce(F.col(col), F.lit("")))))
+                    F.sum(words_count_col(
+                        F.coalesce(F.col(col), F.lit(""))))
                      .alias("n_tokens"))),
             context, "datamix_counts")  # consumed by the missing-weight
         # check, the cap agg, and the plan join — one corpus scan, not 3
