@@ -1243,34 +1243,49 @@ class DupClusters(ETAlgorithm):
         labels = labels_cache
         ckpt_every = get_int(params, "checkpointEvery", 5)
         converged, changed = False, -1
-        for it in range(max_iter):
-            # candidate label via neighbors: min over (own, neighbors')
-            neigh = (edges.join(labels.withColumnRenamed("id", "dst")
-                                .withColumnRenamed("label", "nlabel"), "dst")
-                     .groupBy(F.col("src").alias("id"))
-                     .agg(F.min("nlabel").alias("nmin")))
-            # ONE join yields both the next labels and the change count
-            # (was: a second labels-join purely to count changes)
-            upd = (labels.join(neigh, "id", "left")
-                   .select("id",
-                           F.least("label", "nmin").alias("label"),
-                           (F.col("nmin") < F.col("label")).alias("__chg")))
-            # truncate lineage every few rounds: each iteration otherwise
+        it = 0
+        while it < max_iter and not converged:
+            # TWO propagation rounds per ACTION (optimization round
+            # 11): each action costs a fixed driver round trip
+            # (planning + AQE + codegen) that dominated the tail on
+            # shallow dup graphs — clique-shaped graphs converge in
+            # one action instead of two.  Convergence is judged on the
+            # LAST round's change count alone, which is sound because
+            # min-label propagation is monotone: a round with zero
+            # changes IS the fixpoint, whatever earlier rounds did.
+            span = min(2, max_iter - it)
+            cur = labels
+            for _ in range(span):
+                # candidate label via neighbors: min over (own, nbrs')
+                neigh = (edges.join(cur.select("id", "label")
+                                    .withColumnRenamed("id", "dst")
+                                    .withColumnRenamed("label", "nlabel"),
+                                    "dst")
+                         .groupBy(F.col("src").alias("id"))
+                         .agg(F.min("nlabel").alias("nmin")))
+                # ONE join yields both the next labels and the change
+                # flag (was: a second labels-join purely to count)
+                cur = (cur.join(neigh, "id", "left")
+                       .select("id",
+                               F.least("label", "nmin").alias("label"),
+                               (F.col("nmin") < F.col("label"))
+                               .alias("__chg")))
+            # truncate lineage every few rounds: each round otherwise
             # deepens the plan (join-on-join-on-...), and by round ~15
             # analysis time dominates compute
-            if (it + 1) % ckpt_every == 0:
+            if (it // ckpt_every) != ((it + span) // ckpt_every):
                 sc = spark.sparkContext
-                upd = (upd.checkpoint(eager=False)
+                cur = (cur.checkpoint(eager=False)
                        if sc.getCheckpointDir()
-                       else upd.localCheckpoint(eager=False))
-            upd = upd.persist()
-            changed = upd.filter(F.col("__chg")).count()
+                       else cur.localCheckpoint(eager=False))
+            cur = cur.persist()
+            changed = cur.filter(F.col("__chg")).count()
             labels_cache.unpersist()
-            labels_cache = upd
-            labels = upd.drop("__chg")
+            labels_cache = cur
+            labels = cur.drop("__chg")
+            it += span
             if changed == 0:
                 converged = True
-                break
         if not converged:
             # the last allowed round may have reached the fixpoint
             # EXACTLY (changed > 0 but the labels are now final) —
