@@ -1190,14 +1190,20 @@ class DupClusters(ETAlgorithm):
     → (doc_id, cluster_id, keep) with cluster_id = min id in the
     component and keep = (doc_id == cluster_id).
 
-    Algorithm: min-label propagation to fixpoint.  Each iteration is one
-    join + map-side-combinable groupBy (shuffle keyed by doc id); the
-    iteration count is the component diameter — near-dup clusters are
-    shallow (dup sets are cliques or short chains), so this converges in
-    a few rounds.  `maxIter` bounds pathological chains; per-round
-    convergence is checked with a cheap count.  (Very-large-diameter
-    graphs would want pointer-jumping / alternating-star — documented
-    tradeoff, out of scope for dedup-shaped graphs.)
+    Algorithm: min-label propagation to fixpoint, over ONLY the nodes
+    that appear in the pair graph (optimization round 11) — a doc with
+    no pair row can never change its label, so the per-round join +
+    map-side-combinable groupBy is dup-graph-sized, not corpus-sized;
+    singletons re-attach through one broadcast-ready left join at the
+    end.  Rounds run two per ACTION (the convergence count is the
+    per-action fixed cost on shallow graphs; judging convergence on
+    the last round alone is sound because propagation is monotone).
+    The iteration count is the component diameter — near-dup clusters
+    are shallow (dup sets are cliques or short chains), so this
+    converges in a few rounds.  `maxIter` bounds pathological chains.
+    (Very-large-diameter graphs would want pointer-jumping /
+    alternating-star — documented tradeoff, out of scope for
+    dedup-shaped graphs.)
     """
 
     def train(self, df, path, params, context=None):
