@@ -128,6 +128,25 @@ def eager_materialize(df: "DataFrame", params: dict[str, str],
     return df.localCheckpoint(eager=True)
 
 
+def would_eager_materialize(df: "DataFrame",
+                            params: dict[str, str]) -> bool:
+    """True when ``eager_materialize(df', params)`` on this session
+    MATERIALIZES (reliable checkpoint or localCheckpoint) rather than
+    returning the lazy plan — i.e. the same decision tree as
+    eager_materialize, evaluated without running it.  Lets a composer
+    that feeds an inner ET's output into several downstream actions
+    know whether that output is already a truncated, computed RDD (no
+    second cache barrier needed) or still lazy (a persist+count is
+    load-bearing to avoid re-running the inner pipeline per action)."""
+    if params.get("eagerCache", "true").lower() == "false":
+        return False
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return True
+    dyn = sc.getConf().get("spark.dynamicAllocation.enabled", "false")
+    return dyn.lower() != "true"
+
+
 def script_cache(df: "DataFrame", context, tag: str) -> "DataFrame":
     """Persist an intermediate for at most the current script's lifetime:
     the engine unpersists every script-lifetime cache when execute()

@@ -41,7 +41,8 @@ from pyspark.sql import Column, functions as F
 from streamingpro_spark.operators.base import (ETAlgorithm, eager_materialize,
                                                 ensure_parallelism, get_bool,
                                                 get_float, get_int,
-                                                script_cache)
+                                                script_cache,
+                                                would_eager_materialize)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -1018,12 +1019,26 @@ class NearDedup(ETAlgorithm):
         if params.get("refTable"):
             # incremental: ONE signature pass + ONE bucket shuffle
             # yields both candidate sets (pair_src self|ref).  The pair
-            # output is small; persist it so the ref-dup filter and the
-            # intra-batch clustering don't re-run the LSH pipeline.
+            # output is small, and the inner train's eager checkpoint
+            # already materializes it AND truncates the composed
+            # lineage, so the ref-dup filter and the intra-batch
+            # clustering scan the computed partitions directly — the
+            # former unconditional persist+count here was a redundant
+            # second barrier (optimization round 11; the OTHER
+            # direction, keeping the pairs lazy and persisting only,
+            # measured WORSE: every downstream action re-optimizes the
+            # full composed lineage driver-side, see
+            # OPTIMIZATION_r11.md Finding 7).  Only when no
+            # materialization happened (caller set eagerCache=false, or
+            # dynamic allocation without a checkpoint dir) does the
+            # persist become load-bearing against re-running the LSH
+            # pipeline per downstream action.
             pairs = MinHashDedup().train(
                 df, "", {**params, "intraBatch": "true"}, context)
-            pairs = script_cache(pairs, context, "near_dedup_incr_pairs")
-            pairs.count()
+            if not would_eager_materialize(pairs, params):
+                pairs = script_cache(pairs, context,
+                                     "near_dedup_incr_pairs")
+                pairs.count()
             # (1) any input doc with a verified ref near-dup goes
             ref_dups = (pairs.filter(F.col("pair_src") == "ref")
                         .select(F.col("doc_a").alias(id_col)).distinct())

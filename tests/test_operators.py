@@ -269,6 +269,51 @@ def test_near_dedup_incremental_intra_batch(engine):
     assert sorted(r["doc_id"] for r in rows) == [102, 104]
 
 
+def test_near_dedup_incremental_lazy_pairs_fallback(engine):
+    """The incremental path persists the pair output ONLY when the
+    inner train did not materialize it (optimization round 11: the
+    default eager checkpoint already is the single pair barrier).
+    eagerCache="false" exercises the persist fallback branch —
+    results must be identical to the default path."""
+    import json
+    ref = [(i, f"reference document number {i} on spark shuffles and "
+               f"broadcast joins with extra shingle words") for i in range(3)]
+    new = [(100, ref[0][1]), (101, ref[0][1]),
+           (102, "fresh content about adaptive query execution and skew "
+                 "join handling in modern engines"),
+           (103, "fresh content about adaptive query execution and skew "
+                 "join handling in modern engines"),
+           (104, "entirely unrelated prose describing parquet encodings "
+                 "and dictionary compression tricks")]
+    rj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in ref)
+    nj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    rows = engine.execute(f"""
+    set ndlrj = '''{rj}''';
+    set ndlnj = '''{nj}''';
+    load jsonStr.`ndlrj` as ndl_ref;
+    load jsonStr.`ndlnj` as ndl_new;
+    run ndl_new as NearDedup.`` where refTable="ndl_ref"
+    and threshold="0.9" and eagerCache="false" as out;
+    """).collect()
+    assert sorted(r["doc_id"] for r in rows) == [102, 104]
+
+
+def test_would_eager_materialize_decision(spark):
+    """would_eager_materialize mirrors eager_materialize's decision:
+    False iff eagerCache=false (this session has no dynamic
+    allocation, so the default path materializes)."""
+    from streamingpro_spark.operators.base import (eager_materialize,
+                                                   would_eager_materialize)
+    df = spark.range(3)
+    assert would_eager_materialize(df, {}) is True
+    assert would_eager_materialize(df, {"eagerCache": "FALSE"}) is False
+    # agreement with the real function, both branches
+    assert (eager_materialize(df, {}) is df) is (
+        not would_eager_materialize(df, {}))
+    assert (eager_materialize(df, {"eagerCache": "false"}) is df) is (
+        not would_eager_materialize(df, {"eagerCache": "false"}))
+
+
 def test_minhash_dedup_intra_batch_pairs(engine):
     """MinHashDedup intraBatch="true" (with refTable) emits BOTH
     candidate sets from one bucket shuffle, tagged pair_src self|ref;
