@@ -80,6 +80,49 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     return df
 
 
+def flatten_unions(df: "DataFrame") -> "DataFrame":
+    """Pre-apply Catalyst's CombineUnions so the plan is stable under
+    `Dataset.union` (optimization round 11).
+
+    Why: `Dataset.union`/`unionByName` eagerly runs CombineUnions over
+    the WHOLE combined logical plan — flattening nested Unions deep
+    inside both operands' lineages, not just the new top-level one.  A
+    consumer that unions a cached table therefore carries a FLATTENED
+    copy of the cached lineage, which no longer `sameResult`s the
+    cached (nested) plan, and CacheManager substitution silently
+    misses — measured in lake_day_ingest's NearDedup stage, where the
+    LSH band branches (built via unionByName) recomputed the whole
+    curation+bloom lineage from raw parquet (~27 executor-CPU-sec at
+    sf0.1, three 6-task stages) while the verify branch (joined, never
+    unioned) hit the cache.  Caching the flattened plan makes the
+    consumer-side flattening a no-op (CombineUnions is idempotent), so
+    every reference matches.  Result-identical by construction: the
+    optimizer applies CombineUnions before execution anyway, so the
+    physical plan is unchanged — only the analyzed-plan cache key is
+    normalized.
+
+    Returns df unchanged when the plan has no nested unions (the rule
+    returns the identical object) or when any internal API is
+    unavailable (plain fallback keeps caching working as before)."""
+    if df.isStreaming:
+        return df
+    try:
+        spark = df.sparkSession
+        jvm = spark.sparkContext._jvm
+        jplan = df._jdf.queryExecution().analyzed()
+        flat = jvm.org.apache.spark.sql.catalyst.optimizer.CombineUnions \
+            .apply(jplan)
+        if jvm.System.identityHashCode(flat) == \
+                jvm.System.identityHashCode(jplan):
+            return df
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, flat)
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        return _CDF(jdf, spark)
+    except Exception:
+        return df
+
+
 def _checkpoint_file_of(df: "DataFrame") -> str | None:
     """The exact rdd-N checkpoint path of a checkpointed DataFrame: its
     analyzed plan is a LogicalRDD whose rdd carries getCheckpointFile —

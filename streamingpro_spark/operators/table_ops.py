@@ -12,7 +12,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Window, functions as F
 
-from streamingpro_spark.operators.base import ETAlgorithm, get_bool, get_int
+from streamingpro_spark.operators.base import (ETAlgorithm, flatten_unions,
+                                               get_bool, get_int)
 from streamingpro_spark.operators.registry import register_et
 
 if TYPE_CHECKING:
@@ -123,7 +124,21 @@ class CacheExt(ETAlgorithm):
             return df
         if execute not in ("cache",):
             raise ValueError(f"CacheExt: unknown execute {execute!r}")
-        cached = df.persist()
+        # normalize union nesting BEFORE registering the cache entry and
+        # re-point the view at the normalized plan: consumers that union
+        # this table flatten its lineage (Dataset.union runs
+        # CombineUnions over the whole plan) and would otherwise miss
+        # the cache entirely — see base.flatten_unions for the measured
+        # lake_day_ingest case
+        tbl = params.get("__table__", "")
+        flat = flatten_unions(df)
+        if flat is not df and tbl:
+            flat.createOrReplaceTempView(tbl)
+            # persist the exact plan consumers will resolve via
+            # spark.table(tbl) so the cache key and every reference
+            # share one canonical form
+            flat = df.sparkSession.table(tbl)
+        cached = flat.persist()
         if eager:
             cached.count()
         if context is not None:

@@ -1036,6 +1036,59 @@ def test_cache_script_lifetime_unpersists(engine, spark):
     engine.execute("!uncache c_session;")
 
 
+def test_cache_nested_union_survives_consumer_union(engine, spark):
+    """A cached view whose lineage holds NESTED unions (SQL `a union
+    all b union all c` parses left-deep) must still be READ FROM CACHE
+    by a consumer that unions it: Dataset.union eagerly runs
+    CombineUnions over the whole combined plan, flattening the nested
+    unions inside the cached lineage, and the flattened copy no longer
+    sameResults the cached plan — CacheExt therefore caches the
+    pre-flattened plan (round-11 fix; the miss recomputed
+    lake_day_ingest's curation+bloom lineage from raw parquet inside
+    the NearDedup stage)."""
+    engine.execute("""
+    select explode(sequence(1, 10)) as v as cu_a;
+    select explode(sequence(11, 20)) as v as cu_b;
+    select explode(sequence(21, 30)) as v as cu_c;
+    select v from cu_a union all select v from cu_b
+        union all select v from cu_c as cu_all;
+    !cache cu_all session;
+    """)
+    try:
+        t = spark.table("cu_all")
+        assert t.storageLevel.useMemory
+        other = spark.range(100, 103).selectExpr("cast(id as int) as v")
+        consumer = t.unionByName(other)
+        plan = (consumer._jdf.queryExecution()
+                .withCachedData().toString())
+        assert "InMemoryRelation" in plan, (
+            "union consumer bypassed the cache — nested-union plan "
+            "was cached unflattened:\n" + plan)
+        # and the values are exactly the union's rows
+        assert sorted(r["v"] for r in consumer.collect()) == \
+            list(range(1, 31)) + [100, 101, 102]
+    finally:
+        engine.execute("!uncache cu_all;")
+
+
+def test_flatten_unions_helper(spark):
+    """flatten_unions: no-op (same object) without nested unions;
+    flattened plan returns identical rows; idempotent."""
+    from streamingpro_spark.operators.base import flatten_unions
+    plain = spark.range(5)
+    assert flatten_unions(plain) is plain
+    spark.range(3).createOrReplaceTempView("fu_a")
+    spark.range(3, 6).createOrReplaceTempView("fu_b")
+    spark.range(6, 9).createOrReplaceTempView("fu_c")
+    nested = spark.sql("select id from fu_a union all select id from fu_b "
+                       "union all select id from fu_c")
+    flat = flatten_unions(nested)
+    assert flat is not nested
+    assert sorted(r.id for r in flat.collect()) == list(range(9))
+    # idempotent: a second pass finds nothing to flatten
+    assert flatten_unions(flat) is flat
+
+
 def test_tfidf_in_place(engine):
     df = engine.execute("""
     set data = '''
