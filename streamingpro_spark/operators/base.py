@@ -80,6 +80,39 @@ def ensure_parallelism(df: "DataFrame", min_partitions: int | None = None) -> "D
     return df
 
 
+def pushdown_barrier(df: "DataFrame", tag: str) -> "DataFrame":
+    """Optimizer barrier between computed metric columns and a
+    downstream filter on them (optimization round 12).
+
+    Why: PushDownPredicates substitutes projected aliases into a
+    pushed filter condition with NO cost model — a `keep` conjunction
+    over seven metric columns becomes one giant Filter condition that
+    re-derives every metric (and everything beneath it, e.g. an
+    upstream TextNormalize regex chain) once PER PREDICATE, falls out
+    of whole-stage codegen (so no runtime subexpression elimination),
+    and is then pushed below the ensure_parallelism spread, where it
+    runs at the input's native partition count.  Measured in the lake
+    cache-build plan: ~20 normalize-chain evaluations per row,
+    interpreted, on 6 of 32 cores (~17 executor-CPU-sec for 5.5k
+    rows).
+
+    CollectMetrics (`df.observe`) is the cheapest row-preserving plan
+    node the optimizer must not move a filter across (observed row
+    counts would change): one count accumulator per task, no exchange,
+    no Python, and column pruning still passes through it.  The name
+    is uniqued per call; identical subtrees may still appear twice in
+    one query (e.g. a dedup self-union) — verified legal."""
+    import uuid
+    from pyspark.sql import functions as F
+    if df.isStreaming:
+        # observe() is legal on streams, but streaming queries in this
+        # engine never compose a pushable filter over ET metrics, and
+        # per-batch metric bookkeeping is pure overhead — pass through
+        return df
+    return df.observe(f"__barrier_{tag}_{uuid.uuid4().hex[:8]}",
+                      F.count(F.lit(1)).alias("rows"))
+
+
 def flatten_unions(df: "DataFrame") -> "DataFrame":
     """Pre-apply Catalyst's CombineUnions so the plan is stable under
     `Dataset.union` (optimization round 11).
@@ -103,7 +136,10 @@ def flatten_unions(df: "DataFrame") -> "DataFrame":
 
     Returns df unchanged when the plan has no nested unions (the rule
     returns the identical object) or when any internal API is
-    unavailable (plain fallback keeps caching working as before)."""
+    unavailable (plain fallback keeps caching working as before, but a
+    one-time warning makes the silently-degraded cache behavior
+    observable — a Spark layout change would otherwise reintroduce the
+    measured full-lineage recompute with no signal)."""
     if df.isStreaming:
         return df
     try:
@@ -119,8 +155,22 @@ def flatten_unions(df: "DataFrame") -> "DataFrame":
             spark._jsparkSession, flat)
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
         return _CDF(jdf, spark)
-    except Exception:
+    except Exception as exc:
+        global _FLATTEN_UNIONS_WARNED
+        if not _FLATTEN_UNIONS_WARNED:
+            _FLATTEN_UNIONS_WARNED = True
+            import warnings
+            warnings.warn(
+                "flatten_unions: Spark-internal CombineUnions entry "
+                f"points unavailable ({type(exc).__name__}: {exc}); "
+                "caching falls back to the unflattened plan — union "
+                "consumers of cached tables may silently miss the "
+                "cache (see base.flatten_unions)",
+                RuntimeWarning, stacklevel=2)
         return df
+
+
+_FLATTEN_UNIONS_WARNED = False
 
 
 def _checkpoint_file_of(df: "DataFrame") -> str | None:

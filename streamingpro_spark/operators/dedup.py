@@ -1063,9 +1063,14 @@ class NearDedup(ETAlgorithm):
         # anti-join on the NON-survivors (optimization round 11): the
         # survivor list is corpus-sized, but the docs actually removed
         # are only the dup-cluster losers — a tiny set AQE broadcasts,
-        # so the corpus is never shuffled to apply the removal
-        # (keep=false ⇔ membership in the removal set, so the result
-        # is exactly the old semi-join's)
+        # so the corpus is never shuffled to apply the removal.
+        # keep=false ⇔ membership in the removal set for every non-null
+        # id; NULL-id rows are KEPT (a null key never matches an anti
+        # join) — the defined semantics since round 11, consistent with
+        # the refTable branch above, which always anti-joined.  (The
+        # pre-r11 semi-join on survivors dropped NULL-id rows as a side
+        # effect of null-key matching, not by design.)  Pinned by
+        # test_near_dedup_null_id_rows_kept.
         non_survivors = clustered.filter(~F.col("keep")).select(id_col)
         joined = df.join(non_survivors, [id_col], "left_anti")
         out = eager_materialize(joined, params, context)
@@ -1138,7 +1143,14 @@ class SoftDedup(ETAlgorithm):
         # (keep=false rows plus their survivors), which AQE broadcasts
         # into the one left join below; missing rows coalesce to the
         # singleton defaults.  Output identical to the old full
-        # aggregate — round(1/1, d) = 1.0.
+        # aggregate for UNIQUE ids — round(1/1, d) = 1.0.  Known
+        # divergence on DUPLICATE ids (k rows sharing one id, no
+        # keep=false member): the old corpus-wide groupBy reported
+        # size k / weight 1/k, the singleton default reports 1 / 1.0
+        # per row.  Duplicate ids are a contract violation for every
+        # dedup operator (idCol is the document key); the defined
+        # behavior is the singleton default, pinned by
+        # test_soft_dedup_duplicate_id_rows.
         dup_clusters = (clustered.filter(~F.col("keep"))
                         .select("cluster_id").distinct())
         sizes = (clustered.join(dup_clusters, "cluster_id", "left_semi")

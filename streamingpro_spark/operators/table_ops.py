@@ -129,10 +129,14 @@ class CacheExt(ETAlgorithm):
         # this table flatten its lineage (Dataset.union runs
         # CombineUnions over the whole plan) and would otherwise miss
         # the cache entirely — see base.flatten_unions for the measured
-        # lake_day_ingest case
+        # lake_day_ingest case.  Only worth doing when there IS a view
+        # to re-point: on direct API use (no __table__) consumers hold
+        # the ORIGINAL df, so persisting a flattened copy would make
+        # every consumer — unioned or not — miss the cache (round-12
+        # advice fix)
         tbl = params.get("__table__", "")
-        flat = flatten_unions(df)
-        if flat is not df and tbl:
+        flat = flatten_unions(df) if tbl else df
+        if flat is not df:
             flat.createOrReplaceTempView(tbl)
             # persist the exact plan consumers will resolve via
             # spark.table(tbl) so the cache key and every reference

@@ -19,7 +19,8 @@ from pyspark.sql import Column, functions as F
 
 from streamingpro_spark.operators.base import (ETAlgorithm,
                                                 ensure_parallelism,
-                                                get_float, get_int)
+                                                get_float, get_int,
+                                                pushdown_barrier)
 from streamingpro_spark.operators.registry import register_et
 from streamingpro_spark.operators.dedup import (hash_impl,
                                                 portable_hash64, tokens_col)
@@ -483,11 +484,17 @@ class C4QualityFilter(ETAlgorithm):
         # null text behaves as empty (F.size(split(NULL)) is -1, which
         # would leak a negative n_lines and a non-deterministic keep)
         text = F.coalesce(F.col(col), F.lit(""))
-        lines = F.split(text, "\n")
-        good = F.filter(
-            lines,
-            lambda l: l.rlike('[.!?"]\\s*$')
-            & (F.size(F.split(F.trim(l), "\\s+")) >= min_words))
+        # line array and surviving-line array computed ONCE per row in
+        # their own project — CollapseProject's cost check keeps these
+        # multiply-referenced non-cheap aliases from being inlined
+        # into each metric (optimization round 12, guide §1.2)
+        df = (df.withColumn("__c4_lines", F.split(text, "\n"))
+                .withColumn("__c4_good", F.filter(
+                    F.col("__c4_lines"),
+                    lambda l: l.rlike('[.!?"]\\s*$')
+                    & (F.size(F.split(F.trim(l), "\\s+")) >= min_words))))
+        lines = F.col("__c4_lines")
+        good = F.col("__c4_good")
         n_sent = F.size(F.split(text, "[.!?]")) - 1
         lower = F.lower(text)
         has_lorem = lower.contains("lorem ipsum")
@@ -510,11 +517,16 @@ class C4QualityFilter(ETAlgorithm):
                  .withColumn("has_lorem", has_lorem)
                  .withColumn("has_brace", has_brace)
                  .withColumn("has_bad_word", has_bad)
-                 .withColumn("keep",
+                 .drop("__c4_lines", "__c4_good"))
+        # keep the keep-filter (filter mode here, or a consumer's WHERE
+        # in annotate mode) from inlining every flag back into one
+        # giant pushed-down Filter condition (see base.pushdown_barrier)
+        out = pushdown_barrier(out, "c4")
+        out = out.withColumn("keep",
                              (F.col("n_kept_lines") > 0)
                              & (F.col("n_sentences") >= min_sent)
                              & ~F.col("has_lorem") & ~F.col("has_brace")
-                             & ~F.col("has_bad_word")))
+                             & ~F.col("has_bad_word"))
         if mode == "filter":
             out = out.filter(F.col("keep")).drop("keep")
         return out
@@ -660,14 +672,24 @@ class GopherQualityFilter(ETAlgorithm):
         mode = params.get("mode", "annotate")
 
         text = F.coalesce(F.col(col), F.lit(""))
+        # The word/line token arrays are computed ONCE per row in a
+        # dedicated project: CollapseProject's cost check keeps a
+        # non-cheap alias that is referenced more than once from being
+        # inlined, so every metric below reads the same array instead
+        # of re-splitting the text (optimization round 12, guide §1.2).
+        #
         # drop empty split tokens: leading/trailing whitespace or a
         # terminal newline otherwise inflates n_words by 1 (and an
         # empty doc reports 1 word, not 0), skewing EVERY per-word
         # fraction near its threshold (round-8 review finding)
-        words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+        tmp = (df.withColumn("__gq_words",
+                             F.filter(F.split(text, r"\s+"),
+                                      lambda w: w != ""))
+                 .withColumn("__gq_lines", F.split(text, "\n")))
+        words = F.col("__gq_words")
+        lines = F.col("__gq_lines")
         n_words = F.size(words)
         d_words = F.greatest(n_words, F.lit(1))
-        lines = F.split(text, "\n")
         d_lines = F.greatest(F.size(lines), F.lit(1))
 
         def frac(numer):
@@ -687,7 +709,7 @@ class GopherQualityFilter(ETAlgorithm):
             F.array_distinct(F.split(F.lower(text), r"\s+")),
             F.array(*[F.lit(w) for w in self.REQUIRED_STOPWORDS])))
 
-        out = (df
+        out = (tmp
                .withColumn("n_words", n_words.cast("long"))
                .withColumn("mean_word_len", frac(word_chars))
                .withColumn("symbol_word_ratio", frac(n_symbols))
@@ -696,7 +718,17 @@ class GopherQualityFilter(ETAlgorithm):
                .withColumn("frac_ellipsis_lines",
                            F.round(ellip.cast("double") / d_lines, 4))
                .withColumn("frac_alpha_words", frac(alpha))
-               .withColumn("n_required_stopwords", stops.cast("long")))
+               .withColumn("n_required_stopwords", stops.cast("long"))
+               .drop("__gq_words", "__gq_lines"))
+        # barrier BEFORE the keep conjunction: without it, the keep
+        # filter (here in filter mode, or applied later by a consumer
+        # in annotate mode) is pushed through the metric project,
+        # inlining every metric — and the whole upstream normalize
+        # chain — once per predicate into a single codegen-hostile
+        # Filter condition that then sinks below the parallelism
+        # spread (see base.pushdown_barrier; measured on the lake
+        # cache-build plan)
+        out = pushdown_barrier(out, "gopher")
         keep = ((F.col("n_words") >= min_words)
                 & (F.col("n_words") <= max_words)
                 & (F.col("mean_word_len") >= min_mwl)
@@ -804,13 +836,17 @@ class UrlFilter(ETAlgorithm):
                  .withColumn("bad_scheme", bad_scheme)
                  .withColumn("blocked_domain", blocked_domain)
                  .withColumn("blocked_keyword", blocked_keyword)
-                 .withColumn("blocked_extension", blocked_ext)
-                 .withColumn("keep",
+                 .withColumn("blocked_extension", blocked_ext))
+        # keep the keep-filter from inlining the regexp parse chain
+        # once per flag into one pushed-down Filter condition (see
+        # base.pushdown_barrier)
+        out = pushdown_barrier(out, "url")
+        out = out.withColumn("keep",
                              (F.col("url_host") != "")
                              & ~F.col("bad_scheme")
                              & ~F.col("blocked_domain")
                              & ~F.col("blocked_keyword")
-                             & ~F.col("blocked_extension")))
+                             & ~F.col("blocked_extension"))
         if mode == "filter":
             out = out.filter(F.col("keep")).drop("keep")
         return out

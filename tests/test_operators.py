@@ -2632,3 +2632,102 @@ def test_soft_dedup_rerun_overwrites_annotations(engine):
         assert df.columns.count(c) == 1, df.columns
     r = {row["doc_id"]: row for row in df.collect()}
     assert r[1]["dup_cluster_size"] == 2 and r[3]["sample_weight"] == 1.0
+
+
+def test_near_dedup_null_id_rows_kept(engine):
+    """NULL-id rows pass through NearDedup self mode unchanged — the
+    defined semantics since round 11 (anti-join on non-survivors: a
+    null key never matches), consistent with the refTable branch which
+    has always anti-joined.  Pre-r11 the semi-join on survivors dropped
+    them as a null-matching side effect; this pins the intentional
+    change (round-12 advice)."""
+    import json
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base),
+            (7, "completely different text about spark dataframes and "
+                "shuffles"),
+            (None, "a null id row rides along and is never a dedup "
+                   "candidate")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    rows = engine.execute(f"""
+    set nnj = '''{dj}''';
+    load jsonStr.`nnj` as nn_docs;
+    run nn_docs as NearDedup.`` where threshold="0.8" as out;
+    """).collect()
+    ids = sorted((r["doc_id"] for r in rows), key=lambda x: (x is None, x))
+    assert ids == [1, 7, None]
+
+
+def test_soft_dedup_duplicate_id_rows(engine):
+    """Duplicate ids violate the dedup contract (idCol is the document
+    key); the defined behavior is the singleton default — each of the k
+    rows sharing an id reports (id, 1, 1.0) when no near-dup cluster
+    involves them (round-12 advice: the pre-r11 corpus-wide groupBy
+    incidentally reported size k / weight 1/k for that id)."""
+    import json
+    docs = [(1, "completely different text about spark dataframes and "
+                "shuffles"),
+            (1, "a second distinct row reusing the same document id"),
+            (2, "a third topic entirely parquet files and column "
+                "pruning")]
+    dj = "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    rows = engine.execute(f"""
+    set ddj = '''{dj}''';
+    load jsonStr.`ddj` as dd_docs;
+    run dd_docs as SoftDedup.`` where threshold="0.8" as out;
+    """).collect()
+    assert len(rows) == 3                        # nothing removed
+    for r in rows:
+        assert r["dup_cluster_id"] == r["doc_id"]
+        assert r["dup_cluster_size"] == 1
+        assert r["sample_weight"] == 1.0
+
+
+def test_flatten_unions_fallback_warns_once(spark):
+    """When the Spark-internal CombineUnions entry points are
+    unavailable, flatten_unions must fall back to the input plan AND
+    emit a one-time RuntimeWarning — a silently disabled cache-key
+    normalization would reintroduce the round-11 full-lineage recompute
+    with no signal on a future Spark bump (round-12 advice)."""
+    import warnings
+    from streamingpro_spark.operators import base
+
+    class _Boom:
+        isStreaming = False
+
+        @property
+        def sparkSession(self):
+            raise RuntimeError("simulated missing internal API")
+
+    old = base._FLATTEN_UNIONS_WARNED
+    base._FLATTEN_UNIONS_WARNED = False
+    try:
+        boom = _Boom()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert base.flatten_unions(boom) is boom
+            assert base.flatten_unions(boom) is boom
+        msgs = [x for x in w if issubclass(x.category, RuntimeWarning)
+                and "flatten_unions" in str(x.message)]
+        assert len(msgs) == 1, [str(x.message) for x in w]
+    finally:
+        base._FLATTEN_UNIONS_WARNED = old
+
+
+def test_cache_ext_no_view_persists_original_plan(spark):
+    """Direct-API CacheExt (no __table__): the cache entry must be the
+    caller's own plan — flattening without a view to re-point would
+    make every consumer holding the original df miss the cache
+    (round-12 advice fix)."""
+    from streamingpro_spark.operators.table_ops import CacheExt
+    spark.range(3).createOrReplaceTempView("ce_a")
+    spark.range(3, 6).createOrReplaceTempView("ce_b")
+    spark.range(6, 9).createOrReplaceTempView("ce_c")
+    nested = spark.sql("select id from ce_a union all select id from ce_b "
+                       "union all select id from ce_c")
+    out = CacheExt().train(nested, "", {"isEager": "false"})
+    try:
+        assert out is nested                   # same plan object cached
+        assert nested.storageLevel.useMemory
+    finally:
+        nested.unpersist()

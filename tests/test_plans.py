@@ -355,3 +355,53 @@ def test_main_content_extract_map_only(spark, sf_dir):
     plan = je.explainString(mode)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     _assert_spread_only(plan)
+
+
+def _filter_conditions(optimized_plan_str):
+    """Every Filter node's condition in a logical-plan tree string."""
+    return re.findall(r"Filter \((.*)\)\n", optimized_plan_str + "\n")
+
+
+def test_quality_filter_pushdown_barrier(engine):
+    """The keep-filter over ET-computed metric columns must stay ABOVE
+    the metric projection (optimization round 12): without the
+    CollectMetrics barrier, PushDownPredicates inlines every metric —
+    and the whole upstream normalize chain — once per predicate into a
+    single interpreted Filter that then sinks below the parallelism
+    spread.  Pin: barrier node present, and no Filter condition
+    re-derives a metric (no split/rlike/regexp in any condition)."""
+    doc = ("Plenty of good words flow here in this long test sentence "
+           "and more words to pass the gate today.")
+    for script, tag in [
+        (f"""select '{doc}' as text as t;
+         run t as GopherQualityFilter.`` where mode="filter" as out;""",
+         "gopher"),
+        (f"""select '{doc}' as text as t;
+         run t as C4QualityFilter.`` where mode="filter" as out;""",
+         "c4"),
+        ("""select 'x' as text, 'https://ok.org/a.html' as url as t;
+         run t as UrlFilter.`` where mode="filter" as out;""",
+         "url"),
+    ]:
+        df = engine.execute(script)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert f"__barrier_{tag}" in plan, plan[:2000]
+        for cond in _filter_conditions(plan):
+            assert "split(" not in cond, (tag, cond)
+            assert "RLIKE" not in cond, (tag, cond)
+            assert "regexp" not in cond.lower(), (tag, cond)
+
+
+def test_pushdown_barrier_consumer_where(engine):
+    """Annotate mode + a consumer WHERE on the flags: the consumer's
+    filter also stays above the barrier instead of inlining the parse
+    chain per flag."""
+    df = engine.execute("""
+    select 'x' as text, 'https://ok.org/a.html' as url as t2;
+    run t2 as UrlFilter.`` as out2;
+    select url from out2 where keep as final2;
+    """)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__barrier_url" in plan, plan[:2000]
+    for cond in _filter_conditions(plan):
+        assert "parse_url" not in cond and "regexp" not in cond.lower(), cond
