@@ -46,16 +46,28 @@ def lang_score_col(text: Column, lang: str) -> Column:
 def lang_guess_col(text: Column) -> Column:
     """argmax over language marker scores; 'und' when all zero.
     Deterministic tie-break: first maximal language in the fixed order
-    en,de,fr,es,zh (strict > against the running best, forward scan)."""
+    en,de,fr,es,zh.
+
+    Built as array_position(scores, array_max(scores)) rather than a
+    running-best when/otherwise fold (optimization round 12, guide
+    §1.2): the fold embedded the previous best TWICE per step, so each
+    score expression appeared up to 2^(n-1) times in the plan —
+    codegen'd with runtime CSE, but the expression tree itself grew
+    exponentially in the language count (analysis + janino cost, and a
+    method-size fallback risk as languages are added).  Here each
+    score appears exactly once.  Equivalent by construction:
+    array_position returns the FIRST index holding the max — the same
+    language the forward strict-> scan kept — and the all-zero case
+    maps to 'und' exactly as a never-beaten 0.0 starting best did
+    (scores are non-negative, never NaN)."""
     langs = list(_LANG_MARKERS)
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in langs:   # forward scan; strict > keeps the earlier of ties
-        s = lang_score_col(text, lang)
-        cond = s > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best_lang
+    scores = F.array(*[lang_score_col(text, lang) for lang in langs])
+    names = F.array(*[F.lit(lang) for lang in langs])
+    mx = F.array_max(scores)
+    return F.when(mx > 0.0,
+                  F.element_at(names,
+                               F.array_position(scores, mx).cast("int"))
+                  ).otherwise(F.lit("und"))
 
 
 @register_et("LanguageID")

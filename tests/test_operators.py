@@ -2731,3 +2731,24 @@ def test_cache_ext_no_view_persists_original_plan(spark):
         assert nested.storageLevel.useMemory
     finally:
         nested.unpersist()
+
+
+def test_language_id_tiebreak_and_und(engine):
+    """lang_pred semantics pinned against the round-12 array-argmax
+    rewrite: ties go to the FIRST maximal language in the fixed
+    en,de,fr,es,zh order, and an all-zero score vector is 'und'."""
+    df = engine.execute("""
+    select * from (values
+      (1, 'the le'),
+      (2, 'le la les et est un une in'),
+      (3, 'zzz qqq xxx'),
+      (4, '的 是 了'),
+      (5, null)) v(doc_id, text) as d;
+    run d as LanguageID.`` as out;
+    """)
+    got = {r["doc_id"]: r["lang_pred"] for r in df.collect()}
+    assert got[1] == "en"        # en/fr tie at 0.1 -> first in order
+    assert got[2] == "fr"        # fr strictly ahead of en
+    assert got[3] == "und"       # no marker hits anywhere
+    assert got[4] == "zh"
+    assert got[5] == "und"       # null text scores 0 everywhere
