@@ -194,11 +194,26 @@ def test_url_filter_map_only(spark, sf_dir):
     _assert_spread_only(plan)
 
 
-def test_bloom_dedup_broadcast_anti_join(spark, sf_dir):
+def test_bloom_dedup_broadcast_anti_join(engine, sf_dir):
     """BloomFilterDedup's final anti-join must broadcast the confirmed
     dup keys (true-dup-sized), never shuffle the input corpus against
-    the ref; the bloom build reduces to a bit_or aggregate."""
-    plan = _plan(spark, "bloom_dedup", sf_dir)
+    the ref; the bloom build reduces to a bit_or aggregate.  Since
+    round 12 filter mode eager-materializes its output (the declared
+    query's final plan is just a scan of the checkpointed RDD), so the
+    gate runs the same shape with eagerCache="false" to see the lazy
+    join plan the materialization executes."""
+    df = engine.execute(f"""
+    load parquet.`{sf_dir}/documents.parquet` as bd_docs;
+    select doc_id, text from bd_docs where doc_id % 3 <> 0 as bd_ref;
+    select doc_id, text from bd_docs where doc_id % 2 = 0 as bd_new;
+    run bd_new as BloomFilterDedup.`` where refTable="bd_ref"
+        and eagerCache="false" as bd_out;
+    select doc_id from bd_out as bd_final;
+    """)
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution \
+        .ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
     # the probe side stays a map stage: no SortMergeJoin against ref
     assert "SortMergeJoin" not in plan, plan
