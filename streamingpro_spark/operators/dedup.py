@@ -1289,25 +1289,30 @@ class DupClusters(ETAlgorithm):
         ckpt_every = get_int(params, "checkpointEvery", 5)
         converged, changed = False, -1
         it = 0
-        # Rounds per ACTION grow geometrically 2→4→8 while the graph
-        # keeps propagating (optimization round 12, verdict item 7;
-        # was a flat 2 in round 11): each action costs a fixed driver
-        # round trip (planning + AQE + codegen), so a diameter-d chain
-        # paid d/2 actions.  Doubling reaches depth d in O(log d)
-        # actions while bounding the overshoot — the rounds wasted
-        # past the fixpoint are less than the rounds that were needed
-        # (standard doubling argument), and each wasted round is a
-        # no-change join over the dup graph, not the corpus.  The cap
+        # Rounds per ACTION grow 2→2→4→8 while the graph keeps
+        # propagating (optimization round 12, verdict item 7; was a
+        # flat 2 in round 11): each action costs a fixed driver round
+        # trip (planning + AQE + codegen), so a diameter-d chain paid
+        # d/2 actions.  Growing from the THIRD action keeps the first
+        # four rounds identical to round 11 — near-dup graphs are
+        # overwhelmingly shallow (cliques converge in one action,
+        # verified-pair components in ≤2) and must not pay speculative
+        # rounds — while a genuinely deep chain still reaches depth d
+        # in O(log d) actions with the overshoot bounded by the
+        # doubling argument (wasted rounds < rounds needed, each a
+        # no-change join over the dup graph, not the corpus).  The cap
         # of 8 keeps the per-action lazy plan (one join+agg per round)
         # shallow enough that analysis stays trivial.  Convergence is
         # judged on the LAST round's change count alone, which is
         # sound because min-label propagation is monotone: a round
         # with zero changes IS the fixpoint, whatever earlier rounds
-        # did (clique-shaped graphs still converge in one action).
-        span_target = 2
+        # did.
+        span_target, action_no = 2, 0
         while it < max_iter and not converged:
             span = min(span_target, max_iter - it)
-            span_target = min(span_target * 2, 8)
+            action_no += 1
+            if action_no >= 2:
+                span_target = min(span_target * 2, 8)
             cur = labels
             for _ in range(span):
                 # candidate label via neighbors: min over (own, nbrs')
