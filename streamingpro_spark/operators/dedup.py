@@ -164,14 +164,16 @@ def minhash_signature_df(df: "DataFrame", id_col: str, text_col: str,
         base = (F.conv(F.substring(
             F.md5(F.concat(F.lit("mh:"), F.col("__s"))), 1, 8), 16, 10)
             .cast("long") % F.lit(1 << 30))
-    ex = ex.withColumn("__m", base)
+    ex = ex.select("__id", base.alias("__m"))
     a, b = mh_constants(num_hashes)
-    aggs = [F.min((F.col("__m") * F.lit(a[j]) + F.lit(b[j]))
-                  % F.lit(MH_P61)).alias(f"__h{j}")
-            for j in range(num_hashes)]
-    return (ex.groupBy("__id").agg(*aggs)
-            .select("__id", F.array(*[F.col(f"__h{k}")
-                                      for k in range(num_hashes)]).alias("__mh")))
+    # one agg expression building the array directly (optimization
+    # round 12, guide §1.2 driver-side): the k named min-aggs + a
+    # follow-up array select cost one extra Dataset creation, and every
+    # creation re-analyzes the whole subtree (the shingle zip is a big
+    # expression) — per-invocation Catalyst cost, same values
+    return ex.groupBy("__id").agg(F.array(*[
+        F.min((F.col("__m") * F.lit(a[j]) + F.lit(b[j])) % F.lit(MH_P61))
+        for j in range(num_hashes)]).alias("__mh"))
 
 
 def minhash_band_rows(src, id_col: str, col: str, k: int, bands: int,
@@ -192,9 +194,11 @@ def minhash_band_rows(src, id_col: str, col: str, k: int, bands: int,
                                    .cast("string") for j in range(r)]),
                 f"band{b}", impl).alias("__bh"))
         for b in range(bands)])
-    return (sig.select("__id", F.explode(band_struct).alias("__e"))
-               .select("__id", F.col("__e.__band").alias("__band"),
-                       F.col("__e.__bh").alias("__bh")))
+    # inline() explodes the struct array straight into (__band, __bh)
+    # columns — one Dataset creation instead of explode + destructure
+    # (round 12; same rows, same schema, one less analysis pass over
+    # the signature subtree)
+    return sig.select(F.col("__id"), F.inline(band_struct))
 
 
 # ---------------------------------------------------------------------------
